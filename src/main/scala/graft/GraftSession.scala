@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the engine.
+  *
+  * Settings chosen for oracle parity and local[32] testing, but every knob
+  * is the one you'd also set on a real 1000-executor cluster:
+  *   - AQE on: runtime coalescing + skew-join splitting replace the
+  *     reference's work-stealing ring (SURVEY.md §2.2 P7 — Spark's
+  *     scheduler + AQE absorb it).
+  *   - shuffle.partitions tracks cores locally; on a cluster this would be
+  *     2-3x total cores and AQE coalesces down.
+  *   - UTC session TZ so timestamp semantics match the DuckDB oracle.
+  *   - parquet nanos-as-long: the `events` table ships TIMESTAMP(NANOS)
+  *     which Spark has no native type for; Tables.events() converts.
+  */
+object GraftSession {
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply the configs that matter even when someone else built the
+    * session (Verify/Bench create their own). Static confs like
+    * nanosAsLong must be set at build time; runtime ones land here. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

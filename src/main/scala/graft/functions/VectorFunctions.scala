@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity over two `array<float>` columns as a native Catalyst
+  * expression: a tight compiled double loop per row (no per-element
+  * expression interpretation, no UDF serialization). Used as the fast
+  * scoring kernel for similarity search; exact-decimal rescoring (see
+  * LlmOps.dotArr) runs only on the candidates this passes.
+  *
+  * IEEE double arithmetic in a fixed (sequential) order — deterministic
+  * across runs and cluster sizes for given inputs, but NOT decimal-exact;
+  * treat results as scores, not oracle-comparable values.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Register SQL-callable vector functions on this session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+      "built-in"
+    )
+
+  /** SQL fragment form: register first, then use in expr()/selectExpr. */
+  def cosineSimExpr(spark: SparkSession, aSql: String, bSql: String): Column = {
+    register(spark)
+    expr(s"cosine_similarity($aSql, $bSql)")
+  }
+}

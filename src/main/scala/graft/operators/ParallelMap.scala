@@ -1,0 +1,151 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** A UDF raised on a specific input. Mirrors the reference's error
+  * attribution contract — the original exception is re-raised client-side
+  * with `exc.burla_input_index` set (reference: client/src/burla/_node.py:
+  * 638-663, worker emit node_service/src/node_service/worker_server.py:
+  * 170-180). Here the cause is the user exception and `inputIndex` is the
+  * 0-based position in the submitted inputs.
+  */
+final case class UdfFailure(inputIndex: Long, cause: Throwable)
+    extends RuntimeException(
+      s"UDF raised on input $inputIndex: ${cause.getClass.getSimpleName}: ${cause.getMessage}",
+      cause
+    )
+
+/** Spark-native rebuild of the reference's one dataflow operator,
+  * `remote_parallel_map(f, inputs)` (reference: client/src/burla/
+  * _remote_parallel_map.py:457-537).
+  *
+  * Semantics carried over (SURVEY.md §2.1, §2.4):
+  *   - results are unordered (docstring :518-521) — we return them as
+  *     completed partitions arrive, not input order;
+  *   - `[] => []` without touching the cluster (:542-543);
+  *   - tuple-unpack calling convention (:553-556) is native in Scala —
+  *     pass `{ case (a, b) => ... }`;
+  *   - first UDF exception re-raised with input attribution (UdfFailure);
+  *   - `generator=True` => `stream(...)`: a lazy iterator with
+  *     one-partition-at-a-time backpressure (toLocalIterator), the analog
+  *     of the reference's 50%-RAM result-queue backpressure
+  *     (node_service worker_client.py:28,792-793);
+  *   - `max_parallelism` => explicit partition count.
+  *
+  * What Spark absorbs rather than re-implements (SURVEY.md §2.2-2.3): work
+  * stealing (P7) is the task scheduler; chunking (P2) is partition
+  * planning; retries/heartbeats/ACKs are the Spark RPC + task-retry layer;
+  * adaptive RAM (E6) is JVM-managed unified memory. Nested rpm-from-UDF
+  * (L4) is not expressible from executors — compose on the driver.
+  *
+  * Inputs/outputs are opaque to the engine (the reference moves pickled
+  * blobs; SURVEY.md §1.2), so encoders are Kryo — schema-free by design.
+  * For schema-ful pipelines use the DataFrame surface instead.
+  */
+object ParallelMap {
+
+  private def kryoPair[T: ClassTag]: Encoder[(Long, T)] =
+    Encoders.kryo[(Long, T)]
+
+  /** Build the indexed, error-attributed dataset backing both modes. */
+  private def plan[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      f: I => O,
+      maxParallelism: Option[Int]
+  ): Dataset[(Long, O)] = {
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val slices = maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size)))
+    val indexed: Seq[(Long, I)] = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    val ds = spark.createDataset(indexed)(kryoPair[I]).repartition(slices)
+    ds.map { case (idx, x) =>
+      try (idx, f(x))
+      catch { case e: Throwable => throw UdfFailure(idx, e) }
+    }(kryoPair[O])
+  }
+
+  /** Walk a Spark-wrapped failure back to the attributed UDF error. */
+  private def unwrap(e: Throwable): Throwable = {
+    var cur: Throwable = e
+    while (cur != null) {
+      cur match {
+        case u: UdfFailure => return u
+        case _             => cur = cur.getCause
+      }
+    }
+    e
+  }
+
+  /** List mode: apply f to every input in parallel, return all results
+    * (unordered). Throws UdfFailure(inputIndex, cause) on first UDF error.
+    */
+  def run[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Seq[O] = {
+    if (inputs.isEmpty) return Nil // empty short-circuit, no cluster contact
+    try plan(spark, inputs, f, maxParallelism).collect().toSeq.map(_._2)
+    catch { case e: Throwable => throw unwrap(e) }
+  }
+
+  /** Like run but keeps the input index with each result and never throws:
+    * per-input success/failure, the reference's (idx, is_error, payload)
+    * result triple (node_service job_endpoints.py:638).
+    */
+  def runAttributed[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Seq[(Long, Try[O])] = {
+    if (inputs.isEmpty) return Nil
+    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    val slices = maxParallelism.getOrElse(
+      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
+    )
+    implicit val enc: Encoder[(Long, Either[String, O])] =
+      Encoders.kryo[(Long, Either[String, O])]
+    spark
+      .createDataset(indexed)(kryoPair[I])
+      .repartition(slices)
+      .map { case (idx, x) =>
+        val r: Either[String, O] =
+          try Right(f(x))
+          catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+        (idx, r)
+      }
+      .collect()
+      .toSeq
+      .map {
+        case (i, Right(v))  => (i, Success(v))
+        case (i, Left(msg)) => (i, Failure(new RuntimeException(msg)))
+      }
+  }
+
+  /** Generator mode (`generator=True`): lazy unordered stream with
+    * driver-side backpressure — partitions are fetched one at a time.
+    */
+  def stream[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Iterator[O] = {
+    if (inputs.isEmpty) return Iterator.empty
+    val it = plan(spark, inputs, f, maxParallelism).toLocalIterator()
+    new Iterator[O] {
+      def hasNext: Boolean = it.hasNext
+      def next(): O =
+        try it.next()._2
+        catch { case e: Throwable => throw unwrap(e) }
+    }
+  }
+
+  /** Dataset-side variant for schema-ful pipelines: same wrapper semantics,
+    * but distributed end-to-end (no driver materialization of inputs).
+    */
+  def mapDataset[I, O: Encoder](ds: Dataset[I])(f: I => O): Dataset[O] =
+    ds.map(f)
+}

@@ -1,0 +1,560 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** LLM-training-data pipeline operators over `documents` and `embeddings`
+  * (the reference's marquee workloads run exactly these shapes through
+  * user UDFs — "distill 572M Amazon reviews", "cluster 2.7M arXiv
+  * abstracts", reference README.md:147-153 — here they are first-class,
+  * declarative engine operators).
+  *
+  * Cross-engine determinism: all hashing is md5 (identical hex in Spark
+  * and DuckDB), all float accumulation goes through exact DECIMAL sums
+  * (see graft.functions.Parity), so every operator is reproducible on any
+  * cluster size AND hash-matches the DuckDB oracle.
+  *
+  * Scale notes per operator are on each query; the quadratic baselines
+  * (all-pairs cosine, exact jaccard) exist as oracles — the sub-quadratic
+  * scale paths are MinHash-LSH banding and SimHash bucketing, which grow
+  * O(n · bands).
+  */
+object LlmOps {
+
+  // ---- canonical text primitives (must stay in lockstep with the SQL) ----
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= lit(""))
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Word 3-gram shingles; short docs fall back to the whole token join. */
+  private def shingles(t: Column): Column =
+    when(
+      size(t) >= 3,
+      transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+      )
+    ).otherwise(array(array_join(t, " ")))
+  private def shinglesSql(t: String): String =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t) - 1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) " +
+      s"ELSE [array_to_string($t, ' ')] END"
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
+      .distinct()
+  private val docShinglesSql =
+    s"""SELECT DISTINCT doc_id, UNNEST(${shinglesSql("t")}) AS sh
+        FROM (SELECT doc_id, $toksSql AS t FROM documents)"""
+
+  // ---- dedup family ----
+
+  /** Exact dedup: hash-groupBy on content. Scales as one shuffle on the
+    * 128-bit content hash; at 100 TB use this before any near-dup pass. */
+  val d01 = Q(
+    "d01_dedup_exact",
+    Some("""
+      SELECT md5(text) AS th, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+      FROM documents GROUP BY th ORDER BY th""")
+  ) { (s, d) =>
+    Tables
+      .documents(s, d)
+      .groupBy(md5(col("text")).as("th"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("th")
+  }
+
+  /** MinHash + LSH banding: 16 md5-derived min-hashes over word 3-gram
+    * shingles, 4 bands x 4 rows; docs sharing a band hash are candidate
+    * near-dup pairs. Linear in corpus size (shingle explode + two grouped
+    * shuffles + an equi-join on band hash) — this is the 100 TB dedup path.
+    */
+  val d02 = Q(
+    "d02_dedup_minhash_lsh",
+    Some {
+      val mins =
+        (0 until 16).map(k => s"MIN(md5('$k|' || sh)) AS h$k").mkString(",\n          ")
+      val bandRows = (0 until 4)
+        .map { b =>
+          val hs = (0 until 4).map(i => s"h${4 * b + i}").mkString(" || ")
+          s"SELECT doc_id, $b AS b, md5($hs) AS bh FROM sig"
+        }
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH sh AS ($docShinglesSql),
+      sig AS (SELECT doc_id,
+          $mins
+        FROM sh GROUP BY doc_id),
+      band AS (
+        $bandRows)
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM band x JOIN band y
+        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      ORDER BY doc_a, doc_b"""
+    }
+  ) { (s, d) =>
+    val sh = docShingles(s, d)
+    val minExprs =
+      (0 until 16).map(k => min(md5(concat(lit(s"$k|"), col("sh")))).as(s"h$k"))
+    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    val bands = (0 until 4)
+      .map { b =>
+        sig.select(
+          col("doc_id"),
+          lit(b).as("b"),
+          md5(concat((0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh")
+        )
+      }
+      .reduce(_ unionByName _)
+    bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over distinct shingle sets. Candidate pairs come
+    * from the shared-shingle inverted index (exact: J > 0 requires a shared
+    * shingle). Quadratic in docs-per-shingle — the correctness baseline the
+    * LSH operator approximates; at scale, cap hot shingles or LSH first. */
+  val d03 = Q(
+    "d03_dedup_ngram_jaccard",
+    Some(s"""
+      WITH sh AS ($docShinglesSql),
+      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) AS jaccard
+      FROM inter
+      JOIN n na ON doc_a = na.doc_id
+      JOIN n nb ON doc_b = nb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.2
+      ORDER BY doc_a, doc_b""")
+  ) { (s, d) =>
+    val sh = docShingles(s, d)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashBits = 16
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until simhashBits).map(i =>
+      sum(
+        when(substring(col("h"), i + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)
+      ).as(s"s$i")
+    )
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until simhashBits)
+      .map(i => when(col(s"s$i") > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.cast("int").as("simhash"))
+  }
+  private val simhashSql: String = {
+    val sums = (0 until simhashBits)
+      .map(i =>
+        s"SUM(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i"
+      )
+      .mkString(",\n          ")
+    val fp = (0 until simhashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($fp AS INTEGER) AS simhash FROM (
+        SELECT doc_id,
+          $sums
+        FROM (SELECT doc_id, md5(UNNEST($toksSql)) AS h FROM documents)
+        GROUP BY doc_id)"""
+  }
+
+  /** SimHash document fingerprint (16-bit here; 64/128 at scale): one
+    * explode + one grouped sum — fully linear and shuffle-light. */
+  val d04 = Q(
+    "d04_dedup_simhash",
+    Some(s"""
+      WITH f AS ($simhashSql)
+      SELECT doc_id, simhash FROM f ORDER BY doc_id""")
+  ) { (s, d) => simhashFingerprints(s, d).orderBy("doc_id") }
+
+  /** SimHash near-dup pairs by Hamming distance. The all-pairs compare is
+    * the small-corpus oracle; the scale path buckets on bit-bands of the
+    * fingerprint (same trick as LSH) before comparing. */
+  val d05 = Q(
+    "d05_dedup_simhash_pairs",
+    Some(s"""
+      WITH f AS ($simhashSql)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b""")
+  ) { (s, d) =>
+    val f = simhashFingerprints(s, d)
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    f.as("a")
+      .join(f.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        ham.cast("int").as("hamming")
+      )
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- embedding similarity ----
+
+  /** (vec_id, pos, v) long form. Exploding is how both the exact oracle and
+    * the distributed aggregates stay order-independent: every dot product
+    * is an exact DECIMAL sum, bit-identical at any parallelism. */
+  private def flat(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "pos0")
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("col").as("v"))
+  private val flatSql =
+    """SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS pos,
+              UNNEST(embedding) AS v FROM embeddings"""
+
+  // Scale 12, not more: the summed unscaled value must stay under 2^53 so
+  // the final DECIMAL→DOUBLE conversion is exact in BOTH engines (DuckDB
+  // converts via int128/10^k in floating point; past 2^53 it can differ
+  // from the JVM's correctly-rounded BigDecimal conversion by an ulp).
+  private val dec28 = DecimalType(28, 12)
+  private def dprod(a: Column, b: Column): Column =
+    sum((a.cast("double") * b.cast("double")).cast(dec28))
+  private def dprodSql(a: String, b: String): String =
+    s"SUM(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(28,12)))"
+
+  private def norms(s: SparkSession, d: String): DataFrame =
+    flat(s, d).groupBy("vec_id").agg(dprod(col("v"), col("v")).as("nrm"))
+  private val normsSql =
+    s"""SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM ($flatSql) GROUP BY vec_id"""
+
+  /** Per-pair exact dot product without exploding: zip_with multiplies
+    * element-wise (in double), quantizes each product to DECIMAL(28,12),
+    * and aggregate() sums in exact decimal — the same value as the
+    * explode+SUM oracle (decimal addition is order-independent), but the
+    * plan is a broadcast pair join with zero shuffle: the 100 TB shape.
+    */
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(dec28)),
+      lit(0).cast(dec28),
+      // (28,12)+(28,12) → (29,12); the cast back to (28,12) is exact at our
+      // magnitudes and keeps the accumulator type stable. Precision 38
+      // operands would force Spark to drop to scale 11 (lossy) instead.
+      (acc, v) => (acc + v).cast(dec28)
+    )
+
+  /** Brute-force cosine top-k for a query subset — the exact ANN baseline.
+    * At 100 TB the same plan shape works with a broadcast query set; the
+    * sub-linear path is LSH bucketing (see graft.functions.VectorFunctions).
+    */
+  val e01 = Q(
+    "e01_ann_topk_bruteforce",
+    Some(s"""
+      WITH f AS ($flatSql),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      q AS (SELECT * FROM f WHERE vec_id < 10),
+      dot AS (SELECT q.vec_id AS qid, f.vec_id AS vid, ${dprodSql("q.v", "f.v")} AS dot
+              FROM q JOIN f ON q.pos = f.pos AND q.vec_id <> f.vec_id
+              GROUP BY qid, vid),
+      cos AS (SELECT qid, vid,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cosine
+              FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+      r AS (SELECT qid, vid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS INTEGER) AS rnk
+            FROM cos)
+      SELECT qid, rnk, vid, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding"),
+      dotArr(col("embedding"), col("embedding")).as("nrm")
+    )
+    val q = emb.filter(col("vec_id") < 10)
+    // Broadcast the (small) query set against the full corpus: linear scan,
+    // no shuffle — at 100 TB this is exactly the brute-force ANN plan.
+    val cos = emb
+      .as("e")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        (dotArr(col("q.embedding"), col("e.embedding")).cast("double") /
+          (sqrt(col("q.nrm").cast("double")) * sqrt(col("e.nrm").cast("double"))))
+          .as("cosine")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    cos
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "vid", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold — all-pairs
+    * exact baseline (the LSH-bucketed variant is the scale path). */
+  val e02 = Q(
+    "e02_embed_neardup",
+    Some(s"""
+      WITH f AS ($flatSql),
+      n AS ($normsSql),
+      dot AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${dprodSql("a.v", "b.v")} AS dot
+              FROM f a JOIN f b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY va, vb),
+      cos AS (SELECT va, vb,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+              FROM dot JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
+      SELECT va, vb, cosine FROM cos WHERE cosine >= 0.35 ORDER BY va, vb""")
+  ) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding"),
+      dotArr(col("embedding"), col("embedding")).as("nrm")
+    )
+    // All-pairs via broadcast nested-loop on vec_id ordering (no 16M-row
+    // pos-join shuffle), prefiltered by the compiled double-cosine kernel
+    // with a margin far above FP error, then exact-decimal rescored so the
+    // oracle-comparable threshold decision uses exact arithmetic only.
+    // At scale, swap the pair source for LSH-bucketed candidates.
+    emb
+      .as("a")
+      .join(broadcast(emb).as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_similarity(a.embedding, b.embedding)") >= 0.35 - 1e-6)
+      .select(
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        (dotArr(col("a.embedding"), col("b.embedding")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+          .as("cosine")
+      )
+      .filter(col("cosine") >= 0.35)
+      .orderBy("va", "vb")
+  }
+
+  /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
+    * quantization. One grouped exact-decimal mean per (label, dim). */
+  val e03 = Q(
+    "e03_embed_centroids",
+    Some(s"""
+      WITH f AS (SELECT label, UNNEST(range(1, len(embedding) + 1)) AS pos,
+                        UNNEST(embedding) AS v FROM embeddings)
+      SELECT label, CAST(pos AS INTEGER) AS pos,
+        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS centroid
+      FROM f GROUP BY label, pos ORDER BY label, pos""")
+  ) { (s, d) =>
+    Tables
+      .embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("pos"), col("col").as("v"))
+      .groupBy("label", "pos")
+      // scale 8, not 12: raw float32 values widened to double have coarse
+      // trailing-zero mantissas that can sit near decimal half-boundaries,
+      // where engines' double→decimal rounding diverges; products (dot
+      // paths above) fill the mantissa and are safe at scale 12.
+      .agg(
+        (sum(col("v").cast("double").cast(DecimalType(28, 8))).cast("double") /
+          count(lit(1))).as("centroid")
+      )
+      .orderBy("label", "pos")
+  }
+
+  // ---- text analysis ----
+
+  val t01 = Q(
+    "t01_text_stats",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t, text FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+        CAST(length(text) AS INTEGER) AS n_chars,
+        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+      FROM t ORDER BY doc_id""")
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        length(col("text")).as("n_chars"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: length score, stopword density, type-token ratio —
+    * the standard cheap pre-filter stack for pretraining corpora. */
+  val t02 = Q(
+    "t02_text_quality",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t, text FROM documents)
+      SELECT doc_id,
+        LEAST(CAST(length(text) AS DOUBLE) / 300.0, 1.0) AS len_score,
+        LEAST(CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS DOUBLE)
+              / len(t) * 10.0, 1.0) AS stop_score,
+        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+        (LEAST(CAST(length(text) AS DOUBLE) / 300.0, 1.0)
+         + LEAST(CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                 / len(t) * 10.0, 1.0)
+         + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0 AS quality
+      FROM t ORDER BY doc_id""")
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    val lenScore = least(length(col("text")).cast("double") / 300.0, lit(1.0))
+    val stopScore = least(
+      size(filter(t, x => x.isin(stopwords: _*))).cast("double") / size(t) * 10.0,
+      lit(1.0)
+    )
+    val ttr = size(array_distinct(t)).cast("double") / size(t)
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        lenScore.as("len_score"),
+        stopScore.as("stop_score"),
+        ttr.as("ttr"),
+        ((lenScore + stopScore + ttr) / 3.0).as("quality")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("的", "了")
+  )
+
+  /** Marker-word language ID (n-gram-free heuristic): score per language,
+    * argmax with alphabetical tiebreak. */
+  val t03 = Q(
+    "t03_text_langid",
+    Some {
+      val scores = langMarkers
+        .map { case (l, ws) =>
+          val set = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(t, x -> x IN ($set))) AS INTEGER) AS s_$l"
+        }
+        .mkString(",\n        ")
+      val langs = langMarkers.map(_._1)
+      val cases = langs.zipWithIndex
+        .map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          if (rest.isEmpty) s"ELSE '$l'"
+          else s"WHEN ${rest.mkString(" AND ")} THEN '$l'"
+        }
+        .mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+      sc AS (SELECT doc_id, lang,
+        $scores
+      FROM t)
+      SELECT doc_id, lang, CASE $cases END AS predicted, s_en
+      FROM sc ORDER BY doc_id"""
+    }
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    val scored = Tables
+      .documents(s, d)
+      .select(
+        Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ws) =>
+          size(filter(t, x => x.isin(ws: _*))).as(s"s_$l")
+        }: _*
+      )
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), acc) =>
+        val rest = langs.drop(i + 1)
+        if (rest.isEmpty) acc
+        else
+          when(
+            rest.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _),
+            lit(l)
+          ).otherwise(acc)
+    }
+    scored
+      .select(col("doc_id"), col("lang"), predicted.as("predicted"), col("s_en"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 of the normalized token stream (and its
+    * 64-bit prefix) — the join key for cross-corpus exact dedup. */
+  val t04 = Q(
+    "t04_text_fingerprint",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t FROM documents)
+      SELECT doc_id, md5(array_to_string(t, ' ')) AS fp,
+             substr(md5(array_to_string(t, ' ')), 1, 16) AS fp64
+      FROM t ORDER BY doc_id""")
+  ) { (s, d) =>
+    val fp = md5(array_join(toks(col("text")), " "))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 16).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish regex segmentation. */
+  val t05 = Q(
+    "t05_token_counts",
+    Some(s"""
+      SELECT doc_id,
+        CAST(len($toksSql) AS INTEGER) AS n_ws,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INTEGER) AS n_re
+      FROM documents ORDER BY doc_id""")
+  ) { (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).as("n_re")
+      )
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, t01, t02, t03, t04, t05)
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.ParallelMap
+
+/** The reference's `remote_parallel_map` exercised through the correctness
+  * gate: arbitrary Scala functions over table rows, checked against a SQL
+  * oracle computing the same thing. Proves the semantic layer (ordering-
+  * free results, closure shipping) — not just the DataFrame surface.
+  */
+object PMapOps {
+
+  /** Distributed form: Dataset.map end-to-end (no driver materialization).
+    * The closure re-implements the canonical tokenizer in plain Scala. */
+  val p01 = Q(
+    "p01_pmap_token_counts",
+    Some("""
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+      FROM documents ORDER BY doc_id""")
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    ParallelMap
+      .mapDataset(ds) { case (id, text) =>
+        (id, text.toLowerCase.split(' ').count(_.nonEmpty))
+      }
+      .toDF("doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Client-style form: inputs collected to the driver, fanned back out
+    * through ParallelMap.run (the reference's list-in/list-out mode),
+    * results re-framed for the oracle. Small input lists only — this is
+    * the Burla calling convention, not the bulk path. */
+  val p02 = Q(
+    "p02_pmap_char_counts",
+    Some("""
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_computed
+      FROM documents ORDER BY doc_id""")
+  ) { (s, d) =>
+    import s.implicits._
+    val inputs: Seq[(Long, String)] = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+    ParallelMap
+      .run(s, inputs) { case (id, text) => (id, text.length) }
+      .toDF("doc_id", "n_chars_computed")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(p01, p02)
+}

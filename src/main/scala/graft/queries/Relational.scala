@@ -1,0 +1,665 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Parity._
+import graft.operators.AsOfJoin
+
+/** Relational query surface: the reference's dashboard/history SQL shapes
+  * (SURVEY.md §2.5 R1-R7, /root/reference/main_service/src/main_service/
+  * history.py:156-394 and endpoints/usage.py) re-expressed over the driver's
+  * star schema, plus the TPC-H-ish scan/join/agg/window coverage the rebuild
+  * needs (SURVEY.md §7 Phase 2). Every query is declarative DataFrame API —
+  * Catalyst handles pushdown/pruning/join selection; broadcast hints only
+  * where a dimension is provably small.
+  */
+object Relational {
+
+  // TPC-H Q1 shape: the flagship scan+aggregate (SURVEY.md §7 Phase 0).
+  val q01 = Q(
+    "q01_pricing_summary",
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity", 2)} AS sum_qty,
+        ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+        ${dsumSql("(l_extendedprice * (1 - l_discount))", 4)} AS sum_disc_price,
+        ${dsumSql("((l_extendedprice * (1 - l_discount)) * (1 + l_tax))", 6)} AS sum_charge,
+        ${davgSql("l_quantity", 2)} AS avg_qty,
+        ${davgSql("l_extendedprice", 2)} AS avg_price,
+        ${davgSql("l_discount", 2)} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        // scale 6: the product of three 2-dp factors is exactly 6-dp, so
+        // the decimal cast is exact — a coarser scale would sit on half-way
+        // boundaries where engines' double→decimal rounding can diverge.
+        dsum(
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+            (lit(1) + col("l_tax")),
+          6
+        ).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // R1 (history.py:156-178): paged job list = ORDER BY ... LIMIT/OFFSET.
+  val q02 = Q(
+    "q02_top_orders_page",
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, o_totalprice
+      FROM orders
+      ORDER BY o_date DESC, o_orderkey DESC
+      LIMIT 20 OFFSET 20""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_date"),
+        col("o_totalprice")
+      )
+      .orderBy(col("o_date").desc, col("o_orderkey").desc)
+      .offset(20)
+      .limit(20)
+  }
+
+  // TPC-H Q3 shape: 3-way join + grouped revenue + top-N.
+  val q03 = Q(
+    "q03_shipping_priority",
+    Some(s"""
+      SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+        ${dsumSql("(l_extendedprice * (1 - l_discount))", 4)} AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_date
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // TPC-H Q5 shape: 6-way star join, grouped by nation.
+  val q05 = Q(
+    "q05_local_supplier_volume",
+    Some(s"""
+      SELECT n_name,
+        ${dsumSql("(l_extendedprice * (1 - l_discount))", 4)} AS revenue,
+        COUNT(*) AS n_items
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  ) { (s, d) =>
+    val ord = Tables
+      .orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01")
+      )
+    Tables
+      .lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // TPC-H Q6 shape: pure filter + global aggregate (predicate pushdown).
+  val q06 = Q(
+    "q06_revenue_forecast",
+    Some(s"""
+      SELECT ${dsumSql("(l_extendedprice * l_discount)", 4)} AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.03 AND l_discount <= 0.07
+        AND l_quantity < 24""")
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  // R2 (history.py:219-229): filtered counts, per group.
+  val q07 = Q(
+    "q07_event_type_stats",
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 2)} AS total
+      FROM events WHERE value > 100
+      GROUP BY event_type ORDER BY event_type""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .filter(col("value") > 100)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  // R3 (history.py:232-246): per-key grouping with min/max attribution.
+  val q08 = Q(
+    "q08_user_groups",
+    Some("""
+      SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value,
+             MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        max("value").as("max_value"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event")
+      )
+      .orderBy("user_id")
+  }
+
+  // R4 (history.py:249-273): JSON point extraction + flatten/group.
+  val q09 = Q(
+    "q09_json_props",
+    Some(s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+             COUNT(*) AS n, ${dsumSql("value", 2)} AS total
+      FROM events GROUP BY k ORDER BY k""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .orderBy("k")
+  }
+
+  // R5 (endpoints/usage.py:109,249,366): time-bucketed usage aggregation.
+  val q10 = Q(
+    "q10_usage_daily",
+    Some(s"""
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+             COUNT(*) AS n, ${dsumSql("value", 2)} AS total
+      FROM events GROUP BY day, event_type ORDER BY day, event_type""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date").cast("string"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .orderBy("day", "event_type")
+  }
+
+  // R5 + subtotals: ROLLUP with 'ALL' sentinels (source cols are non-null).
+  val q11 = Q(
+    "q11_usage_rollup",
+    Some(s"""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value FROM events),
+      g AS (SELECT day, event_type, COUNT(*) AS n,
+              ${dsumSql("value", 2)} AS total
+            FROM e GROUP BY ROLLUP (day, event_type))
+      SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+             COALESCE(event_type, 'ALL') AS event_type, n, total
+      FROM g ORDER BY day, event_type""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .rollup("day", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .select(
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"),
+        col("total")
+      )
+      .orderBy("day", "event_type")
+  }
+
+  // R6 (history.py:380-394): first matching record scan.
+  val q12 = Q(
+    "q12_first_error",
+    Some("""
+      WITH e AS (SELECT event_id, user_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+                 FROM events WHERE event_type = 'error')
+      SELECT event_id, user_id, ts_s FROM e
+      ORDER BY ts_s, event_id LIMIT 1""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s")
+      )
+      .orderBy("ts_s", "event_id")
+      .limit(1)
+  }
+
+  // R7 (history.py:341-350): COALESCE + top-N recent.
+  val q13 = Q(
+    "q13_top_balances",
+    Some("""
+      SELECT e.event_id, COALESCE(c.c_mktsegment, 'NONE') AS segment,
+             COALESCE(c.c_acctbal, 0.0) AS bal
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY bal DESC, e.event_id LIMIT 25""")
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+    val c = Tables.customer(s, d)
+    e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+      .select(
+        col("event_id"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("bal")
+      )
+      .orderBy(col("bal").desc, col("event_id"))
+      .limit(25)
+  }
+
+  // Window: top-k per group (rank with deterministic tiebreak).
+  val q14 = Q(
+    "q14_window_topk",
+    Some("""
+      WITH r AS (SELECT user_id, event_id, value,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+                 FROM events)
+      SELECT user_id, event_id, value, rnk FROM r WHERE rnk <= 3
+      ORDER BY user_id, rnk""")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("user_id", "event_id", "value", "rnk")
+      .orderBy("user_id", "rnk")
+  }
+
+  // Window: running (prefix) sum — exact decimal accumulation.
+  val q15 = Q(
+    "q15_running_sum",
+    Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running
+      FROM events ORDER BY user_id, event_id""")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        sum(dec(col("value"), 2)).over(w).cast("double").as("running")
+      )
+      .orderBy("user_id", "event_id")
+  }
+
+  // Window: lag + inter-event gap statistics.
+  val q16 = Q(
+    "q16_session_gaps",
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+            - CAST(epoch(date_trunc('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))) AS BIGINT) AS gap_s
+        FROM events)
+      SELECT user_id, COUNT(gap_s) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+             CAST(CAST(SUM(gap_s) AS BIGINT) AS DOUBLE) / COUNT(gap_s) AS avg_gap_s
+      FROM g GROUP BY user_id ORDER BY user_id""")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s")
+      )
+      .groupBy("user_id")
+      .agg(
+        count(col("gap_s")).as("n_gaps"),
+        sum(col("gap_s")).as("total_gap_s"),
+        (sum(col("gap_s")).cast("double") / count(col("gap_s"))).as("avg_gap_s")
+      )
+      .orderBy("user_id")
+  }
+
+  // Join + group: order stats per nation (broadcast dim).
+  val q17 = Q(
+    "q17_customer_order_stats",
+    Some(s"""
+      SELECT n_name, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice", 2)} AS total,
+        ${davgSql("o_totalprice", 2)} AS avg_price
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total"),
+        davg(col("o_totalprice"), 2).as("avg_price")
+      )
+      .orderBy("n_name")
+  }
+
+  // Semi join: customers with an in-progress order, per nation.
+  val q18 = Q(
+    "q18_active_customers",
+    Some("""
+      SELECT n_name, COUNT(*) AS n_custs
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      GROUP BY n_name ORDER BY n_name""")
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    Tables
+      .customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("n_name")
+  }
+
+  // Anti join: customers with no orders at all, per nation.
+  val q19 = Q(
+    "q19_inactive_customers",
+    Some("""
+      SELECT n_name, COUNT(*) AS n_custs
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate < TIMESTAMP '1996-01-01')
+      GROUP BY n_name ORDER BY n_name""")
+  ) { (s, d) =>
+    Tables
+      .customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderdate") < lit("1996-01-01")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("n_name")
+  }
+
+  // Set operations: nation-key membership of customers vs suppliers.
+  val q20 = Q(
+    "q20_nation_setops",
+    Some("""
+      WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           b AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      UNION ALL
+      SELECT 'cust_only' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      UNION ALL
+      SELECT 'supp_only' AS tag, k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+      ORDER BY tag, k""")
+  ) { (s, d) =>
+    val a = Tables.customer(s, d).select(col("c_nationkey").as("k")).distinct()
+    val b = Tables.supplier(s, d).select(col("s_nationkey").as("k")).distinct()
+    a.intersect(b)
+      .withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("cust_only")))
+      .unionByName(b.except(a).withColumn("tag", lit("supp_only")))
+      .select("tag", "k")
+      .orderBy("tag", "k")
+  }
+
+  // CUBE over two dims with 'ALL' sentinels.
+  val q21 = Q(
+    "q21_returns_cube",
+    Some(s"""
+      WITH g AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   ${dsumSql("l_quantity", 2)} AS qty
+                 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus))
+      SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus, n, qty
+      FROM g ORDER BY l_returnflag, l_linestatus""")
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"),
+        col("qty")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Exact interpolated percentiles per group.
+  val q22 = Q(
+    "q22_price_percentiles",
+    Some("""
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  // As-of join: latest order at or before each event (see AsOfJoin).
+  val q23 = Q(
+    "q23_asof_last_order",
+    Some("""
+      WITH m AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      SELECT event_id, user_id, o_orderkey, o_totalprice
+      FROM m WHERE rn = 1 ORDER BY event_id""")
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+    val o = Tables.orders(s, d)
+    AsOfJoin
+      .latestAtOrBefore(
+        left = e.select(col("event_id"), col("user_id"), col("ts")),
+        right = o.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+        leftKey = "user_id",
+        rightKey = "o_custkey",
+        leftTime = "ts",
+        rightTime = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        payload = Seq("o_orderkey", "o_totalprice")
+      )
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  // Scalar function coverage: date/string/math projection.
+  val q24 = Q(
+    "q24_scalar_funcs",
+    Some("""
+      SELECT o_orderkey,
+        UPPER(o_orderpriority) AS pri_up,
+        SUBSTR(o_orderpriority, 1, 1) AS pri_code,
+        CAST(LENGTH(o_orderstatus) AS INTEGER) AS st_len,
+        CONCAT(o_orderstatus, '-', o_orderpriority) AS tag,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        ABS(o_totalprice - 250000.0) AS dev,
+        CASE WHEN o_totalprice > 250000.0 THEN 'big' ELSE 'small' END AS bucket
+      FROM orders ORDER BY o_orderkey LIMIT 100""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_up"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderstatus")).as("st_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice")).as("price_floor"),
+        abs(col("o_totalprice") - lit(250000.0)).as("dev"),
+        when(col("o_totalprice") > 250000.0, "big").otherwise("small").as("bucket")
+      )
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  // Exact distinct counts per group.
+  val q25 = Q(
+    "q25_distinct_counts",
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  // Batch analog of the streaming hourly window (see graft.streaming).
+  val q26 = Q(
+    "q26_events_hourly",
+    Some(s"""
+      WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+                        event_type, value FROM events)
+      SELECT hour_s, event_type, COUNT(*) AS n, ${dsumSql("value", 2)} AS total
+      FROM e GROUP BY hour_s, event_type ORDER BY hour_s, event_type""")
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .withColumn("hour_s", unix_timestamp(date_trunc("hour", col("ts"))))
+      .groupBy("hour_s", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  // Broadcast join: revenue per brand (small dim fanned to executors).
+  val q27 = Q(
+    "q27_brand_revenue",
+    Some(s"""
+      SELECT p_brand,
+        ${dsumSql("(l_extendedprice * (1 - l_discount))", 4)} AS revenue,
+        COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("p_brand")
+  }
+
+  // Approx distinct (HLL) — no DuckDB parity by construction; rows-only.
+  val q28 = Q("q28_approx_users", None) { (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28
+  )
+}
