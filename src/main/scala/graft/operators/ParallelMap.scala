@@ -135,8 +135,12 @@ object ParallelMap {
   )(f: I => O): Iterator[O] = {
     if (inputs.isEmpty) return Iterator.empty
     val it = plan(spark, inputs, f, maxParallelism).toLocalIterator()
+    // toLocalIterator prefetches the next partition inside hasNext, so the
+    // attributed failure can surface from either call — unwrap both.
     new Iterator[O] {
-      def hasNext: Boolean = it.hasNext
+      def hasNext: Boolean =
+        try it.hasNext
+        catch { case e: Throwable => throw unwrap(e) }
       def next(): O =
         try it.next()._2
         catch { case e: Throwable => throw unwrap(e) }

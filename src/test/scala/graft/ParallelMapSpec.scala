@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.{Failure, Success}
+import graft.operators.{ParallelMap, UdfFailure}
+
+/** Behavioral spec for the parallel-map layer, ported from the reference's
+  * client contract tests (client/tests/test_rpm_core.py,
+  * test_rpm_exceptions.py — see FIXTURES.md §B).
+  */
+class ParallelMapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("roundtrip: all inputs map back, order-free (test_rpm_core.py:23-30)") {
+    val out = ParallelMap.run(spark, 0 until 100)(x => x * 2)
+    assert(out.toSet == (0 until 100).map(_ * 2).toSet)
+    assert(out.size == 100)
+  }
+
+  test("empty inputs short-circuit without touching the cluster (:33-44)") {
+    // null session proves no cluster contact — any touch would NPE.
+    assert(ParallelMap.run(null, Seq.empty[Int])(identity) == Nil)
+    assert(!ParallelMap.stream(null, Seq.empty[Int])(identity).hasNext)
+  }
+
+  test("tuple-unpack calling convention (:54-66)") {
+    val out = ParallelMap.run(spark, Seq((1, 2), (3, 4), (5, 6))) {
+      case (a, b) => a + b
+    }
+    assert(out.toSet == Set(3, 7, 11))
+    // lists are NOT unpacked — a one-element input list maps whole
+    val lists = ParallelMap.run(spark, Seq(List(1, 2, 3)))(_.sum)
+    assert(lists == Seq(6))
+  }
+
+  test("first UDF exception re-raised with input attribution (exceptions spec)") {
+    val e = intercept[UdfFailure] {
+      ParallelMap.run(spark, 0 until 20) { x =>
+        if (x == 7) throw new IllegalArgumentException("boom on 7")
+        x
+      }
+    }
+    assert(e.inputIndex == 7L)
+    assert(e.cause.isInstanceOf[IllegalArgumentException])
+    assert(e.cause.getMessage == "boom on 7")
+  }
+
+  test("generator mode streams results and surfaces the attributed error (:80-91)") {
+    val it = ParallelMap.stream(spark, 0 until 20, maxParallelism = Some(4)) { x =>
+      if (x == 7) throw new IllegalArgumentException("boom")
+      x
+    }
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val e = intercept[UdfFailure] { it.foreach(seen += _) }
+    assert(e.inputIndex == 7L)
+  }
+
+  test("generator mode, clean run, yields everything lazily") {
+    val it = ParallelMap.stream(spark, 0 until 50)(x => x + 1)
+    assert(it.toSeq.toSet == (1 to 50).toSet)
+  }
+
+  test("serial execution under maxParallelism=1 (:148-159)") {
+    val out = ParallelMap.run(spark, 0 until 6, maxParallelism = Some(1)) { x =>
+      (x, System.nanoTime())
+    }
+    // one partition => sequential: timestamps strictly increase in the
+    // order the elements were processed
+    val byTime = out.sortBy(_._2).map(_._1)
+    assert(out.map(_._2).distinct.size == 6)
+    assert(byTime.toSet == (0 until 6).toSet)
+  }
+
+  test("runAttributed returns per-input success/failure, never throws") {
+    val out = ParallelMap.runAttributed(spark, 0 until 10) { x =>
+      if (x % 3 == 0) throw new RuntimeException(s"bad $x") else x * 10
+    }
+    assert(out.size == 10)
+    val byIdx = out.toMap
+    assert(byIdx(1L) == Success(10))
+    byIdx(3L) match {
+      case Failure(m) => assert(m.getMessage.contains("bad 3"))
+      case other      => fail(s"expected failure, got $other")
+    }
+  }
+
+  test("no input lost or duplicated under skewed work (steal-semantics analog)") {
+    // Reference: tests/scenarios/test_input_steal_semantics.py — slow
+    // inputs get redistributed with exactly-once semantics. In Spark the
+    // scheduler owns redistribution; we assert the semantic holds.
+    val out = ParallelMap.run(spark, 0 until 40, maxParallelism = Some(8)) { x =>
+      if (x % 13 == 0) Thread.sleep(200) // skewed cost
+      x
+    }
+    assert(out.sorted == (0 until 40))
+  }
+}
