@@ -1,0 +1,91 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor search via random-hyperplane LSH —
+  * the sub-linear scale path next to the brute-force baseline
+  * (LlmOps.e01). Multi-table signed-projection LSH:
+  *
+  *   - `tables` independent hash tables, each hashing a vector to a
+  *     `bitsPerTable`-bit bucket (sign of the dot product against fixed
+  *     random hyperplanes, seeded deterministically);
+  *   - candidates = vectors sharing any table's bucket with the query;
+  *   - exact top-k rescoring (compiled cosine kernel) over candidates only.
+  *
+  * At 100 TB: buckets are an equi-join key, so candidate generation is a
+  * plain hash join (shuffle on ~1/2^bits of the corpus per table) instead
+  * of the brute-force full scan per query — and the plane matrix is a few
+  * KB broadcast to every executor.
+  */
+object AnnLsh {
+
+  /** Deterministic plane matrix: tables x bitsPerTable planes of `dim`. */
+  private def planes(dim: Int, tables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, bitsPerTable)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** (vec_id, table, bucket) long-form bucket assignment. */
+  def buckets(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding: array<float>
+      dim: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val ps = planes(dim, tables, bitsPerTable, seed)
+    val tableCols: Seq[Column] = (0 until tables).map { t =>
+      val bucket: Column = (0 until bitsPerTable)
+        .map { b =>
+          // sign of the dot = sign of the cosine; the compiled kernel
+          // keeps this a single tight loop per (row, plane).
+          when(expr(s"cosine_similarity(embedding, ${planeSql(ps(t)(b))})") > 0, lit(1 << b))
+            .otherwise(lit(0))
+        }
+        .reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    emb
+      .select(col("vec_id"), col("embedding"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+  }
+
+  private def planeSql(p: Array[Float]): String =
+    p.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+
+  /** Top-k approximate neighbors for each query vector. */
+  def topK(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding
+      queries: DataFrame, // vec_id, embedding (subset)
+      dim: Int,
+      k: Int = 5,
+      tables: Int = 8,
+      bitsPerTable: Int = 4
+  ): DataFrame = {
+    val corpusBuckets = buckets(spark, emb, dim, tables, bitsPerTable)
+    val queryBuckets = buckets(spark, queries, dim, tables, bitsPerTable)
+      .withColumnRenamed("vec_id", "qid")
+      .withColumnRenamed("embedding", "q_embedding")
+    val candidates = corpusBuckets
+      .join(broadcast(queryBuckets), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "q_embedding", "vec_id", "embedding")
+      .distinct()
+    val scored = candidates
+      .withColumn("cosine", expr("cosine_similarity(q_embedding, embedding)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("vid"), col("cosine"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -367,6 +367,14 @@ object LlmOps {
       .orderBy("va", "vb")
   }
 
+  /** LSH-bucketed ANN — the sub-linear scale path beside e01's exact
+    * baseline. Approximate by construction, so no SQL oracle (rows-only
+    * check); AnnLshSpec asserts recall against the oracle-verified e01. */
+  val e04 = Q("e04_ann_topk_lsh", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.AnnLsh.topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+  }
+
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
     * quantization. One grouped exact-decimal mean per (label, dim). */
   val e03 = Q(
@@ -556,5 +564,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, t01, t02, t03, t04, t05)
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, t01, t02, t03, t04, t05)
 }

@@ -658,8 +658,170 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // TPC-H Q4 shape: EXISTS with a correlated inequality.
+  val q29 = Q(
+    "q29_priority_exists",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  ) { (s, d) =>
+    val ord = Tables
+      .orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-10-01")
+      )
+    ord
+      .join(
+        Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi"
+      )
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  // TPC-H Q18 shape: HAVING over a grouped sum, then join + top-N.
+  val q30 = Q(
+    "q30_big_orders",
+    Some(s"""
+      WITH s AS (SELECT l_orderkey, ${dsumSql("l_quantity", 2)} AS qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING ${dsumSql("l_quantity", 2)} > 150)
+      SELECT l_orderkey, qty, o_totalprice, o_custkey
+      FROM s JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY qty DESC, l_orderkey LIMIT 20""")
+  ) { (s, d) =>
+    val sums = Tables
+      .lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity"), 2).as("qty"))
+      .filter(col("qty") > 150)
+    sums
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "qty", "o_totalprice", "o_custkey")
+      .orderBy(col("qty").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  // TPC-H Q17 shape: correlated scalar aggregate (quantity below 20% of
+  // the part's average).
+  val q31 = Q(
+    "q31_small_quantity_revenue",
+    Some(s"""
+      WITH a AS (SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+                 FROM lineitem GROUP BY pk)
+      SELECT COUNT(*) AS n, ${dsumSql("l_extendedprice", 2)} AS total
+      FROM lineitem JOIN a ON l_partkey = pk
+      WHERE l_quantity < 0.2 * avg_qty""")
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val avg = li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity"), 2).as("avg_qty"))
+    li.join(avg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("total"))
+  }
+
+  // Nested aggregation: average of per-customer order totals, per nation.
+  val q32 = Q(
+    "q32_nested_agg",
+    Some("""
+      WITH cs AS (SELECT c_nationkey, c_custkey,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_nationkey, c_custkey)
+      SELECT c_nationkey,
+             CAST(SUM(CAST(tot AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_cust_total,
+             COUNT(*) AS n_cust
+      FROM cs GROUP BY c_nationkey ORDER BY c_nationkey""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(dsum(col("o_totalprice"), 2).as("tot"))
+      .groupBy("c_nationkey")
+      .agg(davg(col("tot"), 2).as("avg_cust_total"), count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  // IN-subquery membership.
+  val q33 = Q(
+    "q33_in_subquery",
+    Some("""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 4000)
+      ORDER BY s_suppkey""")
+  ) { (s, d) =>
+    val nations = Tables
+      .customer(s, d)
+      .filter(col("c_acctbal") > 4000)
+      .select(col("c_nationkey"))
+      .distinct()
+    Tables
+      .supplier(s, d)
+      .join(nations, col("s_nationkey") === col("c_nationkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  // Heterogeneous UNION ALL rollup across two fact tables.
+  val q34 = Q(
+    "q34_union_all_counts",
+    Some("""
+      SELECT CONCAT('event:', event_type) AS k, COUNT(*) AS n FROM events GROUP BY k
+      UNION ALL
+      SELECT CONCAT('order:', o_orderstatus) AS k, COUNT(*) AS n FROM orders GROUP BY k
+      ORDER BY k""")
+  ) { (s, d) =>
+    val e = Tables
+      .events(s, d)
+      .groupBy(concat(lit("event:"), col("event_type")).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val o = Tables
+      .orders(s, d)
+      .groupBy(concat(lit("order:"), col("o_orderstatus")).as("k"))
+      .agg(count(lit(1)).as("n"))
+    e.unionByName(o).orderBy("k")
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // Pivot: one column per event type (oracle via CASE sums).
+  val q35 = Q(
+    "q35_pivot_events",
+    Some {
+      val cases = eventTypes
+        .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n             ")
+      s"""
+      SELECT user_id,
+             $cases
+      FROM events GROUP BY user_id ORDER BY user_id"""
+    }
+  ) { (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na
+      .fill(0, eventTypes)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q30, q31, q32, q33, q34, q35
   )
 }
