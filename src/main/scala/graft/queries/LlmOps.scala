@@ -25,8 +25,12 @@ import graft.Tables
 object LlmOps {
 
   // ---- canonical text primitives (must stay in lockstep with the SQL) ----
+  // array_remove, not a filter() lambda: higher-order functions evaluate
+  // interpreted (per-element lambda dispatch), which dominated the bench;
+  // array_remove is a plain codegen'd collection expression with identical
+  // semantics here (drop every empty token).
   private def toks(text: Column): Column =
-    filter(split(lower(text), " "), t => t =!= lit(""))
+    array_remove(split(lower(text), " "), "")
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
@@ -44,10 +48,15 @@ object LlmOps {
       s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) " +
       s"ELSE [array_to_string($t, ' ')] END"
 
+  /** Tokens are materialized as a column in their own projection before the
+    * shingle transform references them: inlining the tokenizer into every
+    * element_at inside the (interpreted) lambda re-tokenized the document
+    * ~3x per shingle — a 12x slowdown measured at sf0.1. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"))).as("sh"))
       .distinct()
   private val docShinglesSql =
     s"""SELECT DISTINCT doc_id, UNNEST(${shinglesSql("t")}) AS sh
@@ -100,9 +109,20 @@ object LlmOps {
     }
   ) { (s, d) =>
     val sh = docShingles(s, d)
-    val minExprs =
-      (0 until 16).map(k => min(md5(concat(lit(s"$k|"), col("sh")))).as(s"h$k"))
-    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    // Hash each DISTINCT shingle once (16 md5s per unique string), then
+    // join back to the (doc, shingle) pairs: same signatures, ~an order of
+    // magnitude fewer digest computations than hashing inside the agg —
+    // and at 100 TB the distinct-shingle table is exactly what you'd
+    // compute once and reuse across dedup passes.
+    val hashed = sh
+      .select("sh")
+      .distinct()
+      .select(
+        col("sh") +: (0 until 16)
+          .map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"g$k")): _*
+      )
+    val minExprs = (0 until 16).map(k => min(col(s"g$k")).as(s"h$k"))
+    val sig = sh.join(hashed, "sh").groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
     val bands = (0 until 4)
       .map { b =>
         sig.select(
@@ -144,7 +164,9 @@ object LlmOps {
       WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.2
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
-    val sh = docShingles(s, d)
+    // cached: the self-join + counts would otherwise recompute the whole
+    // tokenize→shingle→distinct subtree three times
+    val sh = docShingles(s, d).cache()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .as("a")
@@ -165,9 +187,13 @@ object LlmOps {
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    // explode the raw split and drop empties as a row filter — keeps the
+    // whole pipeline in whole-stage codegen (same result as exploding the
+    // filtered token array).
     val tok = Tables
       .documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
       .withColumn("h", md5(col("tok")))
     val sums = (0 until simhashBits).map(i =>
       sum(
@@ -342,25 +368,30 @@ object LlmOps {
       SELECT va, vb, cosine FROM cos WHERE cosine >= 0.35 ORDER BY va, vb""")
   ) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
-    val emb = Tables.embeddings(s, d).select(
-      col("vec_id"),
-      col("embedding"),
-      dotArr(col("embedding"), col("embedding")).as("nrm")
-    )
-    // All-pairs via broadcast nested-loop on vec_id ordering (no 16M-row
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // All-pairs via broadcast nested-loop on vec_id ordering (no exploded
     // pos-join shuffle), prefiltered by the compiled double-cosine kernel
-    // with a margin far above FP error, then exact-decimal rescored so the
-    // oracle-comparable threshold decision uses exact arithmetic only.
+    // with a margin far above FP error; the exact-decimal dot AND norms
+    // (interpreted, expensive) run only on the few surviving pairs, so the
+    // oracle-comparable threshold decision still uses exact arithmetic.
     // At scale, swap the pair source for LSH-bucketed candidates.
-    emb
+    val survivors = emb
       .as("a")
       .join(broadcast(emb).as("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(expr("cosine_similarity(a.embedding, b.embedding)") >= 0.35 - 1e-6)
       .select(
         col("a.vec_id").as("va"),
+        col("a.embedding").as("ea"),
         col("b.vec_id").as("vb"),
-        (dotArr(col("a.embedding"), col("b.embedding")).cast("double") /
-          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+        col("b.embedding").as("eb")
+      )
+    survivors
+      .select(
+        col("va"),
+        col("vb"),
+        (dotArr(col("ea"), col("eb")).cast("double") /
+          (sqrt(dotArr(col("ea"), col("ea")).cast("double")) *
+            sqrt(dotArr(col("eb"), col("eb")).cast("double"))))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)
