@@ -152,4 +152,70 @@ object ParallelMap {
     */
   def mapDataset[I, O: Encoder](ds: Dataset[I])(f: I => O): Dataset[O] =
     ds.map(f)
+
+  /** Handle on a detached job: the reference's `detach=True` (job keeps
+    * running independently of the submitting code path,
+    * _remote_parallel_map.py:217-218) plus its three cancellation paths
+    * (Ctrl-C / dashboard stop / cluster restart — SURVEY.md §2.4 D6-D7),
+    * which all collapse to one mechanism here: cancelling the job group.
+    */
+  final class PMapJob[O] private[operators] (
+      spark: SparkSession,
+      val jobGroup: String,
+      fut: java.util.concurrent.CompletableFuture[Seq[O]],
+      cancelled: java.util.concurrent.atomic.AtomicBoolean
+  ) {
+    def isCompleted: Boolean = fut.isDone
+
+    /** Block for the results (re-raising an attributed UdfFailure; infra
+      * failures — e.g. cancellation — surface as their Spark cause). */
+    def result(): Seq[O] =
+      try fut.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw unwrap(if (e.getCause != null) e.getCause else e)
+      }
+
+    /** Cancel this map. Sticky: a cancel that lands before the Spark job
+      * is submitted still cancels (the reference fails a job canceled
+      * before upload completes — endpoints semantics of D7). Idempotent. */
+    def cancel(): Unit = {
+      cancelled.set(true)
+      spark.sparkContext.cancelJobGroup(jobGroup)
+      fut.completeExceptionally(
+        new java.util.concurrent.CancellationException(s"$jobGroup canceled")
+      )
+    }
+  }
+
+  /** Detached mode: submit and return immediately; the job runs to
+    * completion (or cancellation) regardless of what the caller does next.
+    */
+  def runDetached[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): PMapJob[O] = {
+    val group = s"pmap-${java.util.UUID.randomUUID()}"
+    val fut = new java.util.concurrent.CompletableFuture[Seq[O]]()
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (inputs.isEmpty) { fut.complete(Nil); return new PMapJob(spark, group, fut, cancelled) }
+    val t = new Thread(() => {
+      try {
+        // job group is thread-local; tag every job this map spawns
+        spark.sparkContext.setJobGroup(group, s"ParallelMap detached ($group)",
+          interruptOnCancel = true)
+        if (!cancelled.get()) {
+          val r = plan(spark, inputs, f, maxParallelism).collect().toSeq.map(_._2)
+          // a cancel that raced the submission wins: results are discarded
+          // (completeExceptionally in cancel() seals the future first)
+          fut.complete(r)
+        }
+      } catch { case e: Throwable => fut.completeExceptionally(unwrap(e)) }
+      finally spark.sparkContext.clearJobGroup()
+    }, group)
+    t.setDaemon(true)
+    t.start()
+    new PMapJob(spark, group, fut, cancelled)
+  }
 }

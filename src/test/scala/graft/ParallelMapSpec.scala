@@ -84,6 +84,30 @@ class ParallelMapSpec extends AnyFunSuite {
     }
   }
 
+  test("detached job runs to completion independently (detach=True analog)") {
+    val job = ParallelMap.runDetached(spark, 0 until 30, Some(4)) { x =>
+      Thread.sleep(20); x * 3
+    }
+    assert(!job.isCompleted) // returned immediately, work still running
+    assert(job.result().toSet == (0 until 30).map(_ * 3).toSet)
+    assert(job.isCompleted)
+  }
+
+  test("detached job with empty inputs completes immediately") {
+    val job = ParallelMap.runDetached(spark, Seq.empty[Int])(identity)
+    assert(job.isCompleted && job.result() == Nil)
+  }
+
+  test("cancellation kills a detached job (Ctrl-C / dashboard-stop analog)") {
+    val job = ParallelMap.runDetached(spark, 0 until 64, Some(2)) { x =>
+      Thread.sleep(5000); x
+    }
+    Thread.sleep(300) // let tasks start
+    job.cancel()
+    val e = intercept[Throwable](job.result())
+    assert(!e.isInstanceOf[UdfFailure]) // infra cancellation, not a UDF error
+  }
+
   test("no input lost or duplicated under skewed work (steal-semantics analog)") {
     // Reference: tests/scenarios/test_input_steal_semantics.py — slow
     // inputs get redistributed with exactly-once semantics. In Spark the
