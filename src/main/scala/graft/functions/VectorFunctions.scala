@@ -2,14 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Cosine similarity over two `array<float>` columns as a native Catalyst
-  * expression: a tight compiled double loop per row (no per-element
-  * expression interpretation, no UDF serialization). Used as the fast
+  * expression WITH whole-stage codegen: the generated code is a tight
+  * primitive double loop inlined into the surrounding stage (no
+  * per-element expression interpretation, no UDF serialization, no
+  * codegen-fallback boundary splitting the stage). Used as the fast
   * scoring kernel for similarity search; exact-decimal rescoring (see
   * LlmOps.dotArr) runs only on the candidates this passes.
   *
@@ -18,8 +20,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * treat results as scores, not oracle-comparable values.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -42,6 +43,28 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     if (nx == 0.0 || ny == 0.0) 0.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $xi = (double) $a.getFloat($i);
+        |  final double $yi = (double) $b.getFloat($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |}
+        |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+        |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

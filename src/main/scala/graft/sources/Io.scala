@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink surface. The reference's storage story is "a blob bucket
+  * every worker can read/write" (SURVEY.md §2.6 S1-S3: GCS/S3 drivers +
+  * a shared /workspace/shared mount; its 2.4 TB parquet example reads the
+  * bucket from inside user UDFs). In Spark that capability is the
+  * DataFrameReader/Writer over Hadoop FS — local paths here, s3a://gs://
+  * URIs on a cluster, same code. This module adds the two layout policies
+  * that matter at 100 TB:
+  *
+  *   - **partitioned layout** (`writePartitioned`): coarse query pruning —
+  *     a filter on the partition column skips whole directories
+  *     (partition pruning shows as `PartitionFilters` in the scan);
+  *   - **bucketed layout** (`writeBucketed`): co-located joins — two
+  *     tables bucketed on the same key join with ZERO shuffle (verified in
+  *     IoSpec by asserting no Exchange in the join plan).
+  */
+object Io {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned parquet: one directory per partition value. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed managed table (requires a warehouse-backed session). Joins
+    * between tables bucketed identically on the join key skip the shuffle
+    * entirely — the Spark analog of co-located data placement. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCol: Option[String] = None
+  ): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+}

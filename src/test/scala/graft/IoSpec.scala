@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Io
+import graft.operators.SkewJoin
+
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("io-spec").toString
+
+  test("parquet round trip preserves schema and rows") {
+    val dir = tmp() + "/li"
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    Io.writeParquet(df, dir)
+    val back = Io.readParquet(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+  }
+
+  test("csv and json round trips") {
+    val base = tmp()
+    val df = Tables.nation(spark, TestSpark.sf0001)
+    Io.writeCsv(df, s"$base/csv")
+    assert(Io.readCsv(spark, s"$base/csv").count() == df.count())
+    Io.writeJson(df, s"$base/json")
+    assert(Io.readJson(spark, s"$base/json").count() == df.count())
+  }
+
+  test("partitioned write enables partition pruning") {
+    val dir = tmp() + "/events_by_type"
+    Io.writePartitioned(
+      Tables.events(spark, TestSpark.sf0001), dir, Seq("event_type"))
+    val pruned = Io.readParquet(spark, dir).filter(col("event_type") === "error")
+    // the pruned scan must read only the error partition directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"no partition pruning in:\n$plan")
+    val expected = Tables
+      .events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "error")
+      .count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    info(s"warehouse: $wh")
+    Io.writeBucketed(
+      Tables.orders(spark, TestSpark.sf0001).select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 8, Some("o_orderkey"))
+    Io.writeBucketed(
+      Tables.lineitem(spark, TestSpark.sf0001).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 8, Some("l_orderkey"))
+    val joined = spark
+      .table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == Tables.lineitem(spark, TestSpark.sf0001).count())
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of left rows hit one key — the skew pattern
+    val left = (0 until 5000)
+      .map(i => (if (i % 10 == 0) i.toLong % 100 else 7L, i.toLong))
+      .toDF("k", "payload")
+    val right = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val b = salted.select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
