@@ -594,6 +594,36 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split by content-stable hash of the id:
+    * the standard reproducible-split primitive for pretraining corpora
+    * (same doc always lands in the same split, on any cluster, any run).
+    * First md5 hex nibble: 0-b train (75%), c-d val (12.5%), e-f test. */
+  val t06 = Q(
+    "t06_doc_split",
+    Some("""
+      WITH h AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+                 FROM documents)
+      SELECT CASE WHEN nib IN ('c','d') THEN 'val'
+                  WHEN nib IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split,
+             lang, COUNT(*) AS n
+      FROM h GROUP BY split, lang ORDER BY split, lang""")
+  ) { (s, d) =>
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables
+      .documents(s, d)
+      .select(
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train")
+          .as("split"),
+        col("lang")
+      )
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, t01, t02, t03, t04, t05)
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, t01, t02, t03, t04, t05, t06)
 }

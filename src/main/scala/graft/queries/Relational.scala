@@ -819,9 +819,102 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // Batch sessionization: gap-based sessions via two stacked windows —
+  // the SQL twin of streaming EventStream.sessionize.
+  val q36 = Q(
+    "q36_sessions",
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                 OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    - CAST(epoch(date_trunc('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s AS (SELECT user_id, event_id, ts_s,
+              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS session_no
+            FROM g)
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+             MAX(ts_s) - MIN(ts_s) AS duration_s
+      FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val tsS = unix_timestamp(col("ts"))
+    val lagTsS = unix_timestamp(lag(col("ts"), 1).over(w))
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        tsS.as("ts_s"),
+        when(lag(col("ts"), 1).over(w).isNull || (tsS - lagTsS) > 1800, 1)
+          .otherwise(0)
+          .as("new_s")
+      )
+      .withColumn("session_no", sum(col("new_s")).over(w).cast("int"))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s")
+      )
+      .orderBy("user_id", "session_no")
+  }
+
+  // ntile quartiles within groups.
+  val q37 = Q(
+    "q37_price_quartiles",
+    Some("""
+      WITH t AS (SELECT o_orderpriority, o_totalprice,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+                 FROM orders)
+      SELECT o_orderpriority, quartile, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM t GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile""")
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  // Date arithmetic: day diffs, quarters, aligned day-of-week.
+  val q38 = Q(
+    "q38_date_arithmetic",
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             COUNT(*) AS n,
+             CAST(MAX(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INTEGER) AS max_days_since,
+             CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sundays
+      FROM orders GROUP BY yr, qtr ORDER BY yr, qtr""")
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        max(datediff(col("o_orderdate"), lit("1995-01-01"))).as("max_days_since"),
+        // Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday — align.
+        sum(when(dayofweek(col("o_orderdate")) === 1, 1).otherwise(0)).as("sundays")
+      )
+      .orderBy("yr", "qtr")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35
+    q30, q31, q32, q33, q34, q35, q36, q37, q38
   )
 }

@@ -47,6 +47,15 @@ class IoSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     info(s"warehouse: $wh")
+    // a previous JVM's managed-table locations survive the catalog; clear
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(new java.net.URI(wh).getPath, t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Io.writeBucketed(
       Tables.orders(spark, TestSpark.sf0001).select("o_orderkey", "o_totalprice"),
       "orders_b", "o_orderkey", 8, Some("o_orderkey"))
