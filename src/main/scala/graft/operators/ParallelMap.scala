@@ -18,6 +18,22 @@ final case class UdfFailure(inputIndex: Long, cause: Throwable)
       cause
     )
 
+/** Envelope guards, mirroring the reference's hard limits: a pickled
+  * function is capped at 0.1 GB (client/src/burla/_remote_parallel_map.py:
+  * 220-224, `FunctionTooBig`) and a single pickled input at 200 MB
+  * (client/src/burla/_node.py:25, `InputTooBig`). Sizes here are
+  * SizeEstimator estimates of the in-memory object graph — the same
+  * order of magnitude as serialized size for blob-like payloads.
+  */
+final case class FunctionTooBig(estimatedBytes: Long, limitBytes: Long)
+    extends RuntimeException(
+      f"function closure ~ ${estimatedBytes / 1e9}%.2f GB exceeds the ${limitBytes / 1e9}%.1f GB cap"
+    )
+final case class InputTooBig(inputIndex: Long, estimatedBytes: Long, limitBytes: Long)
+    extends RuntimeException(
+      f"input $inputIndex ~ ${estimatedBytes / 1e6}%.0f MB exceeds the ${limitBytes / 1e6}%.0f MB cap"
+    )
+
 /** Spark-native rebuild of the reference's one dataflow operator,
   * `remote_parallel_map(f, inputs)` (reference: client/src/burla/
   * _remote_parallel_map.py:457-537).
@@ -49,6 +65,26 @@ object ParallelMap {
 
   private def kryoPair[T: ClassTag]: Encoder[(Long, T)] =
     Encoders.kryo[(Long, T)]
+
+  /** Reference envelope: 0.1 GB function, 200 MB per input (SURVEY §1.2). */
+  val MaxFunctionBytes: Long = 100L * 1000 * 1000
+  val MaxInputBytes: Long = 200L * 1000 * 1000
+  private val SizeCheckSample = 10000
+
+  private def guardSizes[I, O](inputs: Seq[I], f: I => O): Unit = {
+    import org.apache.spark.util.SizeEstimator
+    val fSize = SizeEstimator.estimate(f)
+    if (fSize > MaxFunctionBytes) throw FunctionTooBig(fSize, MaxFunctionBytes)
+    // full scan for modest lists (the reference checks every chunk it
+    // packs); sample evenly beyond that to keep submission O(1)-ish
+    val idxs =
+      if (inputs.size <= SizeCheckSample) inputs.indices
+      else inputs.indices by (inputs.size / SizeCheckSample)
+    idxs.foreach { i =>
+      val s = SizeEstimator.estimate(inputs(i).asInstanceOf[AnyRef])
+      if (s > MaxInputBytes) throw InputTooBig(i.toLong, s, MaxInputBytes)
+    }
+  }
 
   /** Build the indexed, error-attributed dataset backing both modes. */
   private def plan[I: ClassTag, O: ClassTag](
@@ -88,6 +124,7 @@ object ParallelMap {
       maxParallelism: Option[Int] = None
   )(f: I => O): Seq[O] = {
     if (inputs.isEmpty) return Nil // empty short-circuit, no cluster contact
+    guardSizes(inputs, f)
     try plan(spark, inputs, f, maxParallelism).collect().toSeq.map(_._2)
     catch { case e: Throwable => throw unwrap(e) }
   }
@@ -134,6 +171,7 @@ object ParallelMap {
       maxParallelism: Option[Int] = None
   )(f: I => O): Iterator[O] = {
     if (inputs.isEmpty) return Iterator.empty
+    guardSizes(inputs, f)
     val it = plan(spark, inputs, f, maxParallelism).toLocalIterator()
     // toLocalIterator prefetches the next partition inside hasNext, so the
     // attributed failure can surface from either call — unwrap both.
@@ -200,6 +238,7 @@ object ParallelMap {
     val fut = new java.util.concurrent.CompletableFuture[Seq[O]]()
     val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     if (inputs.isEmpty) { fut.complete(Nil); return new PMapJob(spark, group, fut, cancelled) }
+    guardSizes(inputs, f) // fail fast on the submitting thread, as the reference does
     val t = new Thread(() => {
       try {
         // job group is thread-local; tag every job this map spawns

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.{Failure, Success}
-import graft.operators.{ParallelMap, UdfFailure}
+import graft.operators.{InputTooBig, ParallelMap, UdfFailure}
 
 /** Behavioral spec for the parallel-map layer, ported from the reference's
   * client contract tests (client/tests/test_rpm_core.py,
@@ -82,6 +82,16 @@ class ParallelMapSpec extends AnyFunSuite {
       case Failure(m) => assert(m.getMessage.contains("bad 3"))
       case other      => fail(s"expected failure, got $other")
     }
+  }
+
+  test("oversized inputs rejected with a typed error (InputTooBig analog)") {
+    // reference: single input capped at 200 MB pickled (_node.py:25)
+    val big = new Array[Byte](210 * 1000 * 1000)
+    val e = intercept[InputTooBig] {
+      ParallelMap.run(spark, Seq(Array[Byte](1), big))(_.length)
+    }
+    assert(e.inputIndex == 1L)
+    assert(e.limitBytes == ParallelMap.MaxInputBytes)
   }
 
   test("detached job runs to completion independently (detach=True analog)") {

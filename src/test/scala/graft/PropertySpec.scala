@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, ParallelMap}
+import graft.functions.Parity
+
+/** Property tier — replaces the reference's chaos tests (FIXTURES.md §B:
+  * "property-based (ScalaCheck) in place of the reference's chaos tier").
+  * Each property pins an invariant the engine's correctness rests on.
+  * (Raw ScalaCheck Gen + fixed seeds: the scalatest bridge artifact is
+  * not in the offline dependency cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic sampling harness: N cases from a fixed seed. */
+  private def forAllN[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  test("property: parallel map is a multiset-preserving bijection") {
+    forAllN(Gen.listOf(Gen.chooseNum(-1000000, 1000000))) { xs =>
+      val out = ParallelMap.run(spark, xs)(x => x * 2 + 1)
+      assert(out.sorted == xs.map(_ * 2 + 1).sorted)
+    }
+  }
+
+  test("property: decimal sums are partitioning-invariant (bit-identical)") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+      parts <- Gen.chooseNum(2, 16)
+    } yield (xs, parts)
+    forAllN(gen, n = 8) { case (xs, parts) =>
+      val df = xs.toDF("v")
+      val a = df.repartition(1).agg(Parity.dsum(col("v"), 4)).head.getDouble(0)
+      val b = df.repartition(parts).agg(Parity.dsum(col("v"), 4)).head.getDouble(0)
+      assert(a == b)
+    }
+  }
+
+  private case class Ev(id: Long, key: Long, t: Long)
+  private case class Ord(key: Long, t: Long, ok: Long)
+
+  test("property: as-of join matches the brute-force definition") {
+    import spark.implicits._
+    val genEv = for {
+      id <- Gen.chooseNum(0L, 1000L); key <- Gen.chooseNum(0L, 5L)
+      t <- Gen.chooseNum(0L, 100L)
+    } yield Ev(id, key, t)
+    val genOrd = for {
+      key <- Gen.chooseNum(0L, 5L); t <- Gen.chooseNum(0L, 100L)
+      ok <- Gen.chooseNum(0L, 1000L)
+    } yield Ord(key, t, ok)
+    val gen = for {
+      evs0 <- Gen.listOfN(30, genEv)
+      ords0 <- Gen.listOfN(30, genOrd)
+    } yield (
+      evs0.groupBy(_.id).map(_._2.head).toList,  // unique event ids
+      ords0.groupBy(_.ok).map(_._2.head).toList  // unique order keys
+    )
+    forAllN(gen, n = 8) { case (evs, ords) =>
+      val left = evs
+        .map(e => (e.id, e.key, new java.sql.Timestamp(e.t * 1000)))
+        .toDF("event_id", "user_id", "ts")
+      val right = ords
+        .map(o => (o.key, new java.sql.Timestamp(o.t * 1000), o.ok, o.ok * 1.5))
+        .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      val got = AsOfJoin
+        .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts",
+          "o_orderdate", "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("o_orderkey"))) None
+           else Some(r.getLong(r.fieldIndex("o_orderkey")))))
+        .toMap
+      val want = evs.map { e =>
+        val c = ords.filter(o => o.key == e.key && o.t <= e.t)
+        e.id -> (if (c.isEmpty) None else Some(c.maxBy(o => (o.t, o.ok)).ok))
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("property: runAttributed indexes every input exactly once") {
+    forAllN(Gen.listOf(Gen.alphaStr)) { xs =>
+      val out = ParallelMap.runAttributed(spark, xs)(_.length)
+      assert(out.map(_._1).sorted == xs.indices.map(_.toLong))
+    }
+  }
+}
