@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimilarityExpr
+
+/** Session extensions: the canonical injection point for the engine's
+  * custom Catalyst surface. Installable two ways:
+  *
+  *   - programmatically: `GraftSession.builder(...)` applies it;
+  *   - by config (works with plain spark-submit / spark-shell):
+  *     `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Today this registers the codegen'd `cosine_similarity` function
+  * session-wide (SQL and DataFrame API); future custom rules/strategies
+  * (e.g. an as-of join planner rule) land here too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(
+          classOf[CosineSimilarityExpr].getCanonicalName,
+          null,
+          "cosine_similarity",
+          "cosine_similarity(a, b) - cosine similarity of two float arrays",
+          ""
+        ),
+        exprs => CosineSimilarityExpr(exprs(0), exprs(1))
+      )
+    )
+  }
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal pipeline stages surfaced as registry queries. The decode
+  * kernels are deterministic stubs (no codecs in this environment — see
+  * operators/Multimodal), so these are rows-only checks: they prove the
+  * binary-column plumbing executes through the driver's gate, while
+  * MultimodalSpec pins the determinism and schema contracts.
+  */
+object MMOps {
+
+  val m01 = Q("m01_media_decode", None) { (s, d) =>
+    Multimodal
+      .decodeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val m02 = Q("m02_media_features", None) { (s, d) =>
+    import s.implicits._
+    Multimodal
+      .extractFeatures(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), dim = 16)
+      .map(f => (f.media_id, f.feature.length, f.feature.sum.toDouble))
+      .toDF("media_id", "dim", "feature_sum")
+      .orderBy("media_id")
+  }
+
+  val m03 = Q("m03_media_frames", None) { (s, d) =>
+    Multimodal
+      .sampleFrames(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), stride = 100)
+      .groupByKey(_.media_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .count()
+      .toDF("media_id", "n_frames")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03)
+}

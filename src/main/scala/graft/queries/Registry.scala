@@ -14,7 +14,7 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    Relational.all ++ LlmOps.all ++ PMapOps.all
+    Relational.all ++ LlmOps.all ++ PMapOps.all ++ MMOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
