@@ -1,0 +1,103 @@
+package graft
+
+import scala.reflect.ClassTag
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.operators.{AnnLsh, AsOfJoin, Multimodal, ParallelMap, SkewJoin}
+import graft.sources.Io
+
+/** The user-facing facade: everything a user of the reference runs today,
+  * re-expressed on Spark, importable from one place.
+  *
+  * Burla call → here:
+  * {{{
+  * // results = remote_parallel_map(my_function, my_inputs)
+  * val spark   = Graft.session()
+  * val results = Graft.remoteParallelMap(spark, myInputs)(myFunction)
+  *
+  * // generator=True
+  * Graft.remoteParallelMapStream(spark, inputs)(f).foreach(consume)
+  *
+  * // the reference's "2.4 TB of parquet in 76 s" pattern — the bucket
+  * // scan is engine-level here instead of inside the UDF:
+  * val df = Graft.readParquet(spark, "s3a://bucket/prefix")
+  * df.filter(...).groupBy(...).agg(...)
+  * }}}
+  *
+  * Errors: a failing UDF raises `UdfFailure(inputIndex, cause)` — the
+  * analog of `exc.burla_input_index`. Oversized payloads raise
+  * `FunctionTooBig` / `InputTooBig` with the reference's limits.
+  */
+object Graft {
+
+  /** A tuned session (AQE, UTC, extensions, ns-timestamp handling). */
+  def session(appName: String = "graft"): SparkSession = GraftSession.get(appName)
+
+  // ---- the reference's operator, all four modes ----
+
+  def remoteParallelMap[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Seq[O] = ParallelMap.run(spark, inputs, maxParallelism)(f)
+
+  def remoteParallelMapStream[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Iterator[O] = ParallelMap.stream(spark, inputs, maxParallelism)(f)
+
+  def remoteParallelMapAttributed[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I]
+  )(f: I => O): Seq[(Long, Try[O])] = ParallelMap.runAttributed(spark, inputs)(f)
+
+  def remoteParallelMapDetached[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I]
+  )(f: I => O): ParallelMap.PMapJob[O] = ParallelMap.runDetached(spark, inputs)(f)
+
+  def remoteParallelMapWithLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I]
+  )(f: I => O): Seq[(Long, Try[O], String)] = ParallelMap.runWithLogs(spark, inputs)(f)
+
+  /** Bulk path: same semantics over a Dataset, no driver materialization. */
+  def mapDataset[I, O: org.apache.spark.sql.Encoder](ds: Dataset[I])(f: I => O): Dataset[O] =
+    ParallelMap.mapDataset(ds)(f)
+
+  // ---- storage ----
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = Io.readParquet(spark, path)
+  def writeParquet(df: DataFrame, path: String): Unit = Io.writeParquet(df, path)
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    Io.writePartitioned(df, path, cols)
+  def writeBucketed(df: DataFrame, table: String, col: String, buckets: Int): Unit =
+    Io.writeBucketed(df, table, col, buckets)
+
+  // ---- relational extras ----
+
+  def asofJoinLatestAtOrBefore(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, payload: Seq[String]
+  ): DataFrame =
+    AsOfJoin.latestAtOrBefore(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload)
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
+    SkewJoin.saltedInnerJoin(left, right, key, buckets)
+
+  // ---- LLM-pipeline operators ----
+
+  def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      dim: Int, k: Int = 5): DataFrame =
+    AnnLsh.topK(spark, corpus, queries, dim, k)
+
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
+    Multimodal.mediaFromDocuments(spark, docs)
+
+  /** The named query library (oracle-checked operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
+}

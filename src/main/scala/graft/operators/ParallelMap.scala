@@ -162,6 +162,52 @@ object ParallelMap {
       }
   }
 
+  /** Per-input log capture cap, mirroring the reference's 100 KB/doc limit
+    * (node_service worker_client.py:32; SURVEY §1.1 "Log document"). */
+  val MaxLogBytesPerInput: Int = 100 * 1000
+
+  /** Like runAttributed, but also captures what the UDF printed while
+    * processing each input — the reference's per-input log attribution
+    * (worker_client.py:154-338 parses `__burla_input_start__:idx` markers
+    * out of container logs; here the capture is direct). Scala
+    * `println`/`Console.out` writes are captured per task thread
+    * (Console.withOut is thread-local); raw `System.out` writes from
+    * native/Java code bypass the capture and land in executor logs.
+    * Output is truncated at MaxLogBytesPerInput per input.
+    */
+  def runWithLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O): Seq[(Long, Try[O], String)] = {
+    if (inputs.isEmpty) return Nil
+    guardSizes(inputs, f)
+    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    val slices = maxParallelism.getOrElse(
+      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
+    )
+    implicit val enc: Encoder[(Long, Either[String, O], String)] =
+      Encoders.kryo[(Long, Either[String, O], String)]
+    val cap = MaxLogBytesPerInput
+    spark
+      .createDataset(indexed)(kryoPair[I])
+      .repartition(slices)
+      .map { case (idx, x) =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val r: Either[String, O] =
+          try Right(Console.withOut(buf)(f(x)))
+          catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+        val logs = buf.toString("UTF-8")
+        (idx, r, if (logs.length > cap) logs.substring(0, cap) else logs)
+      }
+      .collect()
+      .toSeq
+      .map {
+        case (i, Right(v), lg)  => (i, Success(v), lg)
+        case (i, Left(msg), lg) => (i, Failure(new RuntimeException(msg)), lg)
+      }
+  }
+
   /** Generator mode (`generator=True`): lazy unordered stream with
     * driver-side backpressure — partitions are fetched one at a time.
     */

@@ -84,6 +84,27 @@ class ParallelMapSpec extends AnyFunSuite {
     }
   }
 
+  test("per-input stdout capture with attribution (log-streaming analog)") {
+    // reference: stdout parsed into per-input log docs (test_rpm_core.py:
+    // 96-109 asserts 100 prints surface; worker_client.py caps at 100 KB)
+    val out = ParallelMap.runWithLogs(spark, 0 until 10) { x =>
+      println(s"processing input $x")
+      if (x == 3) throw new RuntimeException("bad")
+      x * 2
+    }
+    assert(out.size == 10)
+    out.foreach { case (idx, _, logs) =>
+      assert(logs.contains(s"processing input $idx")) // attributed correctly
+    }
+    val (_, r3, _) = out.find(_._1 == 3L).get
+    assert(r3.isFailure)
+    // truncation at the 100 KB cap
+    val big = ParallelMap.runWithLogs(spark, Seq(1)) { _ =>
+      (0 until 5000).foreach(i => println("x" * 100)); 42
+    }
+    assert(big.head._3.length == ParallelMap.MaxLogBytesPerInput)
+  }
+
   test("oversized inputs rejected with a typed error (InputTooBig analog)") {
     // reference: single input capped at 200 MB pickled (_node.py:25)
     val big = new Array[Byte](210 * 1000 * 1000)
