@@ -30,8 +30,8 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            continue
+        if not os.path.isdir(qdir) or os.path.islink(qdir):
+            continue  # skip the <name>.parquet symlink aliases
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
