@@ -22,23 +22,33 @@ object Bench {
     // scheduler setup) so even "cold" numbers measure the engine.
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    def time(fn: => Unit): Double = {
+    // Force the query's OWN physical plan (toRdd), not count() over it:
+    // an Aggregate(count) on top lets Catalyst prune every projection and
+    // eliminate sorts, which would time a bare parquet scan for
+    // projection-only queries. A failed query reports -1, never a timing.
+    def time(fn: => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn; true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn(spark, sfDir).count())
-      val warm = time(fn(spark, sfDir).count())
-      (name, math.min(cold, warm), cold)
+      def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
+      val (cold, okC) = time(exec())
+      val (warm, okW) = time(exec())
+      if (okC && okW) (name, math.min(cold, warm), cold, true)
+      else (name, -1.0, -1.0, false)
     }
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3).sum
+    val ok = results.filter(_._4)
+    val total = ok.map(_._2).sum
+    val coldTotal = ok.map(_._3).sum
+    val failed = results.count(!_._4)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_value":$coldTotal%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_value":$coldTotal%.3f,"failed":$failed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for each left row, attach the latest right row whose time is
   * <= the left row's time, per join key.
@@ -16,7 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: right rows at exactly the left row's time DO match
   * (at-or-before); among right rows sharing the max time, the one with the
-  * greatest `rightTieBreak` wins (deterministic).
+  * greatest non-null `rightTieBreak` wins (NULL tiebreaks lose to any
+  * non-null one — the same preference as ORDER BY tb DESC NULLS LAST).
+  *
+  * The payload travels as ONE struct column, so the carried values always
+  * come from a single right row — carrying columns independently would
+  * let a NULL in one payload column mix values across right rows.
   */
 object AsOfJoin {
   def latestAtOrBefore(
@@ -30,45 +36,41 @@ object AsOfJoin {
       payload: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    // Shared layout: key, t, tag (0 = right/emitter, 1 = left/receiver),
-    // tiebreak, left columns (null on right rows), payload (null on left).
-    val l = left
-      .withColumn("__key", col(leftKey))
-      .withColumn("__t", col(leftTime))
-      .withColumn("__tag", lit(1))
-      .withColumn("__tb", lit(null).cast("long"))
-    val lShaped = payload.foldLeft(l)((df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    val tbType = right.schema(rightTieBreak).dataType
+    val lStructType = StructType(leftCols.map(left.schema(_)))
+    val pStructType = StructType(payload.map(right.schema(_)))
+
+    val l = left.select(
+      col(leftKey).as("__key"),
+      col(leftTime).as("__t"),
+      lit(1).as("__tag"),
+      lit(null).cast(tbType).as("__tb"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(pStructType).as("__p")
     )
-    val r0 = right
-      .withColumn("__key", col(rightKey))
-      .withColumn("__t", col(rightTime))
-      .withColumn("__tag", lit(0))
-      .withColumn("__tb", col(rightTieBreak).cast("long"))
-    val rShaped = leftCols.foldLeft(r0)((df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTime).as("__t"),
+      lit(0).as("__tag"),
+      col(rightTieBreak).as("__tb"),
+      lit(null).cast(lStructType).as("__l"),
+      struct(payload.map(col): _*).as("__p")
     )
-    val cols = Seq("__key", "__t", "__tag", "__tb") ++ leftCols.filterNot(
-      Seq(leftKey, leftTime).contains
-    ) ++ payload
-    val unioned =
-      lShaped.select(cols.map(col): _*).unionByName(rShaped.select(cols.map(col): _*))
 
     // Right rows sort before left rows at equal time (inclusive at-or-
-    // before); among equal-time right rows the max tiebreak lands last.
+    // before); among equal-time right rows, NULL tiebreaks first (losing)
+    // and the max tiebreak last (winning — it is the row `last` carries).
     val w = Window
       .partitionBy("__key")
-      .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_last)
+      .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    )
-    carried
+    l.unionByName(r)
+      .withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .withColumn(leftKey, col("__key"))
-      .withColumn(leftTime, col("__t"))
-      .select((leftCols ++ payload).map(col): _*)
+      .select(
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+          payload.map(p => col(s"__pc.$p").as(p)): _*
+      )
   }
 }

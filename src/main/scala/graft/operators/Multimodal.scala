@@ -49,9 +49,12 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("payload"),
-        col("source"),
-        length(col("text")).cast("long").as("n_bytes")
+        col("source")
       )
+      // byte length of the PAYLOAD (length on binary counts bytes) — a
+      // character count would understate multi-byte text and make frame
+      // sampling silently skip the payload tail
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
       .as[MediaRow]
   }
 
@@ -126,7 +129,7 @@ object Multimodal {
     media.flatMap { r =>
       if (r.kind != "video") Iterator.empty
       else {
-        val n = math.max(1, (r.n_bytes / stride).toInt)
+        val n = math.max(1, ((r.n_bytes + stride - 1) / stride).toInt)
         (0 until n).iterator.map { i =>
           val from = math.min(i * stride, r.payload.length)
           val until = math.min(from + stride, r.payload.length)

@@ -139,6 +139,7 @@ object ParallelMap {
       maxParallelism: Option[Int] = None
   )(f: I => O): Seq[(Long, Try[O])] = {
     if (inputs.isEmpty) return Nil
+    guardSizes(inputs, f)
     val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
     val slices = maxParallelism.getOrElse(
       math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))

@@ -473,10 +473,13 @@ object LlmOps {
         CAST(len(t) AS INTEGER) AS n_tokens,
         CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
         CAST(length(text) AS INTEGER) AS n_chars,
-        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+        CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1) AS ttr
       FROM t ORDER BY doc_id""")
   ) { (s, d) =>
     val t = toks(col("text"))
+    // GREATEST(n,1): an empty/whitespace-only doc would otherwise divide
+    // by zero, where Spark yields NULL but DuckDB yields IEEE NaN/inf —
+    // an oracle mismatch waiting for the first degenerate document.
     Tables
       .documents(s, d)
       .select(
@@ -484,7 +487,8 @@ object LlmOps {
         size(t).as("n_tokens"),
         size(array_distinct(t)).as("n_distinct"),
         length(col("text")).as("n_chars"),
-        (size(array_distinct(t)).cast("double") / size(t)).as("ttr")
+        (size(array_distinct(t)).cast("double") / greatest(size(t), lit(1)))
+          .as("ttr")
       )
       .orderBy("doc_id")
   }
@@ -501,21 +505,22 @@ object LlmOps {
       SELECT doc_id,
         LEAST(CAST(length(text) AS DOUBLE) / 300.0, 1.0) AS len_score,
         LEAST(CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS DOUBLE)
-              / len(t) * 10.0, 1.0) AS stop_score,
-        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+              / GREATEST(len(t), 1) * 10.0, 1.0) AS stop_score,
+        CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1) AS ttr,
         (LEAST(CAST(length(text) AS DOUBLE) / 300.0, 1.0)
          + LEAST(CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS DOUBLE)
-                 / len(t) * 10.0, 1.0)
-         + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0 AS quality
+                 / GREATEST(len(t), 1) * 10.0, 1.0)
+         + CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1)) / 3.0 AS quality
       FROM t ORDER BY doc_id""")
   ) { (s, d) =>
     val t = toks(col("text"))
+    val nTok = greatest(size(t), lit(1)) // divide-by-zero parity guard
     val lenScore = least(length(col("text")).cast("double") / 300.0, lit(1.0))
     val stopScore = least(
-      size(filter(t, x => x.isin(stopwords: _*))).cast("double") / size(t) * 10.0,
+      size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok * 10.0,
       lit(1.0)
     )
-    val ttr = size(array_distinct(t)).cast("double") / size(t)
+    val ttr = size(array_distinct(t)).cast("double") / nTok
     Tables
       .documents(s, d)
       .select(

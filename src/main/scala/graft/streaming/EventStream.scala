@@ -62,8 +62,15 @@ object EventStream {
   case class UserSession(user_id: Long, n_events: Long, duration_s: Long)
 
   /** Gap-based sessionization with typed per-key state
-    * (mapGroupsWithState) — the custom-state streaming primitive the
+    * (flatMapGroupsWithState) — the custom-state streaming primitive the
     * reference's per-job in-memory state machines map onto.
+    *
+    * State is bounded by EVENT-time timeouts under the watermark: when the
+    * watermark passes a session's last event + gap, the open session is
+    * flushed and its state removed — so keys do not accumulate forever and
+    * a silent user's final session is still emitted. (Processing-time
+    * timeouts are unsuitable here: they keep scheduling batches, so
+    * `processAllAvailable` never settles and tests hang.)
     */
   def sessionize(
       spark: SparkSession,
@@ -72,23 +79,36 @@ object EventStream {
   ): org.apache.spark.sql.Dataset[UserSession] = {
     import spark.implicits._
     events
+      .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout
+        GroupStateTimeout.EventTimeTimeout
       ) { (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-        var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-        val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
-        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime / 1000
-          if (cur.n > 0 && t - cur.last > gapSeconds) {
-            closed += UserSession(uid, cur.n, cur.last - cur.first)
-            cur = SessionState(0, Long.MaxValue, Long.MinValue)
+        if (state.hasTimedOut) {
+          val cur = state.get
+          state.remove()
+          if (cur.n > 0) Iterator.single(UserSession(uid, cur.n, cur.last - cur.first))
+          else Iterator.empty
+        } else {
+          var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (cur.n > 0 && t - cur.last > gapSeconds) {
+              closed += UserSession(uid, cur.n, cur.last - cur.first)
+              cur = SessionState(0, Long.MaxValue, Long.MinValue)
+            }
+            cur = SessionState(cur.n + 1, math.min(cur.first, t), math.max(cur.last, t))
           }
-          cur = SessionState(cur.n + 1, math.min(cur.first, t), math.max(cur.last, t))
+          state.update(cur)
+          // flush when the watermark passes last-event + gap; the timeout
+          // timestamp must sit above the current watermark or Spark rejects
+          state.setTimeoutTimestamp(
+            math.max((cur.last + gapSeconds) * 1000, state.getCurrentWatermarkMs() + 1)
+          )
+          closed.iterator
         }
-        state.update(cur)
-        closed.iterator
       }
   }
 }

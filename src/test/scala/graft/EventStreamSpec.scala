@@ -59,16 +59,23 @@ class EventStreamSpec extends AnyFunSuite {
       .queryName("sessions_out").start()
     try {
       q.processAllAvailable()
-      // first batch: user 1's first session closed by the 9000s event
+      // user 1's first session closed by the 9000s event (gap logic);
+      // user 2's open session flushed by the event-time timeout once the
+      // watermark (9100s - gap) passed its last event + gap (2300s)
       val sessions = spark.table("sessions_out").as[EventStream.UserSession].collect()
-      assert(sessions.toSet == Set(EventStream.UserSession(1L, 3L, 200L)))
-      // a later event past the gap closes user 2's session
+      assert(sessions.toSet == Set(
+        EventStream.UserSession(1L, 3L, 200L),
+        EventStream.UserSession(2L, 1L, 0L)
+      ))
+      // a far-future event advances the watermark past user 1's open
+      // session, flushing it via timeout; user 2 starts a fresh session
       src.addData(ev(7, 2, 99999))
       q.processAllAvailable()
       val s2 = spark.table("sessions_out").as[EventStream.UserSession].collect()
       assert(s2.toSet == Set(
         EventStream.UserSession(1L, 3L, 200L),
-        EventStream.UserSession(2L, 1L, 0L)
+        EventStream.UserSession(2L, 1L, 0L),
+        EventStream.UserSession(1L, 2L, 100L)
       ))
     } finally q.stop()
   }
