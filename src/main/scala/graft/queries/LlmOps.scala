@@ -244,16 +244,31 @@ object LlmOps {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
-    val f = simhashFingerprints(s, d)
-    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    f.as("a")
-      .join(f.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        ham.cast("int").as("hamming")
-      )
-      .filter(col("hamming") <= 3)
+    // Same broadcast-array pattern as the cosine near-dup kernel: collect
+    // the (small) fingerprint table, broadcast, and scan all pairs with
+    // Integer.bitCount — identical pairs to the nested-loop join, no join
+    // machinery. The scale path buckets on fingerprint bit-bands first.
+    import s.implicits._
+    val fps = simhashFingerprints(s, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(fps)
+    s.range(fps.length)
+      .as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        val v = bc.value
+        rows.flatMap { ii =>
+          val i = ii.toInt
+          val (ida, fa) = v(i)
+          (i + 1 until v.length).iterator.flatMap { j =>
+            val h = Integer.bitCount(fa ^ v(j)._2)
+            if (h <= 3) Some((ida, v(j)._1, h)) else None
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
