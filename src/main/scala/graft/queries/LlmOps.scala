@@ -62,6 +62,20 @@ object LlmOps {
     s"""SELECT DISTINCT doc_id, UNNEST(${shinglesSql("t")}) AS sh
         FROM (SELECT doc_id, $toksSql AS t FROM documents)"""
 
+  /** Drop shingles whose document frequency exceeds maxDf — the stop-
+    * shingle guard that bounds inverted-index self-join fan-out (see
+    * jaccardMaxDf below). Exposed for the adversarial-skew spec. */
+  private[graft] def capShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val keep = sh
+      .groupBy("sh")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("sh")
+    sh.join(keep, "sh").select("doc_id", "sh")
+  }
+  private def cappedShingles(s: SparkSession, d: String, maxDf: Long): DataFrame =
+    capShingles(docShingles(s, d), maxDf)
+
   // ---- dedup family ----
 
   /** Exact dedup: hash-groupBy on content. Scales as one shuffle on the
@@ -144,14 +158,27 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard over distinct shingle sets. Candidate pairs come
-    * from the shared-shingle inverted index (exact: J > 0 requires a shared
-    * shingle). Quadratic in docs-per-shingle — the correctness baseline the
-    * LSH operator approximates; at scale, cap hot shingles or LSH first. */
+  /** Document-frequency cap for d03's inverted index: a shingle shared by
+    * more than this many documents is a "stop shingle" (boilerplate, not
+    * signal) and is dropped from the Jaccard universe — bounding the
+    * self-join fan-out per shingle to maxDf^2 instead of letting one hot
+    * shingle shared by 1M docs create a 10^12-row join key. Applied
+    * IDENTICALLY in the Spark plan and the DuckDB oracle, so the capped
+    * Jaccard is a deterministic, documented semantic (the standard move in
+    * near-dup pipelines; at 100 TB you set this to a few hundred). */
+  private val jaccardMaxDf = 100
+
+  /** Exact n-gram Jaccard over distinct shingle sets (after the stop-
+    * shingle cap above). Candidate pairs come from the shared-shingle
+    * inverted index (exact over the capped universe: J > 0 requires a
+    * shared surviving shingle). Join fan-out is bounded by jaccardMaxDf
+    * docs per shingle — the adversarial-skew guard SkewSpec pins. */
   val d03 = Q(
     "d03_dedup_ngram_jaccard",
     Some(s"""
-      WITH sh AS ($docShinglesSql),
+      WITH sh0 AS ($docShinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0
+             WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $jaccardMaxDf)),
       n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -165,8 +192,8 @@ object LlmOps {
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
     // cached: the self-join + counts would otherwise recompute the whole
-    // tokenize→shingle→distinct subtree three times
-    val sh = docShingles(s, d).cache()
+    // tokenize→shingle→distinct→cap subtree three times
+    val sh = cappedShingles(s, d, jaccardMaxDf).cache()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .as("a")
@@ -231,9 +258,24 @@ object LlmOps {
       SELECT doc_id, simhash FROM f ORDER BY doc_id""")
   ) { (s, d) => simhashFingerprints(s, d).orderBy("doc_id") }
 
-  /** SimHash near-dup pairs by Hamming distance. The all-pairs compare is
-    * the small-corpus oracle; the scale path buckets on bit-bands of the
-    * fingerprint (same trick as LSH) before comparing. */
+  /** Hamming radius for near-dup pairs; bands = radius + 1 makes the
+    * bit-band bucketing EXACT by pigeonhole (see d05). */
+  private val hammingRadius = 3
+  private val simhashBands = hammingRadius + 1
+  private val bandBits = simhashBits / simhashBands // 16-bit fp -> 4-bit bands
+
+  /** SimHash near-dup pairs by Hamming distance — fully distributed.
+    *
+    * Candidate generation is a self-join on fingerprint bit-bands: split
+    * the 16-bit fingerprint into 4 disjoint 4-bit bands; two fingerprints
+    * within Hamming <= 3 differ in at most 3 bit positions, so by
+    * pigeonhole at least one band is bit-identical — the band self-join is
+    * therefore EXACT (no pair lost), while comparing only docs that share
+    * a band value. No driver materialization anywhere in the plan: one
+    * explode + one shuffled equi-join on (band, value). At 100 TB the
+    * fingerprint widens to 64 bits => 4 bands x 16 bits = 65536 bucket
+    * values per band, so bucket sizes stay tiny and the join stays linear.
+    */
   val d05 = Q(
     "d05_dedup_simhash_pairs",
     Some(s"""
@@ -244,31 +286,33 @@ object LlmOps {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
-    // Same broadcast-array pattern as the cosine near-dup kernel: collect
-    // the (small) fingerprint table, broadcast, and scan all pairs with
-    // Integer.bitCount — identical pairs to the nested-loop join, no join
-    // machinery. The scale path buckets on fingerprint bit-bands first.
-    import s.implicits._
     val fps = simhashFingerprints(s, d)
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
-      .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(fps)
-    s.range(fps.length)
-      .as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { rows =>
-        val v = bc.value
-        rows.flatMap { ii =>
-          val i = ii.toInt
-          val (ida, fa) = v(i)
-          (i + 1 until v.length).iterator.flatMap { j =>
-            val h = Integer.bitCount(fa ^ v(j)._2)
-            if (h <= 3) Some((ida, v(j)._1, h)) else None
-          }
-        }
-      }
-      .toDF("doc_a", "doc_b", "hamming")
+    val mask = (1 << bandBits) - 1
+    val bands = fps.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until simhashBands).map { b =>
+        struct(
+          lit(b).as("b"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv")
+        )
+      }: _*)).as("band")
+    ).select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bv").as("bv"))
+    bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming")
+      )
+      .filter(col("hamming") <= hammingRadius)
+      // a pair within radius can share several bands — one row per pair
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -383,60 +427,51 @@ object LlmOps {
       SELECT va, vb, cosine FROM cos WHERE cosine >= 0.35 ORDER BY va, vb""")
   ) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // Candidate generation: broadcast the corpus as primitive arrays and
-    // run a blocked all-pairs double-cosine kernel in mapPartitions — the
-    // same comparisons a BroadcastNestedLoopJoin would do, minus its
-    // per-row join machinery (measured ~4x). The margin is far above FP
-    // error, so no exact hit can be lost; the exact-decimal dot AND norms
-    // (interpreted, expensive) then run only on the few surviving pairs,
-    // keeping the oracle-comparable threshold decision in exact
-    // arithmetic. At 100 TB, swap the pair source for LSH buckets — the
-    // rescore stage is unchanged.
-    val corpus = Tables
+    import s.implicits._
+    // Exact all-pairs via TRIANGLE BLOCKING — fully distributed, no driver
+    // materialization. Vectors hash into B blocks; each unordered block
+    // pair (ba <= bb) is one join group, so each side is replicated ~B/2x
+    // and the cross-compare spreads over B(B+1)/2 independent reducers.
+    // (Exact near-dup on dense vectors is inherently O(n^2) compare; this
+    // is the shape that distributes it. The sub-quadratic APPROXIMATE path
+    // is LSH — e04/AnnLsh — with the same rescore stage.)
+    // Candidates pass a codegen'd double-precision cosine prefilter with a
+    // margin far above FP error; only survivors pay the exact-decimal dot
+    // and norms that decide the oracle-comparable threshold.
+    val nBlocks = 16
+    val blockPairs = (for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b))
+      .toDF("ba", "bb")
+    val blk = Tables
       .embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(corpus)
-    import s.implicits._
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks.toLong)).cast("int"))
+    val x = blk
+      .join(broadcast(blockPairs), col("blk") === col("ba"))
+      .select(col("vec_id").as("xid"), col("embedding").as("xe"), col("ba"), col("bb"))
+    val y = blk
+      .join(broadcast(blockPairs), col("blk") === col("bb"))
+      .select(col("vec_id").as("yid"), col("embedding").as("ye"), col("ba"), col("bb"))
     val threshold = 0.35 - 1e-6
-    val survivorPairs = s
-      .range(corpus.length)
-      .as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { rows =>
-        val vs = bc.value
-        val norms = vs.map { case (_, v) =>
-          var n = 0.0; var k = 0
-          while (k < v.length) { n += v(k).toDouble * v(k).toDouble; k += 1 }
-          math.sqrt(n)
-        }
-        rows.flatMap { ii =>
-          val i = ii.toInt
-          val (ida, a) = vs(i)
-          (i + 1 until vs.length).iterator.flatMap { j =>
-            val b = vs(j)._2
-            var dot = 0.0; var k = 0
-            while (k < a.length) { dot += a(k).toDouble * b(k).toDouble; k += 1 }
-            if (dot / (norms(i) * norms(j)) >= threshold) Some((ida, vs(j)._1))
-            else None
-          }
-        }
-      }
-      .toDF("va", "vb")
-    val survivors = survivorPairs
-      .join(broadcast(emb).as("a"), col("va") === col("a.vec_id"))
-      .join(broadcast(emb).as("b"), col("vb") === col("b.vec_id"))
-      .select(col("va"), col("a.embedding").as("ea"), col("vb"), col("b.embedding").as("eb"))
+    val survivors = x
+      .join(y, Seq("ba", "bb"))
+      // distinct blocks meet exactly once (as the ordered pair ba < bb);
+      // same-block pairs meet twice — keep one orientation
+      .filter(col("ba") =!= col("bb") || col("xid") < col("yid"))
+      .filter(expr("cosine_similarity(xe, ye)") >= threshold)
+      .select(
+        least(col("xid"), col("yid")).as("va"),
+        greatest(col("xid"), col("yid")).as("vb"),
+        col("xe"),
+        col("ye")
+      )
     survivors
       .select(
         col("va"),
         col("vb"),
-        (dotArr(col("ea"), col("eb")).cast("double") /
-          (sqrt(dotArr(col("ea"), col("ea")).cast("double")) *
-            sqrt(dotArr(col("eb"), col("eb")).cast("double"))))
+        // cosine is symmetric: no need to swap xe/ye to match va/vb order
+        (dotArr(col("xe"), col("ye")).cast("double") /
+          (sqrt(dotArr(col("xe"), col("xe")).cast("double")) *
+            sqrt(dotArr(col("ye"), col("ye")).cast("double"))))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)

@@ -11,6 +11,9 @@ import graft.operators.ParallelMap
   */
 object PMapOps {
 
+  /** Driver-side input-list bound for the client-convention query. */
+  private val P02InputCap = 100
+
   /** Distributed form: Dataset.map end-to-end (no driver materialization).
     * The closure re-implements the canonical tokenizer in plain Scala. */
   val p01 = Q(
@@ -33,20 +36,26 @@ object PMapOps {
       .orderBy("doc_id")
   }
 
-  /** Client-style form: inputs collected to the driver, fanned back out
-    * through ParallelMap.run (the reference's list-in/list-out mode),
-    * results re-framed for the oracle. Small input lists only — this is
-    * the Burla calling convention, not the bulk path. */
+  /** Client-style form: a BOUNDED, deterministic input list on the driver,
+    * fanned back out through ParallelMap.run (the reference's list-in/
+    * list-out calling convention — client code always holds its inputs in
+    * a local Python list, reference _remote_parallel_map.py:541). The
+    * LIMIT keeps the registered query honest: the client convention is for
+    * driver-resident lists, never for shipping a whole table through the
+    * driver — bulk table work goes through p01's distributed form. */
   val p02 = Q(
     "p02_pmap_char_counts",
-    Some("""
+    Some(s"""
       SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_computed
-      FROM documents ORDER BY doc_id""")
+      FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $P02InputCap)
+      ORDER BY doc_id""")
   ) { (s, d) =>
     import s.implicits._
     val inputs: Seq[(Long, String)] = Tables
       .documents(s, d)
       .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .limit(P02InputCap)
       .collect()
       .toSeq
       .map(r => (r.getLong(0), r.getString(1)))
