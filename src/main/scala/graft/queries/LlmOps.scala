@@ -286,18 +286,27 @@ object LlmOps {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
-    val fps = simhashFingerprints(s, d)
+    // cached: fingerprints are 1 row/doc (tiny vs the corpus at any scale)
+    // and feed both sides of the self-join — without the cache the whole
+    // tokenize→hash→grouped-sum subtree runs twice
+    val fps = simhashFingerprints(s, d).cache()
     val mask = (1 << bandBits) - 1
+    def bandVal(c: Column, b: Int): Column =
+      shiftright(c, b * bandBits).bitwiseAND(lit(mask))
     val bands = fps.select(
       col("doc_id"),
       col("simhash"),
       explode(array((0 until simhashBands).map { b =>
-        struct(
-          lit(b).as("b"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv")
-        )
+        struct(lit(b).as("b"), bandVal(col("simhash"), b).as("bv"))
       }: _*)).as("band")
     ).select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bv").as("bv"))
+    // a pair within radius can share several bands; keep it only at its
+    // FIRST matching band — cheap bitwise post-filter instead of a
+    // distinct() (which would be a second full shuffle of the pairs)
+    val noEarlierBandMatch = (0 until simhashBands).map { bp =>
+      (col("x.b") <= bp) ||
+        (bandVal(col("x.simhash"), bp) =!= bandVal(col("y.simhash"), bp))
+    }.reduce(_ && _)
     bands
       .as("x")
       .join(
@@ -305,14 +314,13 @@ object LlmOps {
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id")
       )
+      .filter(noEarlierBandMatch)
       .select(
         col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming")
       )
       .filter(col("hamming") <= hammingRadius)
-      // a pair within radius can share several bands — one row per pair
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
