@@ -73,13 +73,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register SQL-callable vector functions on this session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
-      "built-in"
-    )
+  /** Register SQL-callable vector functions on this session (idempotent —
+    * skips when already present, avoiding "replaced a previously
+    * registered function" warnings on every query invocation). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "cosine_similarity",
+        exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+        "built-in"
+      )
+  }
 
   /** SQL fragment form: register first, then use in expr()/selectExpr. */
   def cosineSimExpr(spark: SparkSession, aSql: String, bSql: String): Column = {

@@ -73,13 +73,23 @@ object AnnLsh {
     val corpusBuckets = buckets(spark, emb, dim, tables, bitsPerTable)
     val queryBuckets = buckets(spark, queries, dim, tables, bitsPerTable)
       .withColumnRenamed("vec_id", "qid")
-      .withColumnRenamed("embedding", "q_embedding")
-    val candidates = corpusBuckets
-      .join(broadcast(queryBuckets), Seq("t", "bucket"))
+    // Dedup multi-table candidate hits on bare (qid, vec_id) ids — the
+    // distinct's shuffle then moves two longs per row instead of two full
+    // embedding arrays; embeddings are re-attached afterwards (corpus via
+    // equi-join on vec_id, queries via broadcast — the query set is small
+    // by construction).
+    val candidateIds = corpusBuckets
+      .select("vec_id", "t", "bucket")
+      .join(broadcast(queryBuckets.select("qid", "t", "bucket")), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "q_embedding", "vec_id", "embedding")
+      .select("qid", "vec_id")
       .distinct()
-    val scored = candidates
+    val scored = candidateIds
+      .join(emb, "vec_id")
+      .join(
+        broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))),
+        "qid"
+      )
       .withColumn("cosine", expr("cosine_similarity(q_embedding, embedding)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored

@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.StructType
   * The payload travels as ONE struct column, so the carried values always
   * come from a single right row — carrying columns independently would
   * let a NULL in one payload column mix values across right rows.
+  *
+  * NULL time semantics (matching SQL `r.t <= l.t`, where NULL compares
+  * false): right rows with a NULL time never match and are filtered out
+  * before the union; left rows with a NULL time match nothing (their
+  * payload columns come back NULL) — they sort before every timed row in
+  * the window, so no right payload can be carried into them.
   */
 object AsOfJoin {
   def latestAtOrBefore(
@@ -48,7 +54,7 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(pStructType).as("__p")
     )
-    val r = right.select(
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("__key"),
       col(rightTime).as("__t"),
       lit(0).as("__tag"),
@@ -60,9 +66,12 @@ object AsOfJoin {
     // Right rows sort before left rows at equal time (inclusive at-or-
     // before); among equal-time right rows, NULL tiebreaks first (losing)
     // and the max tiebreak last (winning — it is the row `last` carries).
+    // NULLS FIRST on __t puts NULL-time LEFT rows (right NULLs are already
+    // filtered) before every timed row: they carry no payload, matching
+    // SQL's NULL-comparison semantics.
     val w = Window
       .partitionBy("__key")
-      .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_first)
+      .orderBy(col("__t").asc_nulls_first, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -198,8 +198,12 @@ object ParallelMap {
         val r: Either[String, O] =
           try Right(Console.withOut(buf)(f(x)))
           catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
-        val logs = buf.toString("UTF-8")
-        (idx, r, if (logs.length > cap) logs.substring(0, cap) else logs)
+        // cap is BYTES: truncate the raw buffer before decoding, so
+        // multi-byte output cannot exceed the documented 100 KB limit
+        // (a chopped trailing codepoint decodes as U+FFFD, which is fine)
+        val bytes = buf.toByteArray
+        val logs = new String(bytes, 0, math.min(bytes.length, cap), "UTF-8")
+        (idx, r, logs)
       }
       .collect()
       .toSeq

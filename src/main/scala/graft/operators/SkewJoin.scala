@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * build side. Semantics: inner equi-join, identical results to
   * `left.join(right, keys)` — verified by SkewJoinSpec.
   *
-  * Mechanics: the left (large, skewed) side gets a deterministic salt in
-  * [0, n) derived from a hash of its other columns; the right side is
-  * replicated n times, one copy per salt value. The join key becomes
-  * (key, salt), spreading each hot key over n reducers at the cost of
-  * n-times replication of the (small) right side — choose n accordingly.
+  * Mechanics: the left (large, skewed) side gets a salt in [0, n) derived
+  * from a per-row unique id — NOT from hashing row contents, since fully
+  * duplicate left rows (a common shape of hot-key skew) would then all
+  * land in one salt bucket and the skew would not spread at all. Inner
+  * equi-join correctness does not require a deterministic salt. The right
+  * side is replicated n times, one copy per salt value; the join key
+  * becomes (key, salt), spreading each hot key over n reducers at the
+  * cost of n-times replication of the (small) right side.
   */
 object SkewJoin {
   def saltedInnerJoin(
@@ -25,11 +28,13 @@ object SkewJoin {
       saltBuckets: Int = 8
   ): DataFrame = {
     require(saltBuckets > 0)
-    // salt from all left columns: deterministic, uniform enough; xxhash64
-    // is codegen'd and cheap
+    require(
+      !left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInnerJoin reserves the __salt column name"
+    )
     val saltedLeft = left.withColumn(
       "__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int")
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int")
     )
     val saltedRight = right
       .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))

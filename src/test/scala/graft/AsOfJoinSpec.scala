@@ -39,6 +39,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("o_orderkey") == 200L)
   }
 
+  test("NULL times: right NULLs never match, left NULLs match nothing") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, Some(ts("2024-01-05 00:00:00"))),
+      (2L, 10L, None: Option[Timestamp]) // NULL left time -> no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // NULL right time: would sort first under naive asc ordering and
+      // leak its payload into every left row — must be excluded
+      (10L, None: Option[Timestamp], 999L, 9.9),
+      (10L, Some(ts("2024-01-02 00:00:00")), 100L, 1.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+      .collect()
+    assert(out.length == 2)
+    // event 1: the timed order wins; the NULL-time order is invisible
+    assert(out(0).getAs[Long]("o_orderkey") == 100L)
+    // event 2 (NULL left time): matches nothing, payload NULL
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
+  }
+
   test("ties on right time resolve to greatest tiebreak key") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "user_id", "ts")

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.LlmOps
+
+/** Scale guards on the dedup family: the d03 stop-shingle cap must bound
+  * inverted-index join fan-out even when one shingle appears in every
+  * document (the adversarial boilerplate case the 100 TB design worries
+  * about).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("capShingles drops hot shingles and bounds self-join fan-out") {
+    import spark.implicits._
+    // 50 docs all share the stop shingle "S"; each also has one unique
+    // shingle and doc i shares "P" with doc i+1 for i in 0..9.
+    val rows =
+      (0 until 50).map(i => (i.toLong, "S")) ++
+        (0 until 50).map(i => (i.toLong, s"u$i")) ++
+        (0 until 10).map(i => (i.toLong, "P"))
+    val sh = rows.toDF("doc_id", "sh")
+
+    val capped = LlmOps.capShingles(sh, maxDf = 10L)
+    // "S" (df=50) is gone; "P" (df=10) and the uniques survive
+    val survivors = capped.select("sh").distinct().as[String].collect().toSet
+    assert(!survivors.contains("S"))
+    assert(survivors.contains("P"))
+    assert(survivors.count(_.startsWith("u")) == 50)
+
+    // fan-out bound: the inverted-index self-join over the capped universe
+    // produces at most sum(df_i choose 2) <= n_shingles * maxDf^2 pairs;
+    // here only "P" pairs up: C(10,2) = 45. Uncapped, "S" alone would add
+    // C(50,2) = 1225.
+    val pairs = capped
+      .as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(pairs == 45L)
+  }
+}

@@ -85,4 +85,19 @@ class IoSpec extends AnyFunSuite {
     val b = salted.select("k", "payload", "name").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("salted join spreads fully duplicate hot-key rows (multiset-correct)") {
+    import spark.implicits._
+    // every left row identical: a content-derived salt would put them all
+    // in one bucket; the id-derived salt must both spread them and keep
+    // join multiplicity (5000 result rows, not a dedup)
+    val left = Seq.fill(5000)((7L, "same")).toDF("k", "payload")
+    val right = Seq((7L, "dim7"), (8L, "dim8")).toDF("k", "name")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", saltBuckets = 8)
+    assert(salted.count() == 5000L)
+    // reserved column name is enforced, not silently collided with
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(left.withColumn("__salt", lit(1)), right, "k")
+    }
+  }
 }
