@@ -36,27 +36,46 @@ object Graft {
 
   // ---- the reference's operator, all four modes ----
 
+  /** Per-call resource requirements, mirroring the reference's
+    * `func_cpu=`/`func_ram=`/`func_gpu=` keyword surface
+    * (_remote_parallel_map.py:457-537). See ParallelMap.Resources for the
+    * Spark mapping (TaskResourceProfile on clusters; concurrency cap +
+    * job-local properties in local mode). */
+  type Resources = ParallelMap.Resources
+  def resources(funcCpus: Int = 1, funcGpus: Double = 0.0, funcRamGb: Double = 0.0): Resources =
+    ParallelMap.Resources(funcCpus, funcGpus, funcRamGb)
+
   def remoteParallelMap[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
-  )(f: I => O): Seq[O] = ParallelMap.run(spark, inputs, maxParallelism)(f)
+      maxParallelism: Option[Int] = None,
+      resources: ParallelMap.Resources = ParallelMap.Resources()
+  )(f: I => O): Seq[O] = ParallelMap.run(spark, inputs, maxParallelism, resources)(f)
 
   def remoteParallelMapStream[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
-  )(f: I => O): Iterator[O] = ParallelMap.stream(spark, inputs, maxParallelism)(f)
+      maxParallelism: Option[Int] = None,
+      resources: ParallelMap.Resources = ParallelMap.Resources(),
+      window: Int = 0
+  )(f: I => O): Iterator[O] =
+    ParallelMap.stream(spark, inputs, maxParallelism, resources, window)(f)
 
   def remoteParallelMapAttributed[I: ClassTag, O: ClassTag](
       spark: SparkSession,
-      inputs: Seq[I]
-  )(f: I => O): Seq[(Long, Try[O])] = ParallelMap.runAttributed(spark, inputs)(f)
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      resources: ParallelMap.Resources = ParallelMap.Resources()
+  )(f: I => O): Seq[(Long, Try[O])] =
+    ParallelMap.runAttributed(spark, inputs, maxParallelism, resources)(f)
 
   def remoteParallelMapDetached[I: ClassTag, O: ClassTag](
       spark: SparkSession,
-      inputs: Seq[I]
-  )(f: I => O): ParallelMap.PMapJob[O] = ParallelMap.runDetached(spark, inputs)(f)
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      resources: ParallelMap.Resources = ParallelMap.Resources()
+  )(f: I => O): ParallelMap.PMapJob[O] =
+    ParallelMap.runDetached(spark, inputs, maxParallelism, resources)(f)
 
   def remoteParallelMapWithLogs[I: ClassTag, O: ClassTag](
       spark: SparkSession,
@@ -97,6 +116,18 @@ object Graft {
 
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
     Multimodal.mediaFromDocuments(spark, docs)
+
+  // ---- job status/history (the reference's dashboard tables) ----
+
+  /** One row per ParallelMap job: id, mode, status, counts, timings. */
+  def jobs(spark: SparkSession): DataFrame = graft.operators.JobTracker.jobs(spark)
+
+  /** One row per errored input (capped per job): which inputs errored. */
+  def jobErrors(spark: SparkSession): DataFrame = graft.operators.JobTracker.jobErrors(spark)
+
+  /** Status transition log per job (RUNNING -> COMPLETED/FAILED/CANCELLED). */
+  def jobTransitions(spark: SparkSession): DataFrame =
+    graft.operators.JobTracker.jobTransitions(spark)
 
   /** The named query library (oracle-checked operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries

@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-side job status/history for ParallelMap runs — the engine can
+  * answer "what jobs ran, which inputs errored" about itself.
+  *
+  * Rebuilds the reference's job table + status machine
+  * (main_service/src/main_service/history.py:22-71 keeps per-job rows;
+  * cluster_state.py:269-304 drives RUNNING -> COMPLETED/FAILED) as an
+  * in-driver registry fed two ways:
+  *   - ParallelMap calls the lifecycle hooks (started/completed/failed,
+  *     per-input outcomes from the attributed mode);
+  *   - a SparkListener correlates Spark-level job/task events back to the
+  *     pmap job via the `spark.jobGroup.id` property (every ParallelMap
+  *     mode tags its jobs with a `pmap-` group), contributing task counts
+  *     that the facade-level hooks cannot see.
+  *
+  * Scale: one record per job (metadata only — like the reference's job
+  * documents, never result payloads); per-input error detail is capped at
+  * [[JobTracker.MaxErrorsPerJob]] entries per job so a pathological run
+  * cannot grow driver memory unboundedly.
+  */
+object JobTracker {
+
+  val MaxErrorsPerJob = 1000
+
+  sealed abstract class Status(val name: String)
+  case object Running extends Status("RUNNING")
+  case object Completed extends Status("COMPLETED")
+  case object Failed extends Status("FAILED")
+  case object Cancelled extends Status("CANCELLED")
+
+  final case class InputError(inputIndex: Long, error: String)
+
+  /** Mutable job record; synchronized on itself for field updates. */
+  final class Record(val jobId: String, val mode: String, val nInputs: Long) {
+    @volatile var status: Status = Running
+    val startedAtMs: Long = System.currentTimeMillis()
+    @volatile var endedAtMs: Option[Long] = None
+    @volatile var nErrors: Long = 0
+    @volatile var failure: Option[String] = None
+    @volatile var sparkJobIds: List[Int] = Nil
+    @volatile var nTasks: Long = 0
+    @volatile var nFailedTasks: Long = 0
+    /** Status transition history, oldest first: (status, at_ms). */
+    @volatile var transitions: List[(String, Long)] =
+      List((Running.name, startedAtMs))
+    val inputErrors = new java.util.concurrent.ConcurrentLinkedQueue[InputError]()
+
+    private[JobTracker] def moveTo(s: Status): Unit = synchronized {
+      if (status == Running) { // terminal states are final (cancel races)
+        status = s
+        val now = System.currentTimeMillis()
+        endedAtMs = Some(now)
+        transitions = transitions :+ ((s.name, now))
+      }
+    }
+  }
+
+  private val records = new ConcurrentHashMap[String, Record]()
+  // sparkJobId / stageId -> pmap jobId, filled by the listener
+  private val sparkToPmap = new ConcurrentHashMap[Int, String]()
+  private val stageToPmap = new ConcurrentHashMap[Int, String]()
+  private val installed = new AtomicBoolean(false)
+
+  /** Register the correlating listener once per JVM (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (installed.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val group = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          group.filter(_.startsWith("pmap-")).foreach { g =>
+            Option(records.get(g)).foreach { r =>
+              sparkToPmap.put(e.jobId, g)
+              e.stageIds.foreach(sid => stageToPmap.put(sid, g))
+              r.synchronized { r.sparkJobIds = e.jobId :: r.sparkJobIds }
+            }
+          }
+        }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          Option(stageToPmap.get(e.stageId)).flatMap(g => Option(records.get(g))).foreach { r =>
+            r.synchronized {
+              r.nTasks += 1
+              if (e.reason != org.apache.spark.Success) r.nFailedTasks += 1
+            }
+          }
+        }
+      })
+
+  // ---- lifecycle hooks (called by ParallelMap) ----
+
+  private[operators] def started(jobId: String, mode: String, nInputs: Long): Record = {
+    val r = new Record(jobId, mode, nInputs)
+    records.put(jobId, r)
+    r
+  }
+
+  private[operators] def completed(jobId: String, nErrors: Long = 0): Unit =
+    Option(records.get(jobId)).foreach { r =>
+      r.nErrors = nErrors
+      r.moveTo(Completed)
+    }
+
+  private[operators] def failed(jobId: String, e: Throwable): Unit =
+    Option(records.get(jobId)).foreach { r =>
+      r.failure = Some(s"${e.getClass.getName}: ${e.getMessage}")
+      r.moveTo(if (e.isInstanceOf[java.util.concurrent.CancellationException]) Cancelled else Failed)
+    }
+
+  private[operators] def inputError(jobId: String, idx: Long, msg: String): Unit =
+    Option(records.get(jobId)).foreach { r =>
+      if (r.inputErrors.size < MaxErrorsPerJob) r.inputErrors.add(InputError(idx, msg))
+    }
+
+  // ---- query surface ----
+
+  def record(jobId: String): Option[Record] = Option(records.get(jobId))
+
+  /** One row per job — the reference dashboard's jobs table. */
+  def jobs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.values().asScala.toSeq
+      .map(r =>
+        (r.jobId, r.mode, r.status.name, r.nInputs, r.nErrors,
+          r.startedAtMs, r.endedAtMs, r.failure, r.sparkJobIds.sorted)
+      )
+      .toDF("job_id", "mode", "status", "n_inputs", "n_errors",
+        "started_at_ms", "ended_at_ms", "failure", "spark_job_ids")
+  }
+
+  /** One row per errored input (capped) — "which inputs errored". */
+  def jobErrors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.values().asScala.toSeq
+      .flatMap(r => r.inputErrors.asScala.map(ie => (r.jobId, ie.inputIndex, ie.error)))
+      .toDF("job_id", "input_index", "error")
+  }
+
+  /** Status transition log, oldest first — pins RUNNING -> terminal. */
+  def jobTransitions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    records.values().asScala.toSeq
+      .flatMap(r => r.transitions.zipWithIndex.map { case ((s, at), i) => (r.jobId, i, s, at) })
+      .toDF("job_id", "seq", "status", "at_ms")
+  }
+
+  private[graft] def clearForTest(): Unit = { records.clear(); sparkToPmap.clear() }
+}

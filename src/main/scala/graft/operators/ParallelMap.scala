@@ -63,8 +63,77 @@ final case class InputTooBig(inputIndex: Long, estimatedBytes: Long, limitBytes:
   */
 object ParallelMap {
 
+  /** Per-call resource requirements — the reference's `func_cpu` /
+    * `func_ram` / `func_gpu` knobs (_remote_parallel_map.py:457-537).
+    *
+    * Mapping onto Spark:
+    *   - on a cluster manager that supports stage-level scheduling
+    *     (standalone/YARN/K8s), the request becomes a real
+    *     `TaskResourceProfile` attached to the map stage — `funcCpus` ->
+    *     task cpus, `funcGpus` -> `gpu` task resource amount;
+    *   - in local mode (no task profiles), `funcCpus` caps concurrency to
+    *     cores/funcCpus partitions — the same "each call owns k cores"
+    *     guarantee by construction;
+    *   - `funcRamGb` has no per-task enforcement in the JVM's unified
+    *     memory model; it caps local concurrency to heap/funcRamGb and is
+    *     recorded for cluster-side executor sizing.
+    * Every mode also records the request as job-local properties
+    * (`graft.func.cpus`/`gpus`/`ram_gb`), so the scheduler context of each
+    * job carries the declared footprint (assertable from a SparkListener).
+    */
+  final case class Resources(
+      funcCpus: Int = 1,
+      funcGpus: Double = 0.0,
+      funcRamGb: Double = 0.0
+  ) {
+    require(funcCpus >= 1, "funcCpus must be >= 1")
+    require(funcGpus >= 0 && funcRamGb >= 0, "resource amounts must be >= 0")
+    def isDefault: Boolean = funcCpus == 1 && funcGpus == 0 && funcRamGb == 0
+  }
+
   private def kryoPair[T: ClassTag]: Encoder[(Long, T)] =
     Encoders.kryo[(Long, T)]
+
+  /** Concurrency cap implied by the resource request in local mode. */
+  private def resourceSlicesCap(spark: SparkSession, r: Resources): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    val byCpu = math.max(1, cores / r.funcCpus)
+    val byRam =
+      if (r.funcRamGb <= 0) Int.MaxValue
+      else math.max(1, (Runtime.getRuntime.maxMemory() / 1e9 / r.funcRamGb).toInt)
+    math.min(byCpu, byRam)
+  }
+
+  /** Run `body` with the resource request visible on every Spark job it
+    * submits (job-local properties are captured at submit time). */
+  private def withResourceProps[T](spark: SparkSession, r: Resources)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setLocalProperty("graft.func.cpus", r.funcCpus.toString)
+    sc.setLocalProperty("graft.func.gpus", r.funcGpus.toString)
+    sc.setLocalProperty("graft.func.ram_gb", r.funcRamGb.toString)
+    try body
+    finally {
+      sc.setLocalProperty("graft.func.cpus", null)
+      sc.setLocalProperty("graft.func.gpus", null)
+      sc.setLocalProperty("graft.func.ram_gb", null)
+    }
+  }
+
+  /** Attach a stage-level TaskResourceProfile where the cluster manager
+    * supports it; identity in local mode (which cannot run task profiles —
+    * there the request is enforced via the slices cap instead). */
+  private def applyResources[T: ClassTag](
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T],
+      r: Resources
+  ): org.apache.spark.rdd.RDD[T] =
+    if (r.isDefault || spark.sparkContext.isLocal) rdd
+    else {
+      import org.apache.spark.resource.{ResourceProfileBuilder, TaskResourceRequests}
+      val trr = new TaskResourceRequests().cpus(r.funcCpus)
+      if (r.funcGpus > 0) trr.resource("gpu", r.funcGpus)
+      rdd.withResources(new ResourceProfileBuilder().require(trr).build())
+    }
 
   /** Reference envelope: 0.1 GB function, 200 MB per input (SURVEY §1.2). */
   val MaxFunctionBytes: Long = 100L * 1000 * 1000
@@ -86,21 +155,36 @@ object ParallelMap {
     }
   }
 
-  /** Build the indexed, error-attributed dataset backing both modes. */
+  /** Build the indexed, error-attributed dataset backing all modes. */
   private def plan[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
       f: I => O,
-      maxParallelism: Option[Int]
+      maxParallelism: Option[Int],
+      resources: Resources = Resources()
   ): Dataset[(Long, O)] = {
     val defaultPar = spark.sparkContext.defaultParallelism
-    val slices = maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size)))
+    val requested =
+      maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size)))
+    // in local mode the resource request is honored by capping concurrency
+    // (cores/funcCpus); on cluster managers applyResources attaches a real
+    // task profile and the cap is unnecessary but harmless guidance
+    val slices = math.min(requested, resourceSlicesCap(spark, resources))
     val indexed: Seq[(Long, I)] = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
     val ds = spark.createDataset(indexed)(kryoPair[I]).repartition(slices)
     ds.map { case (idx, x) =>
       try (idx, f(x))
       catch { case e: Throwable => throw UdfFailure(idx, e) }
     }(kryoPair[O])
+  }
+
+  private def newGroup(): String = s"pmap-${java.util.UUID.randomUUID()}"
+
+  /** Tag every Spark job `body` submits with the pmap job group. */
+  private def withGroup[T](spark: SparkSession, group: String, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobGroup(group, desc, interruptOnCancel = true)
+    try body
+    finally spark.sparkContext.clearJobGroup()
   }
 
   /** Walk a Spark-wrapped failure back to the attributed UDF error. */
@@ -121,12 +205,36 @@ object ParallelMap {
   def run[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources()
   )(f: I => O): Seq[O] = {
     if (inputs.isEmpty) return Nil // empty short-circuit, no cluster contact
     guardSizes(inputs, f)
-    try plan(spark, inputs, f, maxParallelism).collect().toSeq.map(_._2)
-    catch { case e: Throwable => throw unwrap(e) }
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "run", inputs.size)
+    try {
+      val out = withGroup(spark, group, s"ParallelMap run ($group)") {
+        withResourceProps(spark, resources) {
+          val ds = plan(spark, inputs, f, maxParallelism, resources)
+          if (resources.isDefault || spark.sparkContext.isLocal)
+            ds.collect().toSeq.map(_._2)
+          else applyResources(spark, ds.rdd, resources).collect().toSeq.map(_._2)
+        }
+      }
+      JobTracker.completed(group)
+      out
+    } catch {
+      case e: Throwable =>
+        val u = unwrap(e)
+        u match {
+          case uf: UdfFailure =>
+            JobTracker.inputError(group, uf.inputIndex, uf.getMessage)
+          case _ => ()
+        }
+        JobTracker.failed(group, u)
+        throw u
+    }
   }
 
   /** Like run but keeps the input index with each result and never throws:
@@ -136,31 +244,52 @@ object ParallelMap {
   def runAttributed[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources()
   )(f: I => O): Seq[(Long, Try[O])] = {
     if (inputs.isEmpty) return Nil
     guardSizes(inputs, f)
     val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-    val slices = maxParallelism.getOrElse(
-      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
+    val slices = math.min(
+      maxParallelism.getOrElse(
+        math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
+      ),
+      resourceSlicesCap(spark, resources)
     )
     implicit val enc: Encoder[(Long, Either[String, O])] =
       Encoders.kryo[(Long, Either[String, O])]
-    spark
-      .createDataset(indexed)(kryoPair[I])
-      .repartition(slices)
-      .map { case (idx, x) =>
-        val r: Either[String, O] =
-          try Right(f(x))
-          catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
-        (idx, r)
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "runAttributed", inputs.size)
+    try {
+      val raw = withGroup(spark, group, s"ParallelMap runAttributed ($group)") {
+        withResourceProps(spark, resources) {
+          spark
+            .createDataset(indexed)(kryoPair[I])
+            .repartition(slices)
+            .map { case (idx, x) =>
+              val r: Either[String, O] =
+                try Right(f(x))
+                catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+              (idx, r)
+            }
+            .collect()
+            .toSeq
+        }
       }
-      .collect()
-      .toSeq
-      .map {
+      raw.foreach {
+        case (i, Left(msg)) => JobTracker.inputError(group, i, msg)
+        case _              => ()
+      }
+      JobTracker.completed(group, nErrors = raw.count(_._2.isLeft))
+      raw.map {
         case (i, Right(v))  => (i, Success(v))
         case (i, Left(msg)) => (i, Failure(new RuntimeException(msg)))
       }
+    } catch {
+      case e: Throwable =>
+        JobTracker.failed(group, unwrap(e)); throw unwrap(e)
+    }
   }
 
   /** Per-input log capture cap, mirroring the reference's 100 KB/doc limit
@@ -190,49 +319,163 @@ object ParallelMap {
     implicit val enc: Encoder[(Long, Either[String, O], String)] =
       Encoders.kryo[(Long, Either[String, O], String)]
     val cap = MaxLogBytesPerInput
-    spark
-      .createDataset(indexed)(kryoPair[I])
-      .repartition(slices)
-      .map { case (idx, x) =>
-        val buf = new java.io.ByteArrayOutputStream()
-        val r: Either[String, O] =
-          try Right(Console.withOut(buf)(f(x)))
-          catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
-        // cap is BYTES: truncate the raw buffer before decoding, so
-        // multi-byte output cannot exceed the documented 100 KB limit
-        // (a chopped trailing codepoint decodes as U+FFFD, which is fine)
-        val bytes = buf.toByteArray
-        val logs = new String(bytes, 0, math.min(bytes.length, cap), "UTF-8")
-        (idx, r, logs)
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "runWithLogs", inputs.size)
+    try {
+      val raw = withGroup(spark, group, s"ParallelMap runWithLogs ($group)") {
+        spark
+          .createDataset(indexed)(kryoPair[I])
+          .repartition(slices)
+          .map { case (idx, x) =>
+            val buf = new java.io.ByteArrayOutputStream()
+            val r: Either[String, O] =
+              try Right(Console.withOut(buf)(f(x)))
+              catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+            // cap is BYTES: truncate the raw buffer before decoding, so
+            // multi-byte output cannot exceed the documented 100 KB limit
+            // (a chopped trailing codepoint decodes as U+FFFD, which is fine)
+            val bytes = buf.toByteArray
+            val logs = new String(bytes, 0, math.min(bytes.length, cap), "UTF-8")
+            (idx, r, logs)
+          }
+          .collect()
+          .toSeq
       }
-      .collect()
-      .toSeq
-      .map {
+      raw.foreach {
+        case (i, Left(msg), _) => JobTracker.inputError(group, i, msg)
+        case _                 => ()
+      }
+      JobTracker.completed(group, nErrors = raw.count(_._2.isLeft))
+      raw.map {
         case (i, Right(v), lg)  => (i, Success(v), lg)
         case (i, Left(msg), lg) => (i, Failure(new RuntimeException(msg)), lg)
       }
+    } catch {
+      case e: Throwable =>
+        JobTracker.failed(group, unwrap(e)); throw unwrap(e)
+    }
   }
 
-  /** Generator mode (`generator=True`): lazy unordered stream with
-    * driver-side backpressure — partitions are fetched one at a time.
+  /** Shared single-thread callback executor for stream() completions —
+    * callbacks only move a finished partition's results into the hand-off
+    * queue, so one daemon thread serves every concurrent stream. */
+  private lazy val streamCallbackEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "pmap-stream-callbacks"); t.setDaemon(true); t
+      }
+    )
+
+  /** Generator mode (`generator=True`): lazy unordered stream yielding
+    * results AS THEY COMPLETE, from whichever partition finishes first —
+    * the reference generator's any-node ordering (_remote_parallel_map.py:
+    * 703-707). A straggler partition does not block results from fast
+    * partitions (ParallelMapSpec pins this).
+    *
+    * Each partition is submitted as its own single-task Spark job (the
+    * shuffle that spreads the inputs is computed once by the first job and
+    * reused). `window` bounds how many partitions may be in flight or
+    * buffered ahead of the consumer — the analog of the reference's
+    * result-queue backpressure (worker_client.py:28,792-793): a slow
+    * consumer stops NEW partition jobs from being submitted once `window`
+    * results are pending. Default 0 = number of partitions (full
+    * parallelism; driver may buffer the whole result set if the consumer
+    * never drains — size maxParallelism/window to taste).
     */
   def stream[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources(),
+      window: Int = 0
   )(f: I => O): Iterator[O] = {
     if (inputs.isEmpty) return Iterator.empty
     guardSizes(inputs, f)
-    val it = plan(spark, inputs, f, maxParallelism).toLocalIterator()
-    // toLocalIterator prefetches the next partition inside hasNext, so the
-    // attributed failure can surface from either call — unwrap both.
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "stream", inputs.size)
+    val rdd = applyResources(
+      spark,
+      plan(spark, inputs, f, maxParallelism, resources).rdd,
+      resources
+    )
+    val parts = rdd.getNumPartitions
+    val w = if (window > 0) math.min(window, parts) else parts
+    val sem = new java.util.concurrent.Semaphore(w)
+    val queue =
+      new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, Array[O]]]()
+    val failedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sc = spark.sparkContext
+    val submitter = new Thread(
+      () => {
+        // job group + resource props are thread-local and captured at
+        // submit time — set them on THIS thread
+        sc.setJobGroup(group, s"ParallelMap stream ($group)", interruptOnCancel = true)
+        try withResourceProps(spark, resources) {
+          var p = 0
+          while (p < parts && !failedFlag.get()) {
+            sem.acquire()
+            if (!failedFlag.get()) {
+              val holder =
+                new java.util.concurrent.atomic.AtomicReference[Array[O]]()
+              try {
+                val fa = sc.submitJob[(Long, O), Array[O], Unit](
+                  rdd,
+                  it => it.map(_._2).toArray,
+                  Seq(p),
+                  (_, a) => holder.set(a), // scheduler thread: store only
+                  ()
+                )
+                fa.onComplete {
+                  case Success(_) => queue.put(Right(holder.get()))
+                  case Failure(e) =>
+                    failedFlag.set(true); queue.put(Left(e))
+                }(streamCallbackEc)
+              } catch {
+                case e: Throwable =>
+                  failedFlag.set(true); queue.put(Left(e))
+              }
+            }
+            p += 1
+          }
+        } finally sc.clearJobGroup()
+      },
+      s"$group-submitter"
+    )
+    submitter.setDaemon(true)
+    submitter.start()
+
     new Iterator[O] {
-      def hasNext: Boolean =
-        try it.hasNext
-        catch { case e: Throwable => throw unwrap(e) }
-      def next(): O =
-        try it.next()._2
-        catch { case e: Throwable => throw unwrap(e) }
+      private var current: Iterator[O] = Iterator.empty
+      private var taken = 0
+      private def advance(): Unit =
+        while (!current.hasNext && taken < parts) {
+          queue.take() match {
+            case Right(arr) =>
+              taken += 1
+              sem.release()
+              current = arr.iterator
+              if (taken == parts) JobTracker.completed(group)
+            case Left(e) =>
+              taken = parts // terminal: no further results will be yielded
+              val u = unwrap(e)
+              u match {
+                case uf: UdfFailure =>
+                  JobTracker.inputError(group, uf.inputIndex, uf.getMessage)
+                case _ => ()
+              }
+              JobTracker.failed(group, u)
+              sc.cancelJobGroup(group)
+              throw u
+          }
+        }
+      def hasNext: Boolean = { advance(); current.hasNext }
+      def next(): O = {
+        advance()
+        if (!current.hasNext) throw new NoSuchElementException("stream exhausted")
+        current.next()
+      }
     }
   }
 
@@ -271,38 +514,57 @@ object ParallelMap {
     def cancel(): Unit = {
       cancelled.set(true)
       spark.sparkContext.cancelJobGroup(jobGroup)
-      fut.completeExceptionally(
-        new java.util.concurrent.CancellationException(s"$jobGroup canceled")
-      )
+      val ce = new java.util.concurrent.CancellationException(s"$jobGroup canceled")
+      if (fut.completeExceptionally(ce)) JobTracker.failed(jobGroup, ce)
     }
   }
 
-  /** Detached mode: submit and return immediately; the job runs to
-    * completion (or cancellation) regardless of what the caller does next.
+  /** Detached mode: submit and return immediately; the job runs on its own
+    * thread regardless of what the CALLING CODE does next.
+    *
+    * Honest scope vs the reference: Burla's detached jobs live on the
+    * cluster and survive the client PROCESS exiting
+    * (_remote_parallel_map.py:217-218, job_watcher.py:259). Here the job
+    * runs on a daemon thread inside the driver JVM — it survives the
+    * calling code path abandoning it, but dies with the driver process.
+    * Cluster-mode survival requires an external submission service
+    * (spark-submit cluster mode / a job server), out of library scope;
+    * see docs/COVERAGE.md D6.
     */
   def runDetached[I: ClassTag, O: ClassTag](
       spark: SparkSession,
       inputs: Seq[I],
-      maxParallelism: Option[Int] = None
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources()
   )(f: I => O): PMapJob[O] = {
-    val group = s"pmap-${java.util.UUID.randomUUID()}"
+    val group = newGroup()
     val fut = new java.util.concurrent.CompletableFuture[Seq[O]]()
     val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     if (inputs.isEmpty) { fut.complete(Nil); return new PMapJob(spark, group, fut, cancelled) }
     guardSizes(inputs, f) // fail fast on the submitting thread, as the reference does
+    JobTracker.install(spark)
+    JobTracker.started(group, "detached", inputs.size)
     val t = new Thread(() => {
       try {
         // job group is thread-local; tag every job this map spawns
         spark.sparkContext.setJobGroup(group, s"ParallelMap detached ($group)",
           interruptOnCancel = true)
         if (!cancelled.get()) {
-          val r = plan(spark, inputs, f, maxParallelism).collect().toSeq.map(_._2)
+          val r = withResourceProps(spark, resources) {
+            val ds = plan(spark, inputs, f, maxParallelism, resources)
+            if (resources.isDefault || spark.sparkContext.isLocal)
+              ds.collect().toSeq.map(_._2)
+            else applyResources(spark, ds.rdd, resources).collect().toSeq.map(_._2)
+          }
           // a cancel that raced the submission wins: results are discarded
           // (completeExceptionally in cancel() seals the future first)
-          fut.complete(r)
+          if (fut.complete(r)) JobTracker.completed(group)
         }
-      } catch { case e: Throwable => fut.completeExceptionally(unwrap(e)) }
-      finally spark.sparkContext.clearJobGroup()
+      } catch {
+        case e: Throwable =>
+          val u = unwrap(e)
+          if (fut.completeExceptionally(u)) JobTracker.failed(group, u)
+      } finally spark.sparkContext.clearJobGroup()
     }, group)
     t.setDaemon(true)
     t.start()

@@ -139,6 +139,92 @@ class ParallelMapSpec extends AnyFunSuite {
     assert(!e.isInstanceOf[UdfFailure]) // infra cancellation, not a UDF error
   }
 
+  test("stream yields fast partitions' results before a straggler finishes") {
+    // reference generator yields as-completed from any node
+    // (_remote_parallel_map.py:703-707); partition-ordered iteration would
+    // block on the straggler if it landed in partition 0
+    val t0 = System.nanoTime()
+    val it = ParallelMap.stream(spark, 0 until 8, maxParallelism = Some(8)) { x =>
+      if (x == 0) Thread.sleep(4000)
+      x
+    }
+    val first = it.next() // must arrive long before the 4 s straggler
+    val firstMs = (System.nanoTime() - t0) / 1e6
+    assert(firstMs < 3000, s"first result took ${firstMs}ms — stream is not as-completed")
+    assert((Iterator(first) ++ it).toSeq.toSet == (0 until 8).toSet)
+  }
+
+  test("stream with a bounded window still yields every result") {
+    val out = ParallelMap
+      .stream(spark, 0 until 30, maxParallelism = Some(6), window = 2)(x => x * 2)
+      .toSeq
+    assert(out.toSet == (0 until 30).map(_ * 2).toSet)
+  }
+
+  test("resource request lands on the submitted job and caps local concurrency") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Int])]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val g = Option(e.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("pmap-")) {
+          val cpus = e.properties.getProperty("graft.func.cpus")
+          seen.add((cpus, e.stageInfos.map(_.numTasks).toSeq))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = ParallelMap.run(
+        spark, 0 until 16,
+        resources = ParallelMap.Resources(funcCpus = 2)
+      )(x => x + 1)
+      assert(out.toSet == (1 to 16).toSet)
+      // listener events are async — poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val snaps = scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
+      assert(snaps.nonEmpty, "no pmap job observed by the listener")
+      // the declared footprint is visible on the job's properties
+      assert(snaps.exists(_._1 == "2"))
+      // local[4] with funcCpus=2 -> the map stage runs 4/2 = 2 tasks
+      assert(snaps.exists(_._2.contains(2)),
+        s"no stage with 2 tasks in ${snaps.map(_._2)}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("job tracker records RUNNING -> COMPLETED and per-input error counts") {
+    import graft.operators.JobTracker
+    JobTracker.clearForTest()
+    val out = ParallelMap.runAttributed(spark, 0 until 10) { x =>
+      if (x % 3 == 0) throw new RuntimeException(s"bad $x") else x
+    }
+    assert(out.size == 10)
+    val jobs = JobTracker.jobs(spark).collect()
+    assert(jobs.length == 1)
+    val row = jobs.head
+    assert(row.getAs[String]("mode") == "runAttributed")
+    assert(row.getAs[String]("status") == "COMPLETED")
+    assert(row.getAs[Long]("n_inputs") == 10L)
+    assert(row.getAs[Long]("n_errors") == 4L) // 0, 3, 6, 9
+    val errIdx = JobTracker.jobErrors(spark).collect()
+      .map(_.getAs[Long]("input_index")).toSet
+    assert(errIdx == Set(0L, 3L, 6L, 9L))
+    val trans = JobTracker.jobTransitions(spark).collect()
+      .sortBy(_.getAs[Int]("seq")).map(_.getAs[String]("status")).toSeq
+    assert(trans == Seq("RUNNING", "COMPLETED"))
+    // a hard failure moves to FAILED with the attributed input recorded
+    intercept[UdfFailure] {
+      ParallelMap.run(spark, 0 until 5) { x =>
+        if (x == 2) throw new IllegalStateException("dead"); x
+      }
+    }
+    val failedRow = JobTracker.jobs(spark).collect()
+      .find(_.getAs[String]("mode") == "run").get
+    assert(failedRow.getAs[String]("status") == "FAILED")
+    assert(failedRow.getAs[String]("failure").contains("UdfFailure"))
+  }
+
   test("no input lost or duplicated under skewed work (steal-semantics analog)") {
     // Reference: tests/scenarios/test_input_steal_semantics.py — slow
     // inputs get redistributed with exactly-once semantics. In Spark the
