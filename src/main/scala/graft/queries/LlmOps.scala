@@ -494,6 +494,34 @@ object LlmOps {
     graft.operators.AnnLsh.topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
   }
 
+  /** Recall of the LSH path (e04) against the oracle-verified exact top-k
+    * (e01), emitted through the verify gate: the oracle pins n_queries and
+    * recall_ok = TRUE, so a silent LSH regression below 0.4 mean recall
+    * fails CORRECTNESS instead of hiding in a rows-only query. */
+  val e05 = Q(
+    "e05_ann_recall",
+    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+  ) { (s, d) =>
+    val exact = e01.run(s, d).select(col("qid"), col("vid"))
+    val approx = e04.run(s, d).select(col("qid"), col("vid"))
+    val hits = exact
+      .join(approx, Seq("qid", "vid"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    val perQuery = exact
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
+      )
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      (avg(col("recall")) >= 0.4).as("recall_ok")
+    )
+  }
+
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
     * quantization. One grouped exact-decimal mean per (label, dim). */
   val e03 = Q(
@@ -718,5 +746,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, t01, t02, t03, t04, t05, t06)
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, t01, t02, t03, t04, t05, t06)
 }

@@ -646,14 +646,32 @@ object Relational {
       .orderBy("p_brand")
   }
 
-  // Approx distinct (HLL) — no DuckDB parity by construction; rows-only.
-  val q28 = Q("q28_approx_users", None) { (s, d) =>
+  // Approx distinct (HLL). The raw HLL estimate has no cross-engine
+  // parity (DuckDB's sketch differs), so the checkable output is the
+  // exact count plus a bounded-error assertion on the engine's own
+  // estimate: rsd=0.01 against a 5% acceptance bound means approx_ok can
+  // only go false on a real HLL regression, which then fails CORRECTNESS.
+  val q28 = Q(
+    "q28_approx_users",
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_ok, COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  ) { (s, d) =>
     Tables
       .events(s, d)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n")
+      )
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("approx_ok"),
+        col("n")
       )
       .orderBy("event_type")
   }
