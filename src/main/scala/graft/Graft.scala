@@ -82,6 +82,17 @@ object Graft {
       inputs: Seq[I]
   )(f: I => O): Seq[(Long, Try[O], String)] = ParallelMap.runWithLogs(spark, inputs)(f)
 
+  /** Live mid-job variant: per-input logs/outcomes arrive as partitions
+    * complete, not after the whole job (the reference relays worker log
+    * docs while running — _node.py:315-321). */
+  def remoteParallelMapStreamWithLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      window: Int = 0
+  )(f: I => O): Iterator[(Long, Try[O], String)] =
+    ParallelMap.streamWithLogs(spark, inputs, maxParallelism, window = window)(f)
+
   /** Bulk path: same semantics over a Dataset, no driver materialization. */
   def mapDataset[I, O: org.apache.spark.sql.Encoder](ds: Dataset[I])(f: I => O): Dataset[O] =
     ParallelMap.mapDataset(ds)(f)
@@ -113,6 +124,11 @@ object Graft {
   def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       dim: Int, k: Int = 5): DataFrame =
     AnnLsh.topK(spark, corpus, queries, dim, k)
+
+  /** IVF-Flat variant: cluster-probe candidates + exact rescore. */
+  def annTopKIvf(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    graft.operators.AnnIvf.topK(spark, corpus, queries, k, nlist, nprobe)
 
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
     Multimodal.mediaFromDocuments(spark, docs)

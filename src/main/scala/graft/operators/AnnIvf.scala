@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor search via IVF-Flat (inverted file with
+  * exact rescoring) — the coarse-quantization scale path beside LSH
+  * (AnnLsh) and the brute-force baseline (LlmOps e01).
+  *
+  * Index build (linear, one shuffle for the k-means step):
+  *   1. seed `nlist` centroids deterministically (smallest xxhash64 of
+  *      vec_id — spread, reproducible);
+  *   2. one Lloyd refinement: assign every vector to its nearest seed
+  *      with a compiled argmax over literal centroid arrays (no shuffle),
+  *      then per-cluster mean per dimension (posexplode + grouped avg —
+  *      the e03 centroid kernel, map-side-combinable);
+  *   3. final assignment against the refined centroids (again compiled,
+  *      shuffle-free).
+  *
+  * Query: each query probes its `nprobe` nearest clusters; candidates are
+  * an equi-join on cluster id (shuffles ~nprobe/nlist of the corpus, not
+  * all of it); exact cosine rescoring + top-k window over candidates only.
+  *
+  * Centroids are metadata-sized (nlist x dim doubles) — collecting them to
+  * the driver and inlining them as codegen literals is the same move as
+  * AnnLsh's plane matrix and is scale-independent of the corpus.
+  */
+object AnnIvf {
+
+  /** argmax over cosine similarities against literal centroid arrays —
+    * compiled per row, no join, no shuffle. */
+  private def nearestCentroidCol(centroids: Seq[Array[Double]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        expr(s"cosine_similarity(embedding, ${litArray(c)})").as("cos"),
+        lit(i).as("cluster")
+      )
+    }: _*)
+    // array_max on struct(cos, cluster) orders lexicographically: max cos,
+    // ties broken by the higher cluster id — deterministic
+    array_max(scored).getField("cluster")
+  }
+
+  private def litArray(c: Array[Double]): String =
+    c.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+
+  /** Probe list: each row's `nprobe` nearest clusters, compiled. */
+  private def probeClustersCol(centroids: Seq[Array[Double]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        expr(s"cosine_similarity(embedding, ${litArray(c)})").as("cos"),
+        lit(i).as("cluster")
+      )
+    }: _*)
+    slice(reverse(array_sort(scored)), 1, nprobe).getField("cluster")
+  }
+
+  /** Build the refined centroid set (driver-side metadata, deterministic). */
+  private[graft] def centroids(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding: array<float>
+      nlist: Int
+  ): Seq[Array[Double]] = {
+    VectorFunctions.register(spark)
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h")
+      .limit(nlist)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .toSeq
+    // one Lloyd step: assign all vectors, take per-cluster per-dim means
+    val assigned = emb.withColumn("cluster", nearestCentroidCol(seeds))
+    val refined = assigned
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy("cluster", "pos")
+      .agg(avg(col("col")).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("cluster"), col("dims.m").as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    // a cluster can lose all members in the Lloyd step; keep its seed
+    (0 until nlist).map(i => refined.getOrElse(i, seeds(i)))
+  }
+
+  /** Top-k approximate neighbors for each query vector. */
+  def topK(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding
+      queries: DataFrame, // vec_id, embedding (small by construction)
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cs = centroids(spark, emb, nlist)
+    val corpus = emb.withColumn("cluster", nearestCentroidCol(cs))
+    val queryProbes = queries
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("q_embedding"),
+        explode(probeClustersCol(cs, nprobe)).as("cluster")
+      )
+    val scored = corpus
+      .join(broadcast(queryProbes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr("cosine_similarity(q_embedding, embedding)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("vid"), col("cosine"))
+      .orderBy("qid", "rnk")
+  }
+}

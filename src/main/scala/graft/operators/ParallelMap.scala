@@ -389,12 +389,25 @@ object ParallelMap {
       maxParallelism: Option[Int] = None,
       resources: Resources = Resources(),
       window: Int = 0
-  )(f: I => O): Iterator[O] = {
+  )(f: I => O): Iterator[O] =
+    streamIndexed(spark, inputs, maxParallelism, resources, window, "stream")(f)
+      .map(_._2)
+
+  /** The as-completed machinery, index-preserving (backs both stream
+    * flavors). */
+  private def streamIndexed[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int],
+      resources: Resources,
+      window: Int,
+      mode: String
+  )(f: I => O): Iterator[(Long, O)] = {
     if (inputs.isEmpty) return Iterator.empty
     guardSizes(inputs, f)
     val group = newGroup()
     JobTracker.install(spark)
-    JobTracker.started(group, "stream", inputs.size)
+    JobTracker.started(group, mode, inputs.size)
     val rdd = applyResources(
       spark,
       plan(spark, inputs, f, maxParallelism, resources).rdd,
@@ -404,25 +417,25 @@ object ParallelMap {
     val w = if (window > 0) math.min(window, parts) else parts
     val sem = new java.util.concurrent.Semaphore(w)
     val queue =
-      new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, Array[O]]]()
+      new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, Array[(Long, O)]]]()
     val failedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     val sc = spark.sparkContext
     val submitter = new Thread(
       () => {
         // job group + resource props are thread-local and captured at
         // submit time — set them on THIS thread
-        sc.setJobGroup(group, s"ParallelMap stream ($group)", interruptOnCancel = true)
+        sc.setJobGroup(group, s"ParallelMap $mode ($group)", interruptOnCancel = true)
         try withResourceProps(spark, resources) {
           var p = 0
           while (p < parts && !failedFlag.get()) {
             sem.acquire()
             if (!failedFlag.get()) {
               val holder =
-                new java.util.concurrent.atomic.AtomicReference[Array[O]]()
+                new java.util.concurrent.atomic.AtomicReference[Array[(Long, O)]]()
               try {
-                val fa = sc.submitJob[(Long, O), Array[O], Unit](
+                val fa = sc.submitJob[(Long, O), Array[(Long, O)], Unit](
                   rdd,
-                  it => it.map(_._2).toArray,
+                  it => it.toArray,
                   Seq(p),
                   (_, a) => holder.set(a), // scheduler thread: store only
                   ()
@@ -446,8 +459,8 @@ object ParallelMap {
     submitter.setDaemon(true)
     submitter.start()
 
-    new Iterator[O] {
-      private var current: Iterator[O] = Iterator.empty
+    new Iterator[(Long, O)] {
+      private var current: Iterator[(Long, O)] = Iterator.empty
       private var taken = 0
       private def advance(): Unit =
         while (!current.hasNext && taken < parts) {
@@ -471,11 +484,45 @@ object ParallelMap {
           }
         }
       def hasNext: Boolean = { advance(); current.hasNext }
-      def next(): O = {
+      def next(): (Long, O) = {
         advance()
         if (!current.hasNext) throw new NoSuchElementException("stream exhausted")
         current.next()
       }
+    }
+  }
+
+  /** Live log/result streaming: the as-completed stream carrying each
+    * input's captured stdout and per-input outcome — the analog of the
+    * reference printing workers' logs WHILE the job runs
+    * (client/src/burla/_node.py:315-321 relays log docs mid-job). Here
+    * granularity is a finished partition: as soon as any partition
+    * completes, its inputs' (index, result-or-error, logs) triples are
+    * yielded, long before slow partitions finish. Never throws per-input
+    * UDF errors — they arrive attributed in the triple.
+    */
+  def streamWithLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources(),
+      window: Int = 0
+  )(f: I => O): Iterator[(Long, Try[O], String)] = {
+    val cap = MaxLogBytesPerInput
+    streamIndexed[I, (Either[String, O], String)](
+      spark, inputs, maxParallelism, resources, window, "streamWithLogs"
+    ) { x =>
+      // capture stdout and classify the outcome per input; the input index
+      // rides on the streamIndexed envelope
+      val buf = new java.io.ByteArrayOutputStream()
+      val r: Either[String, O] =
+        try Right(Console.withOut(buf)(f(x)))
+        catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+      val bytes = buf.toByteArray
+      (r, new String(bytes, 0, math.min(bytes.length, cap), "UTF-8"))
+    }.map {
+      case (idx, (Right(v), lg))  => (idx, Success(v), lg)
+      case (idx, (Left(msg), lg)) => (idx, Failure(new RuntimeException(msg)), lg)
     }
   }
 

@@ -494,6 +494,40 @@ object LlmOps {
     graft.operators.AnnLsh.topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
   }
 
+  /** IVF-Flat ANN — the coarse-quantization scale path (cluster-probe
+    * candidate generation + exact rescore; operators/AnnIvf). Approximate
+    * by construction (no cross-engine oracle); gated by e07's recall
+    * assertion against the oracle-verified e01. */
+  val e06 = Q("e06_ann_topk_ivf", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.AnnIvf.topK(s, emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Recall gate for the IVF path, same contract as e05. */
+  val e07 = Q(
+    "e07_ann_ivf_recall",
+    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+  ) { (s, d) =>
+    val exact = e01.run(s, d).select(col("qid"), col("vid"))
+    val approx = e06.run(s, d).select(col("qid"), col("vid"))
+    val hits = exact
+      .join(approx, Seq("qid", "vid"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    val perQuery = exact
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
+      )
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      (avg(col("recall")) >= 0.4).as("recall_ok")
+    )
+  }
+
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
     * (e01), emitted through the verify gate: the oracle pins n_queries and
     * recall_ok = TRUE, so a silent LSH regression below 0.4 mean recall
@@ -746,5 +780,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, t01, t02, t03, t04, t05, t06)
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07,
+      t01, t02, t03, t04, t05, t06)
 }

@@ -154,6 +154,25 @@ class ParallelMapSpec extends AnyFunSuite {
     assert((Iterator(first) ++ it).toSeq.toSet == (0 until 8).toSet)
   }
 
+  test("streamWithLogs yields attributed logs before a straggler finishes") {
+    val t0 = System.nanoTime()
+    val it = ParallelMap.streamWithLogs(spark, 0 until 8, maxParallelism = Some(8)) { x =>
+      println(s"working on $x")
+      if (x == 0) Thread.sleep(4000)
+      if (x == 5) throw new RuntimeException("bad 5")
+      x * 2
+    }
+    val (idx, r, logs) = it.next()
+    val firstMs = (System.nanoTime() - t0) / 1e6
+    assert(firstMs < 3000, s"first log arrived after ${firstMs}ms — not live")
+    assert(logs.contains(s"working on $idx")) // attributed to ITS input
+    val rest = it.toSeq
+    val all = (idx, r, logs) +: rest
+    assert(all.size == 8)
+    assert(all.find(_._1 == 5L).get._2.isFailure) // attributed, not thrown
+    assert(all.count(_._2.isSuccess) == 7)
+  }
+
   test("stream with a bounded window still yields every result") {
     val out = ParallelMap
       .stream(spark, 0 until 30, maxParallelism = Some(6), window = 2)(x => x * 2)
