@@ -136,16 +136,34 @@ object LlmOps {
           .map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"g$k")): _*
       )
     val minExprs = (0 until 16).map(k => min(col(s"g$k")).as(s"h$k"))
-    val sig = sh.join(hashed, "sh").groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
-    val bands = (0 until 4)
-      .map { b =>
-        sig.select(
-          col("doc_id"),
-          lit(b).as("b"),
-          md5(concat((0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh")
-        )
-      }
-      .reduce(_ unionByName _)
+    // cached: band signatures are 1 row/doc (tiny at any corpus size) and
+    // feed both sides of the self-join — without the cache the whole
+    // shingle->hash->join->agg subtree runs twice
+    val sig = sh
+      .join(hashed, "sh")
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(
+        col("doc_id") +: (0 until 4).map(b =>
+          md5(concat((0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as(s"bh$b")
+        ): _*
+      )
+      .cache()
+    val bandExplode: Seq[Column] =
+      col("doc_id") +: (0 until 4).map(b => col(s"bh$b")) :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"), col(s"bh$b").as("bh"))
+        ): _*)).as("band")
+    val bandCols: Seq[Column] =
+      col("doc_id") +: (0 until 4).map(b => col(s"bh$b")) :+
+        col("band.b").as("b") :+ col("band.bh").as("bh")
+    val bands = sig.select(bandExplode: _*).select(bandCols: _*)
+    // keep a pair only at its FIRST matching band — cheap post-filter on
+    // the carried band hashes instead of a distinct() (a second full
+    // shuffle of the candidate pairs)
+    val noEarlierBandMatch = (0 until 4).map { bp =>
+      (col("x.b") <= bp) || (col(s"x.bh$bp") =!= col(s"y.bh$bp"))
+    }.reduce(_ && _)
     bands
       .as("x")
       .join(
@@ -153,8 +171,8 @@ object LlmOps {
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id")
       )
+      .filter(noEarlierBandMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
