@@ -41,6 +41,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per content key across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def row(id: Long, epochS: Long, text: String) =
+      (id, new java.sql.Timestamp(epochS * 1000), text)
+    src.addData(row(1, 1000, "alpha"), row(2, 1010, "beta"), row(3, 1020, "alpha"))
+    val deduped = EventStream.dedupStream(
+      src.toDF().toDF("event_id", "ts", "text"),
+      keyCols = Seq("text"),
+      watermark = "10 minutes"
+    )
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch within the watermark horizon
+      // is still dropped (state persists across batches)
+      src.addData(row(4, 1030, "beta"), row(5, 1040, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L))
+      val texts = spark.table("dedup_out").select("text").as[String].collect().toSet
+      assert(texts == Set("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("sessionization closes gap-separated sessions with typed state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
