@@ -1,0 +1,45 @@
+package graft
+
+/** Pins the SCALE.md plan claims as tests: filters reach the parquet scan,
+  * small dims broadcast, and the dedup/similarity pair queries are
+  * collect-free (no driver-materialized data re-parallelized into the
+  * plan). These are the properties that decide 100 TB behavior; asserting
+  * them here means a regression shows up as a red spec, not as a slow
+  * cluster.
+  */
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  test("q06: predicates pushed into the parquet scan, schema pruned") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // pruned: the 11-column lineitem scan reads only what the query needs
+    assert(!p.contains("l_comment"), "scan reads l_comment — column pruning lost")
+  }
+
+  test("q27: the 25-brand part dim joins as a broadcast, not a shuffle") {
+    val p = plan("q27_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d05/d02: pair generation is collect-free (no re-parallelized driver data)") {
+    for (q <- Seq("d05_dedup_simhash_pairs", "d02_dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Scan ExistingRDD"), s"$q re-parallelizes driver data")
+      assert(!p.contains("LocalTableScan"), s"$q embeds driver-collected rows")
+    }
+  }
+
+  test("e02: only metadata-sized local relations (block pairs), no data collect") {
+    val p = plan("e02_embed_neardup")
+    assert(!p.contains("Scan ExistingRDD"), "e02 re-parallelizes driver data")
+    // the B(B+1)/2 block-pair table is driver-built metadata and IS a
+    // LocalTableScan; the embeddings themselves must come from parquet
+    assert(p.contains("Scan parquet"), p)
+  }
+}
