@@ -92,4 +92,36 @@ object VectorFunctions {
     register(spark)
     expr(s"cosine_similarity($aSql, $bSql)")
   }
+
+  import org.apache.spark.sql.functions.{abs => fabs, _}
+
+  /** Per-vector symmetric int8 quantization scale: max|v| / 127 (the
+    * standard absmax scheme). Guarded against the zero vector. At 100 TB
+    * this is THE storage move for embedding corpora — 4x smaller than
+    * float32 with a bounded reconstruction error of scale/2 per element.
+    */
+  def int8Scale(v: Column): Column =
+    greatest(
+      aggregate(v, lit(0.0d), (acc, x) => greatest(acc, fabs(x.cast("double")))),
+      lit(1e-12d)
+    ) / 127.0d
+
+  /** Quantize array<float> -> array<tinyint> with the given scale. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  /** Dequantize back to array<float>. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
+  /** Max absolute reconstruction error across elements (for bound checks:
+    * guaranteed <= scale/2 up to fp rounding). */
+  def int8MaxError(v: Column, scale: Column): Column = {
+    val deq = int8Dequantize(int8Quantize(v, scale), scale)
+    aggregate(
+      zip_with(v, deq, (a, b) => fabs(a.cast("double") - b.cast("double"))),
+      lit(0.0d),
+      (acc, x) => greatest(acc, x)
+    )
+  }
 }

@@ -546,6 +546,30 @@ object LlmOps {
     )
   }
 
+  /** int8 embedding quantization (absmax scheme) — the 4x storage
+    * compression any 100 TB embedding corpus ships with. The checkable
+    * contract: reconstruction error per element is bounded by scale/2,
+    * asserted per vector through the oracle gate (TRUE for every row, so
+    * a quantizer regression fails CORRECTNESS row-by-row). */
+  val e08 = Q(
+    "e08_embed_quantize",
+    Some("""
+      SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims, TRUE AS err_ok
+      FROM embeddings ORDER BY vec_id""")
+  ) { (s, d) =>
+    import graft.functions.VectorFunctions._
+    val scale = int8Scale(col("embedding"))
+    Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        // fp-rounding headroom on the scale/2 analytic bound
+        (int8MaxError(col("embedding"), scale) <= scale * 0.5000001d).as("err_ok")
+      )
+      .orderBy("vec_id")
+  }
+
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
     * (e01), emitted through the verify gate: the oracle pins n_queries and
     * recall_ok = TRUE, so a silent LSH regression below 0.4 mean recall
@@ -798,6 +822,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07,
+    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07, e08,
       t01, t02, t03, t04, t05, t06)
 }

