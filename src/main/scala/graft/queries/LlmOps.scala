@@ -821,7 +821,64 @@ object LlmOps {
       .orderBy("split", "lang")
   }
 
+  /** Token-budget chunking with overlap — the operator that turns raw
+    * documents into model-context-sized training chunks: size/stride with
+    * overlap, short docs one chunk. Chunk count and boundaries are integer
+    * arithmetic applied identically in DuckDB, and each chunk's content is
+    * pinned by an md5 digest — so the oracle hash-checks the exact
+    * chunking (boundaries AND overlaps), not just row counts. Pure
+    * projection + explode: linear and shuffle-free until the output sort.
+    * Sized 32/24 here so the testdata's ~50-100-token docs genuinely
+    * multi-chunk (max doc is 99 tokens); production values (256/192,
+    * 1024/896, …) are the same arithmetic. */
+  private val chunkSize = 32
+  private val chunkStride = 24
+  private val chunkOverlap = chunkSize - chunkStride
+  val t07 = Q(
+    "t07_doc_chunks",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      nc AS (SELECT doc_id, t,
+               GREATEST(1, CAST(FLOOR((len(t) - $chunkOverlap + $chunkStride - 1.0)
+                 / $chunkStride) AS INTEGER)) AS n_chunks
+             FROM tk),
+      ch AS (SELECT doc_id, t, UNNEST(range(0, n_chunks)) AS chunk_id FROM nc)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             CAST(len(list_slice(t, chunk_id * $chunkStride + 1,
+               chunk_id * $chunkStride + $chunkSize)) AS INTEGER) AS n_tokens,
+             md5(array_to_string(list_slice(t, chunk_id * $chunkStride + 1,
+               chunk_id * $chunkStride + $chunkSize), ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_id""")
+  ) { (s, d) =>
+    val chunk =
+      slice(col("t"), col("chunk_id") * chunkStride + 1, lit(chunkSize))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(
+          sequence(
+            lit(0),
+            greatest(
+              lit(1),
+              floor((size(col("t")) - chunkOverlap + chunkStride - 1)
+                .cast("double") / chunkStride).cast("int")
+            ) - 1
+          )
+        ).as("chunk_id")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        size(chunk).as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5")
+      )
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07, e08,
-      t01, t02, t03, t04, t05, t06)
+      t01, t02, t03, t04, t05, t06, t07)
 }
