@@ -72,6 +72,10 @@ object AnnIvf {
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       .toSeq
+    // a corpus smaller than nlist yields fewer seeds — clamp rather than
+    // index past the end
+    val k = seeds.length
+    require(k > 0, "cannot build IVF centroids over an empty corpus")
     // one Lloyd step: assign all vectors, take per-cluster per-dim means
     val assigned = emb.withColumn("cluster", nearestCentroidCol(seeds))
     val refined = assigned
@@ -85,7 +89,7 @@ object AnnIvf {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
     // a cluster can lose all members in the Lloyd step; keep its seed
-    (0 until nlist).map(i => refined.getOrElse(i, seeds(i)))
+    (0 until k).map(i => refined.getOrElse(i, seeds(i)))
   }
 
   /** Top-k approximate neighbors for each query vector. */
@@ -97,13 +101,19 @@ object AnnIvf {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
-    val cs = centroids(spark, emb, nlist)
-    val corpus = emb.withColumn("cluster", nearestCentroidCol(cs))
+    // cache the corpus for the duration of the index build + query: the
+    // seed scan, the Lloyd aggregation, the final assignment, and the
+    // probe join would otherwise each re-evaluate the upstream pipeline.
+    // At 100 TB the equivalent move is materializing the assignment table
+    // once (IVF index BUILD is a persisted artifact, not a per-query step).
+    val cached = emb.cache()
+    val cs = centroids(spark, cached, nlist)
+    val corpus = cached.withColumn("cluster", nearestCentroidCol(cs))
     val queryProbes = queries
       .select(
         col("vec_id").as("qid"),
         col("embedding").as("q_embedding"),
-        explode(probeClustersCol(cs, nprobe)).as("cluster")
+        explode(probeClustersCol(cs, math.min(nprobe, cs.length))).as("cluster")
       )
     val scored = corpus
       .join(broadcast(queryProbes), Seq("cluster"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.jdk.CollectionConverters._
 
@@ -30,6 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object JobTracker {
 
   val MaxErrorsPerJob = 1000
+
+  /** Retained job records; oldest TERMINAL records (and their spark-job /
+    * stage correlations) are evicted past this, so a long-lived driver's
+    * registry stays bounded — like the reference's history table, which
+    * pages old jobs out to storage rather than keeping them in RAM. */
+  val MaxJobs = 10000
 
   sealed abstract class Status(val name: String)
   case object Running extends Status("RUNNING")
@@ -68,11 +73,28 @@ object JobTracker {
   // sparkJobId / stageId -> pmap jobId, filled by the listener
   private val sparkToPmap = new ConcurrentHashMap[Int, String]()
   private val stageToPmap = new ConcurrentHashMap[Int, String]()
-  private val installed = new AtomicBoolean(false)
+  // listener registration is per SparkContext: a stopped-and-recreated
+  // session must get a fresh listener, so track the application id
+  @volatile private var installedAppId: String = null
 
-  /** Register the correlating listener once per JVM (idempotent). */
-  def install(spark: SparkSession): Unit =
-    if (installed.compareAndSet(false, true))
+  private def evictIfFull(): Unit =
+    if (records.size > MaxJobs) {
+      val victims = records.values().asScala.toSeq
+        .filter(_.status != Running)
+        .sortBy(_.startedAtMs)
+        .take(records.size - MaxJobs)
+      victims.foreach { r =>
+        records.remove(r.jobId)
+        sparkToPmap.entrySet().removeIf(e => e.getValue == r.jobId)
+        stageToPmap.entrySet().removeIf(e => e.getValue == r.jobId)
+      }
+    }
+
+  /** Register the correlating listener once per SparkContext (idempotent). */
+  def install(spark: SparkSession): Unit = synchronized {
+    val appId = spark.sparkContext.applicationId
+    if (installedAppId != appId) {
+      installedAppId = appId
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
           val group = Option(e.properties)
@@ -94,12 +116,15 @@ object JobTracker {
           }
         }
       })
+    }
+  }
 
   // ---- lifecycle hooks (called by ParallelMap) ----
 
   private[operators] def started(jobId: String, mode: String, nInputs: Long): Record = {
     val r = new Record(jobId, mode, nInputs)
     records.put(jobId, r)
+    evictIfFull()
     r
   }
 
@@ -152,5 +177,7 @@ object JobTracker {
       .toDF("job_id", "seq", "status", "at_ms")
   }
 
-  private[graft] def clearForTest(): Unit = { records.clear(); sparkToPmap.clear() }
+  private[graft] def clearForTest(): Unit = {
+    records.clear(); sparkToPmap.clear(); stageToPmap.clear()
+  }
 }

@@ -94,15 +94,20 @@ object ParallelMap {
   private def kryoPair[T: ClassTag]: Encoder[(Long, T)] =
     Encoders.kryo[(Long, T)]
 
-  /** Concurrency cap implied by the resource request in local mode. */
-  private def resourceSlicesCap(spark: SparkSession, r: Resources): Int = {
-    val cores = spark.sparkContext.defaultParallelism
-    val byCpu = math.max(1, cores / r.funcCpus)
-    val byRam =
-      if (r.funcRamGb <= 0) Int.MaxValue
-      else math.max(1, (Runtime.getRuntime.maxMemory() / 1e9 / r.funcRamGb).toInt)
-    math.min(byCpu, byRam)
-  }
+  /** Concurrency cap implied by the resource request — LOCAL MODE ONLY:
+    * on a cluster the request becomes a TaskResourceProfile (see
+    * applyResources) and the driver's heap says nothing about executor
+    * capacity, so capping there would wrongly serialize the job. */
+  private def resourceSlicesCap(spark: SparkSession, r: Resources): Int =
+    if (!spark.sparkContext.isLocal) Int.MaxValue
+    else {
+      val cores = spark.sparkContext.defaultParallelism
+      val byCpu = math.max(1, cores / r.funcCpus)
+      val byRam =
+        if (r.funcRamGb <= 0) Int.MaxValue
+        else math.max(1, (Runtime.getRuntime.maxMemory() / 1e9 / r.funcRamGb).toInt)
+      math.min(byCpu, byRam)
+    }
 
   /** Run `body` with the resource request visible on every Spark job it
     * submits (job-local properties are captured at submit time). */
@@ -382,6 +387,12 @@ object ParallelMap {
     * results are pending. Default 0 = number of partitions (full
     * parallelism; driver may buffer the whole result set if the consumer
     * never drains — size maxParallelism/window to taste).
+    *
+    * An ABANDONED iterator (consumer stops calling next/hasNext on a
+    * bounded-window stream) leaves the daemon submitter parked and its
+    * buffered partitions held until the driver exits — drain or fail the
+    * iterator to release them (with the default window the submitter
+    * never parks, so only buffered results are held).
     */
   def stream[I: ClassTag, O: ClassTag](
       spark: SparkSession,
@@ -479,6 +490,11 @@ object ParallelMap {
                 case _ => ()
               }
               JobTracker.failed(group, u)
+              // stop the submitter: flag first, then release enough
+              // permits to unpark it from sem.acquire (its loop re-checks
+              // the flag and exits without submitting)
+              failedFlag.set(true)
+              sem.release(parts)
               sc.cancelJobGroup(group)
               throw u
           }

@@ -668,8 +668,11 @@ object Relational {
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("event_type")
+      // count(user_id), not count(*): a NULL user_id group must not count
+      // as a distinct user (COUNT(DISTINCT ...) ignores NULLs), while its
+      // rows still count into n
       .agg(
-        count(lit(1)).as("exact_users"),
+        count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         sum(col("cnt")).as("n")
       )

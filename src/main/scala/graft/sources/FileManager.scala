@@ -33,8 +33,13 @@ final class FileManager(spark: SparkSession, base: String) {
     else {
       val p = new Path(basePath, rel)
       val resolved = p.toUri.normalize().getPath
-      val root = basePath.toUri.normalize().getPath
-      require(resolved.startsWith(root), s"path escapes the workspace: $rel")
+      val root = basePath.toUri.normalize().getPath.stripSuffix("/")
+      // root + "/" (not a bare prefix): "/data/ws-backup" must not pass
+      // for workspace "/data/ws"
+      require(
+        resolved == root || resolved.startsWith(root + "/"),
+        s"path escapes the workspace: $rel"
+      )
       new Path(p.toUri.normalize())
     }
 

@@ -50,4 +50,16 @@ class FileManagerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { m.upload("../evil.txt", "x".getBytes) }
     intercept[IllegalArgumentException] { m.list("../..") }
   }
+
+  test("sibling directory sharing the workspace name prefix is not reachable") {
+    val root = java.nio.file.Files.createTempDirectory("fm-prefix")
+    val ws = root.resolve("ws")
+    java.nio.file.Files.createDirectories(ws)
+    java.nio.file.Files.createDirectories(root.resolve("ws-backup"))
+    val m = new FileManager(spark, ws.toString)
+    // "/x/ws-backup" starts with "/x/ws" as a raw string — must still be
+    // rejected as outside the workspace
+    intercept[IllegalArgumentException] { m.upload("../ws-backup/evil.txt", "x".getBytes) }
+    intercept[IllegalArgumentException] { m.delete("../ws-backup", recursive = true) }
+  }
 }
