@@ -878,7 +878,87 @@ object LlmOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The flagship composite: a full training-data curation pipeline in
+    * ONE declarative plan — exact dedup (keep lowest doc_id per
+    * normalized-content fingerprint), quality filter (t02's score >= 0.5;
+    * bit-identical double arithmetic in both engines makes the threshold
+    * deterministic), token-budget chunk counting (t07 arithmetic), and
+    * train/val/test bucketing (t06 rule) — aggregated per (split, lang).
+    * This is the composition a reference user runs as a chain of UDF
+    * jobs; here Catalyst sees the whole pipeline and fuses it into one
+    * scan + one window shuffle + one aggregation. */
+  val t08 = Q(
+    "t08_training_pipeline",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, lang, text, $toksSql AS t FROM documents),
+      fp AS (SELECT *, md5(array_to_string(t, ' ')) AS fp FROM tk),
+      dd AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM fp) WHERE rn = 1),
+      q AS (SELECT *,
+              (LEAST(CAST(length(text) AS DOUBLE) / 300.0, 1.0)
+               + LEAST(CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS DOUBLE)
+                       / GREATEST(len(t), 1) * 10.0, 1.0)
+               + CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1)) / 3.0
+                AS quality
+            FROM dd),
+      e AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                        ELSE 'train' END AS split,
+                   lang, len(t) AS n_tok,
+                   GREATEST(1, CAST(FLOOR((len(t) - $chunkOverlap + $chunkStride - 1.0)
+                     / $chunkStride) AS INTEGER)) AS nc
+            FROM q WHERE quality >= 0.5)
+      SELECT split, lang, COUNT(*) AS n_docs,
+             CAST(SUM(nc) AS BIGINT) AS n_chunks,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM e GROUP BY split, lang ORDER BY split, lang""")
+  ) { (s, d) =>
+    val base = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
+      .withColumn("fp", md5(concat_ws(" ", col("t"))))
+    val dd = base
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+      )
+      .filter(col("rn") === 1)
+    // quality formula kept in lockstep with t02 (same expressions)
+    val nTok = greatest(size(col("t")), lit(1))
+    val lenScore = least(length(col("text")).cast("double") / 300.0, lit(1.0))
+    val stopScore = least(
+      size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / nTok * 10.0,
+      lit(1.0)
+    )
+    val ttr = size(array_distinct(col("t"))).cast("double") / nTok
+    val quality = (lenScore + stopScore + ttr) / 3.0
+    val nChunks = greatest(
+      lit(1),
+      floor((size(col("t")) - chunkOverlap + chunkStride - 1).cast("double") / chunkStride)
+        .cast("int")
+    )
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(nib.isin("c", "d"), "val")
+      .when(nib.isin("e", "f"), "test")
+      .otherwise("train")
+    dd.filter(quality >= 0.5)
+      .select(
+        split.as("split"),
+        col("lang"),
+        size(col("t")).as("n_tok"),
+        nChunks.as("nc")
+      )
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens")
+      )
+      .orderBy("split", "lang")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07, e08,
-      t01, t02, t03, t04, t05, t06, t07)
+      t01, t02, t03, t04, t05, t06, t07, t08)
 }
