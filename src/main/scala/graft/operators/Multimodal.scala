@@ -116,6 +116,49 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      payload: Array[Byte]
+  )
+
+  /** STUB resize kernel: nearest-neighbor byte resample to the target
+    * pixel-buffer size (w*h*3) — deterministic in the payload, the honest
+    * fake of image scaling (a real impl decodes, scales, re-encodes). */
+  private def stubResizeBytes(bytes: Array[Byte], target: Int): Array[Byte] = {
+    val out = new Array[Byte](target)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < target) {
+        out(i) = bytes(((i.toLong * bytes.length) / target).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize stage: image rows only, batch-shaped like decode (one scaler
+    * init per partition). Output payload is exactly w*h*3 bytes — the
+    * fixed-size tensor shape a training loader expects. */
+  def resizeImages(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      width: Int = 32,
+      height: Int = 32
+  ): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (scaler/codec handles)
+      rows.collect {
+        case r if r.kind == "image" =>
+          val px = stubResizeBytes(r.payload, width * height * 3)
+          ResizedImage(r.media_id, width, height, px.length.toLong, px)
+      }
+    }
+  }
+
   /** Frame sampling: every video yields ceil(n_bytes / stride) pseudo-
     * frames (a real impl samples at timestamps via the container index).
     * flatMap shape — output cardinality is data-dependent, exactly like

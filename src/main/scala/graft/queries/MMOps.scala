@@ -28,7 +28,18 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  val m03 = Q("m03_media_frames", None) { (s, d) =>
+  /** Frame COUNTS are pure byte arithmetic over the deterministic media
+    * mapping (kind = video iff doc_id % 3 == 2; n_bytes = UTF-8 byte
+    * length), so this stage does get a DuckDB oracle even though the
+    * frame payloads themselves come from the stub codec. */
+  val m03 = Q(
+    "m03_media_frames",
+    Some("""
+      SELECT doc_id AS media_id,
+             GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT))
+               AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
+  ) { (s, d) =>
     Multimodal
       .sampleFrames(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), stride = 100)
       .groupByKey(_.media_id)(org.apache.spark.sql.Encoders.scalaLong)
@@ -37,5 +48,14 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03)
+  val m04 = Q("m04_media_resize", None) { (s, d) =>
+    import s.implicits._
+    Multimodal
+      .resizeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+      .map(r => (r.media_id, r.width, r.height, r.n_bytes))
+      .toDF("media_id", "width", "height", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04)
 }

@@ -35,6 +35,18 @@ class MultimodalSpec extends AnyFunSuite {
       f2.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("resize yields fixed-size pixel buffers, deterministic under repartition") {
+    val r1 = Multimodal.resizeImages(spark, media, 16, 16).collect().sortBy(_.media_id)
+    val r2 = Multimodal
+      .resizeImages(spark, media.repartition(7), 16, 16)
+      .collect()
+      .sortBy(_.media_id)
+    assert(r1.nonEmpty)
+    // the fixed tensor shape a training loader expects: exactly w*h*3 bytes
+    assert(r1.forall(r => r.payload.length == 16 * 16 * 3 && r.n_bytes == 16 * 16 * 3))
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+  }
+
   test("frame sampling flatMaps videos into stride-sized frames") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 100).collect()
     assert(frames.nonEmpty)
