@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -29,6 +29,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ""
         ),
         exprs => CosineSimilarityExpr(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("int8_max_err_ratio"),
+        new ExpressionInfo(
+          classOf[Int8MaxErrRatioExpr].getCanonicalName,
+          null,
+          "int8_max_err_ratio",
+          "int8_max_err_ratio(v) - max |x/s - round(x/s)| under absmax int8 quantization",
+          ""
+        ),
+        exprs => Int8MaxErrRatioExpr(exprs(0))
       )
     )
   }

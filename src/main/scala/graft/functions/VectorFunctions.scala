@@ -72,19 +72,82 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** One-pass int8-quantization error check: computes the absmax scale and
+  * the max |x/s - round(x/s)| ratio in a single compiled traversal.
+  *
+  * Exists because composing the same check from higher-order functions
+  * embeds the O(dim) scale aggregate inside the per-element lambda —
+  * O(dim^2) interpreted work per row, which at real embedding widths
+  * (1024+) dominates the job. This expression is O(dim) and whole-stage
+  * codegen'd. The ratio is mathematically <= 0.5 regardless of rounding
+  * tie direction, so the bound check is tie-break agnostic.
+  */
+case class Int8MaxErrRatioExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_max_err_ratio"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { mx = math.max(mx, math.abs(a.getFloat(i).toDouble)); i += 1 }
+    val s = math.max(mx, 1e-12) / 127.0
+    var r = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble / s
+      r = math.max(r, math.abs(x - math.round(x)))
+      i += 1
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val s = ctx.freshName("s")
+      val r = ctx.freshName("r")
+      val x = ctx.freshName("x")
+      s"""
+        |final int $n = $a.numElements();
+        |double $mx = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $mx = java.lang.Math.max($mx, java.lang.Math.abs((double) $a.getFloat($i)));
+        |}
+        |final double $s = java.lang.Math.max($mx, 1e-12) / 127.0;
+        |double $r = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $x = ((double) $a.getFloat($i)) / $s;
+        |  $r = java.lang.Math.max($r, java.lang.Math.abs($x - java.lang.Math.round($x)));
+        |}
+        |${ev.value} = $r;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register SQL-callable vector functions on this session (idempotent —
     * skips when already present, avoiding "replaced a previously
     * registered function" warnings on every query invocation). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity")
-    if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        "cosine_similarity",
-        exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
-        "built-in"
-      )
+    // guard EACH function separately: a session built with GraftExtensions
+    // already has some of them, and skipping the rest on that evidence
+    // left int8_max_err_ratio unregistered
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    ensure("cosine_similarity", exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
+    ensure("int8_max_err_ratio", exprs => Int8MaxErrRatioExpr(exprs(0)))
   }
 
   /** SQL fragment form: register first, then use in expr()/selectExpr. */

@@ -410,24 +410,41 @@ object LlmOps {
             FROM cos)
       SELECT qid, rnk, vid, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
   ) { (s, d) =>
-    val emb = Tables.embeddings(s, d).select(
-      col("vec_id"),
-      col("embedding"),
-      dotArr(col("embedding"), col("embedding")).as("nrm")
-    )
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < 10)
     // Broadcast the (small) query set against the full corpus: linear scan,
     // no shuffle — at 100 TB this is exactly the brute-force ANN plan.
-    val cos = emb
+    // Scoring is two-stage: the compiled double cosine ranks ALL pairs
+    // (whole-stage codegen), then only pairs within an fp-error margin of
+    // each query's k-th double score pay the exact-decimal rescore that
+    // decides the final oracle-comparable ordering. The 1e-9 margin is
+    // orders of magnitude above double-vs-exact drift for 64-dim unit-ish
+    // vectors, so the exact top-k cannot be excluded: bit-identical
+    // results, ~k instead of |corpus| interpreted rescored rows per query.
+    val dbl = emb
       .as("e")
       .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
       .select(
         col("q.vec_id").as("qid"),
         col("e.vec_id").as("vid"),
-        (dotArr(col("q.embedding"), col("e.embedding")).cast("double") /
-          (sqrt(col("q.nrm").cast("double")) * sqrt(col("e.nrm").cast("double"))))
-          .as("cosine")
+        col("q.embedding").as("qe"),
+        col("e.embedding").as("ee"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
       )
+    val wq = Window.partitionBy("qid")
+    val candidates = dbl
+      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
+      .withColumn("kth", min(when(col("rnk0") <= 5, col("dbl"))).over(wq))
+      .filter(col("dbl") >= col("kth") - 1e-9)
+    val cos = candidates.select(
+      col("qid"),
+      col("vid"),
+      (dotArr(col("qe"), col("ee")).cast("double") /
+        (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
+          sqrt(dotArr(col("ee"), col("ee")).cast("double"))))
+        .as("cosine")
+    )
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     cos
       .withColumn("rnk", row_number().over(w))
@@ -557,15 +574,16 @@ object LlmOps {
       SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims, TRUE AS err_ok
       FROM embeddings ORDER BY vec_id""")
   ) { (s, d) =>
-    import graft.functions.VectorFunctions._
-    val scale = int8Scale(col("embedding"))
+    graft.functions.VectorFunctions.register(s)
     Tables
       .embeddings(s, d)
       .select(
         col("vec_id"),
         size(col("embedding")).as("n_dims"),
-        // fp-rounding headroom on the scale/2 analytic bound
-        (int8MaxError(col("embedding"), scale) <= scale * 0.5000001d).as("err_ok")
+        // one-pass compiled check (see Int8MaxErrRatioExpr scaladoc for
+        // why the higher-order-function composition is O(dim^2));
+        // fp-rounding headroom on the 0.5 analytic bound
+        (expr("int8_max_err_ratio(embedding)") <= 0.5000001d).as("err_ok")
       )
       .orderBy("vec_id")
   }
