@@ -308,20 +308,36 @@ object LlmOps {
     // and feed both sides of the self-join — without the cache the whole
     // tokenize→hash→grouped-sum subtree runs twice
     val fps = simhashFingerprints(s, d).cache()
-    val mask = (1 << bandBits) - 1
+    simhashBandPairs(fps, simhashBits, hammingRadius).orderBy("doc_a", "doc_b")
+  }
+
+  /** Bit-band bucketed SimHash pair scan, EXACT by pigeonhole: radius+1
+    * disjoint bands mean two fingerprints within the Hamming radius agree
+    * on at least one whole band, so the band equi-join loses no pair.
+    * Each qualifying pair is emitted exactly once (kept only at its first
+    * matching band — a bitwise post-filter instead of a distinct()'s
+    * second shuffle). Input: (doc_id, simhash). Output: (doc_a, doc_b,
+    * hamming), doc_a < doc_b, unordered. Property-tested against the
+    * brute-force all-pairs scan in PropertySpec. */
+  private[graft] def simhashBandPairs(
+      fps: DataFrame,
+      bits: Int,
+      radius: Int
+  ): DataFrame = {
+    val nBands = radius + 1
+    require(bits % nBands == 0, s"$bits bits must split evenly into $nBands bands")
+    val bBits = bits / nBands
+    val mask = (1 << bBits) - 1
     def bandVal(c: Column, b: Int): Column =
-      shiftright(c, b * bandBits).bitwiseAND(lit(mask))
+      shiftright(c, b * bBits).bitwiseAND(lit(mask))
     val bands = fps.select(
       col("doc_id"),
       col("simhash"),
-      explode(array((0 until simhashBands).map { b =>
+      explode(array((0 until nBands).map { b =>
         struct(lit(b).as("b"), bandVal(col("simhash"), b).as("bv"))
       }: _*)).as("band")
     ).select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bv").as("bv"))
-    // a pair within radius can share several bands; keep it only at its
-    // FIRST matching band — cheap bitwise post-filter instead of a
-    // distinct() (which would be a second full shuffle of the pairs)
-    val noEarlierBandMatch = (0 until simhashBands).map { bp =>
+    val noEarlierBandMatch = (0 until nBands).map { bp =>
       (col("x.b") <= bp) ||
         (bandVal(col("x.simhash"), bp) =!= bandVal(col("y.simhash"), bp))
     }.reduce(_ && _)
@@ -338,8 +354,7 @@ object LlmOps {
         col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming")
       )
-      .filter(col("hamming") <= hammingRadius)
-      .orderBy("doc_a", "doc_b")
+      .filter(col("hamming") <= radius)
   }
 
   // ---- embedding similarity ----

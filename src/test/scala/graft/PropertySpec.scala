@@ -86,6 +86,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: bit-band SimHash pair scan equals brute-force all-pairs") {
+    import spark.implicits._
+    val genFps = Gen.listOfN(
+      120,
+      Gen.chooseNum(0, (1 << 16) - 1)
+    )
+    forAllN(genFps, n = 5) { hs =>
+      val fps = hs.zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "simhash")
+      val got = graft.queries.LlmOps
+        .simhashBandPairs(fps, bits = 16, radius = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = (for {
+        (a, i) <- hs.zipWithIndex
+        (b, j) <- hs.zipWithIndex
+        if i < j
+        hd = Integer.bitCount(a ^ b)
+        if hd <= 3
+      } yield (i.toLong, j.toLong, hd)).toSet
+      assert(got == want, s"band scan lost/invented pairs (${got.size} vs ${want.size})")
+    }
+  }
+
   test("property: runAttributed indexes every input exactly once") {
     forAllN(Gen.listOf(Gen.alphaStr)) { xs =>
       val out = ParallelMap.runAttributed(spark, xs)(_.length)
