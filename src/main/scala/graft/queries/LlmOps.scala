@@ -485,36 +485,21 @@ object LlmOps {
       SELECT va, vb, cosine FROM cos WHERE cosine >= 0.35 ORDER BY va, vb""")
   ) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
-    import s.implicits._
-    // Exact all-pairs via TRIANGLE BLOCKING — fully distributed, no driver
-    // materialization. Vectors hash into B blocks; each unordered block
-    // pair (ba <= bb) is one join group, so each side is replicated ~B/2x
-    // and the cross-compare spreads over B(B+1)/2 independent reducers.
-    // (Exact near-dup on dense vectors is inherently O(n^2) compare; this
-    // is the shape that distributes it. The sub-quadratic APPROXIMATE path
-    // is LSH — e04/AnnLsh — with the same rescore stage.)
-    // Candidates pass a codegen'd double-precision cosine prefilter with a
-    // margin far above FP error; only survivors pay the exact-decimal dot
-    // and norms that decide the oracle-comparable threshold.
-    val nBlocks = 16
-    val blockPairs = (for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b))
-      .toDF("ba", "bb")
-    val blk = Tables
-      .embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks.toLong)).cast("int"))
-    val x = blk
-      .join(broadcast(blockPairs), col("blk") === col("ba"))
-      .select(col("vec_id").as("xid"), col("embedding").as("xe"), col("ba"), col("bb"))
-    val y = blk
-      .join(broadcast(blockPairs), col("blk") === col("bb"))
-      .select(col("vec_id").as("yid"), col("embedding").as("ye"), col("ba"), col("bb"))
+    // Exact all-pairs via TRIANGLE BLOCKING (see triangleSelfJoin) — the
+    // shape that distributes an inherently O(n^2) compare. Candidates pass
+    // a codegen'd double-precision cosine prefilter with a margin far
+    // above FP error; only survivors pay the exact-decimal dot and norms
+    // that decide the oracle-comparable threshold. (The sub-quadratic
+    // APPROXIMATE path is LSH — e04/AnnLsh — with the same rescore stage.)
     val threshold = 0.35 - 1e-6
-    val survivors = x
-      .join(y, Seq("ba", "bb"))
-      // distinct blocks meet exactly once (as the ordered pair ba < bb);
-      // same-block pairs meet twice — keep one orientation
-      .filter(col("ba") =!= col("bb") || col("xid") < col("yid"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val survivors = triangleSelfJoin(s, emb, "vec_id", Seq("embedding"), 16)
+      .select(
+        col("x.vec_id").as("xid"),
+        col("x.embedding").as("xe"),
+        col("y.vec_id").as("yid"),
+        col("y.embedding").as("ye")
+      )
       .filter(expr("cosine_similarity(xe, ye)") >= threshold)
       .select(
         least(col("xid"), col("yid")).as("va"),
@@ -534,6 +519,40 @@ object LlmOps {
       )
       .filter(col("cosine") >= 0.35)
       .orderBy("va", "vb")
+  }
+
+  /** Triangle-blocked self-join: every unordered pair of DISTINCT input
+    * rows meets exactly once, fully distributed, no driver data path.
+    * Rows hash into B blocks on idCol; each unordered block pair
+    * (ba <= bb) is one join group, so each side is replicated ~B/2x and
+    * the cross-compare spreads over B(B+1)/2 independent reducers.
+    * Distinct blocks meet once by construction; same-block pairs are kept
+    * in one orientation (x.id < y.id). Output: struct columns `x` and `y`
+    * carrying (idCol ++ payload). Exactly-once coverage is property-
+    * tested in PropertySpec. */
+  private[graft] def triangleSelfJoin(
+      s: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      payload: Seq[String],
+      nBlocks: Int
+  ): DataFrame = {
+    import s.implicits._
+    val blockPairs =
+      (for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b)).toDF("ba", "bb")
+    val cols = (idCol +: payload).distinct
+    val blk = df
+      .select(cols.map(col): _*)
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), lit(nBlocks.toLong)).cast("int"))
+    val x = blk
+      .join(broadcast(blockPairs), col("__blk") === col("ba"))
+      .select(struct(cols.map(col): _*).as("x"), col("ba"), col("bb"))
+    val y = blk
+      .join(broadcast(blockPairs), col("__blk") === col("bb"))
+      .select(struct(cols.map(col): _*).as("y"), col("ba"), col("bb"))
+    x.join(y, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col("x"), col("y"))
   }
 
   /** LSH-bucketed ANN — the sub-linear scale path beside e01's exact

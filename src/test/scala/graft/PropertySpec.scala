@@ -112,6 +112,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: triangle self-join covers every unordered pair exactly once") {
+    import spark.implicits._
+    forAllN(Gen.chooseNum(1, 60), n = 5) { n =>
+      val df = (0 until n).map(i => (i.toLong, s"p$i")).toDF("vec_id", "payload")
+      val pairs = graft.queries.LlmOps
+        .triangleSelfJoin(spark, df, "vec_id", Seq("payload"), nBlocks = 4)
+        .select(col("x.vec_id"), col("y.vec_id"))
+        .collect()
+        .map(r => {
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          (math.min(a, b), math.max(a, b))
+        })
+        .toSeq
+      val want = (for { i <- 0 until n; j <- i + 1 until n } yield (i.toLong, j.toLong)).toSeq
+      // exactly once: as a multiset, no pair missing, none duplicated
+      assert(pairs.sorted == want.sorted,
+        s"n=$n: got ${pairs.size} pairs, want ${want.size}")
+    }
+  }
+
   test("property: runAttributed indexes every input exactly once") {
     forAllN(Gen.listOf(Gen.alphaStr)) { xs =>
       val out = ParallelMap.runAttributed(spark, xs)(_.length)
