@@ -940,9 +940,52 @@ object Relational {
       .orderBy("yr", "qtr")
   }
 
+  /** Range (interval) join: what does a user do in the 3 days after a
+    * purchase? Anchors are purchase events; every other event of the same
+    * user inside [purchase_date, purchase_date + 3) matches. Runs through
+    * the granule-bucketed RangeJoin operator (equi-join on (key, day), no
+    * inequality-join row explosion) and is hash-checked against DuckDB's
+    * direct BETWEEN formulation of the same semantics. */
+  val q39 = Q(
+    "q39_range_interval_join",
+    Some("""
+      SELECT e.event_type, COUNT(*) AS n_pairs
+      FROM events e JOIN events a
+        ON a.user_id = e.user_id
+       AND a.event_type = 'purchase'
+       AND e.event_id <> a.event_id
+       AND CAST(e.ts AS DATE) >= CAST(a.ts AS DATE)
+       AND CAST(e.ts AS DATE) < CAST(a.ts AS DATE) + 3
+      GROUP BY e.event_type ORDER BY e.event_type""")
+  ) { (s, d) =>
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("event_date"),
+        col("event_id"),
+        col("event_type")
+      )
+    val anchors = Tables
+      .events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("a_user"),
+        to_date(col("ts")).as("w_start"),
+        date_add(to_date(col("ts")), 3).as("w_end"),
+        col("event_id").as("anchor_id")
+      )
+    graft.operators.RangeJoin
+      .dateIntervalJoin(ev, anchors, "user_id", "a_user", "event_date", "w_start", "w_end")
+      .filter(col("event_id") =!= col("anchor_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39
   )
 }
