@@ -119,6 +119,15 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)
 
+  /** Interval join without the inequality-join row explosion. */
+  def rangeJoinDates(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftDate: String, startDate: String, endDateExclusive: String
+  ): DataFrame =
+    graft.operators.RangeJoin
+      .dateIntervalJoin(left, right, leftKey, rightKey, leftDate, startDate, endDateExclusive)
+
   // ---- LLM-pipeline operators ----
 
   def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the public facade: every entry point a reference user would call
+  * compiles against its documented signature and does its job. Guards
+  * against facade rot as operators evolve underneath.
+  */
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("parallel map surface: list, resources, stream, logs, jobs tables") {
+    val out = Graft.remoteParallelMap(spark, 1 to 10)(_ * 2)
+    assert(out.toSet == (1 to 10).map(_ * 2).toSet)
+    val heavy = Graft.remoteParallelMap(
+      spark, 1 to 4, resources = Graft.resources(funcCpus = 2))(_ + 1)
+    assert(heavy.toSet == (2 to 5).toSet)
+    assert(Graft.remoteParallelMapStream(spark, 1 to 5)(_ + 1).toSet == (2 to 6).toSet)
+    val logged = Graft.remoteParallelMapStreamWithLogs(spark, 1 to 3) { x =>
+      println(s"at $x"); x
+    }.toSeq
+    assert(logged.size == 3 && logged.forall { case (i, r, lg) =>
+      r.isSuccess && lg.contains(s"at ${i + 1}")
+    })
+    // job history answers "what ran"
+    val jobs = Graft.jobs(spark)
+    assert(jobs.columns.contains("status"))
+    assert(jobs.filter(col("status") === "COMPLETED").count() >= 4)
+    assert(Graft.jobTransitions(spark).count() >= 8) // RUNNING + terminal each
+  }
+
+  test("relational extras: as-of, salted, range joins route through operators") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 7L, 1.0))
+      .toDF("rk", "rt", "payload_key", "v")
+    val asof = Graft.asofJoinLatestAtOrBefore(
+      left, right, "k", "rk", "t", "rt", "payload_key", Seq("payload_key", "v"))
+    assert(asof.collect().head.getAs[Long]("payload_key") == 7L)
+
+    val l2 = Seq((1L, "a"), (1L, "b")).toDF("k", "p")
+    val r2 = Seq((1L, "dim")).toDF("k", "n")
+    assert(Graft.saltedJoin(l2, r2, "k").count() == 2)
+
+    val pts = Seq((1L, java.sql.Date.valueOf("2024-01-05"))).toDF("k", "d")
+    val ivs = Seq((1L, java.sql.Date.valueOf("2024-01-04"), java.sql.Date.valueOf("2024-01-08")))
+      .toDF("ik", "s", "e")
+    assert(Graft.rangeJoinDates(pts, ivs, "k", "ik", "d", "s", "e").count() == 1)
+  }
+
+  test("ANN surface: LSH and IVF top-k over the embeddings table") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    val lsh = Graft.annTopK(spark, emb, q, dim = 64, k = 3)
+    val ivf = Graft.annTopKIvf(spark, emb, q, k = 3)
+    assert(lsh.count() > 0 && ivf.count() > 0)
+    assert(ivf.columns.toSeq == Seq("qid", "rnk", "vid", "cosine"))
+  }
+
+  test("storage surface: parquet round trip via the facade") {
+    val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
+    val df = Tables.nation(spark, TestSpark.sf0001)
+    Graft.writeParquet(df, dir)
+    assert(Graft.readParquet(spark, dir).count() == df.count())
+  }
+}
