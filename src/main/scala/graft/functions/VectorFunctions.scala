@@ -23,6 +23,21 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // analysis-time input check: registered session-wide as a SQL function,
+  // so a mistyped call (e.g. array<double> literals) must fail with an
+  // AnalysisException, not ClassCastException/garbage mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (VectorFunctions.isFloatArray(left.dataType) &&
+      VectorFunctions.isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}"
+      )
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -86,6 +101,15 @@ case class Int8MaxErrRatioExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "int8_max_err_ratio"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (VectorFunctions.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${child.dataType.simpleString}"
+      )
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -133,6 +157,13 @@ case class Int8MaxErrRatioExpr(child: Expression)
 }
 
 object VectorFunctions {
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+      true
+    case _ => false
+  }
+
   /** Register SQL-callable vector functions on this session (idempotent —
     * skips when already present, avoiding "replaced a previously
     * registered function" warnings on every query invocation). */

@@ -33,6 +33,17 @@ object RangeJoin {
       startDate: String,
       endDateExclusive: String
   ): DataFrame = {
+    // fail fast on type drift: with TimestampType inputs the granule
+    // equality would compare instants against midnight-stepped sequence
+    // values and silently drop nearly every genuine match
+    def requireDate(df: DataFrame, c: String): Unit =
+      require(
+        df.schema(c).dataType == org.apache.spark.sql.types.DateType,
+        s"$c must be DateType (got ${df.schema(c).dataType}); to_date() timestamps first"
+      )
+    requireDate(left, leftDate)
+    requireDate(right, startDate)
+    requireDate(right, endDateExclusive)
     val days = right
       .filter(col(endDateExclusive) > col(startDate)) // empty intervals match nothing
       .withColumn(
@@ -49,8 +60,10 @@ object RangeJoin {
       left(leftKey) === days(rightKey) && left(leftDate) === days("__day")
     left
       .join(days, joinCond)
-      // residual guard: exact even if a caller swaps in a coarser granule
-      .filter(col(leftDate) >= col(startDate) && col(leftDate) < col(endDateExclusive))
-      .drop("__day")
+      // residual guard, DATAFRAME-QUALIFIED: unqualified col() would be
+      // ambiguous whenever left and right share a column name. Exact even
+      // if a caller swaps in a coarser granule.
+      .filter(left(leftDate) >= days(startDate) && left(leftDate) < days(endDateExclusive))
+      .drop(days("__day"))
   }
 }

@@ -276,11 +276,9 @@ object LlmOps {
       SELECT doc_id, simhash FROM f ORDER BY doc_id""")
   ) { (s, d) => simhashFingerprints(s, d).orderBy("doc_id") }
 
-  /** Hamming radius for near-dup pairs; bands = radius + 1 makes the
-    * bit-band bucketing EXACT by pigeonhole (see d05). */
+  /** Hamming radius for near-dup pairs; simhashBandPairs derives the
+    * band split (radius + 1 bands) from this — EXACT by pigeonhole. */
   private val hammingRadius = 3
-  private val simhashBands = hammingRadius + 1
-  private val bandBits = simhashBits / simhashBands // 16-bit fp -> 4-bit bands
 
   /** SimHash near-dup pairs by Hamming distance — fully distributed.
     *
@@ -327,7 +325,11 @@ object LlmOps {
     val nBands = radius + 1
     require(bits % nBands == 0, s"$bits bits must split evenly into $nBands bands")
     val bBits = bits / nBands
-    val mask = (1 << bBits) - 1
+    require(bBits < 64, "band width must fit a Long")
+    // Long arithmetic: an Int mask silently becomes 0 at bBits >= 32
+    // (Scala shifts mod 32), which would collapse every band to bucket 0
+    // and degrade the join to the all-pairs scan this operator replaces
+    val mask = (1L << bBits) - 1
     def bandVal(c: Column, b: Int): Column =
       shiftright(c, b * bBits).bitwiseAND(lit(mask))
     val bands = fps.select(
@@ -437,14 +439,16 @@ object LlmOps {
     // orders of magnitude above double-vs-exact drift for 64-dim unit-ish
     // vectors, so the exact top-k cannot be excluded: bit-identical
     // results, ~k instead of |corpus| interpreted rescored rows per query.
+    // rank on SCALARS only — carrying both embedding arrays through the
+    // per-qid window shuffles would inflate shuffle volume ~10x for rows
+    // that are then discarded; the ~k survivors re-attach embeddings via
+    // a corpus equi-join + a broadcast of the query side
     val dbl = emb
       .as("e")
       .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
       .select(
         col("q.vec_id").as("qid"),
         col("e.vec_id").as("vid"),
-        col("q.embedding").as("qe"),
-        col("e.embedding").as("ee"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
       )
     val wq = Window.partitionBy("qid")
@@ -452,14 +456,21 @@ object LlmOps {
       .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
       .withColumn("kth", min(when(col("rnk0") <= 5, col("dbl"))).over(wq))
       .filter(col("dbl") >= col("kth") - 1e-9)
-    val cos = candidates.select(
-      col("qid"),
-      col("vid"),
-      (dotArr(col("qe"), col("ee")).cast("double") /
-        (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
-          sqrt(dotArr(col("ee"), col("ee")).cast("double"))))
-        .as("cosine")
-    )
+      .select("qid", "vid")
+    val cos = candidates
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
+      .join(
+        broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        "qid"
+      )
+      .select(
+        col("qid"),
+        col("vid"),
+        (dotArr(col("qe"), col("ee")).cast("double") /
+          (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
+            sqrt(dotArr(col("ee"), col("ee")).cast("double"))))
+          .as("cosine")
+      )
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     cos
       .withColumn("rnk", row_number().over(w))

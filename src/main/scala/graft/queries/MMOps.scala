@@ -48,7 +48,17 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  val m04 = Q("m04_media_resize", None) { (s, d) =>
+  /** Resize dims/sizes are deterministic arithmetic (image rows are
+    * doc_id % 3 == 0; output is always width*height*3 bytes), so the
+    * plumbing is hash-gated like m03 even though the pixel bytes come
+    * from the stub kernel. */
+  val m04 = Q(
+    "m04_media_resize",
+    Some("""
+      SELECT doc_id AS media_id, CAST(32 AS INTEGER) AS width,
+             CAST(32 AS INTEGER) AS height, CAST(3072 AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")
+  ) { (s, d) =>
     import s.implicits._
     Multimodal
       .resizeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
