@@ -40,6 +40,38 @@ object AsOfJoin {
       rightTime: String,
       rightTieBreak: String,
       payload: Seq[String]
+  ): DataFrame =
+    joinDirectional(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTieBreak, payload, backward = true)
+
+  /** Forward twin: for each left row, the EARLIEST right row whose time is
+    * >= the left row's time, per key (the "next event" lookup). Same tie
+    * semantics: among right rows at the earliest time, the greatest
+    * non-null tiebreak wins; NULL-time rows on either side match nothing.
+    * Same cost shape: one union, one hash shuffle on the key, one sort. */
+  def earliestAtOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: String,
+      payload: Seq[String]
+  ): DataFrame =
+    joinDirectional(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTieBreak, payload, backward = false)
+
+  private def joinDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: String,
+      payload: Seq[String],
+      backward: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val tbType = right.schema(rightTieBreak).dataType
@@ -63,15 +95,18 @@ object AsOfJoin {
       struct(payload.map(col): _*).as("__p")
     )
 
-    // Right rows sort before left rows at equal time (inclusive at-or-
-    // before); among equal-time right rows, NULL tiebreaks first (losing)
-    // and the max tiebreak last (winning — it is the row `last` carries).
+    // Right rows sort before left rows at equal time (inclusive match);
+    // among equal-time right rows, NULL tiebreaks first (losing) and the
+    // max tiebreak last (winning — it is the row `last` carries).
     // NULLS FIRST on __t puts NULL-time LEFT rows (right NULLs are already
     // filtered) before every timed row: they carry no payload, matching
-    // SQL's NULL-comparison semantics.
+    // SQL's NULL-comparison semantics. The forward variant is the same
+    // window over the REVERSED time axis: descending time puts later rows
+    // first, so "last carried value" becomes the earliest at-or-after.
+    val tOrder = if (backward) col("__t").asc_nulls_first else col("__t").desc_nulls_first
     val w = Window
       .partitionBy("__key")
-      .orderBy(col("__t").asc_nulls_first, col("__tag").asc, col("__tb").asc_nulls_first)
+      .orderBy(tOrder, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -983,9 +983,48 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Forward as-of: for each error event, the user's next purchase at or
+    * after it (the "what happened next" lookup) — AsOfJoin's forward
+    * variant, same union+window plan shape as q23, mirrored time axis. */
+  val q40 = Q(
+    "q40_asof_next_purchase",
+    Some("""
+      WITH m AS (
+        SELECT e.event_id, e.user_id, p.event_id AS purchase_id, p.value AS purchase_value,
+          ROW_NUMBER() OVER (PARTITION BY e.event_id
+            ORDER BY p.ts ASC NULLS LAST, p.event_id DESC NULLS LAST) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND p.ts >= e.ts)
+      SELECT event_id, user_id, purchase_id, purchase_value
+      FROM m WHERE rn = 1 ORDER BY event_id""")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    AsOfJoin
+      .earliestAtOrAfter(
+        left = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        right = ev.filter(col("event_type") === "purchase")
+          .select(
+            col("user_id").as("p_user"),
+            col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value")
+          ),
+        leftKey = "user_id",
+        rightKey = "p_user",
+        leftTime = "ts",
+        rightTime = "p_ts",
+        rightTieBreak = "purchase_id",
+        payload = Seq("purchase_id", "purchase_value")
+      )
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40
   )
 }

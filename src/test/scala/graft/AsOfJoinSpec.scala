@@ -63,6 +63,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
   }
 
+  test("forward variant: earliest right row at-or-after each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-09 00:00:00")), // after every order -> no match
+      (3L, 20L, ts("2024-01-10 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-04 00:00:00"), 100L, 1.0), // before event 1 -> invisible
+      (10L, ts("2024-01-06 00:00:00"), 101L, 2.0), // earliest at-or-after event 1
+      (10L, ts("2024-01-08 00:00:00"), 102L, 3.0),
+      (20L, ts("2024-01-10 00:00:00"), 200L, 4.0) // exactly at event 3 (inclusive)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .earliestAtOrAfter(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+      .collect()
+    assert(out(0).getAs[Long]("o_orderkey") == 101L)
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
+    assert(out(2).getAs[Long]("o_orderkey") == 200L)
+  }
+
   test("ties on right time resolve to greatest tiebreak key") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "user_id", "ts")
