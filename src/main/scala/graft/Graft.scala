@@ -116,6 +116,14 @@ object Graft {
   ): DataFrame =
     AsOfJoin.latestAtOrBefore(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload)
 
+  def asofJoinEarliestAtOrAfter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, payload: Seq[String]
+  ): DataFrame =
+    AsOfJoin.earliestAtOrAfter(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload)
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)
 

@@ -41,6 +41,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window rates match the batch computation") {
+    val dir = java.nio.file.Files.createTempDirectory("events-slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream
+      .slidingRate(EventStream.readEvents(spark, dir.toString))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("slide_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.nonEmpty)
+      // spot-check one (window, type) cell against a direct batch filter
+      val ((wStart, eType), n) = got.head
+      val wEnd = new java.sql.Timestamp(wStart.getTime + 5 * 60 * 1000)
+      val want = Tables.events(spark, TestSpark.sf0001)
+        .filter(col("event_type") === eType &&
+          col("ts") >= lit(wStart) && col("ts") < lit(wEnd))
+        .count()
+      assert(n == want, s"window $wStart/$eType: stream=$n batch=$want")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per content key across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
