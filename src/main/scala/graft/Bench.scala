@@ -33,7 +33,12 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args: query names to bench (substring match) — iterate on one
+    // hot query without paying the full suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => args.exists(n.contains) }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
       val (cold, okC) = time(exec())
       val (warm, okW) = time(exec())

@@ -127,6 +127,13 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)
 
+  /** collect_set with a hard per-key size bound: overflowing keys emit
+    * empty instead of growing an unbounded buffer on one reducer — the
+    * skew-proof way to build capped postings/membership lists at scale
+    * (see functions.BoundedCollectSet). */
+  def boundedCollectSet(valueCol: org.apache.spark.sql.Column, maxSize: Int): org.apache.spark.sql.Column =
+    graft.functions.BoundedCollectSet.boundedSet(valueCol, maxSize)
+
   /** Interval join without the inequality-join row explosion. */
   def rangeJoinDates(
       left: DataFrame, right: DataFrame,

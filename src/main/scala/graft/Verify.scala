@@ -7,13 +7,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args beyond sfDir/outDir: optional query-name substrings to dump a
+    // subset while iterating (the driver always runs with exactly two args)
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only = args.drop(2)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val spark = GraftSession
       .builder("graft-verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

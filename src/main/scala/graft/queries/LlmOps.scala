@@ -76,6 +76,7 @@ object LlmOps {
   private def cappedShingles(s: SparkSession, d: String, maxDf: Long): DataFrame =
     capShingles(docShingles(s, d), maxDf)
 
+
   // ---- dedup family ----
 
   /** Exact dedup: hash-groupBy on content. Scales as one shuffle on the
@@ -210,7 +211,16 @@ object LlmOps {
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
     // cached: the self-join + counts would otherwise recompute the whole
-    // tokenize→shingle→distinct→cap subtree three times
+    // tokenize→shingle→distinct→cap subtree three times.
+    // Formulations MEASURED at sf0.1 before keeping this one: (a) md5-
+    // binary shingle keys (+15% — the string shingles are short, hashing
+    // every occurrence costs more than the key-width saving); (b) postings
+    // lists via collect_set + combination explode, one shuffle (+10% — the
+    // interpreted pair-gen lambda eats the shuffle saving); (c) the same
+    // with the skew-proof BoundedCollectSet aggregator (+65% — udaf
+    // buffer conversions). The count-based df-cap below is also already
+    // skew-proof: the cap groupBy aggregates O(1) state per key, and the
+    // join fan-out after it is bounded by maxDf per shingle.
     val sh = cappedShingles(s, d, jaccardMaxDf).cache()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh

@@ -39,4 +39,26 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(pairs == 45L)
   }
+
+  test("BoundedCollectSet caps per-key state and drops overflow keys exactly") {
+    import spark.implicits._
+    // hot key "S" has 50 distinct members (plus duplicates), "P" exactly 10,
+    // "q" has 3 with duplicates
+    val rows =
+      (0 until 50).map(i => ("S", i.toLong)) ++
+        (0 until 50).map(i => ("S", i.toLong)) ++ // dups must not count
+        (0 until 10).map(i => ("P", i.toLong)) ++
+        Seq(("q", 1L), ("q", 1L), ("q", 2L), ("q", 3L))
+    val df = rows.toDF("k", "v").repartition(8) // force partial-agg merges
+    val sets = df
+      .groupBy("k")
+      .agg(graft.functions.BoundedCollectSet.boundedSet(col("v"), 10).as("vs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(sets("S").isEmpty, "key over the bound must emit empty (dropped)")
+    assert(sets("P") == (0 until 10).map(_.toLong).toSet,
+      "key exactly at the bound keeps its complete set")
+    assert(sets("q") == Set(1L, 2L, 3L), "duplicates dedup below the bound")
+  }
 }
