@@ -99,30 +99,40 @@ object LlmOps {
     * near-dup pairs. Linear in corpus size (shingle explode + two grouped
     * shuffles + an equi-join on band hash) — this is the 100 TB dedup path.
     */
-  val d02 = Q(
-    "d02_dedup_minhash_lsh",
-    Some {
-      val mins =
-        (0 until 16).map(k => s"MIN(md5('$k|' || sh)) AS h$k").mkString(",\n          ")
-      val bandRows = (0 until 4)
-        .map { b =>
-          val hs = (0 until 4).map(i => s"h${4 * b + i}").mkString(" || ")
-          s"SELECT doc_id, $b AS b, md5($hs) AS bh FROM sig"
-        }
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH sh AS ($docShinglesSql),
+  /** The MinHash-LSH candidate-pair CTE chain, shared by d02 (the pair
+    * list) and d06 (connected components over the pair graph). Ends with
+    * `mh_pairs(doc_a, doc_b)`. */
+  private val minhashPairCtes: String = {
+    val mins =
+      (0 until 16).map(k => s"MIN(md5('$k|' || sh)) AS h$k").mkString(",\n          ")
+    val bandRows = (0 until 4)
+      .map { b =>
+        val hs = (0 until 4).map(i => s"h${4 * b + i}").mkString(" || ")
+        s"SELECT doc_id, $b AS b, md5($hs) AS bh FROM sig"
+      }
+      .mkString("\n        UNION ALL ")
+    s"""sh AS ($docShinglesSql),
       sig AS (SELECT doc_id,
           $mins
         FROM sh GROUP BY doc_id),
       band AS (
-        $bandRows)
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM band x JOIN band y
-        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
-      ORDER BY doc_a, doc_b"""
-    }
-  ) { (s, d) =>
+        $bandRows),
+      mh_pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM band x JOIN band y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  val d02 = Q(
+    "d02_dedup_minhash_lsh",
+    Some(s"""
+      WITH $minhashPairCtes
+      SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b""")
+  ) { (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b") }
+
+  /** MinHash-LSH candidate pairs, unsorted — d02's body, reused as d06's
+    * edge list. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
     // Hash each DISTINCT shingle once (16 md5s per unique string), then
     // join back to the (doc, shingle) pairs: same signatures, ~an order of
@@ -174,7 +184,48 @@ object LlmOps {
       )
       .filter(noEarlierBandMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph (d02), each doc labeled with its cluster id (= min doc_id in
+    * the component), the cluster size, and whether it is the canonical
+    * keeper. This is the canonicalization step a 100 TB dedup pipeline
+    * runs after pair generation: keep `is_canonical`, drop the rest.
+    * Scale: Hash-Min label propagation (operators/ConnectedComponents) —
+    * per round one equi-join + grouped min on node id, rounds = component
+    * diameter (shallow for bucket-generated pair graphs). The DuckDB
+    * oracle computes min-reachable-id via a recursive CTE over the same
+    * edges. */
+  val d06 = Q(
+    "d06_dedup_clusters",
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM mh_pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+      SELECT comp.doc_id, comp.cluster_id,
+             CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+             comp.doc_id = comp.cluster_id AS is_canonical
+      FROM comp JOIN sz USING (cluster_id)
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    val comp =
+      graft.operators.ConnectedComponents.components(minhashPairs(s, d), "doc_a", "doc_b")
+    val sz = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp
+      .join(sz, "comp")
+      .select(
+        col("id").as("doc_id"),
+        col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical")
+      )
+      .orderBy("doc_id")
   }
 
   /** Document-frequency cap for d03's inverted index: a shingle shared by
@@ -1032,6 +1083,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, e01, e02, e03, e04, e05, e06, e07, e08,
+    Seq(d01, d02, d03, d04, d05, d06, e01, e02, e03, e04, e05, e06, e07, e08,
       t01, t02, t03, t04, t05, t06, t07, t08)
 }
