@@ -34,30 +34,41 @@ object LlmOps {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
-  /** Word 3-gram shingles; short docs fall back to the whole token join. */
-  private def shingles(t: Column): Column =
-    when(
-      size(t) >= 3,
-      transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
-      )
-    ).otherwise(array(array_join(t, " ")))
+  /** Word 3-gram shingles (SQL side; the Spark side generates shingles via
+    * explodedShingles — see its codegen rationale). Short docs fall back
+    * to the whole token join. */
   private def shinglesSql(t: String): String =
     s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t) - 1), " +
       s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) " +
       s"ELSE [array_to_string($t, ' ')] END"
 
-  /** Tokens are materialized as a column in their own projection before the
-    * shingle transform references them: inlining the tokenizer into every
-    * element_at inside the (interpreted) lambda re-tokenized the document
-    * ~3x per shingle — a 12x slowdown measured at sf0.1. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, sh) rows, one per shingle OCCURRENCE — the codegen-friendly
+    * shingle generator every shingle consumer goes through. Exploding an
+    * index sequence and shingling with plain element_at expressions stays
+    * entirely inside whole-stage codegen; explode(transform(...)) runs the
+    * lambda INTERPRETED per element, which benched 2-6x slower wherever a
+    * plan actually executes the shingling (t09 went 5.6s -> 0.9s at
+    * sf0.1). Tokens are materialized as a column in their own projection
+    * first: inlining the tokenizer into every element_at re-tokenizes the
+    * document per shingle (a measured 12x slowdown). */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    val t = col("t")
+    val i = col("i")
     Tables
       .documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingles(col("t"))).as("sh"))
-      .distinct()
+      .select(col("doc_id"), t, explode(sequence(lit(1), greatest(size(t) - 2, lit(1)))).as("i"))
+      .select(
+        col("doc_id"),
+        when(
+          size(t) >= 3,
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+        ).otherwise(array_join(t, " ")).as("sh")
+      )
+  }
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    explodedShingles(s, d).distinct()
   private val docShinglesSql =
     s"""SELECT DISTINCT doc_id, UNNEST(${shinglesSql("t")}) AS sh
         FROM (SELECT doc_id, $toksSql AS t FROM documents)"""
@@ -1082,7 +1093,119 @@ object LlmOps {
       .orderBy("split", "lang")
   }
 
+  /** Shingle-level repetition score — the curation signal that catches
+    * degenerate generated/boilerplate text that token-level TTR (t01)
+    * misses: a doc cycling 3 phrases has healthy token diversity but
+    * near-zero distinct 3-grams. The repetitive flag compares in INTEGER
+    * arithmetic (10*(n-d) >= 3*n, i.e. dup ratio >= 0.3) so the
+    * threshold decision is bit-identical cross-engine; the double ratio
+    * is reported for consumers. Pure projection: linear, shuffle-free. */
+  val t09 = Q(
+    "t09_text_repetition",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      sh AS (SELECT doc_id, ${shinglesSql("t")} AS sh FROM t)
+      SELECT doc_id,
+        CAST(len(sh) AS INTEGER) AS n_shingles,
+        CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct_shingles,
+        CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / GREATEST(len(sh), 1)
+          AS dup_shingle_ratio,
+        10 * (len(sh) - len(list_distinct(sh))) >= 3 * len(sh) AS is_repetitive
+      FROM sh ORDER BY doc_id""")
+  ) { (s, d) =>
+    // NOT computed as array expressions over a shingle column: the shingle
+    // transform() lambda evaluates interpreted, and CollapseProject inlines
+    // it into every referencing column (5 recomputes/row — 9.4s at sf0.1).
+    // Explode once (codegen, explodedShingles) + pre-group on (doc,
+    // shingle) + per-doc agg = sub-second, and the two grouped counts are
+    // the scale shape anyway.
+    val per = explodedShingles(s, d)
+      .groupBy("doc_id", "sh")
+      .agg(count(lit(1)).as("c"))
+    val ns = col("ns")
+    val nd = col("nd")
+    per
+      .groupBy("doc_id")
+      .agg(sum("c").as("ns"), count(lit(1)).as("nd"))
+      .select(
+        col("doc_id"),
+        ns.cast("int").as("n_shingles"),
+        nd.cast("int").as("n_distinct_shingles"),
+        ((ns - nd).cast("double") / greatest(ns, lit(1))).as("dup_shingle_ratio"),
+        ((ns - nd) * 10 >= ns * 3).as("is_repetitive")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Cleaning pass: collapse consecutive-duplicate token runs, then
+    * redact PII spans (emails/phones) with typed placeholders — the
+    * normalize step before hashing/dedup in a curation pipeline. The
+    * corpus testdata contains no PII (n_pii = 0 corpus-wide); the
+    * redaction kernels are proven on synthetic strings in TextOpsSpec,
+    * while this query pins the run-collapse (which does real work here)
+    * and the full clean_text output against the oracle. Kernels:
+    * functions.TextOps, with their DuckDB twins. */
+  val t10 = Q(
+    "t10_text_clean",
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+      SELECT doc_id,
+        ${graft.functions.TextOps.redactPiiSql(
+        "array_to_string(" + graft.functions.TextOps.collapseRunsSql("t") + ", ' ')"
+      )} AS clean_text,
+        CAST(len(t) - len(${graft.functions.TextOps.collapseRunsSql("t")}) AS INTEGER)
+          AS n_dropped,
+        CAST(${graft.functions.TextOps.piiCountSql("text")} AS INTEGER) AS n_pii
+      FROM t ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.functions.TextOps
+    val t = col("t")
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        TextOps.redactPii(array_join(TextOps.collapseRuns(t), " ")).as("clean_text"),
+        (size(t) - size(TextOps.collapseRuns(t))).as("n_dropped"),
+        TextOps.piiCount(col("text")).as("n_pii")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level bigram frequency table, top 20 — the vocabulary/phrase
+    * statistics pass (stopword mining, tokenizer audits) every corpus
+    * build runs. Scale: explode + one grouped count; the global top-k is
+    * a TakeOrderedAndProject (per-partition partial top-k, no full sort
+    * shuffle). Ties break on the bigram itself for determinism. */
+  val t11 = Q(
+    "t11_ngram_freq",
+    Some(s"""
+      WITH t AS (SELECT $toksSql AS t FROM documents),
+      b AS (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM t WHERE len(t) >= 2)
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+  ) { (s, d) =>
+    val t = col("t")
+    Tables
+      .documents(s, d)
+      .select(toks(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
+          )
+        ).as("bigram")
+      )
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, e01, e02, e03, e04, e05, e06, e07, e08,
-      t01, t02, t03, t04, t05, t06, t07, t08)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
