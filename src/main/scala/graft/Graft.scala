@@ -93,6 +93,20 @@ object Graft {
   )(f: I => O): Iterator[(Long, Try[O], String)] =
     ParallelMap.streamWithLogs(spark, inputs, maxParallelism, window = window)(f)
 
+  /** Nested map — the reference's UDF-calls-rpm-recursively shape
+    * (client/tests/test_nested_rpm.py), as driver-side composition running
+    * as ONE two-stage distributed plan: fan each input out with `f`, map
+    * every inner input with `g`, inner inputs rebalanced across the
+    * cluster between the stages. Errors attribute both levels
+    * (NestedUdfFailure). */
+  def remoteParallelMapNested[I: ClassTag, J: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      resources: ParallelMap.Resources = ParallelMap.Resources()
+  )(f: I => Seq[J])(g: J => O): Seq[O] =
+    ParallelMap.runNested(spark, inputs, maxParallelism, resources)(f)(g)
+
   /** Bulk path: same semantics over a Dataset, no driver materialization. */
   def mapDataset[I, O: org.apache.spark.sql.Encoder](ds: Dataset[I])(f: I => O): Dataset[O] =
     ParallelMap.mapDataset(ds)(f)

@@ -18,6 +18,22 @@ final case class UdfFailure(inputIndex: Long, cause: Throwable)
       cause
     )
 
+/** A UDF raised inside a NESTED parallel map (runNested): `outerIndex` is
+  * the failing outer input, `innerIndex` the position within that input's
+  * fan-out (-1 when the fan-out function itself raised, before any inner
+  * input existed). The reference lets a UDF call remote_parallel_map
+  * recursively on-cluster (client/tests/test_nested_rpm.py, creds bind
+  * node_service job_endpoints.py:266-281); Spark executors cannot submit
+  * jobs, so the nested shape is rebuilt as driver-side composition with
+  * the same two-level attribution. */
+final case class NestedUdfFailure(outerIndex: Long, innerIndex: Long, cause: Throwable)
+    extends RuntimeException(
+      s"UDF raised on input $outerIndex" +
+        (if (innerIndex >= 0) s", nested input $innerIndex" else " (fan-out stage)") +
+        s": ${cause.getClass.getSimpleName}: ${cause.getMessage}",
+      cause
+    )
+
 /** Envelope guards, mirroring the reference's hard limits: a pickled
   * function is capped at 0.1 GB (client/src/burla/_remote_parallel_map.py:
   * 220-224, `FunctionTooBig`) and a single pickled input at 200 MB
@@ -197,8 +213,9 @@ object ParallelMap {
     var cur: Throwable = e
     while (cur != null) {
       cur match {
-        case u: UdfFailure => return u
-        case _             => cur = cur.getCause
+        case u: UdfFailure       => return u
+        case u: NestedUdfFailure => return u
+        case _                   => cur = cur.getCause
       }
     }
     e
@@ -294,6 +311,78 @@ object ParallelMap {
     } catch {
       case e: Throwable =>
         JobTracker.failed(group, unwrap(e)); throw unwrap(e)
+    }
+  }
+
+  /** Nested parallel map — the reference's "UDF calls remote_parallel_map
+    * recursively on-cluster" shape (test_nested_rpm.py), rebuilt as ONE
+    * distributed two-stage plan since Spark executors cannot submit jobs:
+    * `f` fans each outer input out into inner inputs, `g` maps every inner
+    * input, results return unordered. The repartition between the stages
+    * is the point: it redistributes the expanded inner inputs across the
+    * whole cluster exactly like the reference's inner job does — without
+    * it a skewed fan-out (one outer input producing 1M inner ones) would
+    * pin the entire inner stage to the partition that produced it.
+    * Errors carry two-level attribution (NestedUdfFailure: outer index,
+    * inner index, -1 while fanning out). Empty input and empty fan-outs
+    * short-circuit naturally.
+    */
+  def runNested[I: ClassTag, J: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None,
+      resources: Resources = Resources()
+  )(f: I => Seq[J])(g: J => O): Seq[O] = {
+    if (inputs.isEmpty) return Nil // no cluster contact, as in run()
+    guardSizes(inputs, f)
+    guardSizes(Seq.empty[J], g)
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val slices = math.min(
+      maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size))),
+      resourceSlicesCap(spark, resources)
+    )
+    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    implicit val encJ: Encoder[(Long, Long, J)] = Encoders.kryo[(Long, Long, J)]
+    implicit val encO: Encoder[(Long, Long, O)] = Encoders.kryo[(Long, Long, O)]
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "runNested", inputs.size)
+    try {
+      val out = withGroup(spark, group, s"ParallelMap runNested ($group)") {
+        withResourceProps(spark, resources) {
+          spark
+            .createDataset(indexed)(kryoPair[I])
+            .repartition(slices)
+            .flatMap { case (oi, x) =>
+              val js =
+                try f(x)
+                catch { case e: Throwable => throw NestedUdfFailure(oi, -1L, e) }
+              js.iterator.zipWithIndex.map { case (j, ii) => (oi, ii.toLong, j) }
+            }
+            // spread the EXPANDED inner inputs; fan-out sizes are skewed by
+            // nature and the inner stage's parallelism must not inherit that
+            .repartition(spark.sparkContext.defaultParallelism)
+            .map { case (oi, ii, j) =>
+              try (oi, ii, g(j))
+              catch { case e: Throwable => throw NestedUdfFailure(oi, ii, e) }
+            }
+            .collect()
+            .toSeq
+            .map(_._3)
+        }
+      }
+      JobTracker.completed(group)
+      out
+    } catch {
+      case e: Throwable =>
+        val u = unwrap(e)
+        u match {
+          case nf: NestedUdfFailure =>
+            JobTracker.inputError(group, nf.outerIndex, nf.getMessage)
+          case _ => ()
+        }
+        JobTracker.failed(group, u)
+        throw u
     }
   }
 

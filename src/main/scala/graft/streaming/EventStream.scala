@@ -78,6 +78,55 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
+  /** Stream-stream event-time interval join: correlate each left event
+    * with the right-stream events of the SAME user that happen within
+    * `withinSeconds` AFTER it ("purchase within 30 min of a click").
+    *
+    * This is the stateful two-stream shape Structured Streaming requires
+    * both watermarks + an event-time range condition for: the range bound
+    * is what lets Spark evict buffered rows — left state is droppable once
+    * the right watermark passes ts + withinSeconds, right state once the
+    * left watermark passes its ts. Without the interval condition the
+    * buffers grow forever; with it, state is bounded by
+    * (rate x (watermark delay + withinSeconds)) per side. The join key
+    * (user_id) makes the shuffle an equi-partition on both streams.
+    */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      withinSeconds: Long = 1800,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val l = left
+      .withWatermark("ts", watermark)
+      .select(
+        col("event_id").as("l_id"),
+        col("ts").as("l_ts"),
+        col("user_id"),
+        col("event_type").as("l_type")
+      )
+    val r = right
+      .withWatermark("ts", watermark)
+      .select(
+        col("event_id").as("r_id"),
+        col("ts").as("r_ts"),
+        col("user_id"),
+        col("event_type").as("r_type")
+      )
+    l.as("l").join(
+      r.as("r"),
+      expr(
+        s"""l.user_id = r.user_id AND
+            r_ts >= l_ts AND
+            r_ts <= l_ts + INTERVAL $withinSeconds SECONDS"""
+      )
+    ).select(
+      col("l.user_id").as("user_id"),
+      col("l_id"), col("l_type"), col("l_ts"),
+      col("r_id"), col("r_type"), col("r_ts")
+    )
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(n: Long, first: Long, last: Long)

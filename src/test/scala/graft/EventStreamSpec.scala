@@ -135,4 +135,36 @@ class EventStreamSpec extends AnyFunSuite {
       ))
     } finally q.stop()
   }
+
+  test("stream-stream interval join correlates same-user events within the bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, epochS: Long, typ: String)
+        : (Long, java.sql.Timestamp, Long, String, Double, String) =
+      (id, new java.sql.Timestamp(epochS * 1000), uid, typ, 1.0, "{}")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val joined = EventStream.correlate(
+      clicks.toDF().toDF(cols: _*),
+      buys.toDF().toDF(cols: _*),
+      withinSeconds = 1800
+    )
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("corr_out").start()
+    try {
+      clicks.addData(ev(1, 7, 1000, "click"), ev(2, 8, 1000, "click"))
+      buys.addData(
+        ev(10, 7, 1900, "buy"), // user 7, 900s after: match
+        ev(11, 7, 5000, "buy"), // user 7, 4000s after: outside bound
+        ev(12, 9, 1100, "buy"), // user 9: no click
+        ev(13, 8, 900, "buy")   // user 8 but BEFORE the click: no match
+      )
+      q.processAllAvailable()
+      val got = spark.table("corr_out")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.{Failure, Success}
-import graft.operators.{InputTooBig, ParallelMap, UdfFailure}
+import graft.operators.{InputTooBig, NestedUdfFailure, ParallelMap, UdfFailure}
 
 /** Behavioral spec for the parallel-map layer, ported from the reference's
   * client contract tests (client/tests/test_rpm_core.py,
@@ -253,5 +253,37 @@ class ParallelMapSpec extends AnyFunSuite {
       x
     }
     assert(out.sorted == (0 until 40))
+  }
+
+  test("nested map: fan-out then inner map in one plan (test_nested_rpm.py analog)") {
+    // input i fans out to i copies of i; inner stage multiplies by 10
+    val out = ParallelMap.runNested(spark, Seq(1, 2, 3))(i => Seq.fill(i)(i))(_ * 10)
+    assert(out.sorted == Seq(10, 20, 20, 30, 30, 30))
+  }
+
+  test("nested map: empty inputs and empty fan-outs short-circuit") {
+    assert(ParallelMap.runNested(null, Seq.empty[Int])(Seq(_))(identity[Int]) == Nil)
+    assert(ParallelMap.runNested(spark, Seq(1, 2))(_ => Seq.empty[Int])(identity) == Nil)
+  }
+
+  test("nested map: inner error carries two-level attribution") {
+    val e = intercept[NestedUdfFailure] {
+      ParallelMap.runNested(spark, Seq(10, 20))(i => Seq(i, i + 1)) { j =>
+        if (j == 21) throw new IllegalArgumentException("bad inner"); j
+      }
+    }
+    assert(e.outerIndex == 1L) // input 20 produced the failing inner input
+    assert(e.innerIndex == 1L) // its second fan-out element (21)
+    assert(e.getCause.isInstanceOf[IllegalArgumentException])
+  }
+
+  test("nested map: fan-out error attributes the outer input with innerIndex -1") {
+    val e = intercept[NestedUdfFailure] {
+      ParallelMap.runNested(spark, Seq(1, 2, 3)) { i =>
+        if (i == 3) throw new IllegalStateException("bad fanout"); Seq(i)
+      }(identity[Int])
+    }
+    assert(e.outerIndex == 2L && e.innerIndex == -1L)
+    assert(e.getMessage.contains("fan-out stage"))
   }
 }
