@@ -141,6 +141,14 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)
 
+  /** Connected components over an undirected edge list (Hash-Min label
+    * propagation; see operators/ConnectedComponents) — the cluster-
+    * canonicalization step after near-dup pair generation. Returns
+    * (id, comp) with comp = min reachable id. */
+  def connectedComponents(
+      edges: DataFrame, src: String, dst: String, maxIter: Int = 25): DataFrame =
+    graft.operators.ConnectedComponents.components(edges, src, dst, maxIter)
+
   /** collect_set with a hard per-key size bound: overflowing keys emit
     * empty instead of growing an unbounded buffer on one reducer — the
     * skew-proof way to build capped postings/membership lists at scale

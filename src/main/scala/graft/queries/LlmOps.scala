@@ -660,7 +660,8 @@ object LlmOps {
     "e07_ann_ivf_recall",
     Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
   ) { (s, d) =>
-    val exact = e01.run(s, d).select(col("qid"), col("vid"))
+    // cached for the same double-reference reason as e05
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
     val hits = exact
       .join(approx, Seq("qid", "vid"))
@@ -713,7 +714,10 @@ object LlmOps {
     "e05_ann_recall",
     Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
   ) { (s, d) =>
-    val exact = e01.run(s, d).select(col("qid"), col("vid"))
+    // cached: `exact` feeds both the hit join and the per-query k counts —
+    // without it the entire e01 pipeline (broadcast scan + two-stage
+    // rescore) executes twice inside this one gate (measured ~2x)
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
     val hits = exact
       .join(approx, Seq("qid", "vid"))

@@ -6,25 +6,53 @@ import graft.operators.Multimodal
 
 /** Multimodal pipeline stages surfaced as registry queries. The decode
   * kernels are deterministic stubs (no codecs in this environment — see
-  * operators/Multimodal), so these are rows-only checks: they prove the
-  * binary-column plumbing executes through the driver's gate, while
-  * MultimodalSpec pins the determinism and schema contracts.
+  * operators/Multimodal), so stub-DERIVED values (pixel dims, feature
+  * floats) can't be recomputed by the oracle; instead every stage emits
+  * deterministic assertion columns over the stub's CONTRACT (row
+  * membership, kind routing, dims/dim/range bounds) that DuckDB pins
+  * row-by-row — the e08/q28 gating pattern — while MultimodalSpec pins
+  * the exact values' determinism and schema contracts.
   */
 object MMOps {
 
-  val m01 = Q("m01_media_decode", None) { (s, d) =>
+  /** Decode-stage gate: which rows decode (image rows = doc_id%3==0),
+    * with dims inside the stub's documented [64, 576) envelope and
+    * channels fixed — hash-checked per row. */
+  val m01 = Q(
+    "m01_media_decode",
+    Some("""
+      SELECT doc_id AS media_id, TRUE AS dims_ok,
+             CAST(3 AS INTEGER) AS channels, TRUE AS ok
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")
+  ) { (s, d) =>
     Multimodal
       .decodeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
       .toDF()
+      .select(
+        col("media_id"),
+        (col("width").between(64, 575) && col("height").between(64, 575))
+          .as("dims_ok"),
+        col("channels"),
+        col("ok")
+      )
       .orderBy("media_id")
   }
 
-  val m02 = Q("m02_media_features", None) { (s, d) =>
+  /** Feature-stage gate: every media row gets a dim-16 pseudo-embedding
+    * with all elements in the stub's [-0.5, 0.5) range. */
+  val m02 = Q(
+    "m02_media_features",
+    Some("""
+      SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS dim, TRUE AS range_ok
+      FROM documents ORDER BY media_id""")
+  ) { (s, d) =>
     import s.implicits._
     Multimodal
       .extractFeatures(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), dim = 16)
-      .map(f => (f.media_id, f.feature.length, f.feature.sum.toDouble))
-      .toDF("media_id", "dim", "feature_sum")
+      .map(f =>
+        (f.media_id, f.feature.length, f.feature.forall(x => x >= -0.5f && x < 0.5f))
+      )
+      .toDF("media_id", "dim", "range_ok")
       .orderBy("media_id")
   }
 
