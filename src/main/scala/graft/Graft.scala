@@ -141,6 +141,18 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)
 
+  /** Deterministic content-hash sampling (functions.Sampling): membership
+    * depends only on key hash + salt — reproducible on any run, cluster
+    * size, or engine; nested fractions with the same salt are subsets. */
+  def hashSample(df: DataFrame, key: org.apache.spark.sql.Column, fraction: Double,
+      salt: String = "s0"): DataFrame =
+    graft.functions.Sampling.hashSample(df, key, fraction, salt)
+
+  def hashSampleStratified(df: DataFrame, key: org.apache.spark.sql.Column,
+      stratum: org.apache.spark.sql.Column, fractions: Map[String, Double],
+      defaultFraction: Double = 0.0, salt: String = "s0"): DataFrame =
+    graft.functions.Sampling.hashSampleStratified(df, key, stratum, fractions, defaultFraction, salt)
+
   /** Connected components over an undirected edge list (Hash-Min label
     * propagation; see operators/ConnectedComponents) — the cluster-
     * canonicalization step after near-dup pair generation. Returns

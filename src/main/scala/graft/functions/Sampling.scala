@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducible way to
+  * down-sample a corpus: membership depends only on the row's key (and an
+  * explicit salt), so the same sample comes out on every run, any cluster
+  * size, any row order, and any engine — unlike `df.sample()`, whose
+  * membership depends on seed + partitioning. Reproducible subsets are
+  * what make ablations and decontamination audits possible on a 100 TB
+  * corpus, and a changed salt yields an independent resample.
+  *
+  * Mechanics: keep a row iff the first 8 hex chars of md5(salt|key)
+  * compare lexicographically below floor(fraction * 16^8) rendered as
+  * 8 lowercase hex digits. Same-length lowercase hex compares identically
+  * to the numeric value, in Spark, DuckDB, or any engine with md5 — no
+  * integer-conversion dialect differences to reconcile. Pure projection +
+  * filter: pushes to the scan, no shuffle.
+  */
+object Sampling {
+
+  /** floor(fraction * 2^32) as 8 lowercase hex digits. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+  }
+
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + "|"), key.cast("string"))), 1, 8)
+
+  /** SQL twin of the membership predicate (DuckDB). */
+  def predicateSql(keyExpr: String, fraction: Double, salt: String): String =
+    s"substr(md5('$salt|' || CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(fraction)}'"
+
+  /** Uniform deterministic sample: keep ~fraction of rows by key hash. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = "s0"): DataFrame =
+    df.filter(bucket(key, salt) < lit(thresholdHex(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions (strata absent
+    * from the map fall back to `defaultFraction`). The per-key hash is
+    * shared across strata, so changing one stratum's rate never changes
+    * which rows other strata keep. */
+  def hashSampleStratified(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "s0"
+  ): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (k, f)) => when(stratum === k, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < threshold)
+  }
+}

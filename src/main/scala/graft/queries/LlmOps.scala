@@ -1209,7 +1209,35 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Deterministic stratified corpus sample (functions.Sampling): keep 20%
+    * of English docs and 50% of every other language, membership decided
+    * by content hash — the reproducible down-sampling step (ablations,
+    * decontamination audits) a 100 TB corpus build needs; df.sample()
+    * can't hash-match an oracle because its membership depends on seed +
+    * partitioning. Pure filter: pushes to the scan, no shuffle. */
+  val t12 = Q(
+    "t12_corpus_sample",
+    Some(s"""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE CASE WHEN lang = 'en'
+        THEN ${graft.functions.Sampling.predicateSql("text", 0.2, "smp1")}
+        ELSE ${graft.functions.Sampling.predicateSql("text", 0.5, "smp1")} END
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    graft.functions.Sampling
+      .hashSampleStratified(
+        Tables.documents(s, d),
+        key = col("text"),
+        stratum = col("lang"),
+        fractions = Map("en" -> 0.2),
+        defaultFraction = 0.5,
+        salt = "smp1"
+      )
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, e01, e02, e03, e04, e05, e06, e07, e08,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

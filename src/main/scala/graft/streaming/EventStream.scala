@@ -127,6 +127,25 @@ object EventStream {
     )
   }
 
+  /** Parquet sink with exactly-once delivery: the file sink's commit
+    * manifest records which files belong to each epoch, and the checkpoint
+    * stores source offsets — so a crashed/restarted query resumes from the
+    * last committed epoch without losing or duplicating rows (readers see
+    * only manifest-committed files). This pairing (checkpointLocation +
+    * file sink) is the durable landing zone of a streaming ingest pipeline;
+    * EventStreamSpec proves the restart semantics. */
+  def sinkParquet(
+      df: DataFrame,
+      path: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(n: Long, first: Long, last: Long)

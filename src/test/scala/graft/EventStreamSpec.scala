@@ -167,4 +167,26 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got == Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("parquet sink restart from checkpoint: no loss, no duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ckpt").toString
+    val src = MemoryStream[Long]
+    src.addData(1L, 2L, 3L)
+    val q1 = EventStream.sinkParquet(src.toDF().toDF("v"), out, ckpt)
+    try q1.processAllAvailable()
+    finally q1.stop()
+    // new data arrives while the query is DOWN; the restart must pick up
+    // after the committed offsets — batch 0 is not reprocessed
+    src.addData(4L, 5L, 6L)
+    val q2 = EventStream.sinkParquet(src.toDF().toDF("v"), out, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val vs = spark.read.parquet(out).select("v").as[Long].collect().toSeq
+    assert(vs.sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"restart lost or duplicated rows: $vs")
+  }
 }

@@ -42,4 +42,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // LocalTableScan; the embeddings themselves must come from parquet
     assert(p.contains("Scan parquet"), p)
   }
+
+  test("t09/t11: document scans read only the columns the query needs") {
+    for (q <- Seq("t09_text_repetition", "t11_ngram_freq")) {
+      val p = plan(q)
+      assert(!p.contains("lang") && !p.contains("source"),
+        s"$q scans metadata columns it never uses:\n$p")
+    }
+  }
+
+  test("t12: the sampling predicate pushes down to the scan as a filter") {
+    val p = plan("t12_corpus_sample")
+    // membership is a pure row predicate evaluated in the scan stage: the
+    // only exchange allowed is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), s"sampling plan shuffles:\n$p")
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("t10: clean/redact is a pure projection pipeline (no shuffle)") {
+    val p = plan("t10_text_clean")
+    assert(!p.contains("Exchange hashpartitioning"), s"t10 shuffles:\n$p")
+  }
 }
