@@ -47,6 +47,8 @@ object ConnectedComponents {
       dst: String,
       maxIter: Int = 25
   ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym0 = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
     val und = sym0.union(sym0.select(col("v").as("u"), col("u").as("v"))).cache()
     var labels = und
@@ -54,6 +56,13 @@ object ConnectedComponents {
       .distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // The fixpoint test rides the SAME job that materializes the next
+    // labels (an accumulator counting label decreases inside the map),
+    // instead of a separate compare-join job per round — halves the jobs
+    // in the loop. Task retries can only over-count (at-least-once), so a
+    // spurious non-zero costs one extra round but can never terminate the
+    // loop early with wrong labels.
+    val changed = spark.sparkContext.longAccumulator("cc-changed")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -61,17 +70,20 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("vcomp").as("nbr"))
+      changed.reset()
       val next = labels
         .join(nbrMin, "id")
-        .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
-        .localCheckpoint()
-      // fixpoint test: any label still shrinking? (labels only decrease)
-      converged = next
-        .select(col("id"), col("comp").as("nc"))
-        .join(labels, "id")
-        .filter(col("nc") =!= col("comp"))
-        .isEmpty
+        .select(col("id"), col("comp"), col("nbr"))
+        .as[(Long, Long, Long)]
+        .map { case (id, comp, nbr) =>
+          val nc = math.min(comp, nbr)
+          if (nc < comp) changed.add(1L)
+          (id, nc)
+        }
+        .toDF("id", "comp")
+        .localCheckpoint() // materializes eagerly => accumulator is final
       labels = next
+      converged = changed.value == 0L
       iter += 1
     }
     und.unpersist()

@@ -239,6 +239,49 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
+    * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
+    * i.e. eval documents with a near-duplicate in training data. This is
+    * the audit an LLM corpus runs before training (leaked eval examples
+    * inflate benchmarks); the output is the leak list a curation pass
+    * would drop. Composes two oracle-verified subplans: pair generation is
+    * linear (LSH banding), the split tag is a pure projection, and the two
+    * tag joins are broadcast-sized at any corpus scale only if the doc->
+    * split map is small — here it's a column derived in-plan, so the tags
+    * ride the pair rows with no extra join at all. */
+  val d07 = Q(
+    "d07_split_leakage",
+    Some(s"""
+      WITH $minhashPairCtes,
+      sp AS (SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                    ELSE 'train' END AS split
+             FROM documents)
+      SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b
+      FROM mh_pairs p
+      JOIN sp sa ON p.doc_a = sa.doc_id
+      JOIN sp sb ON p.doc_b = sb.doc_id
+      WHERE sa.split <> sb.split
+      ORDER BY doc_a, doc_b""")
+  ) { (s, d) =>
+    def splitOf(idCol: Column): Column = {
+      val nib = substring(md5(idCol.cast("string")), 1, 1)
+      when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train")
+    }
+    minhashPairs(s, d)
+      .select(
+        col("doc_a"),
+        splitOf(col("doc_a")).as("split_a"),
+        col("doc_b"),
+        splitOf(col("doc_b")).as("split_b")
+      )
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Document-frequency cap for d03's inverted index: a shingle shared by
     * more than this many documents is a "stop shingle" (boilerplate, not
     * signal) and is dropped from the Jaccard universe — bounding the
@@ -1238,6 +1281,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, e01, e02, e03, e04, e05, e06, e07, e08,
+    Seq(d01, d02, d03, d04, d05, d06, d07, e01, e02, e03, e04, e05, e06, e07, e08,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -138,4 +138,36 @@ class PropertySpec extends AnyFunSuite {
       assert(out.map(_._1).sorted == xs.indices.map(_.toLong))
     }
   }
+
+  test("property: connected components match driver-side union-find") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 60) // edges over a sparse id space => mixed shapes
+      edges <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))
+    } yield edges
+    forAllN(gen, n = 6) { edges =>
+      // oracle: textbook union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id canonical labels from the union-find forest
+      val want = {
+        val byRoot = nodes.groupBy(find)
+        nodes.map(v => v -> byRoot(find(v)).min).toMap
+      }
+      val got = graft.operators.ConnectedComponents
+        .components(edges.toDF("a", "b"), "a", "b")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
 }
