@@ -1022,9 +1022,84 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Explicit GROUPING SETS (beyond q11's rollup / q21's cube): the four
+    * named aggregation levels in one pass. Subtotal rows are tagged via
+    * COALESCE placeholders rather than grouping_id() — the columns are
+    * never NULL in data, and bit order of grouping_id differs between
+    * engines while the placeholder text cannot. */
+  val q41 = Q(
+    "q41_grouping_sets",
+    Some("""
+      SELECT COALESCE(lang, '<all>') AS lang_g,
+             COALESCE(source, '<all>') AS source_g,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+      FROM documents
+      GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+      ORDER BY lang_g, source_g""")
+  ) { (s, d) =>
+    Tables
+      .documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"),
+        col("source")
+      )
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      .select(
+        coalesce(col("lang"), lit("<all>")).as("lang_g"),
+        coalesce(col("source"), lit("<all>")).as("source_g"),
+        col("n_docs"),
+        col("chars_sum")
+      )
+      .orderBy("lang_g", "source_g")
+  }
+
+  /** Trailing-90-day revenue per customer via a RANGE window frame over a
+    * day number — the time-decayed trailing aggregate (rolling spend,
+    * rate limits) that a ROWS frame gets WRONG whenever the partition has
+    * gaps or same-day peers: RANGE includes all peers of the current day
+    * and exactly the preceding 89 days, row count be damned. The frame
+    * key is an integer day offset so both engines share frame semantics
+    * exactly; the sum is decimal-exact (Parity). */
+  val q42 = Q(
+    "q42_trailing_window",
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+                   o_totalprice
+                 FROM orders)
+      SELECT o_orderkey, o_custkey, CAST(day AS INTEGER) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS trailing_90d
+      FROM o ORDER BY o_custkey, day, o_orderkey""")
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("day")
+      .rangeBetween(-89, Window.currentRow)
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+        col("o_totalprice")
+      )
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("day"),
+        sum(dec(col("o_totalprice"), 2)).over(w).cast("double").as("trailing_90d")
+      )
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42
   )
 }
