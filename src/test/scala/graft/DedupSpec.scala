@@ -61,4 +61,54 @@ class DedupSpec extends AnyFunSuite {
       "key exactly at the bound keeps its complete set")
     assert(sets("q") == Set(1L, 2L, 3L), "duplicates dedup below the bound")
   }
+
+  test("simhash16 kernel matches the exploded grouped-sum reference formulation") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // adversarial shapes: empty doc, whitespace-only, repeated tokens
+    // (occurrence weighting, not distinct), unicode, single token
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""),
+      (2L, "   "),
+      (3L, "a a a a b"),
+      (4L, "日本語 テスト 日本語"),
+      (5L, "solo")
+    ) ++ (6L until 60L).map(i => (i, s"token$i shared words appear here ${i % 7}"))
+    val df = docs.toDF("doc_id", "text")
+
+    val compiled = df
+      .select(col("doc_id"),
+        expr("simhash16(array_remove(split(lower(text), ' '), ''))").as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+    // the pre-round-3 formulation, kept as the semantic oracle
+    val tok = df
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 16).map(i =>
+      sum(when(substring(col("h"), i + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"s$i"))
+    val fp = (0 until 16)
+      .map(i => when(col(s"s$i") > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val reference = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.cast("int").as("simhash"))
+
+    val got = compiled.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = reference.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    assert(!got.contains(1L) && !got.contains(2L), "token-less docs must drop")
+
+    // interpreted eval path (codegen fallback) agrees with codegen
+    val interp = graft.functions.TextKernels.simhash16(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(interp == want(0L))
+    assert(graft.functions.TextKernels.simhash16(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])) == -1)
+  }
 }

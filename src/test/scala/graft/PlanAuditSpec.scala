@@ -59,6 +59,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("d04: simhash fingerprints are a narrow projection (no hash shuffle)") {
+    val p = plan("d04_dedup_simhash")
+    // the one-pass compiled kernel computes the fingerprint in the scan
+    // stage; the only exchange allowed is the output ORDER BY's range
+    // partitioning — a hash exchange would mean the explode + grouped-sum
+    // formulation crept back in
+    assert(!p.contains("Exchange hashpartitioning"), s"d04 shuffles:\n$p")
+    assert(p.toLowerCase.contains("simhash16"), p)
+  }
+
   test("t10: clean/redact is a pure projection pipeline (no shuffle)") {
     val p = plan("t10_text_clean")
     assert(!p.contains("Exchange hashpartitioning"), s"t10 shuffles:\n$p")
