@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr}
+import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, SimHash16Expr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ""
         ),
         exprs => Int8MaxErrRatioExpr(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash16"),
+        new ExpressionInfo(
+          classOf[SimHash16Expr].getCanonicalName,
+          null,
+          "simhash16",
+          "simhash16(tokens) - 16-bit SimHash fingerprint of an array<string> of tokens",
+          ""
+        ),
+        exprs => SimHash16Expr(exprs(0))
       )
     )
   }

@@ -21,6 +21,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `documents` contract: `doc_id` is UNIQUE (one row per document).
+    * Per-row kernels (d04's SimHash projection, t01-t05 text stats) and
+    * their GROUP BY doc_id oracle twins are only equivalent under this
+    * invariant; `QueriesSmokeSpec` asserts it against the testdata. A
+    * corpus with duplicate doc_id rows must be deduplicated upstream
+    * (d01 exact dedup is the tool) before these operators apply. */
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -384,8 +384,12 @@ object LlmOps {
         GROUP BY doc_id)"""
   }
 
-  /** SimHash document fingerprint (16-bit here; 64/128 at scale): one
-    * explode + one grouped sum — fully linear and shuffle-light. */
+  /** SimHash document fingerprint (16-bit here; 64/128 at scale): a
+    * one-pass compiled per-row projection (SimHash16Expr) straight out of
+    * the scan — ZERO shuffle, map-only at any corpus size. Relies on the
+    * documents contract that doc_id is unique (Tables.documents): the
+    * per-row kernel and the GROUP BY doc_id oracle merge tokens
+    * identically only when each doc_id is a single row. */
   val d04 = Q(
     "d04_dedup_simhash",
     Some(s"""

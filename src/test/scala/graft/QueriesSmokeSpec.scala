@@ -28,4 +28,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("documents contract: doc_id is unique (Tables.documents invariant)") {
+    // Per-row kernels (d04 simhash, t01-t05) and their GROUP BY doc_id
+    // oracles are equivalent only under this invariant.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    assert(docs.count() === docs.select("doc_id").distinct().count())
+  }
 }

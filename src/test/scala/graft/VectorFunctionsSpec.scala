@@ -48,6 +48,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the full compiled-kernel surface (SQL path)") {
+    // newSession() rebuilds session state from the injected extensions with
+    // a CLEAN function registry — no VectorFunctions.register pollution from
+    // other specs — so this pins what a spark-submit session configured with
+    // spark.sql.extensions=graft.GraftExtensions actually gets.
+    val fresh = spark.newSession()
+    for (fn <- Seq("cosine_similarity", "int8_max_err_ratio", "simhash16"))
+      assert(
+        fresh.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
+        s"$fn missing from extension-built session"
+      )
+    assert(!fresh.sql("SELECT simhash16(array('a','b')) AS h").collect().head.isNullAt(0))
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val df = spark.sql("SELECT cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS c")
