@@ -1292,7 +1292,94 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // ---- corpus relevance scoring (BM25) ----
+
+  private val bm25Terms = Seq("spark", "query", "window")
+  // Okapi BM25 constants; k1=1.2, b=0.75 are the standard defaults. The
+  // tf-saturation weight is algebraically cleared of fractions:
+  //   w = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))   with avgdl = sl/n
+  //     = 22*tf*sl / (10*tf*sl + 3*sl + 9*dl*n)        (x10 numerator+denom)
+  // so both operands of the one double division are EXACT integers (< 2^53
+  // at any realistic per-doc token count) — the quotient is correctly
+  // rounded IEEE, bit-identical across engines. The idf's ln() runs on
+  // identical doubles in both engines (inputs are exact small rationals);
+  // per-term scores are quantized to DECIMAL(28,12) and summed exactly, so
+  // the per-doc total is order-independent (cluster-safe AND oracle-safe).
+
+  /** Okapi BM25 relevance scoring of the corpus against a query term set —
+    * the retrieval/quality-weighting primitive of a training-data pipeline
+    * (used for quality-classifier pre-ranking and targeted corpus slices).
+    *
+    * Scale: two linear passes over the corpus (one for the doc-length
+    * table, one for term frequencies filtered to the query terms), with
+    * corpus-wide stats (N, total length) and the per-term document
+    * frequencies broadcast as 1-row / |terms|-row dimensions. The final
+    * top-k is a TakeOrderedAndProject (partial per-partition top-k, no
+    * global sort). At 100 TB the doc-length table is the only reused
+    * intermediate — materialize it once per corpus build. */
+  val t13 = Q(
+    "t13_bm25",
+    Some {
+      val termsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t),
+      g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sl, COUNT(*) AS n FROM l),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, UNNEST(t) AS tok FROM t)
+             WHERE tok IN ($termsSql) GROUP BY doc_id, tok),
+      df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      s AS (SELECT tf.doc_id,
+              CAST(
+                ln((CAST(g.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(22 * tf.tf * g.sl AS DOUBLE)
+                   / CAST(10 * tf.tf * g.sl + 3 * g.sl + 9 * l.dl * g.n AS DOUBLE))
+                AS DECIMAL(28,12)) AS sc
+            FROM tf JOIN l USING (doc_id) JOIN df USING (tok) CROSS JOIN g)
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             CAST(SUM(sc) AS DOUBLE) AS bm25
+      FROM s GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50"""
+    }
+  ) { (s, d) =>
+    // (doc_id, dl) is the one reused intermediate: tiny (two longs/doc),
+    // cached so the tokenizer runs exactly twice (lengths + term counts),
+    // not once per consumer.
+    val lens = Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+      .cache()
+    val g = lens.agg(sum(col("dl")).as("sl"), count(lit(1)).as("n"))
+    val tf = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(
+      ((col("n") - col("df")).cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0
+    )
+    val w = (lit(22L) * col("tf") * col("sl")).cast("double") /
+      (lit(10L) * col("tf") * col("sl") + lit(3L) * col("sl") +
+        lit(9L) * col("dl") * col("n")).cast("double")
+    tf.join(lens, "doc_id")
+      .join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), (idf * w).cast(dec28).as("sc"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_terms"),
+        // decimal→double at the end is exact: the summed unscaled value
+        // stays far under 2^53 (score ~O(1) per term, 3 terms)
+        sum(col("sc")).cast("double").as("bm25")
+      )
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, e01, e02, e03, e04, e05, e06, e07, e08,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
