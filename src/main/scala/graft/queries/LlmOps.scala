@@ -444,6 +444,26 @@ object LlmOps {
     * second shuffle). Input: (doc_id, simhash). Output: (doc_a, doc_b,
     * hamming), doc_a < doc_b, unordered. Property-tested against the
     * brute-force all-pairs scan in PropertySpec. */
+  /** Bits [b*bBits, (b+1)*bBits) of a fingerprint as the band-b bucket
+    * value. Long arithmetic: an Int mask silently becomes 0 at
+    * bBits >= 32 (Scala shifts mod 32), which would collapse every band
+    * to bucket 0 and degrade the join to the all-pairs scan the band
+    * trick replaces. */
+  private def bandValue(c: Column, b: Int, bBits: Int): Column =
+    shiftright(c, b * bBits).bitwiseAND(lit((1L << bBits) - 1))
+
+  /** (doc_id, simhash, b, bv): each fingerprint exploded into its bit-band
+    * bucket rows — the shared candidate-generation step of the self-join
+    * (d05) and the cross-set incremental form (d08). */
+  private[graft] def simhashBandsDf(fps: DataFrame, bBits: Int, nBands: Int): DataFrame =
+    fps.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("b"), bandValue(col("simhash"), b, bBits).as("bv"))
+      }: _*)).as("band")
+    ).select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bv").as("bv"))
+
   private[graft] def simhashBandPairs(
       fps: DataFrame,
       bits: Int,
@@ -453,19 +473,8 @@ object LlmOps {
     require(bits % nBands == 0, s"$bits bits must split evenly into $nBands bands")
     val bBits = bits / nBands
     require(bBits < 64, "band width must fit a Long")
-    // Long arithmetic: an Int mask silently becomes 0 at bBits >= 32
-    // (Scala shifts mod 32), which would collapse every band to bucket 0
-    // and degrade the join to the all-pairs scan this operator replaces
-    val mask = (1L << bBits) - 1
-    def bandVal(c: Column, b: Int): Column =
-      shiftright(c, b * bBits).bitwiseAND(lit(mask))
-    val bands = fps.select(
-      col("doc_id"),
-      col("simhash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("b"), bandVal(col("simhash"), b).as("bv"))
-      }: _*)).as("band")
-    ).select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bv").as("bv"))
+    val bands = simhashBandsDf(fps, bBits, nBands)
+    def bandVal(c: Column, b: Int): Column = bandValue(c, b, bBits)
     val noEarlierBandMatch = (0 until nBands).map { bp =>
       (col("x.b") <= bp) ||
         (bandVal(col("x.simhash"), bp) =!= bandVal(col("y.simhash"), bp))
@@ -484,6 +493,82 @@ object LlmOps {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming")
       )
       .filter(col("hamming") <= radius)
+  }
+
+  /** Incremental dedup: a NEW BATCH of documents deduplicated against the
+    * EXISTING CORPUS — the shape every production ingest runs (the corpus
+    * is already deduped; only batch-vs-corpus comparisons are needed, not
+    * a full self-join). Batch membership is a deterministic md5 split
+    * (~1/8 of docs) so the oracle can reproduce it. A batch doc is
+    * flagged `dup_exact` when a corpus doc has identical text (one
+    * equi-join on the 128-bit content hash) and `dup_near` when a corpus
+    * doc is within SimHash Hamming radius 3 (bit-band bucketed CROSS-SET
+    * join — same pigeonhole-exact candidate generation as d05, but
+    * batch-bands against corpus-bands only, so the join cost is
+    * |batch| x bucket-density, independent of corpus self-pairs).
+    * `keep` is the admission verdict. At 100 TB: the corpus band table
+    * and content-hash table are precomputed artifacts maintained across
+    * ingests; each batch joins against them, linear in batch size. */
+  val d08 = Q(
+    "d08_incremental_dedup",
+    Some(s"""
+      WITH f AS ($simhashSql),
+      tagged AS (SELECT doc_id, text,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_batch
+                 FROM documents),
+      ct AS (SELECT DISTINCT md5(text) AS th FROM tagged WHERE NOT is_batch),
+      fb AS (SELECT f.doc_id, t.is_batch, f.simhash FROM f JOIN tagged t USING (doc_id)),
+      near AS (SELECT DISTINCT a.doc_id
+               FROM fb a JOIN fb b
+                 ON a.is_batch AND NOT b.is_batch
+                AND bit_count(xor(a.simhash, b.simhash)) <= $hammingRadius)
+      SELECT t.doc_id,
+             EXISTS(SELECT 1 FROM ct WHERE ct.th = md5(t.text)) AS dup_exact,
+             EXISTS(SELECT 1 FROM near WHERE near.doc_id = t.doc_id) AS dup_near,
+             NOT (EXISTS(SELECT 1 FROM ct WHERE ct.th = md5(t.text))
+                  OR EXISTS(SELECT 1 FROM near WHERE near.doc_id = t.doc_id)) AS keep
+      FROM tagged t WHERE t.is_batch ORDER BY doc_id""")
+  ) { (s, d) =>
+    val bBits = simhashBits / (hammingRadius + 1)
+    val tagged = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_batch")
+      )
+    val corpusTh =
+      tagged.filter(!col("is_batch")).select(md5(col("text")).as("cth")).distinct()
+    // fingerprints for both sides in ONE corpus pass, then band-exploded
+    // per side; token-less docs have no fingerprint and fall through to
+    // dup_near = false (exact-dup detection still sees them via text hash)
+    val fps = simhashFingerprints(s, d)
+      .join(tagged.select("doc_id", "is_batch"), "doc_id")
+      .cache()
+    val bBatch = simhashBandsDf(fps.filter(col("is_batch")), bBits, hammingRadius + 1)
+    val bCorp = simhashBandsDf(fps.filter(!col("is_batch")), bBits, hammingRadius + 1)
+    val nearIds = bBatch
+      .as("x")
+      .join(bCorp.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv"))
+      .filter(
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= hammingRadius
+      )
+      .select(col("x.doc_id"))
+      .distinct()
+      .withColumn("__near", lit(true))
+    tagged
+      .filter(col("is_batch"))
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .join(corpusTh.withColumn("__exact", lit(true)), col("th") === col("cth"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("dup_exact"),
+        coalesce(col("__near"), lit(false)).as("dup_near"),
+        (!(coalesce(col("__exact"), lit(false)) || coalesce(col("__near"), lit(false))))
+          .as("keep")
+      )
+      .orderBy("doc_id")
   }
 
   // ---- embedding similarity ----
@@ -1380,6 +1465,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, e01, e02, e03, e04, e05, e06, e07, e08,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, e01, e02, e03, e04, e05, e06, e07, e08,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
