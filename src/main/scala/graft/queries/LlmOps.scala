@@ -249,6 +249,20 @@ object LlmOps {
     * tag joins are broadcast-sized at any corpus scale only if the doc->
     * split map is small — here it's a column derived in-plan, so the tags
     * ride the pair rows with no extra join at all. */
+  /** Content-stable train/val/test tag from a doc id — the t06 split
+    * semantic as an in-plan projection (no join), shared by the
+    * decontamination audits d07/d09. Keep in lockstep with splitTagSql. */
+  private def splitOf(idCol: Column): Column = {
+    val nib = substring(md5(idCol.cast("string")), 1, 1)
+    when(nib.isin("c", "d"), "val")
+      .when(nib.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+  private val splitTagSql =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+            ELSE 'train' END"""
+
   val d07 = Q(
     "d07_split_leakage",
     Some(s"""
@@ -265,12 +279,6 @@ object LlmOps {
       WHERE sa.split <> sb.split
       ORDER BY doc_a, doc_b""")
   ) { (s, d) =>
-    def splitOf(idCol: Column): Column = {
-      val nib = substring(md5(idCol.cast("string")), 1, 1)
-      when(nib.isin("c", "d"), "val")
-        .when(nib.isin("e", "f"), "test")
-        .otherwise("train")
-    }
     minhashPairs(s, d)
       .select(
         col("doc_a"),
@@ -569,6 +577,58 @@ object LlmOps {
           .as("keep")
       )
       .orderBy("doc_id")
+  }
+
+  /** Eval-set n-gram decontamination: which TRAIN-split documents share
+    * word 3-gram shingles with the TEST split — the direct-overlap audit
+    * (the GPT-3-style n-gram decontamination method; published pipelines
+    * use 8-13-gram windows, same machinery) complementing d07's near-dup
+    * pair form. Per contaminated train doc: how many distinct shingles
+    * leak and how many eval docs are implicated — the report a curation
+    * pass uses to drop or clean training examples before a run.
+    *
+    * Scale: the shared-shingle inverted index join, bounded by the same
+    * document-frequency cap as d03 (a boilerplate shingle in >maxDf docs
+    * is noise, not contamination signal — and uncapped it would be the
+    * quadratic join key). Both aggregates are distinct-then-count (two
+    * clean map-side-combinable shuffles) instead of multi-COUNT(DISTINCT)
+    * in one groupBy, which would Expand-multiply the joined rows. */
+  val d09 = Q(
+    "d09_eval_decontam",
+    Some(s"""
+      WITH sh0 AS ($docShinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0
+             WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $jaccardMaxDf)),
+      sp AS (SELECT doc_id, $splitTagSql AS split FROM documents),
+      tr AS (SELECT s.doc_id, s.sh FROM sh s JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+      ev AS (SELECT s.doc_id AS eval_doc, s.sh FROM sh s JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+      j AS (SELECT tr.doc_id, tr.sh, ev.eval_doc FROM tr JOIN ev USING (sh)),
+      a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+            FROM (SELECT DISTINCT doc_id, sh FROM j) GROUP BY doc_id),
+      b AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_docs
+            FROM (SELECT DISTINCT doc_id, eval_doc FROM j) GROUP BY doc_id)
+      SELECT doc_id, a.n_shared_shingles, b.n_eval_docs
+      FROM a JOIN b USING (doc_id) ORDER BY doc_id""")
+  ) { (s, d) =>
+    val sh = cappedShingles(s, d, jaccardMaxDf).withColumn("split", splitOf(col("doc_id")))
+    val tr = sh.filter(col("split") === "train").select("doc_id", "sh")
+    val ev = sh
+      .filter(col("split") === "test")
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    // cached: the contamination rows feed both aggregates; without it the
+    // whole tokenize->shingle->cap->join subtree runs twice
+    val j = tr.join(ev, "sh").cache()
+    val a = j
+      .select("doc_id", "sh")
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    val b = j
+      .select("doc_id", "eval_doc")
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_docs"))
+    a.join(b, "doc_id").orderBy("doc_id")
   }
 
   // ---- embedding similarity ----
@@ -1465,6 +1525,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, e01, e02, e03, e04, e05, e06, e07, e08,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04, e05, e06, e07, e08,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
