@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, SimHash16Expr}
+import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, IntSqDistExpr, SimHash16Expr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ""
         ),
         exprs => Int8MaxErrRatioExpr(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("int_sqdist"),
+        new ExpressionInfo(
+          classOf[IntSqDistExpr].getCanonicalName,
+          null,
+          "int_sqdist",
+          "int_sqdist(a, b) - exact integer squared distance of two bigint arrays",
+          ""
+        ),
+        exprs => IntSqDistExpr(exprs(0), exprs(1))
       )
     )
     e.injectFunction(

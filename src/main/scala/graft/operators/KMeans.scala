@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Distributed Lloyd k-means over an embedding corpus, in EXACT
+  * fixed-point integer arithmetic — the clustering primitive of a
+  * training-data pipeline (semantic dedup blocks, data-mixing strata,
+  * IVF index training), built so that every assignment, centroid, and
+  * SSE is bit-identical on any cluster size AND reproducible by an
+  * independent engine (the DuckDB oracle of query e09).
+  *
+  * Number representation: each float32 component is widened to a
+  * fixed-point long at scale 7 (`x * 10^7`, exact for this data per the
+  * scale-6 decimal parity rule + one guard digit of centroid
+  * resolution). Distances are exact long sums of squared diffs
+  * (functions.IntSqDistExpr, compiled); centroids are truncated integer
+  * means (`S / n` in Java semantics — toward zero), so a centroid is
+  * within 1e-7 of the true mean, far below any clustering-relevant
+  * signal, and the whole fit is integer-deterministic: no float
+  * accumulation order anywhere.
+  *
+  * Scale shape (the 100 TB posture):
+  *   - the corpus is touched once per iteration with a COMPILED per-row
+  *     argmin (k fused int_sqdist calls + array_min — no join, no
+  *     shuffle for assignment);
+  *   - the update step is one posexplode + grouped long sum per
+  *     iteration (map-side combinable, k x dims result rows);
+  *   - centroids live on the driver between iterations — k x dims longs
+  *     of METADATA, independent of corpus size (the same move as
+  *     AnnIvf/AnnLsh's literal centroid/plane matrices);
+  *   - seeds are the k smallest md5(vec_id) rows: deterministic,
+  *     engine-independent, and a TakeOrdered (partial top-k), not a
+  *     global sort.
+  *
+  * Assignment ties break toward the smaller cluster id via the packed
+  * encoding `dist * k + cluster` minimized with array_min (dist
+  * dominates; cluster id decides ties) — one long per row carries both
+  * the assignment and its distance.
+  */
+object KMeans {
+
+  // Fixed-point scale: float32 -> long at 10^7, via an explicit DOUBLE
+  // intermediate — DuckDB casts FLOAT->DECIMAL in float arithmetic, which
+  // misrounds near half-boundaries (measured: dozens of off-by-one-ulp
+  // divergences at sf0.01); FLOAT->DOUBLE is exact in both engines and
+  // DOUBLE->DECIMAL(18,7) verified deviant-free on the embeddings data.
+
+  final case class Model(k: Int, centroids: IndexedSeq[Array[Long]]) {
+    /** Sum of |centroid component|s per cluster — the metadata checksum
+      * e09 emits so the oracle pins the centroids themselves, not just
+      * the memberships. */
+    def l1(c: Int): Long = centroids(c).map(math.abs).sum
+  }
+
+  /** (vec_id, x: array<bigint>) — the corpus in fixed-point. Cached by
+    * fit(); at 100 TB this is the materialize-once quantized corpus. */
+  private[graft] def fixedPoint(emb: DataFrame, embCol: String): DataFrame =
+    emb.select(
+      col("vec_id"),
+      expr(s"transform($embCol, v -> CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT))")
+        .as("x")
+    )
+
+  private def litLongArray(c: Array[Long]): String =
+    c.mkString("array(", "L, ", "L)")
+
+  /** packed = min over clusters of (int_sqdist(x, centroid_c) * k + c). */
+  private[graft] def packedAssignCol(model: Model): Column =
+    array_min(
+      array(model.centroids.zipWithIndex.map { case (c, i) =>
+        expr(s"int_sqdist(x, ${litLongArray(c)}) * ${model.k}L + ${i}L")
+      }: _*)
+    )
+
+  /** Fit `k` clusters with `iters` Lloyd updates from deterministic
+    * md5-ordered seeds. Returns the model; `assign` labels a corpus. */
+  def fit(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, <embCol>: array<float>
+      k: Int,
+      iters: Int,
+      embCol: String = "embedding"
+  ): Model = {
+    VectorFunctions.register(spark)
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val fp = fixedPoint(emb, embCol).cache()
+    val seeds = fp
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select("x")
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+      .toIndexedSeq
+    require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
+    var model = Model(seeds.length, seeds)
+    for (_ <- 0 until iters) {
+      // one corpus pass: compiled assignment, then per-(cluster, dim)
+      // exact long sums — k x dims rows back to the driver (metadata)
+      val sums = fp
+        .withColumn("c", (packedAssignCol(model) % model.k).cast("int"))
+        .select(col("c"), posexplode(col("x")))
+        .groupBy("c", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val next = model.centroids.zipWithIndex.map { case (old, c) =>
+        // a cluster that lost all members keeps its previous centroid
+        if (!sums.contains((c, 0))) old
+        else
+          old.indices.map { d =>
+            val (s, n) = sums((c, d))
+            s / n // Java long division truncates toward zero — the
+            // documented centroid semantic, mirrored in the oracle SQL
+          }.toArray
+      }
+      model = Model(model.k, next)
+    }
+    model
+  }
+
+  /** Corpus with `cluster` and exact integer `dist` columns (fixed-point
+    * squared distance to the assigned centroid). */
+  def assign(spark: SparkSession, emb: DataFrame, model: Model, embCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(spark)
+    fixedPoint(emb, embCol)
+      .withColumn("packed", packedAssignCol(model))
+      .select(
+        col("vec_id"),
+        (col("packed") % model.k).cast("int").as("cluster"),
+        expr(s"packed div ${model.k}").as("dist")
+      )
+  }
+}

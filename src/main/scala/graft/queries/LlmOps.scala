@@ -964,6 +964,83 @@ object LlmOps {
       .orderBy("label", "pos")
   }
 
+  /** DuckDB twin of operators.KMeans: the same fixed-point integer Lloyd
+    * iterations unrolled as CTEs — every assignment, centroid, and SSE is
+    * exact integer arithmetic in both engines, so the comparison is
+    * bit-for-bit, not tolerance-based. Chain: xx (fixed-point corpus) ->
+    * c0 (md5-ordered seeds) -> [aN (packed argmin assignment) -> cN
+    * (truncated integer means, empty clusters keep the old centroid)] x
+    * iters -> final assignment + per-cluster aggregates. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assignCte(cp: String, name: String) =
+      s"""$name AS (SELECT vec_id, MIN(dist * $k + c) AS packed FROM (
+            SELECT x.vec_id, cp.c, SUM((x.x - cp.cd) * (x.x - cp.cd)) AS dist
+            FROM xx x JOIN $cp cp ON x.pos = cp.pos GROUP BY x.vec_id, cp.c)
+          GROUP BY vec_id)"""
+    def updateCte(a: String, prev: String, name: String) =
+      s"""$name AS (SELECT p.c, p.pos,
+            COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                          ELSE -((-u.sm) // u.n) END, p.cd) AS cd
+          FROM $prev p LEFT JOIN (
+            SELECT CAST(asn.packed % $k AS INTEGER) AS c, x.pos,
+                   SUM(x.x) AS sm, COUNT(*) AS n
+            FROM $a asn JOIN xx x USING (vec_id) GROUP BY c, x.pos) u
+          ON u.c = p.c AND u.pos = p.pos)"""
+    val iterCtes = (1 to iters)
+      .map { i =>
+        assignCte(s"c${i - 1}", s"a$i") + ",\n      " +
+          updateCte(s"a$i", s"c${i - 1}", s"c$i")
+      }
+      .mkString(",\n      ")
+    s"""
+      WITH xx AS (SELECT vec_id, pos,
+                    CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT) AS x
+                  FROM ($flatSql)),
+      seeds AS (SELECT vec_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS c
+                FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+      c0 AS (SELECT s.c, x.pos, x.x AS cd FROM seeds s JOIN xx x ON x.vec_id = s.vec_id),
+      $iterCtes,
+      ${assignCte(s"c$iters", "afin")},
+      fin AS (SELECT vec_id, CAST(packed % $k AS INTEGER) AS cluster,
+                     packed // $k AS dist FROM afin),
+      agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+                     CAST(SUM(dist) AS BIGINT) AS sse
+              FROM fin GROUP BY cluster),
+      l1 AS (SELECT c AS cluster, CAST(SUM(ABS(cd)) AS BIGINT) AS centroid_l1
+             FROM c$iters GROUP BY c)
+      SELECT cluster, size, sse, centroid_l1
+      FROM agg JOIN l1 USING (cluster) ORDER BY cluster"""
+  }
+
+  /** Integer-exact k-means over the embedding corpus (operators.KMeans):
+    * per non-empty cluster its size, exact fixed-point SSE, and the
+    * centroid L1 checksum — the oracle pins memberships, dispersion, AND
+    * the centroids themselves across engines. k=8, 2 Lloyd rounds from
+    * md5-ordered seeds. */
+  val e09 = Q(
+    "e09_kmeans",
+    Some(kmeansOracleSql(8, 2))
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = graft.operators.KMeans.fit(s, emb, k = 8, iters = 2)
+    val l1 = {
+      import s.implicits._
+      model.centroids.indices.map(c => (c, model.l1(c))).toDF("cluster", "centroid_l1")
+    }
+    graft.operators.KMeans
+      .assign(s, emb, model)
+      .groupBy("cluster")
+      // sse in plain longs: per-point dist <= ~9e15 but the SUM of ~n/k
+      // nearest-centroid distances stays orders of magnitude below
+      // Long.Max at any tested tier (and the oracle's HUGEINT sum is
+      // cast to BIGINT, so an overflow would fail the gate, not hide)
+      .agg(count(lit(1)).as("size"), sum(col("dist")).as("sse"))
+      .join(broadcast(l1), "cluster")
+      .select("cluster", "size", "sse", "centroid_l1")
+      .orderBy("cluster")
+  }
+
   // ---- text analysis ----
 
   val t01 = Q(
@@ -1525,6 +1602,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04, e05, e06, e07, e08,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04, e05, e06, e07, e08, e09,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
