@@ -191,6 +191,18 @@ object Graft {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
     Multimodal.mediaFromDocuments(spark, docs)
 
+  /** Integer-exact distributed k-means (operators.KMeans): deterministic
+    * md5 seeds, compiled fixed-point assignment, bit-identical on any
+    * cluster size — the clustering primitive for semantic dedup blocks,
+    * data-mixing strata, and IVF index training. */
+  def kMeansFit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+      embCol: String = "embedding"): graft.operators.KMeans.Model =
+    graft.operators.KMeans.fit(spark, emb, k, iters, embCol)
+
+  def kMeansAssign(spark: SparkSession, emb: DataFrame,
+      model: graft.operators.KMeans.Model, embCol: String = "embedding"): DataFrame =
+    graft.operators.KMeans.assign(spark, emb, model, embCol)
+
   // ---- job status/history (the reference's dashboard tables) ----
 
   /** One row per ParallelMap job: id, mode, status, counts, timings. */
