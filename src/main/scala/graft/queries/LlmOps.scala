@@ -971,7 +971,16 @@ object LlmOps {
     * c0 (md5-ordered seeds) -> [aN (packed argmin assignment) -> cN
     * (truncated integer means, empty clusters keep the old centroid)] x
     * iters -> final assignment + per-cluster aggregates. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, iters)}
+      SELECT cluster, size, sse, centroid_l1
+      FROM agg JOIN l1 USING (cluster) ORDER BY cluster"""
+
+  /** The CTE chain shared by e09 (cluster summary) and d10 (semantic
+    * dedup): ends with `fin(vec_id, cluster, dist)`, `agg(cluster, size,
+    * sse)`, and `l1(cluster, centroid_l1)`. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def assignCte(cp: String, name: String) =
       s"""$name AS (SELECT vec_id, MIN(dist * $k + c) AS packed FROM (
             SELECT x.vec_id, cp.c, SUM((x.x - cp.cd) * (x.x - cp.cd)) AS dist
@@ -992,8 +1001,7 @@ object LlmOps {
           updateCte(s"a$i", s"c${i - 1}", s"c$i")
       }
       .mkString(",\n      ")
-    s"""
-      WITH xx AS (SELECT vec_id, pos,
+    s"""xx AS (SELECT vec_id, pos,
                     CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT) AS x
                   FROM ($flatSql)),
       seeds AS (SELECT vec_id,
@@ -1008,9 +1016,7 @@ object LlmOps {
                      CAST(SUM(dist) AS BIGINT) AS sse
               FROM fin GROUP BY cluster),
       l1 AS (SELECT c AS cluster, CAST(SUM(ABS(cd)) AS BIGINT) AS centroid_l1
-             FROM c$iters GROUP BY c)
-      SELECT cluster, size, sse, centroid_l1
-      FROM agg JOIN l1 USING (cluster) ORDER BY cluster"""
+             FROM c$iters GROUP BY c)"""
   }
 
   /** Integer-exact k-means over the embedding corpus (operators.KMeans):
@@ -1039,6 +1045,67 @@ object LlmOps {
       .join(broadcast(l1), "cluster")
       .select("cluster", "size", "sse", "centroid_l1")
       .orderBy("cluster")
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
+    * searched WITHIN k-means clusters only — cluster first, then compare
+    * pairs inside each cluster. Because the k-means assignment is
+    * integer-exact (operators.KMeans), the cluster memberships — and
+    * therefore exactly which pairs are compared — are bit-reproducible in
+    * the oracle, so this composite is fully hash-gated end to end.
+    *
+    * Scale: this is THE sub-quadratic exact-cosine path for corpus-level
+    * semantic dedup — O(sum of cluster_size^2) instead of O(n^2), with k
+    * chosen so clusters stay bounded (k ~ n/20000 in the published
+    * recipe). Candidates pass the compiled double-cosine prefilter; only
+    * survivors pay the exact-decimal rescore (e02's two-stage contract).
+    * A pathologically hot cluster would fall back to e02's triangle
+    * blocking within that cluster. */
+  val d10 = Q(
+    "d10_semantic_dedup",
+    Some(s"""
+      WITH ${kmeansCtes(8, 2)},
+      f AS ($flatSql),
+      n AS ($normsSql),
+      dot AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${dprodSql("a.v", "b.v")} AS dot
+              FROM f a JOIN f b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              JOIN fin fa ON fa.vec_id = a.vec_id
+              JOIN fin fb ON fb.vec_id = b.vec_id AND fa.cluster = fb.cluster
+              GROUP BY va, vb),
+      cos AS (SELECT va, vb,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+              FROM dot JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
+      SELECT fa.cluster, va, vb, cosine
+      FROM cos JOIN fin fa ON va = fa.vec_id
+      WHERE cosine >= 0.35 ORDER BY va, vb""")
+  ) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = graft.operators.KMeans.fit(s, emb, k = 8, iters = 2)
+    // cached: the labeled corpus feeds both sides of the within-cluster
+    // self-join — without it the scan + compiled assignment runs twice
+    val ea = emb
+      .join(graft.operators.KMeans.assign(s, emb, model).select("vec_id", "cluster"), "vec_id")
+      .cache()
+    val threshold = 0.35 - 1e-6 // prefilter margin >> fp error (e02 contract)
+    ea.as("a")
+      .join(
+        ea.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
+      )
+      .filter(expr("cosine_similarity(a.embedding, b.embedding)") >= threshold)
+      .select(
+        col("a.cluster").as("cluster"),
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        (dotArr(col("a.embedding"), col("b.embedding")).cast("double") /
+          (sqrt(dotArr(col("a.embedding"), col("a.embedding")).cast("double")) *
+            sqrt(dotArr(col("b.embedding"), col("b.embedding")).cast("double"))))
+          .as("cosine")
+      )
+      .filter(col("cosine") >= 0.35)
+      .orderBy("va", "vb")
   }
 
   // ---- text analysis ----
@@ -1602,6 +1669,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, e01, e02, e03, e04, e05, e06, e07, e08, e09,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
