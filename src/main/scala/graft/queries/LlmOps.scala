@@ -977,14 +977,22 @@ object LlmOps {
       SELECT cluster, size, sse, centroid_l1
       FROM agg JOIN l1 USING (cluster) ORDER BY cluster"""
 
-  /** The CTE chain shared by e09 (cluster summary) and d10 (semantic
-    * dedup): ends with `fin(vec_id, cluster, dist)`, `agg(cluster, size,
-    * sse)`, and `l1(cluster, centroid_l1)`. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** The CTE chain shared by e09 (cluster summary), d10 (semantic dedup),
+    * and e10 (product quantization, one chain per subspace via `pfx` +
+    * the dim range [posLo, posHi]): ends with `<pfx>fin(vec_id, cluster,
+    * dist)`, `<pfx>agg(cluster, size, sse)`, `<pfx>l1(cluster,
+    * centroid_l1)`. */
+  private def kmeansCtes(
+      k: Int,
+      iters: Int,
+      pfx: String = "",
+      posLo: Int = 1,
+      posHi: Int = Int.MaxValue
+  ): String = {
     def assignCte(cp: String, name: String) =
       s"""$name AS (SELECT vec_id, MIN(dist * $k + c) AS packed FROM (
             SELECT x.vec_id, cp.c, SUM((x.x - cp.cd) * (x.x - cp.cd)) AS dist
-            FROM xx x JOIN $cp cp ON x.pos = cp.pos GROUP BY x.vec_id, cp.c)
+            FROM ${pfx}xx x JOIN $cp cp ON x.pos = cp.pos GROUP BY x.vec_id, cp.c)
           GROUP BY vec_id)"""
     def updateCte(a: String, prev: String, name: String) =
       s"""$name AS (SELECT p.c, p.pos,
@@ -993,30 +1001,33 @@ object LlmOps {
           FROM $prev p LEFT JOIN (
             SELECT CAST(asn.packed % $k AS INTEGER) AS c, x.pos,
                    SUM(x.x) AS sm, COUNT(*) AS n
-            FROM $a asn JOIN xx x USING (vec_id) GROUP BY c, x.pos) u
+            FROM $a asn JOIN ${pfx}xx x USING (vec_id) GROUP BY c, x.pos) u
           ON u.c = p.c AND u.pos = p.pos)"""
     val iterCtes = (1 to iters)
       .map { i =>
-        assignCte(s"c${i - 1}", s"a$i") + ",\n      " +
-          updateCte(s"a$i", s"c${i - 1}", s"c$i")
+        assignCte(s"${pfx}c${i - 1}", s"${pfx}a$i") + ",\n      " +
+          updateCte(s"${pfx}a$i", s"${pfx}c${i - 1}", s"${pfx}c$i")
       }
       .mkString(",\n      ")
-    s"""xx AS (SELECT vec_id, pos,
+    val posFilter =
+      if (posLo == 1 && posHi == Int.MaxValue) ""
+      else s" WHERE pos BETWEEN $posLo AND $posHi"
+    s"""${pfx}xx AS (SELECT vec_id, pos,
                     CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT) AS x
-                  FROM ($flatSql)),
-      seeds AS (SELECT vec_id,
+                  FROM ($flatSql)$posFilter),
+      ${pfx}seeds AS (SELECT vec_id,
                   CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS c
                 FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-      c0 AS (SELECT s.c, x.pos, x.x AS cd FROM seeds s JOIN xx x ON x.vec_id = s.vec_id),
+      ${pfx}c0 AS (SELECT s.c, x.pos, x.x AS cd FROM ${pfx}seeds s JOIN ${pfx}xx x ON x.vec_id = s.vec_id),
       $iterCtes,
-      ${assignCte(s"c$iters", "afin")},
-      fin AS (SELECT vec_id, CAST(packed % $k AS INTEGER) AS cluster,
-                     packed // $k AS dist FROM afin),
-      agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+      ${assignCte(s"${pfx}c$iters", s"${pfx}afin")},
+      ${pfx}fin AS (SELECT vec_id, CAST(packed % $k AS INTEGER) AS cluster,
+                     packed // $k AS dist FROM ${pfx}afin),
+      ${pfx}agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
                      CAST(SUM(dist) AS BIGINT) AS sse
-              FROM fin GROUP BY cluster),
-      l1 AS (SELECT c AS cluster, CAST(SUM(ABS(cd)) AS BIGINT) AS centroid_l1
-             FROM c$iters GROUP BY c)"""
+              FROM ${pfx}fin GROUP BY cluster),
+      ${pfx}l1 AS (SELECT c AS cluster, CAST(SUM(ABS(cd)) AS BIGINT) AS centroid_l1
+             FROM ${pfx}c$iters GROUP BY c)"""
   }
 
   /** Integer-exact k-means over the embedding corpus (operators.KMeans):
@@ -1045,6 +1056,61 @@ object LlmOps {
       .join(broadcast(l1), "cluster")
       .select("cluster", "size", "sse", "centroid_l1")
       .orderBy("cluster")
+  }
+
+  private val pqSubspaces = 4
+  private val pqSubDim = 16 // 64 dims / 4 subspaces
+  private val pqK = 16
+  private val pqIters = 1
+
+  /** Product quantization codes: split each embedding into 4 subvectors
+    * of 16 dims, k-means each subspace (k=16), emit the per-vector code
+    * word (4 cluster ids = 4 bytes replacing 256 bytes of float32 — the
+    * 64x compression every 100 TB ANN index ships) plus the EXACT
+    * fixed-point reconstruction SSE. Because each subspace fit is the
+    * integer-exact KMeans operator, codes and distortion are
+    * bit-reproducible in the oracle — a PQ codebook you can regenerate
+    * byte-identically on any cluster.
+    *
+    * Scale: m independent subspace fits (each the e09 shape: compiled
+    * assignment passes + metadata centroids); code assignment is one
+    * final map-only pass per subspace joined on vec_id. */
+  val e10 = Q(
+    "e10_pq_codes",
+    Some {
+      val chains = (0 until pqSubspaces)
+        .map(m => kmeansCtes(pqK, pqIters, s"s$m", m * pqSubDim + 1, (m + 1) * pqSubDim))
+        .mkString(",\n      ")
+      val codes = (0 until pqSubspaces)
+        .map(m => s"s${m}fin.cluster AS code$m")
+        .mkString(", ")
+      val dist = (0 until pqSubspaces).map(m => s"s${m}fin.dist").mkString(" + ")
+      val joins = (1 until pqSubspaces).map(m => s"JOIN s${m}fin USING (vec_id)").mkString(" ")
+      s"""
+      WITH $chains
+      SELECT s0fin.vec_id, $codes, CAST($dist AS BIGINT) AS pq_dist
+      FROM s0fin $joins ORDER BY vec_id"""
+    }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val subs = (0 until pqSubspaces).map { m =>
+      val sub = emb.select(
+        col("vec_id"),
+        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
+      )
+      val model = graft.operators.KMeans.fit(s, sub, k = pqK, iters = pqIters)
+      graft.operators.KMeans
+        .assign(s, sub, model)
+        .select(col("vec_id"), col("cluster").as(s"code$m"), col("dist").as(s"__d$m"))
+    }
+    subs
+      .reduce(_.join(_, "vec_id"))
+      .select(
+        col("vec_id") +:
+          (0 until pqSubspaces).map(m => col(s"code$m")) :+
+          (0 until pqSubspaces).map(m => col(s"__d$m")).reduce(_ + _).as("pq_dist"): _*
+      )
+      .orderBy("vec_id")
   }
 
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
@@ -1670,6 +1736,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
