@@ -73,4 +73,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("t10_text_clean")
     assert(!p.contains("Exchange hashpartitioning"), s"t10 shuffles:\n$p")
   }
+
+  test("t13: corpus stats and per-term dfs join as broadcasts; ranking is partial top-k") {
+    val p = plan("t13_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "t13 global-sorts instead of partial top-k")
+  }
+
+  test("d08: incremental dedup is collect-free and scans parquet") {
+    val p = plan("d08_incremental_dedup")
+    assert(!p.contains("Scan ExistingRDD"), "d08 re-parallelizes driver data")
+    assert(!p.contains("LocalTableScan"), "d08 embeds driver-collected rows")
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("e09/e10: k-means assignment is compiled from parquet; only centroid metadata is local") {
+    for (q <- Seq("e09_kmeans", "e10_pq_codes")) {
+      val p = plan(q)
+      assert(!p.contains("Scan ExistingRDD"), s"$q re-parallelizes driver data")
+      assert(p.contains("Scan parquet"), p)
+      assert(p.toLowerCase.contains("int_sqdist"), s"$q lost the compiled kernel:\n$p")
+    }
+  }
 }
