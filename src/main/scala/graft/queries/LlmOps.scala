@@ -1734,8 +1734,80 @@ object LlmOps {
       .limit(50)
   }
 
+  /** Source-balanced data mixing: downsample every source to the size of
+    * the smallest one with deterministic content-hash sampling — the
+    * data-mixture rebalancing step of a pretraining corpus build, with
+    * DATA-DEPENDENT fractions (m/n per source) computed in-plan.
+    *
+    * The per-source keep threshold is exact integer arithmetic end to
+    * end: floor(m * 2^32 / n_source), capped at 2^32-1 (so the smallest
+    * source keeps everything except the 1-in-4e9 hash value 'ffffffff' —
+    * a documented, deterministic cap, identical in both engines; floats
+    * never appear, so membership is bit-reproducible). Rendered as 8
+    * lowercase hex digits, membership is the same lexicographic
+    * md5-prefix compare as functions.Sampling — a pure row predicate.
+    *
+    * Output pins the mixture: per source the original count, kept count,
+    * and the SUM of kept doc_ids (a membership checksum — any flipped
+    * row fails the gate).
+    *
+    * Scale: per-source counts are a tiny dim (broadcast back); membership
+    * is scan-stage; one summary shuffle. The m * 2^32 product needs
+    * DECIMAL(38,0)/int128 once corpus rows exceed ~2^31 — noted inline. */
+  val t14 = Q(
+    "t14_source_mixing",
+    Some("""
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      mm AS (SELECT MIN(n_docs) AS m FROM c),
+      th AS (SELECT source, n_docs,
+               printf('%08x', LEAST((mm.m * 4294967296) // n_docs, 4294967295)) AS th
+             FROM c CROSS JOIN mm),
+      kept AS (SELECT d.source, d.doc_id
+               FROM documents d JOIN th ON d.source = th.source
+               WHERE substr(md5('mix1|' || d.text), 1, 8) < th.th),
+      s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+            FROM kept GROUP BY source)
+      SELECT th.source, th.n_docs,
+             COALESCE(s.n_kept, 0) AS n_kept,
+             COALESCE(s.kept_id_sum, 0) AS kept_id_sum
+      FROM th LEFT JOIN s USING (source) ORDER BY source""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val mMin = counts.agg(min(col("n_docs")).as("m"))
+    // at ~2^31+ rows per corpus the m * 2^32 product must widen to
+    // DECIMAL(38,0); bigint is exact at every tested tier
+    val th = counts
+      .crossJoin(broadcast(mMin))
+      .select(
+        col("source"),
+        col("n_docs"),
+        format_string(
+          "%08x",
+          least(expr("(m * 4294967296L) div n_docs"), lit(4294967295L))
+        ).as("th")
+      )
+    val kept = docs
+      .join(broadcast(th.select("source", "th")), "source")
+      .filter(substring(md5(concat(lit("mix1|"), col("text"))), 1, 8) < col("th"))
+    val summary = kept
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    th.select("source", "n_docs")
+      .join(summary, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
+      )
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
