@@ -127,6 +127,24 @@ object EventStream {
     )
   }
 
+  /** Stream-static enrichment: join a live event stream against a BATCH
+    * dimension table (user/customer attributes) — the standard "enrich on
+    * ingest" shape. The static side is broadcast, so the stream never
+    * shuffles for the join and no join state accumulates (stream-static
+    * joins are stateless by construction: each micro-batch joins against
+    * the current dim snapshot). At 100 TB event rates this is exactly the
+    * plan you want — dim tables are broadcast-sized or become a
+    * slowly-changing lookup the batch side refreshes. `how` may be
+    * "inner" or "left_outer" (events without a dim row survive with
+    * nulls). */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      how: String = "inner"
+  ): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), how)
+
   /** Parquet sink with exactly-once delivery: the file sink's commit
     * manifest records which files belong to each epoch, and the checkpoint
     * stores source offsets — so a crashed/restarted query resumes from the

@@ -136,6 +136,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the batch dim without stream state") {
+    val dir = java.nio.file.Files.createTempDirectory("events-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    // derive a user-attribute dim covering only part of the id space so
+    // the left_outer survival path is exercised too
+    val dim = Tables
+      .events(spark, TestSpark.sf0001)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("seg-"), (col("user_id") % 3).cast("string")))
+    val q = EventStream
+      .enrich(EventStream.readEvents(spark, dir.toString), dim, "user_id", "left_outer")
+      .select("event_id", "user_id", "segment")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+      val total = Tables.events(spark, TestSpark.sf0001).count()
+      assert(got.length.toLong === total, "left_outer enrichment must preserve every event")
+      val (even, odd) = got.partition(_.getLong(1) % 2 == 0)
+      assert(even.nonEmpty && even.forall(!_.isNullAt(2)))
+      assert(odd.nonEmpty && odd.forall(_.isNullAt(2)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join correlates same-user events within the bound") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
