@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, IntSqDistExpr, SimHash16Expr}
+import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, IntSqDistExpr, SimHash16Expr, SimHash64Expr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -68,6 +68,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ""
         ),
         exprs => SimHash16Expr(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(
+          classOf[SimHash64Expr].getCanonicalName,
+          null,
+          "simhash64",
+          "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string> of tokens",
+          ""
+        ),
+        exprs => SimHash64Expr(exprs(0))
       )
     )
   }

@@ -180,6 +180,7 @@ object VectorFunctions {
     ensure("cosine_similarity", exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
     ensure("int8_max_err_ratio", exprs => Int8MaxErrRatioExpr(exprs(0)))
     ensure("simhash16", exprs => SimHash16Expr(exprs(0)))
+    ensure("simhash64", exprs => SimHash64Expr(exprs(0)))
     ensure("int_sqdist", exprs => IntSqDistExpr(exprs(0), exprs(1)))
   }
 

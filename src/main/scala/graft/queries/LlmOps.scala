@@ -351,21 +351,27 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simhashBits = 16
+  /** Production fingerprint width. 16 bits was the round-2..4 test width;
+    * at 2^16 possible fingerprints any corpus beyond ~10^4 docs drowns
+    * Hamming<=3 matches in random collisions, so d04/d05/d08 now run the
+    * 64-bit kernel (SimHash64Expr) — the width published dedup recipes
+    * use. Bands stay radius+1 = 4, now 16 bits each = 65536 bucket values
+    * per band, so band-join bucket sizes stay tiny at corpus scale. */
+  private val simhashBits = 64
 
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    // One-pass compiled kernel (functions/TextKernels.SimHash16Expr): the
+    // One-pass compiled kernel (functions/TextKernels.SimHash64Expr): the
     // fingerprint is a narrow per-row projection straight out of the scan —
     // ZERO shuffle, vs the explode + grouped-sum formulation that hashed
     // one row per token occurrence through an Exchange (measured 1.4s ->
-    // ~0.3s at sf0.1; at 100 TB it's a map-only pass instead of shuffling
-    // the tokenized corpus). NULL fingerprint = no non-empty token; the
-    // filter reproduces the exploded form's drop-token-less-docs rows
-    // (and the oracle's UNNEST-of-empty-list).
+    // ~0.3s at sf0.1 for the 16-bit kernel; at 100 TB it's a map-only pass
+    // instead of shuffling the tokenized corpus). NULL fingerprint = no
+    // non-empty token; the filter reproduces the exploded form's
+    // drop-token-less-docs rows (and the oracle's UNNEST-of-empty-list).
     graft.functions.VectorFunctions.register(s)
     // SQL-fragment twin of toks() — keep in lockstep (registry + expr() is
     // how every compiled kernel in this repo reaches a plan)
-    val fp = expr("simhash16(array_remove(split(lower(text), ' '), ''))")
+    val fp = expr("simhash64(array_remove(split(lower(text), ' '), ''))")
     // trim(text) <> '' is exactly "has a non-empty token" (tokens split on
     // spaces, empties removed), so token-less docs drop — same rows as the
     // old exploded form and the oracle's UNNEST — WITHOUT filtering on the
@@ -377,23 +383,34 @@ object LlmOps {
       .select(col("doc_id"), fp.as("simhash"))
   }
   private val simhashSql: String = {
+    // 64 per-bit vote sums: fingerprint bit i is voted by bit (3 - (i&3))
+    // of hex-nibble (i>>2) of each token's md5 — the exact convention of
+    // TextKernels.simhash64 (kept in lockstep).
     val sums = (0 until simhashBits)
-      .map(i =>
-        s"SUM(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i"
-      )
+      .map { i =>
+        val nib = s"(strpos('0123456789abcdef', substr(h, ${(i >> 2) + 1}, 1)) - 1)"
+        s"SUM(CASE WHEN (($nib >> ${3 - (i & 3)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+      }
       .mkString(",\n          ")
-    val fp = (0 until simhashBits)
-      .map(i => s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)")
+    // assemble the unsigned fingerprint in HUGEINT (1::BIGINT << 63 is a
+    // checked-arithmetic overflow in DuckDB), then two's-complement down
+    // to signed BIGINT so the value is bit-identical to the JVM Long
+    val u = (0 until simhashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN (1::HUGEINT << $i) ELSE 0::HUGEINT END)")
       .mkString(" + ")
-    s"""SELECT doc_id, CAST($fp AS INTEGER) AS simhash FROM (
-        SELECT doc_id,
-          $sums
-        FROM (SELECT doc_id, md5(UNNEST($toksSql)) AS h FROM documents)
-        GROUP BY doc_id)"""
+    s"""SELECT doc_id,
+          CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                    THEN u - 18446744073709551616::HUGEINT
+                    ELSE u END AS BIGINT) AS simhash
+        FROM (SELECT doc_id, ($u) AS u FROM (
+          SELECT doc_id,
+            $sums
+          FROM (SELECT doc_id, md5(UNNEST($toksSql)) AS h FROM documents)
+          GROUP BY doc_id))"""
   }
 
-  /** SimHash document fingerprint (16-bit here; 64/128 at scale): a
-    * one-pass compiled per-row projection (SimHash16Expr) straight out of
+  /** SimHash document fingerprint at the production 64-bit width: a
+    * one-pass compiled per-row projection (SimHash64Expr) straight out of
     * the scan — ZERO shuffle, map-only at any corpus size. Relies on the
     * documents contract that doc_id is unique (Tables.documents): the
     * per-row kernel and the GROUP BY doc_id oracle merge tokens
@@ -412,14 +429,14 @@ object LlmOps {
   /** SimHash near-dup pairs by Hamming distance — fully distributed.
     *
     * Candidate generation is a self-join on fingerprint bit-bands: split
-    * the 16-bit fingerprint into 4 disjoint 4-bit bands; two fingerprints
+    * the 64-bit fingerprint into 4 disjoint 16-bit bands; two fingerprints
     * within Hamming <= 3 differ in at most 3 bit positions, so by
     * pigeonhole at least one band is bit-identical — the band self-join is
     * therefore EXACT (no pair lost), while comparing only docs that share
     * a band value. No driver materialization anywhere in the plan: one
-    * explode + one shuffled equi-join on (band, value). At 100 TB the
-    * fingerprint widens to 64 bits => 4 bands x 16 bits = 65536 bucket
-    * values per band, so bucket sizes stay tiny and the join stays linear.
+    * explode + one shuffled equi-join on (band, value). 4 bands x 16 bits
+    * = 65536 bucket values per band, so bucket sizes stay tiny at corpus
+    * scale and the join stays linear.
     */
   val d05 = Q(
     "d05_dedup_simhash_pairs",

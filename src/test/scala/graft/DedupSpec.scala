@@ -111,4 +111,58 @@ class DedupSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         Array.empty[org.apache.spark.unsafe.types.UTF8String])) == -1)
   }
+
+  test("simhash64 kernel matches the exploded grouped-sum reference formulation") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""),
+      (2L, "   "),
+      (3L, "a a a a b"),
+      (4L, "日本語 テスト 日本語"),
+      (5L, "solo")
+    ) ++ (6L until 60L).map(i => (i, s"token$i shared words appear here ${i % 7}"))
+    val df = docs.toDF("doc_id", "text")
+
+    val compiled = df
+      .select(col("doc_id"),
+        expr("simhash64(array_remove(split(lower(text), ' '), ''))").as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+    // exploded grouped-sum reference with the same bit convention:
+    // fingerprint bit i voted by bit (3 - (i&3)) of hex-nibble (i>>2)
+    val tok = df
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 64).map { i =>
+      val nib = conv(substring(col("h"), (i >> 2) + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, 3 - (i & 3)).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val fp = (0 until 64)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val reference = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.cast("long").as("simhash"))
+
+    val got = compiled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(!got.contains(1L) && !got.contains(2L), "token-less docs must drop")
+    // fingerprints genuinely use the upper 32 bits (the whole point of the
+    // wider kernel) — at least one doc's fingerprint has a high bit set
+    assert(got.values.exists(v => (v >>> 32) != 0L), "upper 32 bits never set")
+
+    // interpreted eval path (codegen fallback) agrees with codegen
+    val interp = graft.functions.TextKernels.simhash64(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(interp == want(0L))
+    assert(graft.functions.TextKernels.simhash64(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])) == null)
+  }
 }

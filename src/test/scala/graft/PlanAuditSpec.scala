@@ -66,7 +66,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // partitioning — a hash exchange would mean the explode + grouped-sum
     // formulation crept back in
     assert(!p.contains("Exchange hashpartitioning"), s"d04 shuffles:\n$p")
-    assert(p.toLowerCase.contains("simhash16"), p)
+    assert(p.toLowerCase.contains("simhash64"), p)
   }
 
   test("t10: clean/redact is a pure projection pipeline (no shuffle)") {

@@ -112,6 +112,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: 64-bit band scan equals brute force, incl. sign-bit fingerprints") {
+    import spark.implicits._
+    // clustered fingerprints (a few bases, each perturbed by <=5 bit flips)
+    // so Hamming<=3 pairs actually occur; bases biased to set bit 63 so the
+    // top band exercises arithmetic-shift + mask on negative Longs
+    val genBase = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, -1L), // sign bit set
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    )
+    val genFps = for {
+      bases <- Gen.listOfN(6, genBase)
+      fps <- Gen.listOfN(
+        80,
+        for {
+          b <- Gen.oneOf(bases)
+          nFlips <- Gen.chooseNum(0, 5)
+          flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+        } yield flips.foldLeft(b)((acc, p) => acc ^ (1L << p))
+      )
+    } yield fps
+    forAllN(genFps, n = 5) { hs =>
+      val fps = hs.zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "simhash")
+      val got = graft.queries.LlmOps
+        .simhashBandPairs(fps, bits = 64, radius = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = (for {
+        (a, i) <- hs.zipWithIndex
+        (b, j) <- hs.zipWithIndex
+        if i < j
+        hd = java.lang.Long.bitCount(a ^ b)
+        if hd <= 3
+      } yield (i.toLong, j.toLong, hd)).toSet
+      assert(got == want, s"64-bit band scan lost/invented pairs (${got.size} vs ${want.size})")
+    }
+  }
+
   test("property: triangle self-join covers every unordered pair exactly once") {
     import spark.implicits._
     forAllN(Gen.chooseNum(1, 60), n = 5) { n =>

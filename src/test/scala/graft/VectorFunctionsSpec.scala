@@ -54,13 +54,15 @@ class VectorFunctionsSpec extends AnyFunSuite {
     // other specs — so this pins what a spark-submit session configured with
     // spark.sql.extensions=graft.GraftExtensions actually gets.
     val fresh = spark.newSession()
-    for (fn <- Seq("cosine_similarity", "int8_max_err_ratio", "simhash16"))
+    for (fn <- Seq("cosine_similarity", "int8_max_err_ratio", "simhash16",
+        "simhash64", "int_sqdist"))
       assert(
         fresh.sessionState.functionRegistry
           .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from extension-built session"
       )
     assert(!fresh.sql("SELECT simhash16(array('a','b')) AS h").collect().head.isNullAt(0))
+    assert(!fresh.sql("SELECT simhash64(array('a','b')) AS h").collect().head.isNullAt(0))
   }
 
   test("null inputs propagate null") {
