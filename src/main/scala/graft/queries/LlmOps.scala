@@ -828,29 +828,36 @@ object LlmOps {
     * the cross-compare spreads over B(B+1)/2 independent reducers.
     * Distinct blocks meet once by construction; same-block pairs are kept
     * in one orientation (x.id < y.id). Output: struct columns `x` and `y`
-    * carrying (idCol ++ payload). Exactly-once coverage is property-
-    * tested in PropertySpec. */
+    * carrying (keys ++ idCol ++ payload). Exactly-once coverage is
+    * property-tested in PropertySpec.
+    *
+    * `keys` scopes the pairing: rows only meet when all key columns match
+    * (the join runs on keys ++ (ba, bb)), giving per-group triangle
+    * blocking — d10 uses keys = Seq("cluster") to spread a pathologically
+    * hot k-means cluster over B(B+1)/2 reducers instead of one. */
   private[graft] def triangleSelfJoin(
       s: SparkSession,
       df: DataFrame,
       idCol: String,
       payload: Seq[String],
-      nBlocks: Int
+      nBlocks: Int,
+      keys: Seq[String] = Nil
   ): DataFrame = {
     import s.implicits._
     val blockPairs =
       (for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b)).toDF("ba", "bb")
-    val cols = (idCol +: payload).distinct
+    val cols = (keys ++ (idCol +: payload)).distinct
     val blk = df
       .select(cols.map(col): _*)
       .withColumn("__blk", pmod(xxhash64(col(idCol)), lit(nBlocks.toLong)).cast("int"))
-    val x = blk
-      .join(broadcast(blockPairs), col("__blk") === col("ba"))
-      .select(struct(cols.map(col): _*).as("x"), col("ba"), col("bb"))
-    val y = blk
-      .join(broadcast(blockPairs), col("__blk") === col("bb"))
-      .select(struct(cols.map(col): _*).as("y"), col("ba"), col("bb"))
-    x.join(y, Seq("ba", "bb"))
+    def side(name: String, blockCol: String): DataFrame =
+      blk
+        .join(broadcast(blockPairs), col("__blk") === col(blockCol))
+        .select(struct(cols.map(col): _*).as(name) +:
+          (keys.map(col) :+ col("ba") :+ col("bb")): _*)
+    val x = side("x", "ba")
+    val y = side("y", "bb")
+    x.join(y, keys ++ Seq("ba", "bb"))
       .filter(col("ba") =!= col("bb") || col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col("x"), col("y"))
   }
@@ -1130,6 +1137,110 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** d10 sizing: target within-cluster population. k = ceil(n / target),
+    * so the expected within-cluster pair work is O(n * target) — LINEAR in
+    * the corpus, not O((n/k)^2)-with-fixed-k quadratic. 64 here keeps the
+    * oracle tier meaningful (sf0.01's 500 embeddings -> k = 8, matching
+    * the kmeansCtes(8, 2) oracle — pinned by SemanticDedupSpec); the
+    * published SemDeDup recipe uses ~20k per cluster at corpus scale —
+    * callers pass their own target through semanticDedupPairs. */
+  private[graft] val semTargetClusterSize = 64
+
+  /** Clusters above hotFactor x target take the keyed triangle path. */
+  private[graft] val semHotFactor = 8
+  private[graft] val semTriangleBlocks = 16
+
+  /** k-means k derived from corpus size: ceil(n / targetClusterSize),
+    * min 1. */
+  private[graft] def kForCorpus(n: Long, target: Long): Int =
+    math.max(1L, (n + target - 1) / target).toInt
+
+  /** Within-cluster exact-cosine near-dup pairs with bounded per-reducer
+    * work at ANY cluster-size skew — the engine behind d10.
+    *
+    *  - k scales with the corpus (kForCorpus): expected pair work is
+    *    O(n * targetClusterSize), linear in n.
+    *  - k-means can still produce a pathologically hot cluster (all-dup
+    *    corpora collapse into one). Clusters above hotFactor x target are
+    *    routed through the cluster-keyed triangle self-join: the hot
+    *    cluster's pair work spreads over B(B+1)/2 reducers instead of one,
+    *    each handling ~(hot/B)^2 comparisons. Cold clusters keep the plain
+    *    within-cluster equi-join (no replication cost).
+    *  - Both paths enumerate exactly the same unordered within-cluster
+    *    pairs, so routing never changes results — only distribution.
+    *
+    * Candidates pass the compiled double-cosine prefilter; only survivors
+    * pay the exact-decimal rescore (e02's two-stage contract). */
+  private[graft] def semanticDedupPairs(
+      s: SparkSession,
+      emb: DataFrame,
+      targetClusterSize: Int,
+      hotFactor: Int,
+      nBlocks: Int
+  ): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // one count() action sizes k: parquet row-count metadata, not a data
+    // collect — the only alternative is a caller-supplied k
+    val k = kForCorpus(emb.count(), targetClusterSize)
+    val model = graft.operators.KMeans.fit(s, emb, k = k, iters = 2)
+    // cached: the labeled corpus feeds both sides of the within-cluster
+    // self-join — without it the scan + compiled assignment runs twice
+    val ea = emb
+      .join(graft.operators.KMeans.assign(s, emb, model).select("vec_id", "cluster"), "vec_id")
+      .cache()
+    val hotThreshold = targetClusterSize.toLong * hotFactor
+    // k rows of (cluster, size): broadcast to tag membership shuffle-free
+    val sizes = ea.groupBy("cluster").agg(count(lit(1)).as("__csize"))
+    val tagged = ea.join(broadcast(sizes), "cluster")
+    val cold = tagged.filter(col("__csize") <= hotThreshold)
+    val hot = tagged.filter(col("__csize") > hotThreshold)
+    val coldPairs = cold
+      .as("a")
+      .join(
+        cold.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.cluster").as("cluster"),
+        col("a.vec_id").as("va"),
+        col("a.embedding").as("ea"),
+        col("b.vec_id").as("vb"),
+        col("b.embedding").as("eb")
+      )
+    val hotPairs = triangleSelfJoin(
+      s,
+      hot.select("cluster", "vec_id", "embedding"),
+      "vec_id",
+      Seq("embedding"),
+      nBlocks,
+      keys = Seq("cluster")
+    ).select(
+      col("x.cluster").as("cluster"),
+      // distinct-block pairs come out in block orientation, not id order
+      least(col("x.vec_id"), col("y.vec_id")).as("va"),
+      when(col("x.vec_id") < col("y.vec_id"), col("x.embedding"))
+        .otherwise(col("y.embedding")).as("ea"),
+      greatest(col("x.vec_id"), col("y.vec_id")).as("vb"),
+      when(col("x.vec_id") < col("y.vec_id"), col("y.embedding"))
+        .otherwise(col("x.embedding")).as("eb")
+    )
+    val threshold = 0.35 - 1e-6 // prefilter margin >> fp error (e02 contract)
+    coldPairs
+      .unionByName(hotPairs)
+      .filter(expr("cosine_similarity(ea, eb)") >= threshold)
+      .select(
+        col("cluster"),
+        col("va"),
+        col("vb"),
+        // cosine is symmetric: ea/eb orientation never affects the value
+        (dotArr(col("ea"), col("eb")).cast("double") /
+          (sqrt(dotArr(col("ea"), col("ea")).cast("double")) *
+            sqrt(dotArr(col("eb"), col("eb")).cast("double"))))
+          .as("cosine")
+      )
+      .filter(col("cosine") >= 0.35)
+  }
+
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
     * searched WITHIN k-means clusters only — cluster first, then compare
     * pairs inside each cluster. Because the k-means assignment is
@@ -1138,12 +1249,11 @@ object LlmOps {
     * the oracle, so this composite is fully hash-gated end to end.
     *
     * Scale: this is THE sub-quadratic exact-cosine path for corpus-level
-    * semantic dedup — O(sum of cluster_size^2) instead of O(n^2), with k
-    * chosen so clusters stay bounded (k ~ n/20000 in the published
-    * recipe). Candidates pass the compiled double-cosine prefilter; only
-    * survivors pay the exact-decimal rescore (e02's two-stage contract).
-    * A pathologically hot cluster would fall back to e02's triangle
-    * blocking within that cluster. */
+    * semantic dedup. k scales with the corpus and hot clusters fall back
+    * to cluster-keyed triangle blocking (semanticDedupPairs above), so
+    * per-reducer work stays bounded under any skew. The oracle CTE pins
+    * k = 8 because the sf0.01 verification tier has 500 embeddings and
+    * kForCorpus(500, 64) = 8 — SemanticDedupSpec asserts that coupling. */
   val d10 = Q(
     "d10_semantic_dedup",
     Some(s"""
@@ -1163,31 +1273,8 @@ object LlmOps {
       FROM cos JOIN fin fa ON va = fa.vec_id
       WHERE cosine >= 0.35 ORDER BY va, vb""")
   ) { (s, d) =>
-    graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val model = graft.operators.KMeans.fit(s, emb, k = 8, iters = 2)
-    // cached: the labeled corpus feeds both sides of the within-cluster
-    // self-join — without it the scan + compiled assignment runs twice
-    val ea = emb
-      .join(graft.operators.KMeans.assign(s, emb, model).select("vec_id", "cluster"), "vec_id")
-      .cache()
-    val threshold = 0.35 - 1e-6 // prefilter margin >> fp error (e02 contract)
-    ea.as("a")
-      .join(
-        ea.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
-      )
-      .filter(expr("cosine_similarity(a.embedding, b.embedding)") >= threshold)
-      .select(
-        col("a.cluster").as("cluster"),
-        col("a.vec_id").as("va"),
-        col("b.vec_id").as("vb"),
-        (dotArr(col("a.embedding"), col("b.embedding")).cast("double") /
-          (sqrt(dotArr(col("a.embedding"), col("a.embedding")).cast("double")) *
-            sqrt(dotArr(col("b.embedding"), col("b.embedding")).cast("double"))))
-          .as("cosine")
-      )
-      .filter(col("cosine") >= 0.35)
+    semanticDedupPairs(s, emb, semTargetClusterSize, semHotFactor, semTriangleBlocks)
       .orderBy("va", "vb")
   }
 
