@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityExpr, Int8MaxErrRatioExpr, IntSqDistExpr, SimHash16Expr, SimHash64Expr}
+import graft.functions.{CosineSimilarityExpr, CosineTopClustersExpr, Int8MaxErrRatioExpr, IntPackedArgminExpr, IntSqDistExpr, SimHash16Expr, SimHash64Expr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -81,6 +81,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ""
         ),
         exprs => SimHash64Expr(exprs(0))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("int_packed_argmin"),
+        new ExpressionInfo(
+          classOf[IntPackedArgminExpr].getCanonicalName,
+          null,
+          "int_packed_argmin",
+          "int_packed_argmin(x, centroids) - min over c of int_sqdist(x, centroids[c]) * k + c",
+          ""
+        ),
+        exprs => IntPackedArgminExpr(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("cosine_top_clusters"),
+        new ExpressionInfo(
+          classOf[CosineTopClustersExpr].getCanonicalName,
+          null,
+          "cosine_top_clusters",
+          "cosine_top_clusters(e, centroids, topn) - topn cluster ids by descending cosine",
+          ""
+        ),
+        exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2))
       )
     )
   }

@@ -182,6 +182,9 @@ object VectorFunctions {
     ensure("simhash16", exprs => SimHash16Expr(exprs(0)))
     ensure("simhash64", exprs => SimHash64Expr(exprs(0)))
     ensure("int_sqdist", exprs => IntSqDistExpr(exprs(0), exprs(1)))
+    ensure("int_packed_argmin", exprs => IntPackedArgminExpr(exprs(0), exprs(1)))
+    ensure("cosine_top_clusters",
+      exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2)))
   }
 
   /** SQL fragment form: register first, then use in expr()/selectExpr. */

@@ -23,39 +23,40 @@ import graft.functions.VectorFunctions
   * an equi-join on cluster id (shuffles ~nprobe/nlist of the corpus, not
   * all of it); exact cosine rescoring + top-k window over candidates only.
   *
-  * Centroids are metadata-sized (nlist x dim doubles) — collecting them to
-  * the driver and inlining them as codegen literals is the same move as
-  * AnnLsh's plane matrix and is scale-independent of the corpus.
+  * Centroids are metadata-sized (nlist x dim doubles) — collected to the
+  * driver and shipped into the compiled scorer as ONE nested-array
+  * literal (cosine_top_clusters), so generated-code size is constant in
+  * nlist (the inlined-per-centroid form broke codegen past a few hundred
+  * lists) and the matrix is scale-independent of the corpus.
   */
 object AnnIvf {
 
-  /** argmax over cosine similarities against literal centroid arrays —
-    * compiled per row, no join, no shuffle. */
-  private def nearestCentroidCol(centroids: Seq[Array[Double]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        expr(s"cosine_similarity(embedding, ${litArray(c)})").as("cos"),
-        lit(i).as("cluster")
-      )
-    }: _*)
-    // array_max on struct(cos, cluster) orders lexicographically: max cos,
-    // ties broken by the higher cluster id — deterministic
-    array_max(scored).getField("cluster")
-  }
+  /** The `topn` nearest clusters by cosine (descending, ties to the
+    * higher id) as ONE compiled kernel call with the whole centroid
+    * matrix as a single nested-array literal (CosineTopClustersExpr).
+    * The per-centroid inlined-expression form (one cosine_similarity +
+    * struct per centroid) blew the JVM 64 KB method / constant-pool
+    * limits past a few hundred lists — a real IVF index has thousands;
+    * the kernel's generated code is constant-size in nlist. Centroid
+    * components are cast to FLOAT at literal build, matching the old
+    * CAST($v AS FLOAT) literal arrays bit-for-bit. */
+  private def topClustersCol(centroids: Seq[Array[Double]], topn: Int): Column =
+    call_function(
+      "cosine_top_clusters",
+      col("embedding"),
+      typedLit[Seq[Seq[Float]]](centroids.map(_.map(_.toFloat).toSeq)),
+      lit(topn)
+    )
 
-  private def litArray(c: Array[Double]): String =
-    c.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+  /** argmax over cosine similarities — compiled per row, no join, no
+    * shuffle; ties break to the higher cluster id (the old array_max
+    * lexicographic semantic). */
+  private def nearestCentroidCol(centroids: Seq[Array[Double]]): Column =
+    element_at(topClustersCol(centroids, 1), 1)
 
   /** Probe list: each row's `nprobe` nearest clusters, compiled. */
-  private def probeClustersCol(centroids: Seq[Array[Double]], nprobe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        expr(s"cosine_similarity(embedding, ${litArray(c)})").as("cos"),
-        lit(i).as("cluster")
-      )
-    }: _*)
-    slice(reverse(array_sort(scored)), 1, nprobe).getField("cluster")
-  }
+  private def probeClustersCol(centroids: Seq[Array[Double]], nprobe: Int): Column =
+    topClustersCol(centroids, nprobe)
 
   /** Build the refined centroid set (driver-side metadata, deterministic). */
   private[graft] def centroids(

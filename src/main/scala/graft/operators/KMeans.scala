@@ -23,8 +23,9 @@ import graft.functions.VectorFunctions
   *
   * Scale shape (the 100 TB posture):
   *   - the corpus is touched once per iteration with a COMPILED per-row
-  *     argmin (k fused int_sqdist calls + array_min — no join, no
-  *     shuffle for assignment);
+  *     argmin (one int_packed_argmin kernel call carrying the whole
+  *     centroid matrix as a single literal — no join, no shuffle for
+  *     assignment, generated-code size constant in k);
   *   - the update step is one posexplode + grouped long sum per
   *     iteration (map-side combinable, k x dims result rows);
   *   - centroids live on the driver between iterations — k x dims longs
@@ -63,19 +64,35 @@ object KMeans {
         .as("x")
     )
 
-  private def litLongArray(c: Array[Long]): String =
-    c.mkString("array(", "L, ", "L)")
-
-  /** packed = min over clusters of (int_sqdist(x, centroid_c) * k + c). */
+  /** packed = min over clusters of (int_sqdist(x, centroid_c) * k + c),
+    * as ONE compiled kernel call with the whole centroid matrix as a
+    * single nested-array literal (IntPackedArgminExpr). The per-centroid
+    * inlined-expression form blew the JVM 64 KB method / constant-pool
+    * limits past a few hundred clusters (k x dims literals in the
+    * generated source); the kernel's generated code is constant-size in
+    * k. Semantics are bit-identical. */
   private[graft] def packedAssignCol(model: Model): Column =
-    array_min(
-      array(model.centroids.zipWithIndex.map { case (c, i) =>
-        expr(s"int_sqdist(x, ${litLongArray(c)}) * ${model.k}L + ${i}L")
-      }: _*)
+    call_function(
+      "int_packed_argmin",
+      col("x"),
+      typedLit[Seq[Seq[Long]]](model.centroids.map(_.toSeq).toSeq)
     )
 
   /** Fit `k` clusters with `iters` Lloyd updates from deterministic
-    * md5-ordered seeds. Returns the model; `assign` labels a corpus. */
+    * md5-ordered seeds. Returns the model; `assign` labels a corpus.
+    *
+    * A corpus with fewer than `k` rows yields fewer seeds: the model is
+    * silently clamped to `Model(n, ...)` rather than padding with
+    * degenerate duplicate centroids.
+    *
+    * Exact-arithmetic guard: the packed encoding multiplies int_sqdist's
+    * long sum by k, so the overflow-free bound on fixed-point components
+    * tightens from sqrt(Long.MaxValue / dims) to
+    * sqrt(Long.MaxValue / (dims * k)) / 2 (the /2 covers the worst-case
+    * component difference). fit() asserts the corpus max |component|
+    * against that bound ONCE (a map-side-combinable max over the cached
+    * fixed-point corpus) — a silent long wrap would otherwise mis-assign
+    * clusters with no error on the Spark side, caught only by the oracle. */
   def fit(
       spark: SparkSession,
       emb: DataFrame, // vec_id, <embCol>: array<float>
@@ -84,7 +101,7 @@ object KMeans {
       embCol: String = "embedding"
   ): Model = {
     VectorFunctions.register(spark)
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
     val fp = fixedPoint(emb, embCol).cache()
     val seeds = fp
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -94,6 +111,17 @@ object KMeans {
       .map(_.getSeq[Long](0).toArray)
       .toIndexedSeq
     require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
+    val dims = math.max(seeds.head.length, 1)
+    val maxAbs = fp
+      .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
+      .head()
+      .getLong(0)
+    val bound = math.sqrt(Long.MaxValue.toDouble / (dims.toDouble * seeds.length)) / 2
+    require(
+      maxAbs.toDouble <= bound,
+      s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
+        s"bound $bound for dims=$dims, k=${seeds.length}: packed distances would wrap"
+    )
     var model = Model(seeds.length, seeds)
     for (_ <- 0 until iters) {
       // one corpus pass: compiled assignment, then per-(cluster, dim)

@@ -30,6 +30,66 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, f"recall too low: $meanRecall%.2f")
   }
 
+  test("nlist = 256 index build + query compiles (no codegen fallback)") {
+    import spark.implicits._
+    // a real IVF index has thousands of lists; the per-centroid inlined
+    // expressions died at this scale (64 KB method limit). Fallback
+    // disabled => a codegen failure aborts instead of silently
+    // interpreting.
+    val big = (0 until 800)
+      .map(i => (i.toLong, Array.tabulate(16)(d => ((i * 17 + d * 13) % 64) / 32.0f - 1f)))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val res = AnnIvf
+        .topK(spark, big, big.filter(col("vec_id") < 5), k = 3, nlist = 256, nprobe = 8)
+        .collect()
+      assert(res.nonEmpty)
+      assert(res.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("cosine_top_clusters kernel replicates the lexicographic struct-sort semantics") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // includes exact ties (duplicate centroids) to pin higher-id-wins
+    val cents = Seq(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0), Array(0.7, 0.7),
+      Array(-1.0, 0.0), Array(0.5, -0.5)
+    )
+    val centLit = typedLit[Seq[Seq[Float]]](cents.map(_.map(_.toFloat).toSeq))
+    val df = Seq(
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.1f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)),
+      (4L, Array(0.0f, 0.0f)) // zero vector: all cosines 0.0, pure tie
+    ).toDF("vec_id", "embedding")
+    // the pre-kernel formulation, kept as the semantic oracle
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        expr(s"cosine_similarity(embedding, ${c.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")})").as("cos"),
+        lit(i).as("cluster")
+      )
+    }: _*)
+    val rows = df.select(
+      col("vec_id"),
+      call_function("cosine_top_clusters", col("embedding"), centLit, lit(3)).as("got"),
+      slice(reverse(array_sort(scored)), 1, 3).getField("cluster").as("want"),
+      element_at(call_function("cosine_top_clusters", col("embedding"), centLit, lit(1)), 1).as("got1"),
+      array_max(scored).getField("cluster").as("want1")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.getLong(0)} probe list diverged")
+      assert(r.getInt(3) == r.getInt(4), s"vec ${r.getLong(0)} argmax diverged")
+    }
+  }
+
   test("centroids are deterministic and complete (every cluster has one)") {
     val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
     val c1 = AnnIvf.centroids(spark, emb, 8)

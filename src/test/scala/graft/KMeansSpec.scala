@@ -51,6 +51,55 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("k = 256 assignment compiles (no codegen fallback) and matches brute force") {
+    import spark.implicits._
+    // the inlined-per-centroid form blew the 64 KB JVM method limit here;
+    // with fallback disabled a codegen failure is an ERROR, not a silent
+    // interpreted slowdown — this pins the single-kernel fix
+    val big = (0 until 600)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 100) / 50.0f - 1f)))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val m = KMeans.fit(spark, big, k = 256, iters = 1)
+      assert(m.k == 256)
+      val assigned = KMeans.assign(spark, big, m).collect()
+      assert(assigned.length == 600)
+      // brute-force check on a sample: packed argmin semantics at scale
+      val fp = KMeans.fixedPoint(big, "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      assigned.take(50).foreach { r =>
+        val x = fp(r.getLong(0))
+        val dists = m.centroids.map(c =>
+          x.zip(c).map { case (a, b) => val d = a - b; d * d }.sum)
+        val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+        assert(r.getAs[Int]("cluster") == best._2)
+        assert(r.getAs[Long]("dist") == best._1)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("fit asserts the packed-encoding overflow bound up front") {
+    import spark.implicits._
+    // components at 3e8 fixed-point are inside int_sqdist's standalone
+    // bound (3.8e8 at 64 dims) but OUTSIDE the packed *k bound at k=4,
+    // dims=2: sqrt(Long.Max/(2*4))/2 ~ 5.4e8 -> passes; push to 2e9 to
+    // clearly exceed it. 2e9 fixed-point = 200 in float (scale 1e7).
+    val hot = (0 until 8)
+      .map(i => (i.toLong, Array(200f + i, -200f - i)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fit(spark, hot, k = 4, iters = 1)
+    }
+    assert(e.getMessage.contains("bound"), e.getMessage)
+  }
+
   test("k larger than corpus: empty clusters keep their seed centroid") {
     val tiny = emb.limit(3)
     val m = KMeans.fit(spark, tiny, k = 5, iters = 2)
