@@ -54,6 +54,8 @@ object JobTracker {
     @volatile var sparkJobIds: List[Int] = Nil
     @volatile var nTasks: Long = 0
     @volatile var nFailedTasks: Long = 0
+    /** Sum of task wall-times (ms) — the engine's own "node-hours" meter. */
+    @volatile var taskTimeMs: Long = 0
     /** Status transition history, oldest first: (status, at_ms). */
     @volatile var transitions: List[(String, Long)] =
       List((Running.name, startedAtMs))
@@ -112,6 +114,7 @@ object JobTracker {
             r.synchronized {
               r.nTasks += 1
               if (e.reason != org.apache.spark.Success) r.nFailedTasks += 1
+              Option(e.taskInfo).foreach(ti => r.taskTimeMs += ti.duration)
             }
           }
         }
@@ -155,10 +158,36 @@ object JobTracker {
     records.values().asScala.toSeq
       .map(r =>
         (r.jobId, r.mode, r.status.name, r.nInputs, r.nErrors,
-          r.startedAtMs, r.endedAtMs, r.failure, r.sparkJobIds.sorted)
+          r.startedAtMs, r.endedAtMs, r.failure, r.sparkJobIds.sorted,
+          r.nTasks, r.nFailedTasks, r.taskTimeMs)
       )
       .toDF("job_id", "mode", "status", "n_inputs", "n_errors",
-        "started_at_ms", "ended_at_ms", "failure", "spark_job_ids")
+        "started_at_ms", "ended_at_ms", "failure", "spark_job_ids",
+        "n_tasks", "n_failed_tasks", "task_time_ms")
+  }
+
+  /** Self-usage rollup — task-seconds and job counts per UTC day per mode
+    * over the engine's OWN run history, the analog of the reference's
+    * usage endpoints (main_service/src/main_service/endpoints/usage.py:109,
+    * 249,366 aggregate node-hours per day/month/machine-type over its job
+    * history). Declarative R5 shape (time-bucket + groupBy) over the jobs
+    * table, so the same plan scales if history ever lives in parquet
+    * instead of driver memory. */
+  def usageDaily(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    jobs(spark)
+      .groupBy(
+        to_date(timestamp_millis(col("started_at_ms"))).as("day"),
+        col("mode")
+      )
+      .agg(
+        count(lit(1)).as("n_jobs"),
+        sum("n_inputs").as("n_inputs"),
+        sum("n_tasks").as("n_tasks"),
+        (sum("task_time_ms") / 1000.0).as("task_seconds"),
+        sum(when(col("status") === "FAILED", 1L).otherwise(0L)).as("n_failed_jobs")
+      )
+      .orderBy("day", "mode")
   }
 
   /** One row per errored input (capped) — "which inputs errored". */

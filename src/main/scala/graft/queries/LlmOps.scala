@@ -51,11 +51,15 @@ object LlmOps {
     * sf0.1). Tokens are materialized as a column in their own projection
     * first: inlining the tokenizer into every element_at re-tokenizes the
     * document per shingle (a measured 12x slowdown). */
-  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+  private def explodedShingles(s: SparkSession, d: String): DataFrame =
+    explodedShinglesOf(Tables.documents(s, d))
+
+  /** Same shingle generator over an arbitrary (doc_id, text, ...) frame —
+    * lets the MinHash path shingle only canonical (exact-distinct) docs. */
+  private def explodedShinglesOf(docs: DataFrame): DataFrame = {
     val t = col("t")
     val i = col("i")
-    Tables
-      .documents(s, d)
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), t, explode(sequence(lit(1), greatest(size(t) - 2, lit(1)))).as("i"))
       .select(
@@ -69,9 +73,10 @@ object LlmOps {
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
     explodedShingles(s, d).distinct()
-  private val docShinglesSql =
+  private def docShinglesSqlFrom(src: String): String =
     s"""SELECT DISTINCT doc_id, UNNEST(${shinglesSql("t")}) AS sh
-        FROM (SELECT doc_id, $toksSql AS t FROM documents)"""
+        FROM (SELECT doc_id, $toksSql AS t FROM $src)"""
+  private val docShinglesSql = docShinglesSqlFrom("documents")
 
   /** Drop shingles whose document frequency exceeds maxDf — the stop-
     * shingle guard that bounds inverted-index self-join fan-out (see
@@ -111,8 +116,22 @@ object LlmOps {
     * shuffles + an equi-join on band hash) — this is the 100 TB dedup path.
     */
   /** The MinHash-LSH candidate-pair CTE chain, shared by d02 (the pair
-    * list) and d06 (connected components over the pair graph). Ends with
-    * `mh_pairs(doc_a, doc_b)`. */
+    * list), d06 (connected components over the pair graph) and d07 (the
+    * cross-split audit). Ends with `mh_pairs(doc_a, doc_b)`.
+    *
+    * Exact duplicates are collapsed BEFORE banding: byte-identical texts
+    * have identical signatures, so n copies of one document would land in
+    * one band bucket and quadratic the self-join (n(n-1)/2 pairs through
+    * one reducer — the classic hot-bucket failure on a pre-dedup corpus).
+    * Instead only the canonical copy (min doc_id per content hash) is
+    * shingled/banded, and each duplicate contributes ONE star edge
+    * (canonical, dup). Connectivity is unchanged — a copy's band matches
+    * are exactly its canonical's — so d06's components and d07's
+    * leaked-document coverage are identical to clique semantics, while
+    * per-bucket fan-out stays bounded by the number of DISTINCT texts in
+    * the bucket. d02's pair list is therefore near-dup pairs among
+    * exact-distinct texts plus the exact-dup star — the spanning structure
+    * a dedup pipeline consumes, not the clique it never materializes. */
   private val minhashPairCtes: String = {
     val mins =
       (0 until 16).map(k => s"MIN(md5('$k|' || sh)) AS h$k").mkString(",\n          ")
@@ -122,16 +141,25 @@ object LlmOps {
         s"SELECT doc_id, $b AS b, md5($hs) AS bh FROM sig"
       }
       .mkString("\n        UNION ALL ")
-    s"""sh AS ($docShinglesSql),
+    s"""docs0 AS (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS cid
+        FROM documents),
+      dup_edges AS (
+        SELECT cid AS doc_a, doc_id AS doc_b FROM docs0 WHERE doc_id <> cid),
+      sh AS (${docShinglesSqlFrom("(SELECT doc_id, text FROM docs0 WHERE doc_id = cid)")}),
       sig AS (SELECT doc_id,
           $mins
         FROM sh GROUP BY doc_id),
       band AS (
         $bandRows),
-      mh_pairs AS (
+      near_pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM band x JOIN band y
-          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      mh_pairs AS (
+        SELECT doc_a, doc_b FROM near_pairs
+        UNION ALL SELECT doc_a, doc_b FROM dup_edges)"""
   }
 
   val d02 = Q(
@@ -142,9 +170,30 @@ object LlmOps {
   ) { (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b") }
 
   /** MinHash-LSH candidate pairs, unsorted — d02's body, reused as d06's
-    * edge list. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+    * edge list and d07's leak graph. Exact duplicates are collapsed to
+    * their canonical before banding and re-attached as star edges — see
+    * minhashPairCtes for the hot-bucket rationale. The collapse window is
+    * d01's shuffle shape (one exchange on the content hash); at 100 TB
+    * you'd persist d01's canonical table once and feed it to every
+    * near-dup pass, which is exactly the subtree shared here. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, d))
+
+  /** Frame-parameterized body of minhashPairs — package-visible so the
+    * adversarial hot-bucket spec can feed a mass-duplicate corpus without
+    * writing parquet. */
+  private[graft] def minhashPairsOf(documents: DataFrame): DataFrame = {
+    val docs0 = documents
+      .select(
+        col("doc_id"),
+        col("text"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("cid")
+      )
+    val dupEdges = docs0
+      .filter(col("doc_id") =!= col("cid"))
+      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
+    val canon = docs0.filter(col("doc_id") === col("cid")).select("doc_id", "text")
+    val sh = explodedShinglesOf(canon).distinct()
     // Hash each DISTINCT shingle once (16 md5s per unique string), then
     // join back to the (doc, shingle) pairs: same signatures, ~an order of
     // magnitude fewer digest computations than hashing inside the agg —
@@ -195,6 +244,7 @@ object LlmOps {
       )
       .filter(noEarlierBandMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .unionAll(dupEdges)
   }
 
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
@@ -1764,6 +1814,16 @@ object LlmOps {
   // identical doubles in both engines (inputs are exact small rationals);
   // per-term scores are quantized to DECIMAL(28,12) and summed exactly, so
   // the per-doc total is order-independent (cluster-safe AND oracle-safe).
+  //
+  // Residual cross-engine risk, documented rather than fixed: ln() is NOT
+  // required to be correctly rounded by IEEE 754, so java.lang.Math.log
+  // and DuckDB's ln may differ by 1 ulp on the same input. If that ulp
+  // lands within 2^-52·|score| of a 0.5e-12 decimal rounding boundary the
+  // quantized score flips — a ~1-in-10^9-per-(doc,term) coincidence with
+  // the corpus's O(10^3) distinct idf·w products, accepted as a latent
+  // flake. Quantizing coarser would not remove the boundary, only move it;
+  // the exact fix (a table-driven decimal ln) isn't worth the complexity
+  // for a relevance score whose consumers rank, not equality-test.
 
   /** Okapi BM25 relevance scoring of the corpus against a query term set —
     * the retrieval/quality-weighting primitive of a training-data pipeline

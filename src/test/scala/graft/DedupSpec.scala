@@ -40,6 +40,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == 45L)
   }
 
+  test("minhash hot bucket: 10k identical docs yield a linear star, not a quadratic clique") {
+    import spark.implicits._
+    // The adversarial pre-dedup corpus: 10,000 byte-identical documents
+    // (plus two genuine near-dups to prove banding still fires). Clique
+    // semantics would emit C(10000,2) ~ 5e7 pairs through ONE band-bucket
+    // reducer; the built-in exact-dup collapse must emit exactly 9,999
+    // star edges from the canonical plus the one near-dup pair.
+    val identical = (0L until 10000L).map(i => (i, "the same exact document text repeated"))
+    val nearDups = Seq(
+      (20000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20001L, "alpha beta gamma delta epsilon zeta eta theta iota")
+    )
+    val docs = (identical ++ nearDups).toDF("doc_id", "text")
+
+    val pairs = LlmOps.minhashPairsOf(docs).cache()
+    try {
+      // Every edge inside the identical-doc set must come FROM the
+      // canonical (doc 0): a dup-dup edge would mean the clique leaked.
+      val dupDup = pairs
+        .filter(col("doc_a") =!= 0L && col("doc_b") < 10000L)
+        .count()
+      assert(dupDup == 0L, s"clique leaked: $dupDup dup-dup pairs")
+      val star = pairs.filter(col("doc_a") === 0L && col("doc_b") < 10000L).count()
+      assert(star == 9999L, s"expected 9999 star edges, got $star")
+      // banding still fires on genuine near-dups (6/7 shared shingles)
+      val near = pairs
+        .filter(col("doc_a") === 20000L && col("doc_b") === 20001L)
+        .count()
+      assert(near == 1L, "near-dup pair lost by the collapse")
+      assert(pairs.count() == 10000L)
+    } finally pairs.unpersist()
+  }
+
   test("BoundedCollectSet caps per-key state and drops overflow keys exactly") {
     import spark.implicits._
     // hot key "S" has 50 distinct members (plus duplicates), "P" exactly 10,
