@@ -451,6 +451,121 @@ object ParallelMap {
     }
   }
 
+  /** Append-only (inputIndex, capturedLogs) accumulator backing the live
+    * log relay: each completed input adds one entry from inside the still-
+    * running task. Executor heartbeats ship partial values of RUNNING
+    * tasks' accumulators to the driver, which is what makes entries
+    * visible mid-task (same channel the Spark UI uses for live
+    * accumulator columns). Entries are immutable snapshots, so a partial
+    * read never observes a half-written log. */
+  private[operators] final class LogRelayAcc
+      extends org.apache.spark.util.AccumulatorV2[(Long, String), List[(Long, String)]] {
+    @volatile private var entries: List[(Long, String)] = Nil
+    override def isZero: Boolean = entries.isEmpty
+    override def copy(): LogRelayAcc = {
+      val a = new LogRelayAcc; a.entries = entries; a
+    }
+    override def reset(): Unit = entries = Nil
+    override def add(v: (Long, String)): Unit = synchronized { entries = v :: entries }
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[(Long, String), List[(Long, String)]]
+    ): Unit = synchronized { entries = other.value ::: entries }
+    override def value: List[(Long, String)] = entries
+  }
+
+  /** Like runWithLogs, but each input's captured stdout is relayed to
+    * `onLog` WHILE the job is still running — per-INPUT granularity, not
+    * per-partition: a fast input's log is observable on the driver while a
+    * straggler in the SAME partition is still executing. This matches the
+    * reference's mid-job log relay (node_service worker_client.py:154-338
+    * tags each input's stdout, client/src/burla/_node.py:315-321 prints it
+    * while the job runs); streamWithLogs only reaches partition
+    * granularity.
+    *
+    * Mechanism (cluster-true, not a local-mode shortcut): completed inputs
+    * append to a LogRelayAcc inside the running task; executor heartbeats
+    * carry partial accumulator values of running tasks to the driver
+    * (SparkListenerExecutorMetricsUpdate), where a listener diffs them and
+    * fires `onLog(inputIndex, logs)` exactly once per input. Relay latency
+    * is therefore the heartbeat interval (spark.executor.heartbeatInterval,
+    * 10 s default — lower it for latency-sensitive relays; the payload is
+    * capped logs, not data). Completeness never depends on heartbeat
+    * timing: a final sweep over the collected results fires any entry a
+    * heartbeat did not beat to the finish line.
+    *
+    * Inputs are chunked CONTIGUOUSLY (parallelize slices, the reference's
+    * proportional chunking) rather than round-robin shuffled, so
+    * within-partition execution order is input order — deterministic log
+    * interleaving per partition. */
+  def runWithLiveLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O)(onLog: (Long, String) => Unit): Seq[(Long, Try[O], String)] = {
+    if (inputs.isEmpty) return Nil
+    guardSizes(inputs, f)
+    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    val slices = maxParallelism.getOrElse(
+      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
+    )
+    val cap = MaxLogBytesPerInput
+    val sc = spark.sparkContext
+    val acc = new LogRelayAcc
+    sc.register(acc, "graft.pmap.liveLogs")
+    val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def fire(entries: Seq[(Long, String)]): Unit =
+      entries.foreach { case (idx, lg) => if (fired.add(idx)) onLog(idx, lg) }
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onExecutorMetricsUpdate(
+          u: org.apache.spark.scheduler.SparkListenerExecutorMetricsUpdate
+      ): Unit =
+        u.accumUpdates.foreach { case (_, _, _, infos) =>
+          infos.foreach { info =>
+            if (info.id == acc.id) info.update.foreach {
+              case v: List[_] => fire(v.asInstanceOf[List[(Long, String)]])
+              case _          => ()
+            }
+          }
+        }
+    }
+    val group = newGroup()
+    JobTracker.install(spark)
+    JobTracker.started(group, "runWithLiveLogs", inputs.size)
+    sc.addSparkListener(listener)
+    try {
+      val raw = withGroup(spark, group, s"ParallelMap runWithLiveLogs ($group)") {
+        sc.parallelize(indexed, slices)
+          .map { case (idx, x) =>
+            val buf = new java.io.ByteArrayOutputStream()
+            val r: Either[String, O] =
+              try Right(Console.withOut(buf)(f(x)))
+              catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+            val bytes = buf.toByteArray
+            val logs = new String(bytes, 0, math.min(bytes.length, cap), "UTF-8")
+            acc.add((idx, logs)) // visible to the next heartbeat mid-task
+            (idx, r, logs)
+          }
+          .collect()
+          .toSeq
+      }
+      // completeness sweep: anything no heartbeat delivered fires here
+      // (post-job, but exactly-once is preserved via `fired`)
+      fire(raw.map { case (i, _, lg) => (i, lg) })
+      raw.foreach {
+        case (i, Left(msg), _) => JobTracker.inputError(group, i, msg)
+        case _                 => ()
+      }
+      JobTracker.completed(group, nErrors = raw.count(_._2.isLeft))
+      raw.map {
+        case (i, Right(v), lg)  => (i, Success(v), lg)
+        case (i, Left(msg), lg) => (i, Failure(new RuntimeException(msg)), lg)
+      }
+    } catch {
+      case e: Throwable =>
+        JobTracker.failed(group, unwrap(e)); throw unwrap(e)
+    } finally sc.removeSparkListener(listener)
+  }
+
   /** Shared single-thread callback executor for stream() completions —
     * callbacks only move a finished partition's results into the hand-off
     * queue, so one daemon thread serves every concurrent stream. */

@@ -173,6 +173,46 @@ class ParallelMapSpec extends AnyFunSuite {
     assert(all.count(_._2.isSuccess) == 7)
   }
 
+  test("live log relay: input's log observable before a straggler in the SAME partition") {
+    // One partition holding [fast printer, 4s straggler] — the layout
+    // where partition-granular streamWithLogs delivers NOTHING until the
+    // straggler finishes. The heartbeat-fed relay must surface input 0's
+    // log mid-task, input-granular like the reference's live log docs
+    // (_node.py:315-321).
+    val arrivals = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val out = ParallelMap.runWithLiveLogs(spark, Seq(0, 1), maxParallelism = Some(1)) { x =>
+      if (x == 0) println("hello from the fast input")
+      else Thread.sleep(4000)
+      x * 2
+    } { (idx, _) =>
+      arrivals.putIfAbsent(idx, System.nanoTime())
+      counts.merge(idx, 1, (a, b) => a + b)
+    }
+    val endNs = System.nanoTime()
+    assert(arrivals.containsKey(0L), "fast input's log never relayed")
+    val leadMs = (endNs - arrivals.get(0L)) / 1e6
+    assert(leadMs > 2000, s"log led job end by only ${leadMs}ms — relay was not live")
+    assert(counts.get(0L) == 1 && counts.get(1L) == 1) // exactly-once per input
+    assert(out.map(_._1).toSet == Set(0L, 1L))
+    assert(out.find(_._1 == 0L).get._3.contains("hello from the fast input"))
+    assert(out.forall(_._2.isSuccess))
+  }
+
+  test("live log relay: UDF errors attributed, logs still relayed, nothing thrown") {
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val out = ParallelMap.runWithLiveLogs(spark, 0 until 6, maxParallelism = Some(3)) { x =>
+      println(s"processing $x")
+      if (x == 4) throw new RuntimeException("bad 4")
+      x * 10
+    } { (idx, lg) => got.put(idx, lg) }
+    assert(out.size == 6)
+    assert(got.size == 6) // every input's log fired exactly once (sweep covers stragglers)
+    (0 until 6).foreach(i => assert(got.get(i.toLong).contains(s"processing $i")))
+    assert(out.find(_._1 == 4L).get._2.isFailure)
+    assert(out.count(_._2.isSuccess) == 5)
+  }
+
   test("stream with a bounded window still yields every result") {
     val out = ParallelMap
       .stream(spark, 0 until 30, maxParallelism = Some(6), window = 2)(x => x * 2)
@@ -242,6 +282,33 @@ class ParallelMapSpec extends AnyFunSuite {
       .find(_.getAs[String]("mode") == "run").get
     assert(failedRow.getAs[String]("status") == "FAILED")
     assert(failedRow.getAs[String]("failure").contains("UdfFailure"))
+  }
+
+  test("self-usage rollup aggregates task-seconds per day per mode over recorded runs") {
+    // Reference: usage endpoints roll node-hours per day/machine-type over
+    // the job history (main_service/src/main_service/endpoints/usage.py:
+    // 109,249,366). Here: two runs in different modes, then the R5-shaped
+    // rollup over the engine's OWN history.
+    import graft.operators.JobTracker
+    JobTracker.clearForTest()
+    ParallelMap.run(spark, 0 until 8)(x => { Thread.sleep(20); x })
+    ParallelMap.run(spark, 0 until 4)(x => x + 1)
+    ParallelMap.runAttributed(spark, 0 until 6)(x => x * 2)
+    val usage = JobTracker.usageDaily(spark).collect()
+    // both modes ran today -> one row each (single UTC day in a test run)
+    assert(usage.length == 2)
+    val byMode = usage.map(r => r.getAs[String]("mode") -> r).toMap
+    val runRow = byMode("run")
+    assert(runRow.getAs[Long]("n_jobs") == 2L)
+    assert(runRow.getAs[Long]("n_inputs") == 12L)
+    assert(runRow.getAs[Long]("n_tasks") > 0L)
+    assert(runRow.getAs[Double]("task_seconds") > 0.0) // the sleep is metered
+    assert(runRow.getAs[Long]("n_failed_jobs") == 0L)
+    val attrRow = byMode("runAttributed")
+    assert(attrRow.getAs[Long]("n_jobs") == 1L)
+    assert(attrRow.getAs[Long]("n_inputs") == 6L)
+    // day column is a real date bucket (UTC), same for both rows
+    assert(usage.map(_.getAs[java.sql.Date]("day")).distinct.length == 1)
   }
 
   test("no input lost or duplicated under skewed work (steal-semantics analog)") {
