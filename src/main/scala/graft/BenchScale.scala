@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation for the heavy query family: derives corpora
+  * at ×1/×3/×10 the sf0.1 row counts, runs the expensive dedup/ANN
+  * queries at each factor, and prints one JSON line with per-factor warm
+  * seconds plus the ratio against each query's documented cost model
+  * (linear for the bucketed dedup paths, quadratic for e02's exact
+  * all-pairs). This is the "would the plan survive a scale-up"
+  * check run as an experiment instead of an argument — docs/SCALE.md
+  * records the resulting table.
+  *
+  * Scaling must not change the statistical shape of the work, or the
+  * numbers lie in both directions:
+  *   - naive replication (same doc_ids remapped) multiplies every band
+  *     bucket's population by f, quadratically inflating within-bucket
+  *     candidate pairs — it benchmarks the hot-bucket pathology, not scale;
+  *   - fresh random text changes dup density entirely.
+  *   So replica i applies a BIJECTION per unit: texts go through
+  *   translate() under a rotated consonant alphabet (token equality, and
+  *   hence every shingle/MinHash/Jaccard relation WITHIN a replica, is
+  *   preserved exactly; cross-replica token overlap is destroyed),
+  *   embeddings get a circular dimension shift (within-replica cosines
+  *   bit-identical, cross-replica geometry decorrelated). Replica 0 is
+  *   the identity, so the ×1 tier is the original corpus, and dup density
+  *   per replica is constant — output pair counts grow ~linearly in f,
+  *   which is precisely the regime the scale notes claim to handle.
+  */
+object BenchScale {
+  private val Alphabet = "etaoinshrd" // high-frequency letters in the corpus
+
+  private def rotated(i: Int): String =
+    (Alphabet.drop(i % Alphabet.length) + Alphabet.take(i % Alphabet.length))
+
+  /** Replicate df `factor` times with a per-replica id remap and unit
+    * bijection. `idCol` is shifted by replica * (max id + 1). */
+  private def scaleDocs(docs: DataFrame, factor: Int, idSpan: Long): DataFrame = {
+    val r = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val translated = (1 until factor).foldLeft(when(col("r") === 0, col("text"))) {
+      (acc, i) => acc.when(col("r") === i, translate(col("text"), Alphabet, rotated(i)))
+    }
+    docs
+      .select(col("*"), r)
+      .withColumn("doc_id", col("doc_id") + col("r") * idSpan)
+      .withColumn("text", translated)
+      .drop("r")
+  }
+
+  private def scaleEmbeddings(emb: DataFrame, factor: Int, idSpan: Long): DataFrame = {
+    val r = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    // circular shift of the 64-dim vector by the replica index: norms and
+    // within-replica pairwise cosines are untouched (same permutation on
+    // both sides of any within-replica pair)
+    val dims = size(col("embedding"))
+    val shifted = concat(
+      slice(col("embedding"), col("r") + 1, dims - col("r")),
+      slice(col("embedding"), lit(1), col("r"))
+    )
+    emb
+      .select(col("*"), r)
+      .withColumn("vec_id", col("vec_id") + col("r") * idSpan)
+      .withColumn("embedding", shifted)
+      .drop("r")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("graft-bench-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-bench-scale")
+    val factors = Seq(1, 3, 10)
+    // (query prefix, cost model exponent: 1 = linear paths, 2 = exact all-pairs)
+    val family: Seq[(String, Int)] = Seq(
+      "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "e09" -> 1, "e02" -> 2
+    )
+    val maxFactorByExp = Map(1 -> 10, 2 -> 3) // quadratic tier stops at x3
+
+    val docs = Tables.documents(spark, src)
+    val emb = Tables.embeddings(spark, src)
+    val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val vecSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    factors.foreach { f =>
+      val dir = s"$workDir/x$f"
+      val marker = new java.io.File(s"$dir/_done")
+      if (!marker.exists()) {
+        scaleDocs(docs, f, docSpan).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        scaleEmbeddings(emb, f, vecSpan).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        marker.createNewFile()
+      }
+    }
+
+    def timeWarm(name: String, dir: String): Double = {
+      def exec(): Unit =
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      def once(): Double = {
+        val t0 = System.nanoTime(); exec(); (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      spark.sqlContext.clearCache()
+      t
+    }
+
+    val rows = family.map { case (prefix, exp) =>
+      val name = SparkEntry.queries.keys.find(_.startsWith(prefix)).get
+      val times = factors.filter(_ <= maxFactorByExp(exp)).map { f =>
+        f -> timeWarm(name, s"$workDir/x$f")
+      }
+      val t1 = times.head._2
+      // worst observed time vs the cost-model extrapolation from x1:
+      // model(f) = t1 * f^exp; the scale notes hold if ratio stays <= 2
+      val worst = times.tail.map { case (f, t) =>
+        t / (t1 * math.pow(f.toDouble, exp.toDouble))
+      }.maxOption.getOrElse(1.0)
+      (name, exp, times, worst)
+    }
+    val json = rows
+      .map { case (name, exp, times, worst) =>
+        val ts = times.map { case (f, t) => s""""x$f":${f"$t%.3f"}""" }.mkString(",")
+        s""""$name":{$ts,"exp":$exp,"worst_vs_model":${f"$worst%.2f"}}"""
+      }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale","factors":[1,3,10],"queries":$json}""")
+    spark.stop()
+  }
+}
