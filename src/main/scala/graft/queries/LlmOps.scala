@@ -1970,8 +1970,153 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Sequence packing: place every document into fixed token-budget
+    * training bins under concatenation packing (the GPT-style
+    * concat-then-split batcher: documents are laid head-to-tail on one
+    * token stream; bins are consecutive `packBudget`-token windows of that
+    * stream). Each doc is attributed to the bin its FIRST token lands in;
+    * `n_straddle` counts docs crossing their bin's right edge (the
+    * cross-boundary attention-mask cases a packer needs to know about).
+    *
+    * The global running offset is the interesting part at scale: a naive
+    * `SUM(n) OVER (ORDER BY doc_id)` is a single-partition window — one
+    * task does the whole corpus. Here it is a TWO-LEVEL prefix sum:
+    * within-bucket running sums (window PARTITIONED by a doc_id bucket,
+    * fully parallel) plus per-bucket offsets (prefix sum over the
+    * bucket-totals table, n/bucketSpan rows — metadata-scale, and
+    * broadcast back). Same numbers, no serial pass over the data; another
+    * level of nesting buys another 256x if bucket totals themselves ever
+    * outgrow one task. The DuckDB oracle uses the naive global window —
+    * bit-equal by construction, which is exactly the claim being gated. */
+  private val packBudget = 512
+  private val packBucketSpan = 256
+  val t15 = Q(
+    "t15_sequence_packing",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+                  FROM documents),
+      tk2 AS (SELECT * FROM tk WHERE n > 0),
+      c AS (SELECT doc_id, n,
+              CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+            FROM tk2)
+      SELECT (e - n) // $packBudget AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN (e - 1) // $packBudget > (e - n) // $packBudget
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+      FROM c GROUP BY bin ORDER BY bin""")
+  ) { (s, d) =>
+    val tk = Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr(s"doc_id div $packBucketSpan"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    val cum = tk.withColumn("cum_in", sum("n").over(inBucket))
+    val preceding = Window
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tk
+      .groupBy("bucket")
+      .agg(sum("n").as("btot"))
+      .select(
+        col("bucket"),
+        coalesce(sum("btot").over(preceding), lit(0L)).as("off")
+      )
+    cum
+      .join(broadcast(offsets), "bucket")
+      .select(
+        col("n"),
+        (col("off") + col("cum_in")).as("e")
+      )
+      .select(
+        col("n"),
+        col("e"),
+        expr(s"(e - n) div $packBudget").as("bin")
+      )
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum(
+          when(expr(s"(e - 1) div $packBudget") > col("bin"), 1L).otherwise(0L)
+        ).as("n_straddle")
+      )
+      .orderBy("bin")
+  }
+
+  /** Sub-document dedup (the RefinedWeb/CCNet line-dedup shape at chunk
+    * granularity): split every doc into non-overlapping `subdocWindow`-
+    * token chunks, hash each chunk, and mark the chunk POSITIONS whose
+    * content recurs in at least one OTHER document. Per doc: total
+    * chunks, cross-doc-shared chunks, and the `mostly_dup` verdict
+    * (2·shared >= total — integer-exact, no float ratio to flake the
+    * oracle). This is the operator that finds documents assembled from
+    * corpus-wide boilerplate, which whole-document dedup (d01/d02) is
+    * blind to.
+    *
+    * Scale: one agg builds the chunk-hash index (COUNT(DISTINCT doc_id)
+    * per hash — partial aggregation absorbs hot boilerplate hashes
+    * map-side), one equi-join attributes shared-ness back to positions,
+    * one agg folds per doc. All shuffles are on md5 keys — uniform by
+    * construction. At 100 TB the hash index is the persistable artifact
+    * (like d01's canonical table): build once, join every increment. */
+  private val subdocWindow = 16
+  val d11 = Q(
+    "d11_dedup_subdoc",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      nc AS (SELECT doc_id, t,
+               CAST(CEIL(len(t) / $subdocWindow.0) AS INTEGER) AS n_chunks
+             FROM tk WHERE len(t) > 0),
+      ch0 AS (SELECT doc_id, t, UNNEST(range(0, n_chunks)) AS c FROM nc),
+      ch AS (SELECT doc_id,
+               md5(array_to_string(
+                 list_slice(t, c * $subdocWindow + 1, c * $subdocWindow + $subdocWindow),
+                 ' ')) AS h
+             FROM ch0),
+      idx AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+      SELECT ch.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN idx.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             (2 * CAST(SUM(CASE WHEN idx.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               >= COUNT(*)) AS mostly_dup
+      FROM ch JOIN idx USING (h)
+      GROUP BY ch.doc_id ORDER BY ch.doc_id""")
+  ) { (s, d) =>
+    val w = subdocWindow
+    val chunk = slice(col("t"), col("c") * w + 1, lit(w))
+    val chunks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(
+          sequence(lit(0), ceil(size(col("t")) / lit(w.toDouble)).cast("int") - 1)
+        ).as("c")
+      )
+      .select(col("doc_id"), md5(concat_ws(" ", chunk)).as("h"))
+    val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    chunks
+      .join(idx, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared")
+      )
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_shared"),
+        (col("n_shared") * 2 >= col("n_chunks")).as("mostly_dup")
+      )
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

@@ -87,6 +87,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("t15: doc-path prefix sum is bucket-partitioned; offsets come back as a broadcast") {
+    val p = plan("t15_sequence_packing")
+    // the window over the DATA is partitioned by the doc_id bucket — the
+    // whole corpus never flows through one task's window
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // bucket offsets (metadata-scale) rejoin the data as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // scan reads only what the packer needs
+    assert(!p.contains("lang") && !p.contains("source"), "scan reads unused columns")
+  }
+
+  test("d11: chunk-hash index and rejoin shuffle on the md5 key; no nested-loop join") {
+    val p = plan("d11_dedup_subdoc")
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
+  }
+
   test("e09/e10: k-means assignment is compiled from parquet; only centroid metadata is local") {
     for (q <- Seq("e09_kmeans", "e10_pq_codes")) {
       val p = plan(q)
