@@ -871,6 +871,94 @@ object LlmOps {
       .orderBy("va", "vb")
   }
 
+  /** Semantic decontamination: for every EVAL-split vector, count the
+    * TRAIN-split vectors within cosine >= 0.35 — the embedding-space
+    * complement of d09's n-gram eval-set decontamination (an eval example
+    * paraphrased into the training corpus shares no 8-gram but sits right
+    * on top of it in embedding space). Splits are tagged IN-PLAN from the
+    * deterministic md5(vec_id) nibble (t06's rule, 'e'/'f' => eval —
+    * ~1/8), so no second scan and no materialized split table. Output per
+    * contaminated eval vector: hit count and the SUM of hitting train ids
+    * (a membership checksum — one flipped pair fails the hash gate).
+    *
+    * Plan: eval is small BY CONSTRUCTION (eval sets are ~10^3-10^5 when
+    * corpora are 10^9+), so it broadcasts; the train side scans ONCE with
+    * the compiled double cosine as the join predicate (codegen runs it
+    * inside the broadcast loop join — no shuffle, no candidate
+    * materialization), and only survivors pay e02's margin-bounded
+    * exact-decimal rescore that decides the threshold oracle-comparably.
+    * The first shuffle in the whole plan is the final tiny per-eval agg.
+    * If the eval set ever outgrows a broadcast, the scale path is e06's
+    * IVF probing with this same rescore tail. */
+  val d12 = Q(
+    "d12_semantic_decontam",
+    Some(s"""
+      WITH f AS ($flatSql),
+      n AS ($normsSql),
+      q AS (SELECT * FROM f
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f')),
+      t AS (SELECT * FROM f
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('e','f')),
+      dot AS (SELECT q.vec_id AS qid, t.vec_id AS tid, ${dprodSql("q.v", "t.v")} AS dot
+              FROM q JOIN t ON q.pos = t.pos
+              GROUP BY qid, tid),
+      cos AS (SELECT qid, tid,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nt.nrm AS DOUBLE))) AS cosine
+              FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nt ON tid = nt.vec_id)
+      SELECT qid AS vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(SUM(tid) AS BIGINT) AS hit_id_sum
+      FROM cos WHERE cosine >= 0.35
+      GROUP BY qid ORDER BY vec_id""")
+  ) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    val threshold = 0.35 - 1e-6 // prefilter margin >> fp error (e02 contract)
+    val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val evalSet = emb.filter(nib.isin("e", "f"))
+    val trainSet = emb.filter(!nib.isin("e", "f"))
+    // The broadcast join emits survivor IDS only; embeddings re-attach
+    // through the joins below. This is load-bearing, not style: if the
+    // exact-decimal rescore is expressible over the join's own output
+    // columns, Catalyst merges its filter INTO the join condition, where
+    // the AND evaluates left-to-right and the interpreted decimal
+    // zip_with/aggregate runs on EVERY candidate pair before the compiled
+    // prefilter gets to veto it (measured: 50.9 s vs 0.6 s at sf0.1).
+    // With ids-only output the rescore needs columns the join doesn't
+    // carry, so it structurally cannot sink below the survivor set.
+    val candIds = trainSet
+      .as("t")
+      .join(
+        broadcast(evalSet).as("q"),
+        expr("cosine_similarity(q.embedding, t.embedding)") >= threshold
+      )
+      .select(col("q.vec_id").as("qid"), col("t.vec_id").as("tid"))
+    candIds
+      .join(emb.select(col("vec_id").as("tid"), col("embedding").as("te")), "tid")
+      .join(
+        broadcast(evalSet.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        "qid"
+      )
+      .select(
+        col("qid"),
+        col("tid"),
+        (dotArr(col("qe"), col("te")).cast("double") /
+          (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
+            sqrt(dotArr(col("te"), col("te")).cast("double"))))
+          .as("cosine")
+      )
+      .filter(col("cosine") >= 0.35)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"), sum("tid").as("hit_id_sum"))
+      .select(
+        col("qid").as("vec_id"),
+        col("n_hits"),
+        col("hit_id_sum")
+      )
+      .orderBy("vec_id")
+  }
+
   /** Triangle-blocked self-join: every unordered pair of DISTINCT input
     * rows meets exactly once, fully distributed, no driver data path.
     * Rows hash into B blocks on idCol; each unordered block pair
@@ -2005,9 +2093,13 @@ object LlmOps {
              CAST(SUM(CASE WHEN (e - 1) // $packBudget > (e - n) // $packBudget
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
       FROM c GROUP BY bin ORDER BY bin""")
-  ) { (s, d) =>
-    val tk = Tables
-      .documents(s, d)
+  ) { (s, d) => packedBinsOf(Tables.documents(s, d)) }
+
+  /** Frame-parameterized body of t15 — package-visible so the property
+    * spec can pin two-level-vs-naive prefix-sum equivalence on adversarial
+    * doc_id distributions (gaps, bucket-boundary clusters). */
+  private[graft] def packedBinsOf(documents: DataFrame): DataFrame = {
+    val tk = documents
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("bucket", expr(s"doc_id div $packBucketSpan"))
@@ -2116,7 +2208,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

@@ -105,6 +105,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
   }
 
+  test("d12: eval side broadcasts; the compiled cosine prefilter is the join predicate") {
+    val p = plan("d12_semantic_decontam")
+    // the small eval split rides a broadcast; the train scan never shuffles
+    // before the final per-eval agg
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_similarity"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e09/e10: k-means assignment is compiled from parquet; only centroid metadata is local") {
     for (q <- Seq("e09_kmeans", "e10_pq_codes")) {
       val p = plan(q)

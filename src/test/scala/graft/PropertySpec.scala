@@ -179,6 +179,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: two-level packing prefix sum equals the naive driver fold") {
+    import spark.implicits._
+    // Adversarial doc_id distributions: sparse ids with large gaps and
+    // clusters around bucket boundaries (multiples of 256) — the layouts
+    // where a bucket-offset bug would misplace bins. Token counts via
+    // synthetic texts of w repeated words.
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      ids <- Gen.listOfN(
+        n,
+        Gen.oneOf(
+          Gen.chooseNum(0L, 10000L),
+          Gen.chooseNum(250L, 262L), // straddles the 256 bucket edge
+          Gen.chooseNum(0L, 5L).map(_ * 256L) // exactly on edges
+        )
+      )
+      ws <- Gen.listOfN(n, Gen.chooseNum(1, 40))
+    } yield ids.distinct.zip(ws)
+    forAllN(gen, n = 8) { docs =>
+      val df = docs
+        .map { case (id, w) => (id, Seq.fill(w)("tok").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.LlmOps
+        .packedBinsOf(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // naive reference: one sequential fold over doc_id order
+      val budget = 512L
+      var cum = 0L
+      val placed = docs.sortBy(_._1).map { case (_, w) =>
+        val s0 = cum; cum += w
+        val bin = s0 / budget
+        (bin, w.toLong, if ((cum - 1) / budget > bin) 1L else 0L)
+      }
+      val want = placed
+        .groupBy(_._1)
+        .map { case (bin, xs) =>
+          (bin, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+        }
+        .toSeq
+        .sortBy(_._1)
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("property: connected components match driver-side union-find") {
     import spark.implicits._
     val gen = for {
