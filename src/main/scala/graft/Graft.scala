@@ -93,6 +93,18 @@ object Graft {
   )(f: I => O): Iterator[(Long, Try[O], String)] =
     ParallelMap.streamWithLogs(spark, inputs, maxParallelism, window = window)(f)
 
+  /** Input-granular LIVE relay: `onLog(inputIndex, logs)` fires on the
+    * driver WHILE the job runs — a fast input's log is observable while a
+    * straggler in the SAME partition is still executing (heartbeat-fed;
+    * latency = spark.executor.heartbeatInterval). Exactly once per input;
+    * returns the full attributed results like remoteParallelMapWithLogs. */
+  def remoteParallelMapLiveLogs[I: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int] = None
+  )(f: I => O)(onLog: (Long, String) => Unit): Seq[(Long, Try[O], String)] =
+    ParallelMap.runWithLiveLogs(spark, inputs, maxParallelism)(f)(onLog)
+
   /** Nested map — the reference's UDF-calls-rpm-recursively shape
     * (client/tests/test_nested_rpm.py), as driver-side composition running
     * as ONE two-stage distributed plan: fan each input out with `f`, map
@@ -214,6 +226,11 @@ object Graft {
   /** Status transition log per job (RUNNING -> COMPLETED/FAILED/CANCELLED). */
   def jobTransitions(spark: SparkSession): DataFrame =
     graft.operators.JobTracker.jobTransitions(spark)
+
+  /** Self-usage rollup: task-seconds and job counts per UTC day per mode
+    * over the engine's own run history (the reference's usage endpoints). */
+  def usageDaily(spark: SparkSession): DataFrame =
+    graft.operators.JobTracker.usageDaily(spark)
 
   /** The named query library (oracle-checked operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries

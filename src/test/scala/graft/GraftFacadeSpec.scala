@@ -23,11 +23,20 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(logged.size == 3 && logged.forall { case (i, r, lg) =>
       r.isSuccess && lg.contains(s"at ${i + 1}")
     })
+    val live = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val relayed = Graft.remoteParallelMapLiveLogs(spark, 1 to 3) { x =>
+      println(s"live $x"); x * 2
+    } { (i, lg) => live.put(i, lg) }
+    assert(relayed.size == 3 && live.size == 3)
+    assert((0 until 3).forall(i => live.get(i.toLong).contains(s"live ${i + 1}")))
     // job history answers "what ran"
     val jobs = Graft.jobs(spark)
     assert(jobs.columns.contains("status"))
     assert(jobs.filter(col("status") === "COMPLETED").count() >= 4)
     assert(Graft.jobTransitions(spark).count() >= 8) // RUNNING + terminal each
+    // usage rollup over the engine's own history
+    val usage = Graft.usageDaily(spark).collect()
+    assert(usage.nonEmpty && usage.forall(_.getAs[Long]("n_jobs") > 0))
   }
 
   test("relational extras: as-of, salted, range joins route through operators") {
