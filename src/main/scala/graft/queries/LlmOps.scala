@@ -524,7 +524,7 @@ object LlmOps {
     * bBits >= 32 (Scala shifts mod 32), which would collapse every band
     * to bucket 0 and degrade the join to the all-pairs scan the band
     * trick replaces. */
-  private def bandValue(c: Column, b: Int, bBits: Int): Column =
+  private[graft] def bandValue(c: Column, b: Int, bBits: Int): Column =
     shiftright(c, b * bBits).bitwiseAND(lit((1L << bBits) - 1))
 
   /** (doc_id, simhash, b, bv): each fingerprint exploded into its bit-band

@@ -78,6 +78,60 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
+  /** Streaming near-dup guard: flag each arriving document against a
+    * STATIC corpus fingerprint index by SimHash band match — d08's
+    * incremental ingest dedup as a stream (the shape a live crawl
+    * pipeline runs: fingerprint on arrival, check the corpus, route).
+    *
+    * `corpusFps` is (doc_id, simhash) — d04's output, the persistable
+    * fingerprint artifact. The stream side computes its fingerprint with
+    * the same compiled one-pass kernel (stateless projection), explodes
+    * into radius+1 bit-bands, and equi-joins the static band index:
+    * exact within Hamming <= radius by pigeonhole, no stream state AT ALL
+    * (stream-static joins keep no watermark store, and the first-match-
+    * band predicate makes each (doc, corpus-doc) pair emit exactly once
+    * without a stateful distinct). Output: one row per near-dup pair
+    * (doc_id, matched_id, hamming), append-mode safe.
+    *
+    * The static side rides a broadcast here (a 64-bit fingerprint index
+    * is ~12 bytes/doc — tens of GB only past 10^9 docs); for an index
+    * that genuinely outgrows broadcast, drop the hint and Spark shuffles
+    * the static side once per micro-batch against the band key. */
+  def nearDupStream(
+      docs: DataFrame,
+      corpusFps: DataFrame,
+      bits: Int = 64,
+      radius: Int = 3
+  ): DataFrame = {
+    import graft.queries.LlmOps
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val nBands = radius + 1
+    require(bits % nBands == 0, s"$bits bits must split evenly into $nBands bands")
+    val bBits = bits / nBands
+    val fps = docs
+      .filter(trim(col("text")) =!= "")
+      .select(
+        col("doc_id"),
+        expr("simhash64(array_remove(split(lower(text), ' '), ''))").as("simhash")
+      )
+    val sBands = LlmOps.simhashBandsDf(fps, bBits, nBands).as("s")
+    val cBands = LlmOps.simhashBandsDf(corpusFps, bBits, nBands).as("c")
+    val firstMatchBand = (0 until nBands).map { bp =>
+      (col("s.b") <= bp) ||
+        (LlmOps.bandValue(col("s.simhash"), bp, bBits) =!=
+          LlmOps.bandValue(col("c.simhash"), bp, bBits))
+    }.reduce(_ && _)
+    val ham = bit_count(col("s.simhash").bitwiseXOR(col("c.simhash")))
+    sBands
+      .join(broadcast(cBands), col("s.b") === col("c.b") && col("s.bv") === col("c.bv"))
+      .filter(ham <= radius && firstMatchBand)
+      .select(
+        col("s.doc_id").as("doc_id"),
+        col("c.doc_id").as("matched_id"),
+        ham.cast("int").as("hamming")
+      )
+  }
+
   /** Stream-stream event-time interval join: correlate each left event
     * with the right-stream events of the SAME user that happen within
     * `withinSeconds` AFTER it ("purchase within 30 min of a click").

@@ -97,6 +97,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup guard flags arrivals against the static fingerprint index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    // static corpus: three docs, fingerprinted with the same kernel the
+    // stream side uses (d04's persistable artifact)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about spark physical plans"),
+      (102L, "rolling hash chunk boundaries for content defined dedup")
+    ).toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      col("doc_id"),
+      expr("simhash64(array_remove(split(lower(text), ' '), ''))").as("simhash")
+    )
+    val src = MemoryStream[(Long, String)]
+    val out = EventStream.nearDupStream(src.toDF().toDF("doc_id", "text"), corpusFps)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      src.addData(
+        // byte-identical to corpus 100 -> hamming 0
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        // unrelated -> no match
+        (2L, "entirely unrelated text mentioning nothing similar whatsoever at all")
+      )
+      q.processAllAvailable()
+      // a near-variant of corpus 100 arriving in a LATER batch (one word
+      // swapped) matches iff its fingerprint sits within the radius; the
+      // exact copy is the guaranteed in-radius case
+      src.addData((3L, "the quick brown fox jumps over the lazy dog again and againx"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc(1L).toSeq == Seq((1L, 100L, 0))) // exact: one row, hamming 0
+      assert(!byDoc.contains(2L)) // unrelated never emits
+      // exactly-once per pair: no doc_id repeats a matched_id
+      assert(rows.groupBy(r => (r._1, r._2)).values.forall(_.size == 1))
+    } finally q.stop()
+  }
+
   test("sessionization closes gap-separated sessions with typed state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
