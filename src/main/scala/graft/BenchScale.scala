@@ -72,8 +72,13 @@ object BenchScale {
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-bench-scale")
     val factors = Seq(1, 3, 10)
     // (query prefix, cost model exponent: 1 = linear paths, 2 = exact all-pairs)
+    // d12's eval AND train splits both grow with f here (both are hash
+    // fractions of the same table), so its candidate count is ~f^2 — in
+    // production the eval set is fixed-size and the cost is linear in the
+    // train side; the f^2 model is the honest bound for THIS derivation.
     val family: Seq[(String, Int)] = Seq(
-      "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "e09" -> 1, "e02" -> 2
+      "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "d11" -> 1,
+      "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2
     )
     val maxFactorByExp = Map(1 -> 10, 2 -> 3) // quadratic tier stops at x3
 
