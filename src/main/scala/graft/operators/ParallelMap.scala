@@ -451,14 +451,25 @@ object ParallelMap {
     }
   }
 
-  /** Append-only (inputIndex, capturedLogs) accumulator backing the live
+  /** Newest entries a task's relay accumulator retains (and therefore the
+    * most a single heartbeat ships). The relay channel only serves
+    * LIVENESS — authoritative logs always arrive with the collected
+    * results — so older entries (already relayed with high probability
+    * after a heartbeat interval) are droppable without any end-state
+    * loss; the completeness sweep re-fires anything a heartbeat never
+    * carried. Bounds heartbeat payload at ~cap x MaxLogBytesPerInput per
+    * running task instead of O(all logs in the partition). */
+  private[graft] val LiveRelayRetained = 64
+
+  /** Newest-first (inputIndex, capturedLogs) accumulator backing the live
     * log relay: each completed input adds one entry from inside the still-
     * running task. Executor heartbeats ship partial values of RUNNING
     * tasks' accumulators to the driver, which is what makes entries
     * visible mid-task (same channel the Spark UI uses for live
     * accumulator columns). Entries are immutable snapshots, so a partial
-    * read never observes a half-written log. */
-  private[operators] final class LogRelayAcc
+    * read never observes a half-written log; retention is capped at
+    * LiveRelayRetained per task copy (see its scaladoc). */
+  private[graft] final class LogRelayAcc
       extends org.apache.spark.util.AccumulatorV2[(Long, String), List[(Long, String)]] {
     @volatile private var entries: List[(Long, String)] = Nil
     override def isZero: Boolean = entries.isEmpty
@@ -466,7 +477,9 @@ object ParallelMap {
       val a = new LogRelayAcc; a.entries = entries; a
     }
     override def reset(): Unit = entries = Nil
-    override def add(v: (Long, String)): Unit = synchronized { entries = v :: entries }
+    override def add(v: (Long, String)): Unit = synchronized {
+      entries = (v :: entries).take(LiveRelayRetained)
+    }
     override def merge(
         other: org.apache.spark.util.AccumulatorV2[(Long, String), List[(Long, String)]]
     ): Unit = synchronized { entries = other.value ::: entries }

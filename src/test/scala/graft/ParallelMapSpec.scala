@@ -213,6 +213,24 @@ class ParallelMapSpec extends AnyFunSuite {
     assert(out.count(_._2.isSuccess) == 5)
   }
 
+  test("live log relay: retention cap bounds heartbeat payload, sweep keeps completeness") {
+    // the per-task accumulator retains only the newest LiveRelayRetained
+    // entries (heartbeat payload bound) ...
+    val acc = new graft.operators.ParallelMap.LogRelayAcc
+    (0 until 200).foreach(i => acc.add((i.toLong, s"log $i")))
+    assert(acc.value.size == graft.operators.ParallelMap.LiveRelayRetained)
+    assert(acc.value.head._1 == 199L) // newest-first
+    // ... and a job with far more logged inputs than the cap still fires
+    // the callback exactly once per input (completeness sweep)
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val out = ParallelMap.runWithLiveLogs(spark, 0 until 200, maxParallelism = Some(2)) {
+      x => println(s"n=$x"); x
+    } { (i, _) => got.merge(i, 1, (a, b) => a + b) }
+    assert(out.size == 200)
+    assert(got.size == 200)
+    assert(scala.jdk.CollectionConverters.CollectionHasAsScala(got.values).asScala.forall(_ == 1))
+  }
+
   test("stream with a bounded window still yields every result") {
     val out = ParallelMap
       .stream(spark, 0 until 30, maxParallelism = Some(6), window = 2)(x => x * 2)
