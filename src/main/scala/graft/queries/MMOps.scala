@@ -95,5 +95,31 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04)
+  /** Exact media dedup by BINARY content digest — d01's shape on the
+    * payload column (the first pass any multimodal corpus ingest runs:
+    * identical bytes, one canonical copy). The digest is computed in the
+    * scan projection, so only 16-byte hashes ever shuffle — at 100 TB of
+    * media the exchange carries digests + ids, never payloads. Per
+    * distinct payload: copy count and canonical (min) id — oracle-
+    * recomputable because the stub media payload is the UTF-8 encoding of
+    * the text column, and DuckDB's md5(VARCHAR) hashes exactly those
+    * bytes (its md5 has no BLOB overload). */
+  val m05 = Q(
+    "m05_media_dedup",
+    Some("""
+      SELECT md5(text) AS content_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS canonical_id
+      FROM documents GROUP BY 1 ORDER BY canonical_id""")
+  ) { (s, d) =>
+    Multimodal
+      .mediaFromDocuments(s, Tables.documents(s, d))
+      .toDF()
+      .select(md5(col("payload")).as("content_md5"), col("media_id"))
+      .groupBy("content_md5")
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+      .orderBy("canonical_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }
