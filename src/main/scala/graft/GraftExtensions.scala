@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarityExpr, CosineTopClustersExpr, Int8MaxErrRatioExpr, IntPackedArgminExpr, IntSqDistExpr, SimHash16Expr, SimHash64Expr}
+import graft.functions.{CosineSimilarityExpr, CosineTopClustersExpr, Int8MaxErrRatioExpr, IntArgminSqdistExpr, IntSqDistExpr, SimHash16Expr, SimHash64Expr}
 
 /** Session extensions: the canonical injection point for the engine's
   * custom Catalyst surface. Installable two ways:
@@ -85,15 +85,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
-        FunctionIdentifier("int_packed_argmin"),
+        FunctionIdentifier("int_argmin_sqdist"),
         new ExpressionInfo(
-          classOf[IntPackedArgminExpr].getCanonicalName,
+          classOf[IntArgminSqdistExpr].getCanonicalName,
           null,
-          "int_packed_argmin",
-          "int_packed_argmin(x, centroids) - min over c of int_sqdist(x, centroids[c]) * k + c",
+          "int_argmin_sqdist",
+          "int_argmin_sqdist(x, centroids) - [argmin cluster, its int_sqdist] over the centroid matrix",
           ""
         ),
-        exprs => IntPackedArgminExpr(exprs(0), exprs(1))
+        exprs => IntArgminSqdistExpr(exprs(0), exprs(1))
       )
     )
     e.injectFunction(

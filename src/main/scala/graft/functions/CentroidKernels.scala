@@ -47,13 +47,20 @@ object CentroidKernels {
     out
   }
 
-  /** min over clusters c of (sqdist(x, mat(c)) * k + c) — the packed
-    * integer-exact k-means assignment (KMeans.packedAssignCol semantics,
-    * bit-identical to the per-centroid int_sqdist formulation). Called
-    * from generated code. */
-  def packedArgmin(x: ArrayData, mat: Array[Array[Long]]): Long = {
+  /** [argmin cluster, its sqdist]: integer-exact k-means assignment
+    * against the centroid matrix, ties to the SMALLEST cluster id (strict
+    * < with ascending scan — the same winner the earlier packed
+    * `min(sqdist*k + c)` encoding produced). Returning the pair directly
+    * removes the packed form's `*k` factor from the overflow contract:
+    * the only long arithmetic is int_sqdist's own accumulation, so the
+    * component bound no longer shrinks as k grows (the packed bound
+    * sqrt(Long.Max/(dims*k))/2 capped k at ~360 for unit-scale 64-dim
+    * embeddings — corpus-derived k crossed that just past the x10 bench
+    * tier). Called from generated code. */
+  def argminSqdist(x: ArrayData, mat: Array[Array[Long]]): ArrayData = {
     val k = mat.length
-    var best = Long.MaxValue
+    var bestDist = Long.MaxValue
+    var bestC = 0L
     var c = 0
     while (c < k) {
       val cent = mat(c)
@@ -65,11 +72,10 @@ object CentroidKernels {
         acc += d * d
         i += 1
       }
-      val packed = acc * k + c
-      if (packed < best) best = packed
+      if (acc < bestDist) { bestDist = acc; bestC = c }
       c += 1
     }
-    best
+    ArrayData.toArrayData(Array(bestC, bestDist))
   }
 
   /** Cluster ids ordered by descending (cosine(e, centroid), id), first
@@ -111,12 +117,17 @@ object CentroidKernels {
     val m = math.min(math.max(topn, 0), k)
     val out = new Array[Int](m)
     if (m == 1) {
-      // the corpus-assignment hot path: linear argmax, no sort
+      // the corpus-assignment hot path: linear argmax, no sort.
+      // Double.compare, NOT primitive >/==: the sort path below ranks by
+      // TotalOrdering (NaN greatest, -0.0 < 0.0), and a primitive compare
+      // here would disagree on those values — an Inf/NaN embedding would
+      // be STORED in one list but PROBED starting at another.
       var bestC = 0
       var bestCos = cos(0)
       c = 1
       while (c < k) {
-        if (cos(c) > bestCos || (cos(c) == bestCos && c > bestC)) {
+        val cmp = java.lang.Double.compare(cos(c), bestCos)
+        if (cmp > 0 || (cmp == 0 && c > bestC)) {
           bestCos = cos(c); bestC = c
         }
         c += 1
@@ -132,16 +143,17 @@ object CentroidKernels {
   }
 }
 
-/** `int_packed_argmin(x, centroids)`: packed k-means assignment against a
-  * literal centroid matrix — see CentroidKernels.packedArgmin. x is
-  * array<bigint> (fixed-point), centroids a FOLDABLE
-  * array<array<bigint>>. Overflow contract: inherits int_sqdist's bound
-  * tightened by sqrt(k) for the *k packing — KMeans.fit asserts the max
+/** `int_argmin_sqdist(x, centroids)` -> array<bigint> [cluster, dist]:
+  * integer-exact k-means assignment against a literal centroid matrix —
+  * see CentroidKernels.argminSqdist. x is array<bigint> (fixed-point),
+  * centroids a FOLDABLE, NON-NULL array<array<bigint>>. Overflow
+  * contract: int_sqdist's own bound (|component| <
+  * sqrt(Long.Max/dims)/2), independent of k — KMeans.fit asserts the max
   * component magnitude once per fit. */
-case class IntPackedArgminExpr(left: Expression, right: Expression)
+case class IntArgminSqdistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "int_packed_argmin"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int_argmin_sqdist"
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def longArr(dt: DataType): Boolean = dt match {
@@ -161,6 +173,10 @@ case class IntPackedArgminExpr(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a literal (foldable) centroid matrix"
       )
+    else if (right.eval() == null)
+      // foldable NULL would otherwise NPE out of the lazy matrix at first
+      // eval — fail the analysis instead (cheap: right is a literal)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName centroid matrix must not be null")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -172,7 +188,7 @@ case class IntPackedArgminExpr(left: Expression, right: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val x = left.eval(input)
     if (x == null) null
-    else CentroidKernels.packedArgmin(x.asInstanceOf[ArrayData], matrix)
+    else CentroidKernels.argminSqdist(x.asInstanceOf[ArrayData], matrix)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -183,9 +199,9 @@ case class IntPackedArgminExpr(left: Expression, right: Expression)
     ev.copy(code = code"""
         ${xGen.code}
         boolean ${ev.isNull} = ${xGen.isNull};
-        long ${ev.value} = 0L;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.functions.CentroidKernels.packedArgmin(${xGen.value}, $matRef);
+          ${ev.value} = graft.functions.CentroidKernels.argminSqdist(${xGen.value}, $matRef);
         }
       """)
   }
@@ -220,6 +236,12 @@ case class CosineTopClustersExpr(first: Expression, second: Expression, third: E
     else if (!second.foldable || !third.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires literal (foldable) centroid matrix and topn"
+      )
+    else if (second.eval() == null || third.eval() == null)
+      // foldable NULLs would otherwise NPE (matrix) or unbox to 0 (topn,
+      // silently returning empty arrays) — fail the analysis instead
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName centroid matrix and topn must not be null"
       )
     else TypeCheckResult.TypeCheckSuccess
   }

@@ -21,12 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, LongType}
   * Overflow contract (documented, not checked per-row): |a_i - b_i| must
   * stay below sqrt(Long.MaxValue / dims) ~ 3.8e8 at 64 dims. The k-means
   * operator's fixed-point scale keeps |values| < ~1e8 for unit-ish
-  * embeddings, far inside the bound. NOTE: the packed assignment
-  * (int_packed_argmin / KMeans.packedAssignCol) multiplies the sum by k,
-  * tightening the component bound by sqrt(k) — KMeans.fit asserts the
-  * corpus max |component| against sqrt(Long.MaxValue / (dims * k)) / 2
-  * once per fit, because a long multiply wraps silently outside ANSI
-  * mode and would mis-assign clusters with no Spark-side error.
+  * embeddings, far inside the bound. The matrix assignment kernel
+  * (int_argmin_sqdist / KMeans.assignPairCol) shares exactly this bound
+  * (it returns [cluster, dist] — nothing ever multiplies a distance by
+  * k); KMeans.fit asserts the corpus max |component| against
+  * sqrt(Long.MaxValue / dims) / 2 once per fit, because a long overflow
+  * wraps silently outside ANSI mode and would mis-assign clusters with
+  * no Spark-side error.
   */
 case class IntSqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -182,7 +182,7 @@ object VectorFunctions {
     ensure("simhash16", exprs => SimHash16Expr(exprs(0)))
     ensure("simhash64", exprs => SimHash64Expr(exprs(0)))
     ensure("int_sqdist", exprs => IntSqDistExpr(exprs(0), exprs(1)))
-    ensure("int_packed_argmin", exprs => IntPackedArgminExpr(exprs(0), exprs(1)))
+    ensure("int_argmin_sqdist", exprs => IntArgminSqdistExpr(exprs(0), exprs(1)))
     ensure("cosine_top_clusters",
       exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2)))
   }

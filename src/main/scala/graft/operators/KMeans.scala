@@ -23,7 +23,7 @@ import graft.functions.VectorFunctions
   *
   * Scale shape (the 100 TB posture):
   *   - the corpus is touched once per iteration with a COMPILED per-row
-  *     argmin (one int_packed_argmin kernel call carrying the whole
+  *     argmin (one int_argmin_sqdist kernel call carrying the whole
   *     centroid matrix as a single literal — no join, no shuffle for
   *     assignment, generated-code size constant in k);
   *   - the update step is one posexplode + grouped long sum per
@@ -35,10 +35,11 @@ import graft.functions.VectorFunctions
   *     engine-independent, and a TakeOrdered (partial top-k), not a
   *     global sort.
   *
-  * Assignment ties break toward the smaller cluster id via the packed
-  * encoding `dist * k + cluster` minimized with array_min (dist
-  * dominates; cluster id decides ties) — one long per row carries both
-  * the assignment and its distance.
+  * Assignment ties break toward the smaller cluster id (the kernel's
+  * ascending strict-< scan — the same winner the earlier packed
+  * `dist * k + cluster` encoding produced); the kernel returns
+  * [cluster, dist] directly, so no arithmetic ever multiplies a
+  * distance by k and the overflow bound is k-independent.
   */
 object KMeans {
 
@@ -64,16 +65,16 @@ object KMeans {
         .as("x")
     )
 
-  /** packed = min over clusters of (int_sqdist(x, centroid_c) * k + c),
-    * as ONE compiled kernel call with the whole centroid matrix as a
-    * single nested-array literal (IntPackedArgminExpr). The per-centroid
-    * inlined-expression form blew the JVM 64 KB method / constant-pool
-    * limits past a few hundred clusters (k x dims literals in the
-    * generated source); the kernel's generated code is constant-size in
-    * k. Semantics are bit-identical. */
-  private[graft] def packedAssignCol(model: Model): Column =
+  /** [cluster, dist] per row, as ONE compiled kernel call with the whole
+    * centroid matrix as a single nested-array literal
+    * (IntArgminSqdistExpr). The per-centroid inlined-expression form blew
+    * the JVM 64 KB method / constant-pool limits past a few hundred
+    * clusters (k x dims literals in the generated source); the kernel's
+    * generated code is constant-size in k. Semantics are bit-identical
+    * to the per-centroid int_sqdist formulation (ties to smallest c). */
+  private[graft] def assignPairCol(model: Model): Column =
     call_function(
-      "int_packed_argmin",
+      "int_argmin_sqdist",
       col("x"),
       typedLit[Seq[Seq[Long]]](model.centroids.map(_.toSeq).toSeq)
     )
@@ -85,14 +86,16 @@ object KMeans {
     * silently clamped to `Model(n, ...)` rather than padding with
     * degenerate duplicate centroids.
     *
-    * Exact-arithmetic guard: the packed encoding multiplies int_sqdist's
-    * long sum by k, so the overflow-free bound on fixed-point components
-    * tightens from sqrt(Long.MaxValue / dims) to
-    * sqrt(Long.MaxValue / (dims * k)) / 2 (the /2 covers the worst-case
-    * component difference). fit() asserts the corpus max |component|
-    * against that bound ONCE (a map-side-combinable max over the cached
-    * fixed-point corpus) — a silent long wrap would otherwise mis-assign
-    * clusters with no error on the Spark side, caught only by the oracle. */
+    * Exact-arithmetic guard: int_sqdist's long accumulation is overflow-
+    * free while |component| < sqrt(Long.MaxValue / dims) / 2 (the /2
+    * covers the worst-case component difference; the bound is
+    * k-INDEPENDENT now that the kernel returns [cluster, dist] instead
+    * of the old dist*k+c packing, whose *k factor capped corpus-derived
+    * k at ~360 for unit-scale 64-dim embeddings). fit() asserts the
+    * corpus max |component| against the bound ONCE (a map-side-
+    * combinable max over the cached fixed-point corpus) — a silent long
+    * wrap would otherwise mis-assign clusters with no error on the
+    * Spark side, caught only by the oracle. */
   def fit(
       spark: SparkSession,
       emb: DataFrame, // vec_id, <embCol>: array<float>
@@ -116,18 +119,18 @@ object KMeans {
       .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
       .head()
       .getLong(0)
-    val bound = math.sqrt(Long.MaxValue.toDouble / (dims.toDouble * seeds.length)) / 2
+    val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
     require(
       maxAbs.toDouble <= bound,
       s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
-        s"bound $bound for dims=$dims, k=${seeds.length}: packed distances would wrap"
+        s"bound $bound for dims=$dims: squared distances would wrap"
     )
     var model = Model(seeds.length, seeds)
     for (_ <- 0 until iters) {
       // one corpus pass: compiled assignment, then per-(cluster, dim)
       // exact long sums — k x dims rows back to the driver (metadata)
       val sums = fp
-        .withColumn("c", (packedAssignCol(model) % model.k).cast("int"))
+        .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
         .select(col("c"), posexplode(col("x")))
         .groupBy("c", "pos")
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -154,11 +157,11 @@ object KMeans {
   def assign(spark: SparkSession, emb: DataFrame, model: Model, embCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(spark)
     fixedPoint(emb, embCol)
-      .withColumn("packed", packedAssignCol(model))
+      .withColumn("asn", assignPairCol(model))
       .select(
         col("vec_id"),
-        (col("packed") % model.k).cast("int").as("cluster"),
-        expr(s"packed div ${model.k}").as("dist")
+        element_at(col("asn"), 1).cast("int").as("cluster"),
+        element_at(col("asn"), 2).as("dist")
       )
   }
 }

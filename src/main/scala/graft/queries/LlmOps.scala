@@ -126,12 +126,15 @@ object LlmOps {
     * Instead only the canonical copy (min doc_id per content hash) is
     * shingled/banded, and each duplicate contributes ONE star edge
     * (canonical, dup). Connectivity is unchanged — a copy's band matches
-    * are exactly its canonical's — so d06's components and d07's
-    * leaked-document coverage are identical to clique semantics, while
-    * per-bucket fan-out stays bounded by the number of DISTINCT texts in
-    * the bucket. d02's pair list is therefore near-dup pairs among
-    * exact-distinct texts plus the exact-dup star — the spanning structure
-    * a dedup pipeline consumes, not the clique it never materializes. */
+    * are exactly its canonical's — so d06's components are identical to
+    * clique semantics, while per-bucket fan-out stays bounded by the
+    * number of DISTINCT texts in the bucket. d02's pair list is therefore
+    * near-dup pairs among exact-distinct texts plus the exact-dup star —
+    * the spanning structure a dedup pipeline consumes, not the clique it
+    * never materializes. d07 is the one consumer that NEEDS member-level
+    * pairs (its filter is on the members' splits, and a star edge can hide
+    * a cross-split twin behind a same-split canonical) — it expands class
+    * pairs back to members; see splitLeakageOf. */
   private val minhashPairCtes: String = {
     val mins =
       (0 until 16).map(k => s"MIN(md5('$k|' || sh)) AS h$k").mkString(",\n          ")
@@ -183,15 +186,28 @@ object LlmOps {
     * adversarial hot-bucket spec can feed a mass-duplicate corpus without
     * writing parquet. */
   private[graft] def minhashPairsOf(documents: DataFrame): DataFrame = {
+    val (docs0, nearPairs) = minhashCanonParts(documents)
+    val dupEdges = docs0
+      .filter(col("doc_id") =!= col("cid"))
+      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
+    nearPairs.unionAll(dupEdges)
+  }
+
+  /** The two building blocks behind the star-collapsed pair list:
+    * `docs0` = every document with its exact-dup class id (`cid` = min
+    * doc_id over identical text), and the canonical-level MinHash-LSH
+    * near pairs (exact-distinct texts only). d02/d06 consume the star
+    * form (minhashPairsOf); d07 expands class pairs back to MEMBERS,
+    * because its cross-split filter needs member-level pairs — a
+    * test-split copy whose canonical also sits in test would otherwise
+    * lose its link to a train-split twin. */
+  private[graft] def minhashCanonParts(documents: DataFrame): (DataFrame, DataFrame) = {
     val docs0 = documents
       .select(
         col("doc_id"),
         col("text"),
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("cid")
       )
-    val dupEdges = docs0
-      .filter(col("doc_id") =!= col("cid"))
-      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
     val canon = docs0.filter(col("doc_id") === col("cid")).select("doc_id", "text")
     val sh = explodedShinglesOf(canon).distinct()
     // Hash each DISTINCT shingle once (16 md5s per unique string), then
@@ -235,7 +251,7 @@ object LlmOps {
     val noEarlierBandMatch = (0 until 4).map { bp =>
       (col("x.b") <= bp) || (col(s"x.bh$bp") =!= col(s"y.bh$bp"))
     }.reduce(_ && _)
-    bands
+    val nearPairs = bands
       .as("x")
       .join(
         bands.as("y"),
@@ -244,7 +260,7 @@ object LlmOps {
       )
       .filter(noEarlierBandMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .unionAll(dupEdges)
+    (docs0, nearPairs)
   }
 
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
@@ -317,26 +333,64 @@ object LlmOps {
     "d07_split_leakage",
     Some(s"""
       WITH $minhashPairCtes,
-      sp AS (SELECT doc_id,
+      sp AS (SELECT doc_id, cid,
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
                     ELSE 'train' END AS split
-             FROM documents)
-      SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b
-      FROM mh_pairs p
-      JOIN sp sa ON p.doc_a = sa.doc_id
-      JOIN sp sb ON p.doc_b = sb.doc_id
-      WHERE sa.split <> sb.split
-      ORDER BY doc_a, doc_b""")
-  ) { (s, d) =>
-    minhashPairs(s, d)
+             FROM docs0),
+      cls AS (SELECT DISTINCT cid AS doc_a, cid AS doc_b FROM docs0),
+      cp AS (SELECT doc_a, doc_b FROM near_pairs
+             UNION ALL SELECT doc_a, doc_b FROM cls),
+      ex AS (SELECT
+               CASE WHEN a.doc_id < b.doc_id THEN a.doc_id ELSE b.doc_id END AS doc_a,
+               CASE WHEN a.doc_id < b.doc_id THEN a.split ELSE b.split END AS split_a,
+               CASE WHEN a.doc_id < b.doc_id THEN b.doc_id ELSE a.doc_id END AS doc_b,
+               CASE WHEN a.doc_id < b.doc_id THEN b.split ELSE a.split END AS split_b
+             FROM cp p
+             JOIN sp a ON a.cid = p.doc_a
+             JOIN sp b ON b.cid = p.doc_b
+             WHERE a.split <> b.split
+               AND (p.doc_a <> p.doc_b OR a.doc_id < b.doc_id))
+      SELECT doc_a, split_a, doc_b, split_b FROM ex ORDER BY doc_a, doc_b""")
+  ) { (s, d) => splitLeakageOf(Tables.documents(s, d)) }
+
+  /** Frame-parameterized body of d07 — cross-split pairs at MEMBER level.
+    *
+    * Candidate generation stays canonical (the hot-bucket-safe star form:
+    * banding runs once per exact-distinct text), but the cross-split
+    * report expands class pairs back to members: a member pair (m1, m2)
+    * leaks iff its canonical pair is band-near (or same class) and the
+    * splits differ. Without the expansion, a test-split copy whose
+    * canonical is ALSO in test silently loses its link to a train-split
+    * twin (the canonical-only pair is same-split and the star edge stays
+    * inside the class) — a curation pass would train on a contaminated
+    * benchmark. The expansion joins are equi-joins on cid whose fan-out
+    * equals the OUTPUT size (the leak pairs themselves), so the d02-style
+    * generation bound is preserved; an all-duplicate corpus only pays
+    * quadratic when its leak report is itself quadratic. */
+  private[graft] def splitLeakageOf(documents: DataFrame): DataFrame = {
+    val (docs0, nearPairs) = minhashCanonParts(documents)
+    val members = docs0.select(
+      col("doc_id"),
+      col("cid"),
+      splitOf(col("doc_id")).as("split")
+    )
+    val classPairs = nearPairs.unionAll(
+      docs0.select(col("cid").as("doc_a"), col("cid").as("doc_b")).distinct()
+    )
+    val aFirst = col("a.doc_id") < col("b.doc_id")
+    classPairs
+      .as("p")
+      .join(members.as("a"), col("a.cid") === col("p.doc_a"))
+      .join(members.as("b"), col("b.cid") === col("p.doc_b"))
+      .filter(col("a.split") =!= col("b.split"))
+      .filter(col("p.doc_a") =!= col("p.doc_b") || aFirst)
       .select(
-        col("doc_a"),
-        splitOf(col("doc_a")).as("split_a"),
-        col("doc_b"),
-        splitOf(col("doc_b")).as("split_b")
+        when(aFirst, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(aFirst, col("a.split")).otherwise(col("b.split")).as("split_a"),
+        when(aFirst, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(aFirst, col("b.split")).otherwise(col("a.split")).as("split_b")
       )
-      .filter(col("split_a") =!= col("split_b"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -421,7 +475,7 @@ object LlmOps {
     graft.functions.VectorFunctions.register(s)
     // SQL-fragment twin of toks() — keep in lockstep (registry + expr() is
     // how every compiled kernel in this repo reaches a plan)
-    val fp = expr("simhash64(array_remove(split(lower(text), ' '), ''))")
+    val fp = simhash64Col
     // trim(text) <> '' is exactly "has a non-empty token" (tokens split on
     // spaces, empties removed), so token-less docs drop — same rows as the
     // old exploded form and the oracle's UNNEST — WITHOUT filtering on the
@@ -527,6 +581,28 @@ object LlmOps {
   private[graft] def bandValue(c: Column, b: Int, bBits: Int): Column =
     shiftright(c, b * bBits).bitwiseAND(lit((1L << bBits) - 1))
 
+  /** Keep a candidate pair only at its FIRST matching band — the
+    * exactly-once emission predicate shared by the batch self-join (d05),
+    * the cross-set incremental join (d08 shape) and the streaming guard
+    * (EventStream.nearDupStream). `aBand` is the exploded band index
+    * column of the pair's left side. */
+  private[graft] def firstMatchBand(
+      aSim: Column,
+      bSim: Column,
+      aBand: Column,
+      bBits: Int,
+      nBands: Int
+  ): Column =
+    (0 until nBands).map { bp =>
+      (aBand <= bp) || (bandValue(aSim, bp, bBits) =!= bandValue(bSim, bp, bBits))
+    }.reduce(_ && _)
+
+  /** The compiled one-pass 64-bit fingerprint over a `text` column — the
+    * kernel-twin expression of simhashSql, shared with the streaming
+    * guard so the tokenization stays in lockstep with toks()/toksSql. */
+  private[graft] def simhash64Col: Column =
+    expr("simhash64(array_remove(split(lower(text), ' '), ''))")
+
   /** (doc_id, simhash, b, bv): each fingerprint exploded into its bit-band
     * bucket rows — the shared candidate-generation step of the self-join
     * (d05) and the cross-set incremental form (d08). */
@@ -549,11 +625,8 @@ object LlmOps {
     val bBits = bits / nBands
     require(bBits < 64, "band width must fit a Long")
     val bands = simhashBandsDf(fps, bBits, nBands)
-    def bandVal(c: Column, b: Int): Column = bandValue(c, b, bBits)
-    val noEarlierBandMatch = (0 until nBands).map { bp =>
-      (col("x.b") <= bp) ||
-        (bandVal(col("x.simhash"), bp) =!= bandVal(col("y.simhash"), bp))
-    }.reduce(_ && _)
+    val noEarlierBandMatch =
+      firstMatchBand(col("x.simhash"), col("y.simhash"), col("x.b"), bBits, nBands)
     bands
       .as("x")
       .join(
@@ -744,6 +817,18 @@ object LlmOps {
       (acc, v) => (acc + v).cast(dec28)
     )
 
+  /** Margin-bounded exact rescore, stage 2 of the shared two-stage cosine
+    * contract (e01/e02/d10/d12): the compiled double kernel prefilters
+    * with a margin far above fp error (threshold - 1e-6 or the top-k
+    * kth-score - 1e-9), then THIS expression decides the final
+    * oracle-comparable value on survivors only — exact-decimal dot and
+    * norms, cast to double in the same sequence DuckDB evaluates. Any
+    * precision or cast change here must land in every consumer at once;
+    * that is exactly why there is one copy. */
+  private def exactCosine(a: Column, b: Column): Column =
+    dotArr(a, b).cast("double") /
+      (sqrt(dotArr(a, a).cast("double")) * sqrt(dotArr(b, b).cast("double")))
+
   /** Brute-force cosine top-k for a query subset — the exact ANN baseline.
     * At 100 TB the same plan shape works with a broadcast query set; the
     * sub-linear path is LSH bucketing (see graft.functions.VectorFunctions).
@@ -805,9 +890,7 @@ object LlmOps {
       .select(
         col("qid"),
         col("vid"),
-        (dotArr(col("qe"), col("ee")).cast("double") /
-          (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
-            sqrt(dotArr(col("ee"), col("ee")).cast("double"))))
+        exactCosine(col("qe"), col("ee"))
           .as("cosine")
       )
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
@@ -862,9 +945,7 @@ object LlmOps {
         col("va"),
         col("vb"),
         // cosine is symmetric: no need to swap xe/ye to match va/vb order
-        (dotArr(col("xe"), col("ye")).cast("double") /
-          (sqrt(dotArr(col("xe"), col("xe")).cast("double")) *
-            sqrt(dotArr(col("ye"), col("ye")).cast("double"))))
+        exactCosine(col("xe"), col("ye"))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)
@@ -943,9 +1024,7 @@ object LlmOps {
       .select(
         col("qid"),
         col("tid"),
-        (dotArr(col("qe"), col("te")).cast("double") /
-          (sqrt(dotArr(col("qe"), col("qe")).cast("double")) *
-            sqrt(dotArr(col("te"), col("te")).cast("double"))))
+        exactCosine(col("qe"), col("te"))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)
@@ -1371,9 +1450,7 @@ object LlmOps {
         col("va"),
         col("vb"),
         // cosine is symmetric: ea/eb orientation never affects the value
-        (dotArr(col("ea"), col("eb")).cast("double") /
-          (sqrt(dotArr(col("ea"), col("ea")).cast("double")) *
-            sqrt(dotArr(col("eb"), col("eb")).cast("double"))))
+        exactCosine(col("ea"), col("eb"))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)

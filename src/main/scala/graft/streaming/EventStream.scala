@@ -100,31 +100,27 @@ object EventStream {
   def nearDupStream(
       docs: DataFrame,
       corpusFps: DataFrame,
-      bits: Int = 64,
       radius: Int = 3
   ): DataFrame = {
     import graft.queries.LlmOps
     graft.functions.VectorFunctions.register(docs.sparkSession)
+    // fingerprints are simhash64 — the width is fixed by the kernel, so
+    // only the Hamming radius is a knob (bands are radius + 1, pigeonhole)
+    val bits = 64
     val nBands = radius + 1
     require(bits % nBands == 0, s"$bits bits must split evenly into $nBands bands")
     val bBits = bits / nBands
     val fps = docs
       .filter(trim(col("text")) =!= "")
-      .select(
-        col("doc_id"),
-        expr("simhash64(array_remove(split(lower(text), ' '), ''))").as("simhash")
-      )
+      .select(col("doc_id"), LlmOps.simhash64Col.as("simhash"))
     val sBands = LlmOps.simhashBandsDf(fps, bBits, nBands).as("s")
     val cBands = LlmOps.simhashBandsDf(corpusFps, bBits, nBands).as("c")
-    val firstMatchBand = (0 until nBands).map { bp =>
-      (col("s.b") <= bp) ||
-        (LlmOps.bandValue(col("s.simhash"), bp, bBits) =!=
-          LlmOps.bandValue(col("c.simhash"), bp, bBits))
-    }.reduce(_ && _)
+    val exactlyOnce = LlmOps.firstMatchBand(
+      col("s.simhash"), col("c.simhash"), col("s.b"), bBits, nBands)
     val ham = bit_count(col("s.simhash").bitwiseXOR(col("c.simhash")))
     sBands
       .join(broadcast(cBands), col("s.b") === col("c.b") && col("s.bv") === col("c.bv"))
-      .filter(ham <= radius && firstMatchBand)
+      .filter(ham <= radius && exactlyOnce)
       .select(
         col("s.doc_id").as("doc_id"),
         col("c.doc_id").as("matched_id"),

@@ -12,6 +12,29 @@ import graft.queries.LlmOps
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("d07 expansion: a test copy with a same-split canonical still links its train twin") {
+    import spark.implicits._
+    // Three byte-identical docs; md5(doc_id)-nibble splits: 3 -> test,
+    // 4 -> train, 5 -> test. The canonical is 3 (test). Star edges alone
+    // emit only (3,4) cross-split and hide doc 5's train twin behind the
+    // same-split (3,5) edge — the member-level expansion must surface
+    // (4,5) so the leaked test doc 5 appears in the report.
+    val docs = Seq(
+      (3L, "the exact same document text in every split copy here"),
+      (4L, "the exact same document text in every split copy here"),
+      (5L, "the exact same document text in every split copy here")
+    ).toDF("doc_id", "text")
+    val out = LlmOps
+      .splitLeakageOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (3L, "test", 4L, "train"),
+      (4L, "train", 5L, "test")
+    ))
+  }
+
   test("capShingles drops hot shingles and bounds self-join fan-out") {
     import spark.implicits._
     // 50 docs all share the stop shingle "S"; each also has one unique

@@ -85,12 +85,11 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
-  test("fit asserts the packed-encoding overflow bound up front") {
+  test("fit asserts the sqdist overflow bound up front") {
     import spark.implicits._
-    // components at 3e8 fixed-point are inside int_sqdist's standalone
-    // bound (3.8e8 at 64 dims) but OUTSIDE the packed *k bound at k=4,
-    // dims=2: sqrt(Long.Max/(2*4))/2 ~ 5.4e8 -> passes; push to 2e9 to
-    // clearly exceed it. 2e9 fixed-point = 200 in float (scale 1e7).
+    // 2e9 fixed-point components (200 in float at scale 1e7) exceed the
+    // k-independent bound sqrt(Long.Max/dims)/2 ~ 1.07e9 at dims=2 —
+    // fit must refuse rather than silently wrap the squared-diff sum.
     val hot = (0 until 8)
       .map(i => (i.toLong, Array(200f + i, -200f - i)))
       .toDF("vec_id", "embedding")
@@ -98,6 +97,26 @@ class KMeansSpec extends AnyFunSuite {
       KMeans.fit(spark, hot, k = 4, iters = 1)
     }
     assert(e.getMessage.contains("bound"), e.getMessage)
+  }
+
+  test("large k with unit-scale components fits (no *k tightening of the bound)") {
+    import spark.implicits._
+    // Regression for the packed encoding's scale ceiling: at dims=64 the
+    // old dist*k+c packing capped k at ~360 for unit-scale embeddings
+    // (sqrt(Long.Max/(64*400))/2 ~ 9.5e6 < the 1e7 fixed-point unit), so
+    // corpus-derived k (d10's kForCorpus) would hard-fail just past the
+    // x10 bench tier. The [cluster, dist] kernel keeps the k-independent
+    // bound; k=400 over unit-scale vectors must fit and assign cleanly.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 500)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.fit(spark, corpus, k = 400, iters = 1)
+    assert(m.k == 400)
+    val assigned = KMeans.assign(spark, corpus, m)
+    assert(assigned.count() == 500)
+    assert(assigned.agg(org.apache.spark.sql.functions.max("cluster")).head.getInt(0) < 400)
+    assert(assigned.agg(org.apache.spark.sql.functions.min("dist")).head.getLong(0) >= 0L)
   }
 
   test("k larger than corpus: empty clusters keep their seed centroid") {

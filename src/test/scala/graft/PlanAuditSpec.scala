@@ -119,7 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("Scan ExistingRDD"), s"$q re-parallelizes driver data")
       assert(p.contains("Scan parquet"), p)
-      assert(p.toLowerCase.contains("int_packed_argmin"), s"$q lost the compiled kernel:\n$p")
+      assert(p.toLowerCase.contains("int_argmin_sqdist"), s"$q lost the compiled kernel:\n$p")
     }
   }
 }

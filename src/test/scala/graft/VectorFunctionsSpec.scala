@@ -55,7 +55,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
     // spark.sql.extensions=graft.GraftExtensions actually gets.
     val fresh = spark.newSession()
     for (fn <- Seq("cosine_similarity", "int8_max_err_ratio", "simhash16",
-        "simhash64", "int_sqdist", "int_packed_argmin", "cosine_top_clusters"))
+        "simhash64", "int_sqdist", "int_argmin_sqdist", "cosine_top_clusters"))
       assert(
         fresh.sessionState.functionRegistry
           .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
