@@ -232,6 +232,27 @@ object Graft {
   def usageDaily(spark: SparkSession): DataFrame =
     graft.operators.JobTracker.usageDaily(spark)
 
+  // ---- streaming (graft.streaming.EventStream passthroughs) ----
+
+  /** File-source stream over an events parquet directory. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    graft.streaming.EventStream.readEvents(spark, path)
+
+  /** Watermark-bounded streaming exact dedup (first occurrence per key). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    graft.streaming.EventStream.dedupStream(events, keyCols, watermark)
+
+  /** Streaming near-dup guard: flag arriving documents against a static
+    * SimHash fingerprint index (d04's artifact) — zero stream state. */
+  def nearDupStream(docs: DataFrame, corpusFps: DataFrame, radius: Int = 3): DataFrame =
+    graft.streaming.EventStream.nearDupStream(docs, corpusFps, radius)
+
+  /** Exactly-once parquet landing zone (file-sink manifest + checkpoint). */
+  def sinkParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.sinkParquet(df, path, checkpoint)
+
   /** The named query library (oracle-checked operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

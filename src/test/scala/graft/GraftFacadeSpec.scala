@@ -68,6 +68,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(ivf.columns.toSeq == Seq("qid", "rnk", "vid", "cosine"))
   }
 
+  test("streaming surface: facade passthroughs build streaming plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val evs = MemoryStream[(Long, java.sql.Timestamp, String)]
+      .toDF().toDF("event_id", "ts", "text")
+    assert(Graft.dedupStream(evs, Seq("text")).isStreaming)
+    val corpusFps = Seq((1L, 42L)).toDF("doc_id", "simhash")
+    val docs = MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+    val guard = Graft.nearDupStream(docs, corpusFps)
+    assert(guard.isStreaming)
+    assert(guard.columns.toSeq == Seq("doc_id", "matched_id", "hamming"))
+  }
+
   test("storage surface: parquet round trip via the facade") {
     val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
     val df = Tables.nation(spark, TestSpark.sf0001)
