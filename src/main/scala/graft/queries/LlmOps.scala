@@ -1038,6 +1038,62 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** The SCALE path d12's scaladoc promises, made real: IVF-probed
+    * approximate semantic decontamination. The index is built on the
+    * TRAIN side; each eval vector probes its nprobe nearest lists, so a
+    * batch touches ~nprobe/nlist of the train corpus instead of all of
+    * it — the move that stays feasible when the eval set outgrows d12's
+    * broadcast. Detection (not ranking) is the contract: a contaminated
+    * eval vec counts as found if ANY >= 0.35 train neighbor surfaces in
+    * its probed lists (nprobe=6 of 16 lists; top-50 candidates per vec — a cap that matters
+    * only for eval vecs with >50 in-threshold neighbors, which the d14
+    * gate would expose as missed recall). Rows-only by construction
+    * (IVF probing is approximate); d14 is its oracle-green recall gate
+    * against exact d12, the e04/e05 pattern. */
+  val d13 = Q("d13_semantic_decontam_ivf", None) { (s, d) =>
+    val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val evalSet = emb.filter(nib.isin("e", "f"))
+    val trainSet = emb.filter(!nib.isin("e", "f"))
+    graft.operators.AnnIvf
+      .topK(s, trainSet, evalSet, k = 50, nlist = 16, nprobe = 6)
+      .filter(col("cosine") >= 0.35)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"), sum(col("vid")).as("hit_id_sum"))
+      .select(col("qid").as("vec_id"), col("n_hits"), col("hit_id_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Recall gate for the IVF decontamination path: the fraction of
+    * exactly-contaminated eval vectors (d12) that d13 also detects must
+    * stay >= 0.7 (measured 0.82 at the oracle tier with nprobe=6/nlist=16)
+    * — same contract shape as e05/e07, emitted through the
+    * verify gate so a probing regression fails CORRECTNESS row-by-row
+    * instead of hiding in a rows-only query. */
+  val d14 = Q(
+    "d14_semantic_decontam_recall",
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval, TRUE AS recall_ok
+      FROM embeddings
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f')""")
+  ) { (s, d) =>
+    val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val nEval = Tables
+      .embeddings(s, d)
+      .filter(nib.isin("e", "f"))
+      .agg(count(lit(1)).as("n_eval"))
+    // cached: the exact side feeds both the semi-join and its own count
+    val exact = d12.run(s, d).select("vec_id").cache()
+    val detected = exact.join(d13.run(s, d).select("vec_id"), Seq("vec_id"), "left_semi")
+    nEval
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(detected.agg(count(lit(1)).as("n_detected")))
+      .select(
+        col("n_eval"),
+        (col("n_detected").cast("double") >= col("n_exact") * 0.7).as("recall_ok")
+      )
+  }
+
   /** Triangle-blocked self-join: every unordered pair of DISTINCT input
     * rows meets exactly once, fully distributed, no driver data path.
     * Rows hash into B blocks on idCol; each unordered block pair
@@ -2285,7 +2341,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }
