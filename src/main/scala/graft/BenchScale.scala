@@ -78,7 +78,7 @@ object BenchScale {
     // train side; the f^2 model is the honest bound for THIS derivation.
     val family: Seq[(String, Int)] = Seq(
       "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "d11" -> 1,
-      "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2
+      "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2, "d13" -> 2
     )
     val maxFactorByExp = Map(1 -> 10, 2 -> 3) // quadratic tier stops at x3
 
