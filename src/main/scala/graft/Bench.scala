@@ -68,18 +68,24 @@ object Bench {
     val total = ok.map(_._2).sum
     val coldTotal = ok.map(_._3).sum
     val failed = results.count(!_._4)
-    // Full-name detail artifact (not size-constrained): warm + cold per query.
-    val detail = results
-      .map { case (k, v, c, o) =>
-        f"""  "$k": {"warm": $v%.3f, "cold": $c%.3f, "ok": $o}"""
-      }
-      .mkString("{\n", ",\n", "\n}")
-    val detailPath = java.nio.file.Paths.get("bench_full.json")
-    java.nio.file.Files.write(
-      detailPath,
-      f"""{"sf": "$sfDir", "warm_total": $total%.3f, "cold_total": $coldTotal%.3f, "failed": $failed, "queries": $detail}""".stripMargin
-        .getBytes("UTF-8")
-    )
+    // Full-name detail artifact (not size-constrained): warm + cold per
+    // query. ONLY full-suite runs may write it — a subset run (`Bench d13
+    // d14`) would otherwise clobber the tracked 85-query record with a
+    // 2-query file that reads as a clean full run (and the round snapshot
+    // commits the tree wholesale).
+    if (args.isEmpty) {
+      val detail = results
+        .map { case (k, v, c, o) =>
+          f"""  "$k": {"warm": $v%.3f, "cold": $c%.3f, "ok": $o}"""
+        }
+        .mkString("{\n", ",\n", "\n}")
+      val detailPath = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(
+        detailPath,
+        f"""{"sf": "$sfDir", "warm_total": $total%.3f, "cold_total": $coldTotal%.3f, "failed": $failed, "queries": $detail}""".stripMargin
+          .getBytes("UTF-8")
+      )
+    }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_value":$coldTotal%.3f,"failed":$failed,"sf":"$sfDir"}"""
     )

@@ -110,15 +110,27 @@ object AnnIvf {
     val cached = emb.cache()
     val cs = centroids(spark, cached, nlist)
     val corpus = cached.withColumn("cluster", nearestCentroidCol(cs))
+    // Probe rows carry IDS ONLY: exploding the query embedding into
+    // nprobe copies would broadcast the query set ~nprobe x — at the
+    // query-set size where a 1x broadcast is the limit, that fails
+    // nprobe x sooner. The embeddings re-attach through a second 1x
+    // broadcast AFTER the candidate equi-join (the e01 ids-only move),
+    // so total broadcast pressure is 1x embeddings + nprobe x (qid,
+    // cluster) longs.
     val queryProbes = queries
       .select(
         col("vec_id").as("qid"),
-        col("embedding").as("q_embedding"),
         explode(probeClustersCol(cs, math.min(nprobe, cs.length))).as("cluster")
       )
     val scored = corpus
       .join(broadcast(queryProbes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
+      .join(
+        broadcast(
+          queries.select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+        ),
+        Seq("qid")
+      )
       .withColumn("cosine", expr("cosine_similarity(q_embedding, embedding)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored

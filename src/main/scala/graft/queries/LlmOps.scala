@@ -1038,18 +1038,22 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
-  /** The SCALE path d12's scaladoc promises, made real: IVF-probed
-    * approximate semantic decontamination. The index is built on the
-    * TRAIN side; each eval vector probes its nprobe nearest lists, so a
-    * batch touches ~nprobe/nlist of the train corpus instead of all of
-    * it — the move that stays feasible when the eval set outgrows d12's
-    * broadcast. Detection (not ranking) is the contract: a contaminated
-    * eval vec counts as found if ANY >= 0.35 train neighbor surfaces in
-    * its probed lists (nprobe=6 of 16 lists; top-50 candidates per vec — a cap that matters
-    * only for eval vecs with >50 in-threshold neighbors, which the d14
-    * gate would expose as missed recall). Rows-only by construction
-    * (IVF probing is approximate); d14 is its oracle-green recall gate
-    * against exact d12, the e04/e05 pattern. */
+  /** The SCALE path d12's scaladoc promises: IVF-probed approximate
+    * semantic decontamination. The index is built ONCE on the TRAIN side
+    * (linear — at production scale a persisted artifact, like d01's
+    * canonical table); each eval vector then probes its nprobe nearest
+    * lists, so the candidate join touches nprobe/nlist of the train
+    * corpus per batch (6/16 here; sub-linear probing requires nlist to
+    * grow with the corpus, the same parameter-scaling rule as d10's
+    * corpus-derived k). Broadcast pressure stays ~d12's: probe rows are
+    * ids-only and the query embeddings ride ONE broadcast (see
+    * AnnIvf.topK). Detection (not ranking) is the contract: a
+    * contaminated eval vec counts as found if ANY >= 0.35 train
+    * neighbor surfaces in its probed lists. The top-50 candidate cap
+    * cannot cost detection (a vec with >50 in-threshold neighbors is
+    * detected by any of them) — what it caps is the REPORTED n_hits /
+    * hit_id_sum for such extreme vecs, which is rows-only information;
+    * d14 gates detection recall only. */
   val d13 = Q("d13_semantic_decontam_ivf", None) { (s, d) =>
     val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
