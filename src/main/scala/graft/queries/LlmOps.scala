@@ -202,6 +202,14 @@ object LlmOps {
     * test-split copy whose canonical also sits in test would otherwise
     * lose its link to a train-split twin. */
   private[graft] def minhashCanonParts(documents: DataFrame): (DataFrame, DataFrame) = {
+    val (docs0, _, nearPairs) = minhashSigParts(documents)
+    (docs0, nearPairs)
+  }
+
+  /** minhashCanonParts plus the raw 16-hash canonical signatures
+    * (doc_id, h0..h15) — d15 estimates Jaccard from signature agreement,
+    * which needs the pre-band hashes. */
+  private[graft] def minhashSigParts(documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val docs0 = documents
       .select(
         col("doc_id"),
@@ -223,19 +231,22 @@ object LlmOps {
           .map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"g$k")): _*
       )
     val minExprs = (0 until 16).map(k => min(col(s"g$k")).as(s"h$k"))
-    // cached: band signatures are 1 row/doc (tiny at any corpus size) and
-    // feed both sides of the self-join — without the cache the whole
-    // shingle->hash->join->agg subtree runs twice
-    val sig = sh
+    // cached: signatures are 1 row/doc (tiny at any corpus size) and feed
+    // both sides of the self-join (and d15's agreement counts) — without
+    // the cache the whole shingle->hash->join->agg subtree runs twice.
+    // Cached at the raw-hash stage; the band digests below are a cheap
+    // projection over it.
+    val sigH = sh
       .join(hashed, "sh")
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
+      .cache()
+    val sig = sigH
       .select(
         col("doc_id") +: (0 until 4).map(b =>
           md5(concat((0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as(s"bh$b")
         ): _*
       )
-      .cache()
     val bandExplode: Seq[Column] =
       col("doc_id") +: (0 until 4).map(b => col(s"bh$b")) :+
         explode(array((0 until 4).map(b =>
@@ -260,7 +271,58 @@ object LlmOps {
       )
       .filter(noEarlierBandMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    (docs0, nearPairs)
+    (docs0, sigH, nearPairs)
+  }
+
+  /** MinHash Jaccard ESTIMATE for every candidate pair: the fraction of
+    * the 16 signature hashes that agree (emitted as the integer 0..16
+    * agreement count — float-free, so the gate is exact). This is the
+    * ranking step a production LSH pipeline runs BETWEEN candidate
+    * generation (d02) and any exact rescore: signature agreement is an
+    * unbiased Jaccard estimator computable from the 1-row/doc signature
+    * table alone — no shingle sets, no df cap, no second corpus pass —
+    * so it works at the scale where d03's exact Jaccard (inverted-index
+    * join over shingle occurrences) is no longer affordable. Exact-dup
+    * star pairs agree on all 16 by construction (both members carry the
+    * canonical's signature); banded pairs agree on >= 4 (one full band)
+    * by the candidate-generation invariant.
+    *
+    * Scale: two broadcast-sized joins from the pair list to the cached
+    * signature table (1 row/doc) — the pair list itself is the largest
+    * input, and it is the operator's own output. */
+  val d15 = Q(
+    "d15_dedup_minhash_estimate",
+    Some(s"""
+      WITH $minhashPairCtes,
+      est AS (SELECT p.doc_a, p.doc_b,
+               ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END)) AS minhash_agree
+              FROM mh_pairs p
+              JOIN docs0 da ON p.doc_a = da.doc_id
+              JOIN docs0 db ON p.doc_b = db.doc_id
+              JOIN sig sa ON da.cid = sa.doc_id
+              JOIN sig sb ON db.cid = sb.doc_id)
+      SELECT doc_a, doc_b, CAST(minhash_agree AS INTEGER) AS minhash_agree
+      FROM est ORDER BY doc_a, doc_b""")
+  ) { (s, d) => minhashEstimateOf(Tables.documents(s, d)) }
+
+  /** Frame-parameterized body of d15. */
+  private[graft] def minhashEstimateOf(documents: DataFrame): DataFrame = {
+    val (docs0, sigH, nearPairs) = minhashSigParts(documents)
+    val dupEdges = docs0
+      .filter(col("doc_id") =!= col("cid"))
+      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = nearPairs.unionAll(dupEdges)
+    val cidOf = docs0.select(col("doc_id"), col("cid"))
+    val agree = (0 until 16)
+      .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(cidOf.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cidOf.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(sigH.as("sa"), col("ca.cid") === col("sa.doc_id"))
+      .join(sigH.as("sb"), col("cb.cid") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.cast("int").as("minhash_agree"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
@@ -2345,7 +2407,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }
