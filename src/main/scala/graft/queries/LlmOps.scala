@@ -1269,6 +1269,65 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** Can you SEARCH the compressed corpus? e08 ships the 4x int8
+    * quantization; this gate proves top-k search over the quantized
+    * vectors still finds the float baseline's neighbors. The corpus is
+    * round-tripped through the absmax int8 scheme IN-PLAN (quantize +
+    * dequantize are codegen'd transforms at scan time — exactly what a
+    * pipeline storing int8 and searching would execute), brute-force
+    * top-5 runs on it with the compiled cosine, and mean overlap with
+    * e01's exact float top-5 must stay >= 0.7 (measured ~0.95: int8
+    * round-trip cosine fidelity is > 0.995 on this data per
+    * VectorFunctionsSpec). Oracle pins n_queries and recall_ok row-by-row
+    * like e05/e07. */
+  val e11 = Q(
+    "e11_ann_int8_recall",
+    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+  ) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scale = VectorFunctions.int8Scale(col("embedding"))
+    val deq = emb.select(
+      col("vec_id"),
+      VectorFunctions
+        .int8Dequantize(VectorFunctions.int8Quantize(col("embedding"), scale), scale)
+        .as("embedding")
+    )
+    val q = deq.filter(col("vec_id") < 10)
+    val dbl = deq
+      .as("e")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("c")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vid"))
+    val approx = dbl
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vid")
+    // cached: exact feeds both the hit join and the per-query k counts
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
+    val hits = exact
+      .join(approx, Seq("qid", "vid"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    val perQuery = exact
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
+      )
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      (avg(col("recall")) >= 0.7).as("recall_ok")
+    )
+  }
+
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
     * (e01), emitted through the verify gate: the oracle pins n_queries and
     * recall_ok = TRUE, so a silent LSH regression below 0.4 mean recall
@@ -2408,6 +2467,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }
