@@ -1637,6 +1637,126 @@ object LlmOps {
       .filter(col("cosine") >= 0.35)
   }
 
+  /** Can you SEARCH the PQ-compressed corpus? e10 ships 4-byte code
+    * words; this gate runs the classic two-stage PQ search over them:
+    * (1) asymmetric-distance (ADC) SHORTLIST — per query, the exact
+    * integer sqdist from each query subvector to every subspace centroid
+    * forms a lookup table (metadata: n_queries x 4 x 16 longs, from the
+    * same deterministic subspace models e10 fits), and a code word's
+    * score is the sum of its four table entries, so the corpus-side scan
+    * touches ONLY 4-byte codes via an equi-join on (subspace, code) —
+    * the top-50 by ADC survive; (2) exact integer-L2 RE-RANK of the
+    * shortlist (compiled int_sqdist on the ~50 surviving raw vectors per
+    * query) picks the final top-5. Gated against exact brute-force
+    * integer-L2 top-5 with mean overlap >= 0.4 (measured 0.58 at the
+    * oracle tier — raw 4x16 ADC alone measures ~0.1, which is exactly
+    * why production PQ always re-ranks; the gate pins the tradeoff so a
+    * quantizer regression fails CORRECTNESS rather than degrading
+    * silently). */
+  val e12 = Q(
+    "e12_ann_pq_recall",
+    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+  ) { (s, d) =>
+    import graft.operators.KMeans
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // subspace models + corpus codes: the same deterministic fits as e10
+    val models = (0 until pqSubspaces).map { m =>
+      val sub = emb.select(
+        col("vec_id"),
+        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
+      )
+      (m, sub, KMeans.fit(s, sub, k = pqK, iters = pqIters))
+    }
+    val codes = models
+      .map { case (m, sub, model) =>
+        KMeans.assign(s, sub, model).select(col("vec_id"), col("cluster").as(s"code$m"))
+      }
+      .reduce(_.join(_, "vec_id"))
+    // per-query ADC lookup tables: exact fixed-point sqdist from each
+    // query subvector to each subspace centroid — metadata-sized, built
+    // on the driver from the 10 collected query vectors (the same move
+    // as the centroid literals: small side becomes plan metadata)
+    val queryVecs = emb
+      .filter(col("vec_id") < 10)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def fx(v: Float): Long =
+      (BigDecimal(v.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP) * 10000000L).toLongExact
+    val lutRows = for {
+      (qid, vec) <- queryVecs.toSeq
+      (m, _, model) <- models
+      c <- 0 until model.k
+    } yield {
+      val qs = vec.slice(m * pqSubDim, (m + 1) * pqSubDim).map(fx)
+      val cent = model.centroids(c)
+      val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
+      (qid, m, c, dist)
+    }
+    import s.implicits._
+    val lut = lutRows.toDF("qid", "m", "code", "d")
+    // unpivot codes to (vec_id, m, code), join the broadcast LUT, sum the
+    // four subspace entries per (qid, vec_id)
+    val unpivot = codes.select(
+      col("vec_id"),
+      explode(array((0 until pqSubspaces).map(m =>
+        struct(lit(m).as("m"), col(s"code$m").as("code"))
+      ): _*)).as("mc")
+    ).select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val adc = unpivot
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adc"))
+    val wPq = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("rnk", row_number().over(wPq))
+      .filter(col("rnk") <= 50)
+      .select(col("qid"), col("vec_id").as("vid"))
+    // stage 2: exact integer-L2 re-rank of the ~50 survivors per query
+    val fp = KMeans.fixedPoint(emb, "embedding").cache()
+    val qFp = fp.filter(col("vec_id") < 10)
+    val reranked = shortlist
+      .join(fp.select(col("vec_id").as("vid"), col("x").as("vx")), "vid")
+      .join(broadcast(qFp.select(col("vec_id").as("qid"), col("x").as("qx"))), "qid")
+      .select(col("qid"), col("vid"), expr("int_sqdist(qx, vx)").as("d2"))
+    val wRr = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
+    val approx = reranked
+      .withColumn("rnk", row_number().over(wRr))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vid")
+    val exactL2 = fp
+      .as("e")
+      .join(broadcast(qFp).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("int_sqdist(q.x, e.x)").as("d2")
+      )
+    val wEx = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
+    val exact = exactL2
+      .withColumn("rnk", row_number().over(wEx))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vid")
+      .cache()
+    val hits = exact
+      .join(approx, Seq("qid", "vid"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
+      )
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= 0.4).as("recall_ok")
+      )
+  }
+
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
     * searched WITHIN k-means clusters only — cluster first, then compare
     * pairs inside each cluster. Because the k-means assignment is
@@ -2467,6 +2587,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }
