@@ -65,6 +65,16 @@ object KMeans {
         .as("x")
     )
 
+  /** Driver-side scalar twin of fixedPoint's per-element transform —
+    * anything that mixes driver-computed values into the fixed-point
+    * space (e12's ADC lookup tables vs model.centroids) MUST go through
+    * this so the scale constant and rounding mode have exactly one copy.
+    * BigDecimal(double) uses the shortest decimal representation and
+    * setScale(7, HALF_UP) matches CAST(double AS DECIMAL(18,7)). */
+  private[graft] def fixedPointLong(v: Float): Long =
+    (BigDecimal(v.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+      * 10000000L).toLongExact
+
   /** [cluster, dist] per row, as ONE compiled kernel call with the whole
     * centroid matrix as a single nested-array literal
     * (IntArgminSqdistExpr). The per-centroid inlined-expression form blew

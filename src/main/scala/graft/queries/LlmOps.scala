@@ -1226,22 +1226,7 @@ object LlmOps {
     // cached for the same double-reference reason as e05
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
-    val hits = exact
-      .join(approx, Seq("qid", "vid"))
-      .groupBy("qid")
-      .agg(count(lit(1)).as("hits"))
-    val perQuery = exact
-      .groupBy("qid")
-      .agg(count(lit(1)).as("k"))
-      .join(hits, Seq("qid"), "left")
-      .select(
-        col("qid"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
-      )
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      (avg(col("recall")) >= 0.4).as("recall_ok")
-    )
+recallGate(exact, approx, 0.4)
   }
 
   /** int8 embedding quantization (absmax scheme) — the 4x storage
@@ -1310,11 +1295,21 @@ object LlmOps {
       .select("qid", "vid")
     // cached: exact feeds both the hit join and the per-query k counts
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
+recallGate(exact, approx, 0.7)
+  }
+
+  /** The ONE recall-gate tail every approximate-search gate shares
+    * (e05 LSH, e07 IVF, e11 int8, e12 PQ): per-query overlap of `approx`
+    * with `exact` (both (qid, vid)), zero-hit queries kept alive by the
+    * left join + coalesce, then (n_queries, mean recall >= threshold).
+    * `exact` should arrive cached — it feeds both the hit join and the
+    * per-query k counts. */
+  private def recallGate(exact: DataFrame, approx: DataFrame, threshold: Double): DataFrame = {
     val hits = exact
       .join(approx, Seq("qid", "vid"))
       .groupBy("qid")
       .agg(count(lit(1)).as("hits"))
-    val perQuery = exact
+    exact
       .groupBy("qid")
       .agg(count(lit(1)).as("k"))
       .join(hits, Seq("qid"), "left")
@@ -1322,10 +1317,10 @@ object LlmOps {
         col("qid"),
         (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
       )
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      (avg(col("recall")) >= 0.7).as("recall_ok")
-    )
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= threshold).as("recall_ok")
+      )
   }
 
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
@@ -1341,22 +1336,7 @@ object LlmOps {
     // rescore) executes twice inside this one gate (measured ~2x)
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
-    val hits = exact
-      .join(approx, Seq("qid", "vid"))
-      .groupBy("qid")
-      .agg(count(lit(1)).as("hits"))
-    val perQuery = exact
-      .groupBy("qid")
-      .agg(count(lit(1)).as("k"))
-      .join(hits, Seq("qid"), "left")
-      .select(
-        col("qid"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
-      )
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      (avg(col("recall")) >= 0.4).as("recall_ok")
-    )
+recallGate(exact, approx, 0.4)
   }
 
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
@@ -1514,17 +1494,10 @@ object LlmOps {
       FROM s0fin $joins ORDER BY vec_id"""
     }
   ) { (s, d) =>
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val subs = (0 until pqSubspaces).map { m =>
-      val sub = emb.select(
-        col("vec_id"),
-        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
-      )
-      val model = graft.operators.KMeans.fit(s, sub, k = pqK, iters = pqIters)
-      graft.operators.KMeans
-        .assign(s, sub, model)
-        .select(col("vec_id"), col("cluster").as(s"code$m"), col("dist").as(s"__d$m"))
-    }
+    val subs = pqSubspaceFits(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .map { case (m, _, assigned) =>
+        assigned.select(col("vec_id"), col("cluster").as(s"code$m"), col("dist").as(s"__d$m"))
+      }
     subs
       .reduce(_.join(_, "vec_id"))
       .select(
@@ -1534,6 +1507,24 @@ object LlmOps {
       )
       .orderBy("vec_id")
   }
+
+  /** The ONE place PQ subspace models are fit and corpora assigned —
+    * e10 (code build) and e12 (ADC search gate) both consume this, so
+    * the "e12 gates the codebook e10 ships" claim holds structurally
+    * rather than by parallel edits. Returns (subspace, model, assigned)
+    * where `assigned` carries (vec_id, cluster, dist). */
+  private def pqSubspaceFits(
+      s: SparkSession,
+      emb: DataFrame
+  ): Seq[(Int, graft.operators.KMeans.Model, DataFrame)] =
+    (0 until pqSubspaces).map { m =>
+      val sub = emb.select(
+        col("vec_id"),
+        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
+      )
+      val model = graft.operators.KMeans.fit(s, sub, k = pqK, iters = pqIters)
+      (m, model, graft.operators.KMeans.assign(s, sub, model))
+    }
 
   /** d10 sizing: target within-cluster population. k = ceil(n / target),
     * so the expected within-cluster pair work is O(n * target) — LINEAR in
@@ -1660,17 +1651,11 @@ object LlmOps {
     import graft.operators.KMeans
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // subspace models + corpus codes: the same deterministic fits as e10
-    val models = (0 until pqSubspaces).map { m =>
-      val sub = emb.select(
-        col("vec_id"),
-        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
-      )
-      (m, sub, KMeans.fit(s, sub, k = pqK, iters = pqIters))
-    }
+    // subspace models + corpus codes: THE fits e10 ships (shared helper)
+    val models = pqSubspaceFits(s, emb)
     val codes = models
-      .map { case (m, sub, model) =>
-        KMeans.assign(s, sub, model).select(col("vec_id"), col("cluster").as(s"code$m"))
+      .map { case (m, _, assigned) =>
+        assigned.select(col("vec_id"), col("cluster").as(s"code$m"))
       }
       .reduce(_.join(_, "vec_id"))
     // per-query ADC lookup tables: exact fixed-point sqdist from each
@@ -1681,14 +1666,12 @@ object LlmOps {
       .filter(col("vec_id") < 10)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def fx(v: Float): Long =
-      (BigDecimal(v.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP) * 10000000L).toLongExact
     val lutRows = for {
       (qid, vec) <- queryVecs.toSeq
-      (m, _, model) <- models
+      (m, model, _) <- models
       c <- 0 until model.k
     } yield {
-      val qs = vec.slice(m * pqSubDim, (m + 1) * pqSubDim).map(fx)
+      val qs = vec.slice(m * pqSubDim, (m + 1) * pqSubDim).map(KMeans.fixedPointLong)
       val cent = model.centroids(c)
       val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
       (qid, m, c, dist)
@@ -1739,22 +1722,7 @@ object LlmOps {
       .filter(col("rnk") <= 5)
       .select("qid", "vid")
       .cache()
-    val hits = exact
-      .join(approx, Seq("qid", "vid"))
-      .groupBy("qid")
-      .agg(count(lit(1)).as("hits"))
-    exact
-      .groupBy("qid")
-      .agg(count(lit(1)).as("k"))
-      .join(hits, Seq("qid"), "left")
-      .select(
-        col("qid"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
-      )
-      .agg(
-        count(lit(1)).as("n_queries"),
-        (avg(col("recall")) >= 0.4).as("recall_ok")
-      )
+recallGate(exact, approx, 0.4)
   }
 
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
