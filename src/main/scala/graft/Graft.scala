@@ -196,6 +196,15 @@ object Graft {
     AnnLsh.topK(spark, corpus, queries, dim, k)
 
   /** IVF-Flat variant: cluster-probe candidates + exact rescore. */
+  /** PQ ANN: fit subspace codebooks, then ADC-shortlist + exact re-rank
+    * top-k — the cheapest-scan scale path (codes-only corpus join). */
+  def annPqFit(spark: SparkSession, corpus: DataFrame, subspaces: Int = 4,
+      subDim: Int = 16, k: Int = 16): graft.operators.AnnPq.Model =
+    graft.operators.AnnPq.fit(spark, corpus, subspaces, subDim, k)
+  def annTopKPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      model: graft.operators.AnnPq.Model, k: Int = 5, shortlist: Int = 50): DataFrame =
+    graft.operators.AnnPq.topK(spark, corpus, queries, model, k, shortlist)
+
   def annTopKIvf(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     graft.operators.AnnIvf.topK(spark, corpus, queries, k, nlist, nprobe)

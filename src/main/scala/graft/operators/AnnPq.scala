@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product-quantization ANN: the two-stage search over PQ code words —
+  * the third scale path beside LSH (AnnLsh) and IVF (AnnIvf), trading
+  * the most storage for the cheapest corpus scan (subspaces bytes/vector
+  * instead of the raw floats).
+  *
+  * Index build (one corpus pass per subspace): the embedding splits into
+  * `subspaces` contiguous sub-vectors; each subspace gets an independent
+  * integer-exact k-means codebook (operators.KMeans — deterministic
+  * md5-ordered seeds, fixed-point longs) and every vector is assigned
+  * its nearest centroid id per subspace: a `subspaces`-byte code word.
+  * At production scale codes + codebooks are the persisted artifact; the
+  * raw vectors are only needed for the re-rank stage.
+  *
+  * Query (the classic ADC + re-rank plan):
+  *   1. SHORTLIST — per query, the exact integer sqdist from each query
+  *      sub-vector to every subspace centroid forms a lookup table
+  *      (metadata: n_queries x subspaces x k longs, computed driver-side
+  *      with KMeans.fixedPointLong so it lives in the SAME fixed-point
+  *      space as the codebooks). A code word's ADC score is the sum of
+  *      its `subspaces` table entries — the corpus-side scan touches
+  *      ONLY codes, via an equi-join on (subspace, code) against the
+  *      broadcast tables. Top-`shortlist` per query survive.
+  *   2. RE-RANK — compiled int_sqdist on the shortlist's raw vectors
+  *      (~shortlist rows per query, not the corpus) picks the final
+  *      top-k. Raw 4x16 ADC alone measures ~0.1 recall at the oracle
+  *      tier vs 0.58 with re-rank — the reason production PQ always
+  *      re-ranks; e12 gates this pairing against exact integer-L2.
+  */
+object AnnPq {
+
+  final case class Model(
+      subspaces: Int,
+      subDim: Int,
+      codebooks: IndexedSeq[KMeans.Model]
+  )
+
+  /** Fit one codebook per subspace over the corpus (deterministic). */
+  def fit(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding: array<float>
+      subspaces: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int = 1
+  ): Model = {
+    val books = (0 until subspaces).map { m =>
+      KMeans.fit(spark, subVectors(emb, m, subDim), k = k, iters = iters)
+    }
+    Model(subspaces, subDim, books)
+  }
+
+  private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(
+      col("vec_id"),
+      slice(col("embedding"), m * subDim + 1, subDim).as("embedding")
+    )
+
+  /** (vec_id, code0..code{subspaces-1}, pq_dist): every vector's code
+    * word plus its exact fixed-point reconstruction distortion. */
+  def codes(spark: SparkSession, emb: DataFrame, model: Model): DataFrame =
+    (0 until model.subspaces)
+      .map { m =>
+        KMeans
+          .assign(spark, subVectors(emb, m, model.subDim), model.codebooks(m))
+          .select(col("vec_id"), col("cluster").as(s"code$m"), col("dist").as(s"__d$m"))
+      }
+      .reduce(_.join(_, "vec_id"))
+      .select(
+        col("vec_id") +:
+          (0 until model.subspaces).map(m => col(s"code$m")) :+
+          (0 until model.subspaces).map(m => col(s"__d$m")).reduce(_ + _).as("pq_dist"): _*
+      )
+
+  /** Top-k approximate neighbors by ADC shortlist + exact re-rank.
+    * `queries` must be small (its vectors become driver-side lookup
+    * tables and broadcasts — same contract as AnnIvf/AnnLsh). Output:
+    * (qid, rnk, vid, d2) with d2 the exact fixed-point squared L2. */
+  def topK(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding
+      queries: DataFrame, // vec_id, embedding (small by construction)
+      model: Model,
+      k: Int = 5,
+      shortlist: Int = 50
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val codesDf = codes(spark, emb, model)
+    val queryVecs = queries
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val lutRows = for {
+      (qid, vec) <- queryVecs.toSeq
+      m <- 0 until model.subspaces
+      c <- 0 until model.codebooks(m).k
+    } yield {
+      val qs = vec
+        .slice(m * model.subDim, (m + 1) * model.subDim)
+        .map(KMeans.fixedPointLong)
+      val cent = model.codebooks(m).centroids(c)
+      val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
+      (qid, m, c, dist)
+    }
+    import spark.implicits._
+    val lut = lutRows.toDF("qid", "m", "code", "d")
+    val unpivot = codesDf
+      .select(
+        col("vec_id"),
+        explode(array((0 until model.subspaces).map(m =>
+          struct(lit(m).as("m"), col(s"code$m").as("code"))
+        ): _*)).as("mc")
+      )
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val adc = unpivot
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adc"))
+    val wPq = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val short = adc
+      .withColumn("rnk", row_number().over(wPq))
+      .filter(col("rnk") <= shortlist)
+      .select(col("qid"), col("vec_id").as("vid"))
+    val fp = KMeans.fixedPoint(emb, "embedding")
+    val qIds = queryVecs.map(_._1).toSeq
+    val qFp = fp.filter(col("vec_id").isin(qIds: _*))
+    val reranked = short
+      .join(fp.select(col("vec_id").as("vid"), col("x").as("vx")), "vid")
+      .join(broadcast(qFp.select(col("vec_id").as("qid"), col("x").as("qx"))), "qid")
+      .select(col("qid"), col("vid"), expr("int_sqdist(qx, vx)").as("d2"))
+    val wRr = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
+    reranked
+      .withColumn("rnk", row_number().over(wRr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vid"), col("d2"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1226,7 +1226,7 @@ object LlmOps {
     // cached for the same double-reference reason as e05
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
-recallGate(exact, approx, 0.4)
+    recallGate(exact, approx, 0.4)
   }
 
   /** int8 embedding quantization (absmax scheme) — the 4x storage
@@ -1295,7 +1295,7 @@ recallGate(exact, approx, 0.4)
       .select("qid", "vid")
     // cached: exact feeds both the hit join and the per-query k counts
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
-recallGate(exact, approx, 0.7)
+    recallGate(exact, approx, 0.7)
   }
 
   /** The ONE recall-gate tail every approximate-search gate shares
@@ -1336,7 +1336,7 @@ recallGate(exact, approx, 0.7)
     // rescore) executes twice inside this one gate (measured ~2x)
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
-recallGate(exact, approx, 0.4)
+    recallGate(exact, approx, 0.4)
   }
 
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
@@ -1494,37 +1494,15 @@ recallGate(exact, approx, 0.4)
       FROM s0fin $joins ORDER BY vec_id"""
     }
   ) { (s, d) =>
-    val subs = pqSubspaceFits(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-      .map { case (m, _, assigned) =>
-        assigned.select(col("vec_id"), col("cluster").as(s"code$m"), col("dist").as(s"__d$m"))
-      }
-    subs
-      .reduce(_.join(_, "vec_id"))
-      .select(
-        col("vec_id") +:
-          (0 until pqSubspaces).map(m => col(s"code$m")) :+
-          (0 until pqSubspaces).map(m => col(s"__d$m")).reduce(_ + _).as("pq_dist"): _*
-      )
-      .orderBy("vec_id")
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.AnnPq.codes(s, emb, pqModel(s, emb)).orderBy("vec_id")
   }
 
-  /** The ONE place PQ subspace models are fit and corpora assigned —
-    * e10 (code build) and e12 (ADC search gate) both consume this, so
-    * the "e12 gates the codebook e10 ships" claim holds structurally
-    * rather than by parallel edits. Returns (subspace, model, assigned)
-    * where `assigned` carries (vec_id, cluster, dist). */
-  private def pqSubspaceFits(
-      s: SparkSession,
-      emb: DataFrame
-  ): Seq[(Int, graft.operators.KMeans.Model, DataFrame)] =
-    (0 until pqSubspaces).map { m =>
-      val sub = emb.select(
-        col("vec_id"),
-        slice(col("embedding"), m * pqSubDim + 1, pqSubDim).as("embedding")
-      )
-      val model = graft.operators.KMeans.fit(s, sub, k = pqK, iters = pqIters)
-      (m, model, graft.operators.KMeans.assign(s, sub, model))
-    }
+  /** The one PQ model both e10 (code build) and e12 (ADC search gate)
+    * consume — operators.AnnPq with this file's constants, so the gate
+    * structurally measures the codebook that ships. */
+  private def pqModel(s: SparkSession, emb: DataFrame): graft.operators.AnnPq.Model =
+    graft.operators.AnnPq.fit(s, emb, pqSubspaces, pqSubDim, pqK, pqIters)
 
   /** d10 sizing: target within-cluster population. k = ceil(n / target),
     * so the expected within-cluster pair work is O(n * target) — LINEAR in
@@ -1648,66 +1626,18 @@ recallGate(exact, approx, 0.4)
     "e12_ann_pq_recall",
     Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
   ) { (s, d) =>
-    import graft.operators.KMeans
+    import graft.operators.{AnnPq, KMeans}
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // subspace models + corpus codes: THE fits e10 ships (shared helper)
-    val models = pqSubspaceFits(s, emb)
-    val codes = models
-      .map { case (m, _, assigned) =>
-        assigned.select(col("vec_id"), col("cluster").as(s"code$m"))
-      }
-      .reduce(_.join(_, "vec_id"))
-    // per-query ADC lookup tables: exact fixed-point sqdist from each
-    // query subvector to each subspace centroid — metadata-sized, built
-    // on the driver from the 10 collected query vectors (the same move
-    // as the centroid literals: small side becomes plan metadata)
-    val queryVecs = emb
-      .filter(col("vec_id") < 10)
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    val lutRows = for {
-      (qid, vec) <- queryVecs.toSeq
-      (m, model, _) <- models
-      c <- 0 until model.k
-    } yield {
-      val qs = vec.slice(m * pqSubDim, (m + 1) * pqSubDim).map(KMeans.fixedPointLong)
-      val cent = model.centroids(c)
-      val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
-      (qid, m, c, dist)
-    }
-    import s.implicits._
-    val lut = lutRows.toDF("qid", "m", "code", "d")
-    // unpivot codes to (vec_id, m, code), join the broadcast LUT, sum the
-    // four subspace entries per (qid, vec_id)
-    val unpivot = codes.select(
-      col("vec_id"),
-      explode(array((0 until pqSubspaces).map(m =>
-        struct(lit(m).as("m"), col(s"code$m").as("code"))
-      ): _*)).as("mc")
-    ).select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    val adc = unpivot
-      .join(broadcast(lut), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum("d").as("adc"))
-    val wPq = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-    val shortlist = adc
-      .withColumn("rnk", row_number().over(wPq))
-      .filter(col("rnk") <= 50)
-      .select(col("qid"), col("vec_id").as("vid"))
-    // stage 2: exact integer-L2 re-rank of the ~50 survivors per query
+    val queries = emb.filter(col("vec_id") < 10)
+    // THE codebook e10 ships (shared pqModel), searched by the operator
+    val approx = AnnPq
+      .topK(s, emb, queries, pqModel(s, emb), k = 5, shortlist = 50)
+      .select("qid", "vid")
+    // exact integer-L2 baseline: compiled int_sqdist brute force over the
+    // same fixed-point encoding (cached: feeds the hit join and k counts)
     val fp = KMeans.fixedPoint(emb, "embedding").cache()
     val qFp = fp.filter(col("vec_id") < 10)
-    val reranked = shortlist
-      .join(fp.select(col("vec_id").as("vid"), col("x").as("vx")), "vid")
-      .join(broadcast(qFp.select(col("vec_id").as("qid"), col("x").as("qx"))), "qid")
-      .select(col("qid"), col("vid"), expr("int_sqdist(qx, vx)").as("d2"))
-    val wRr = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
-    val approx = reranked
-      .withColumn("rnk", row_number().over(wRr))
-      .filter(col("rnk") <= 5)
-      .select("qid", "vid")
     val exactL2 = fp
       .as("e")
       .join(broadcast(qFp).as("q"), col("q.vec_id") =!= col("e.vec_id"))
@@ -1722,7 +1652,7 @@ recallGate(exact, approx, 0.4)
       .filter(col("rnk") <= 5)
       .select("qid", "vid")
       .cache()
-recallGate(exact, approx, 0.4)
+    recallGate(exact, approx, 0.4)
   }
 
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AnnPq
+
+/** PQ ANN operator: codes, determinism, and the shortlist/re-rank
+  * contract (the e12 gate pins recall vs exact L2; this spec pins the
+  * operator mechanics).
+  */
+class AnnPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb =
+    Tables.embeddings(spark, TestSpark.sf0001).select(col("vec_id"), col("embedding"))
+
+  test("codes: one row per vector, codes in range, exact distortion non-negative") {
+    val model = AnnPq.fit(spark, emb, subspaces = 4, subDim = 16, k = 8)
+    val c = AnnPq.codes(spark, emb, model)
+    assert(c.count() == emb.count())
+    (0 until 4).foreach { m =>
+      val mx = c.agg(max(col(s"code$m"))).head.getInt(0)
+      assert(mx >= 0 && mx < 8)
+    }
+    assert(c.agg(min(col("pq_dist"))).head.getLong(0) >= 0L)
+  }
+
+  test("fit is deterministic: same corpus -> bit-identical codebooks") {
+    val a = AnnPq.fit(spark, emb, 4, 16, 8)
+    val b = AnnPq.fit(spark, emb, 4, 16, 8)
+    // element-wise: Array equality is reference equality
+    assert(
+      a.codebooks.map(_.centroids.map(_.toSeq)) ==
+        b.codebooks.map(_.centroids.map(_.toSeq))
+    )
+  }
+
+  test("topK: k rows per query, ranked by exact re-ranked distance, no self-match") {
+    val model = AnnPq.fit(spark, emb, 4, 16, 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = AnnPq.topK(spark, emb, queries, model, k = 4, shortlist = 20).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 4)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4))
+      assert(rows.forall(_.getLong(2) != qid)) // vid never the query itself
+      // d2 non-decreasing with rank (exact re-rank ordering)
+      val ds = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("widening the shortlist never worsens the exact-rerank result set quality") {
+    // with shortlist = corpus size the result IS exact L2 top-k; a small
+    // shortlist is a subset of candidates, so its re-ranked distances are
+    // >= the full-shortlist ones rank-for-rank
+    val model = AnnPq.fit(spark, emb, 4, 16, 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val small = AnnPq.topK(spark, emb, queries, model, k = 3, shortlist = 10)
+      .select("qid", "rnk", "d2").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = AnnPq.topK(spark, emb, queries, model, k = 3, shortlist = n)
+      .select("qid", "rnk", "d2").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    full.foreach { case (key, dFull) =>
+      assert(small(key) >= dFull, s"$key: small-shortlist d2 ${small(key)} < full $dFull")
+    }
+  }
+}
