@@ -2354,6 +2354,49 @@ object LlmOps {
     * bit-equal by construction, which is exactly the claim being gated. */
   private val packBudget = 512
   private val packBucketSpan = 256
+  /** The curation ledger: per source, how much the exact-dedup pass
+    * saves — total vs kept (canonical-only) docs and tokens. This is the
+    * report every corpus build publishes next to its mixture table (t14):
+    * dedup rate per source decides which sources get recrawled vs
+    * reweighted. Canonical = min doc_id per byte-identical text (d01's
+    * rule, computed in-plan with the same window), so the ledger is
+    * integer-exact and hash-gated end to end.
+    *
+    * Scale: one window over the content hash (d01's shuffle shape) + one
+    * per-source agg — nothing new materializes; at 100 TB this annotates
+    * the d01 pass you already run. */
+  val t16 = Q(
+    "t16_dedup_savings",
+    Some(s"""
+      WITH c AS (SELECT doc_id, source,
+                   CAST(len($toksSql) AS BIGINT) AS n,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS cid
+                 FROM documents)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN doc_id = cid THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        CAST(SUM(CASE WHEN doc_id = cid THEN n ELSE 0 END) AS BIGINT) AS n_tokens_kept
+      FROM c GROUP BY source ORDER BY source""")
+  ) { (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(toks(col("text"))).cast("long").as("n"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("cid")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum(when(col("doc_id") === col("cid"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("doc_id") === col("cid"), col("n")).otherwise(0L)).as("n_tokens_kept")
+      )
+      .orderBy("source")
+  }
+
   val t15 = Q(
     "t15_sequence_packing",
     Some(s"""
@@ -2486,5 +2529,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16)
 }
