@@ -50,6 +50,31 @@ class AnnPqSpec extends AnyFunSuite {
     }
   }
 
+  test("ADC lookup distances equal the compiled int_sqdist in the same fixed-point space") {
+    // the LUT is computed driver-side with KMeans.fixedPointLong; if that
+    // scalar ever drifts from fixedPoint's in-plan transform, ADC scores
+    // leave the codebook space — this pins the parity end to end
+    import graft.operators.KMeans
+    graft.functions.VectorFunctions.register(spark)
+    val model = AnnPq.fit(spark, emb, 4, 16, 8)
+    val vec = emb.orderBy("vec_id").limit(1).collect().head.getSeq[Float](1).toArray
+    for (m <- 0 until 4; c <- Seq(0, 3, 7)) {
+      val qs = vec.slice(m * 16, (m + 1) * 16).map(KMeans.fixedPointLong)
+      val cent = model.codebooks(m).centroids(c)
+      val driverDist = qs.zip(cent).map { case (a, b) => val d = a - b; d * d }.sum
+      import spark.implicits._
+      val sparkDist = Seq(vec.slice(m * 16, (m + 1) * 16))
+        .toDF("embedding")
+        .withColumn("vec_id", lit(0L))
+        .select(expr(
+          "transform(embedding, v -> CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT))"
+        ).as("x"))
+        .select(expr(s"int_sqdist(x, ${cent.mkString("array(", "L, ", "L)")})"))
+        .head.getLong(0)
+      assert(driverDist == sparkDist, s"subspace $m centroid $c: $driverDist != $sparkDist")
+    }
+  }
+
   test("widening the shortlist never worsens the exact-rerank result set quality") {
     // with shortlist = corpus size the result IS exact L2 top-k; a small
     // shortlist is a subset of candidates, so its re-ranked distances are
