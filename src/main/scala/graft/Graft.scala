@@ -195,7 +195,6 @@ object Graft {
       dim: Int, k: Int = 5): DataFrame =
     AnnLsh.topK(spark, corpus, queries, dim, k)
 
-  /** IVF-Flat variant: cluster-probe candidates + exact rescore. */
   /** PQ ANN: fit subspace codebooks, then ADC-shortlist + exact re-rank
     * top-k — the cheapest-scan scale path (codes-only corpus join). */
   def annPqFit(spark: SparkSession, corpus: DataFrame, subspaces: Int = 4,
@@ -205,9 +204,29 @@ object Graft {
       model: graft.operators.AnnPq.Model, k: Int = 5, shortlist: Int = 50): DataFrame =
     graft.operators.AnnPq.topK(spark, corpus, queries, model, k, shortlist)
 
+  /** Persist / reload a PQ codebook artifact (train once, encode forever —
+    * codes from the loaded model are byte-identical, e13-gated). */
+  def annPqSave(spark: SparkSession, model: graft.operators.AnnPq.Model, path: String): Unit =
+    graft.operators.AnnPq.save(spark, model, path)
+  def annPqLoad(spark: SparkSession, path: String): graft.operators.AnnPq.Model =
+    graft.operators.AnnPq.load(spark, path)
+
+  /** IVF-Flat variant: cluster-probe candidates + exact rescore. */
   def annTopKIvf(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     graft.operators.AnnIvf.topK(spark, corpus, queries, k, nlist, nprobe)
+
+  /** IVF index split: build the centroid set once (fit), persist/reload it,
+    * and search any batch against the loaded artifact (topKWith). */
+  def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =
+    graft.operators.AnnIvf.fit(spark, corpus, nlist)
+  def annIvfSaveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit =
+    graft.operators.AnnIvf.saveCentroids(spark, cs, path)
+  def annIvfLoadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =
+    graft.operators.AnnIvf.loadCentroids(spark, path)
+  def annTopKIvfWith(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      cs: Seq[Array[Double]], k: Int = 5, nprobe: Int = 4): DataFrame =
+    graft.operators.AnnIvf.topKWith(spark, corpus, queries, cs, k, nprobe)
 
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
     Multimodal.mediaFromDocuments(spark, docs)
@@ -223,6 +242,39 @@ object Graft {
   def kMeansAssign(spark: SparkSession, emb: DataFrame,
       model: graft.operators.KMeans.Model, embCol: String = "embedding"): DataFrame =
     graft.operators.KMeans.assign(spark, emb, model, embCol)
+
+  /** Persist / reload a fitted k-means model (integer centroids round-trip
+    * parquet bit-exactly: assignments from the loaded model are identical). */
+  def kMeansSave(spark: SparkSession, model: graft.operators.KMeans.Model, path: String): Unit =
+    graft.operators.KMeans.save(spark, model, path)
+  def kMeansLoad(spark: SparkSession, path: String): graft.operators.KMeans.Model =
+    graft.operators.KMeans.load(spark, path)
+
+  // ---- persisted dedup-index artifacts (the incremental-ingest loop) ----
+
+  /** d01's artifact: every document with its exact-dup class id
+    * (cid = min doc_id over identical text). Persist with writeParquet;
+    * every near-dup pass starts from it instead of re-canonicalizing. */
+  def canonicalTable(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.canonicalTable(documents)
+
+  /** MinHash-LSH near-dup pairs from a loaded canonical table (d17's path). */
+  def minhashPairsFromCanonical(canonical: DataFrame): DataFrame =
+    graft.queries.LlmOps.minhashPairsFromCanonical(canonical)
+
+  /** Corpus dedup index (content-hash table + SimHash band table) —
+    * build once per corpus version, persist, admit every batch against it. */
+  def dedupIndex(corpus: DataFrame): (DataFrame, DataFrame) =
+    graft.queries.LlmOps.dedupIndexOf(corpus)
+  def dedupIndexSave(hash: DataFrame, bands: DataFrame, path: String): Unit =
+    graft.queries.LlmOps.saveDedupIndex(hash, bands, path)
+  def dedupIndexLoad(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    graft.queries.LlmOps.loadDedupIndex(spark, path)
+
+  /** Batch admission verdict (dup_exact / dup_near / keep) against a
+    * prebuilt corpus index — linear in batch size (d08/d16 semantics). */
+  def incrementalDedup(batch: DataFrame, hash: DataFrame, bands: DataFrame): DataFrame =
+    graft.queries.LlmOps.incrementalDedupAgainst(batch, hash, bands)
 
   // ---- job status/history (the reference's dashboard tables) ----
 

@@ -93,7 +93,43 @@ object AnnIvf {
     (0 until k).map(i => refined.getOrElse(i, seeds(i)))
   }
 
-  /** Top-k approximate neighbors for each query vector. */
+  /** Public index-build entry: the refined centroid set (see centroids). */
+  def fit(spark: SparkSession, emb: DataFrame, nlist: Int = 16): Seq[Array[Double]] =
+    centroids(spark, emb, nlist)
+
+  /** Persist an IVF centroid set as a parquet artifact: one row per
+    * cluster, `(cluster INT, centroid ARRAY<DOUBLE>)`. Doubles round-trip
+    * parquet bit-exactly (raw IEEE-754 bits), so a loaded set probes and
+    * scores identically to the fitted one — build the index once on a
+    * scheduled job, search every batch from the artifact (the d13
+    * decontamination shape at production scale). */
+  def saveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cs.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Reload a centroid set written by [[saveCentroids]] (exact inverse). */
+  def loadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] = {
+    val cs = spark.read
+      .parquet(path)
+      .select("cluster", "centroid")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+      .map(_._2)
+      .toSeq
+    require(cs.nonEmpty, s"no IVF centroids found at $path")
+    cs
+  }
+
+  /** Top-k approximate neighbors for each query vector, building the
+    * index in-plan (fit + topKWith). */
   def topK(
       spark: SparkSession,
       emb: DataFrame, // vec_id, embedding
@@ -105,11 +141,26 @@ object AnnIvf {
     // cache the corpus for the duration of the index build + query: the
     // seed scan, the Lloyd aggregation, the final assignment, and the
     // probe join would otherwise each re-evaluate the upstream pipeline.
-    // At 100 TB the equivalent move is materializing the assignment table
-    // once (IVF index BUILD is a persisted artifact, not a per-query step).
+    // At 100 TB the equivalent move is building once and searching from
+    // the persisted artifact — fit + saveCentroids/loadCentroids +
+    // topKWith (spec-pinned identical to this fused form).
     val cached = emb.cache()
     val cs = centroids(spark, cached, nlist)
-    val corpus = cached.withColumn("cluster", nearestCentroidCol(cs))
+    topKWith(spark, cached, queries, cs, k, nprobe)
+  }
+
+  /** Search against a PREBUILT centroid set (fit or loadCentroids) — the
+    * artifact-consuming half of the IVF index split. */
+  def topKWith(
+      spark: SparkSession,
+      emb: DataFrame,
+      queries: DataFrame,
+      cs: Seq[Array[Double]],
+      k: Int = 5,
+      nprobe: Int = 4
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val corpus = emb.withColumn("cluster", nearestCentroidCol(cs))
     // Probe rows carry IDS ONLY: exploding the query embedding into
     // nprobe copies would broadcast the query set ~nprobe x — at the
     // query-set size where a 1x broadcast is the limit, that fails

@@ -56,6 +56,47 @@ object AnnPq {
     Model(subspaces, subDim, books)
   }
 
+  /** Persist the codebook set as one parquet artifact: a row per
+    * (subspace, cluster) with its fixed-point centroid and the constant
+    * subspace width. PQ is THE index whose build/search split matters at
+    * scale — codebooks are trained on a sample once, then every ingest
+    * encodes against the frozen artifact (re-fitting would silently
+    * re-code the corpus differently); integer centroids make the
+    * round-trip bit-exact, so codes from a loaded model are byte-identical
+    * to codes from the fitted one (spec-pinned, e13-gated). */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      m <- 0 until model.subspaces
+      c <- 0 until model.codebooks(m).k
+    } yield (m, c, model.codebooks(m).centroids(c).toSeq, model.subDim))
+      .toDF("subspace", "cluster", "centroid", "sub_dim")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Reload a codebook artifact written by [[save]] (exact inverse). */
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read
+      .parquet(path)
+      .select("subspace", "cluster", "centroid", "sub_dim")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getInt(3)))
+    require(rows.nonEmpty, s"no PQ codebooks found at $path")
+    val subDim = rows.head._4
+    val books = rows
+      .groupBy(_._1)
+      .toIndexedSeq
+      .sortBy(_._1)
+      .map { case (_, rs) =>
+        val cents = rs.sortBy(_._2).map(_._3).toIndexedSeq
+        KMeans.Model(cents.length, cents)
+      }
+    Model(books.length, subDim, books)
+  }
+
   private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
     emb.select(
       col("vec_id"),

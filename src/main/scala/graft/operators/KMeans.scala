@@ -162,6 +162,38 @@ object KMeans {
     model
   }
 
+  /** Persist a fitted model as a parquet artifact: one row per cluster,
+    * `(cluster INT, centroid ARRAY<BIGINT>)`. Fixed-point longs round-trip
+    * parquet bit-exactly, so `load(save(m)) == m` and every downstream
+    * assignment (d10's blocks, e09's labels, AnnPq's codes) is
+    * byte-identical from the loaded artifact — the build-once/reuse shape
+    * the 100 TB pipeline runs (fit on one scheduled job, assign from the
+    * artifact on every ingest). Metadata-sized: k rows, one file. */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Reload a model written by [[save]] (exact inverse — see save). */
+  def load(spark: SparkSession, path: String): Model = {
+    val cents = spark.read
+      .parquet(path)
+      .select("cluster", "centroid")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+      .map(_._2)
+      .toIndexedSeq
+    require(cents.nonEmpty, s"no k-means centroids found at $path")
+    Model(cents.length, cents)
+  }
+
   /** Corpus with `cluster` and exact integer `dist` columns (fixed-point
     * squared distance to the assigned centroid). */
   def assign(spark: SparkSession, emb: DataFrame, model: Model, embCol: String = "embedding"): DataFrame = {

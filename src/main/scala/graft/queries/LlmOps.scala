@@ -193,6 +193,23 @@ object LlmOps {
     nearPairs.unionAll(dupEdges)
   }
 
+  /** d02 THROUGH THE PERSISTED CANONICAL TABLE: write d01's artifact
+    * (canonicalTable) to parquet, reload it, and generate the near-dup
+    * pair list from the loaded table — under d02's own oracle, so
+    * CORRECTNESS proves the canonicalize-once/reuse split reproduces the
+    * fused plan byte-identically. At 100 TB the canonical table is built
+    * at ingest and every near-dup pass (d02/d06/d07/d15) starts here
+    * instead of re-running the content-hash window. */
+  val d17 = Q("d17_dedup_lsh_persisted", d02.oracle) { (s, d) =>
+    val dir = scratchDir("d17")
+    canonicalTable(Tables.documents(s, d))
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/canonical")
+    minhashPairsFromCanonical(s.read.parquet(s"$dir/canonical"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The two building blocks behind the star-collapsed pair list:
     * `docs0` = every document with its exact-dup class id (`cid` = min
     * doc_id over identical text), and the canonical-level MinHash-LSH
@@ -209,13 +226,37 @@ object LlmOps {
   /** minhashCanonParts plus the raw 16-hash canonical signatures
     * (doc_id, h0..h15) — d15 estimates Jaccard from signature agreement,
     * which needs the pre-band hashes. */
-  private[graft] def minhashSigParts(documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val docs0 = documents
+  private[graft] def minhashSigParts(documents: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    minhashSigPartsFrom(canonicalTable(documents))
+
+  /** d01's artifact as a consumable table: every document with its
+    * exact-dup class id (`cid` = min doc_id over identical text — one
+    * exchange on the content hash, d01's shuffle shape). This is THE
+    * build-once table the scale notes promise: persist it (plain parquet)
+    * after ingest and every near-dup pass starts from it instead of
+    * re-running the canonicalization window — d17 round-trips it through
+    * disk under d02's oracle. */
+  private[graft] def canonicalTable(documents: DataFrame): DataFrame =
+    documents
       .select(
         col("doc_id"),
         col("text"),
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("cid")
       )
+
+  /** d02's pair list (near pairs + exact-dup star edges) from a LOADED
+    * canonical table — the artifact-consuming twin of minhashPairsOf. */
+  private[graft] def minhashPairsFromCanonical(docs0: DataFrame): DataFrame = {
+    val (d0, _, nearPairs) = minhashSigPartsFrom(docs0)
+    val dupEdges = d0
+      .filter(col("doc_id") =!= col("cid"))
+      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
+    nearPairs.unionAll(dupEdges)
+  }
+
+  /** Signature/band/pair machinery over a prebuilt canonical table
+    * (doc_id, text, cid) — see minhashSigParts. */
+  private[graft] def minhashSigPartsFrom(docs0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val canon = docs0.filter(col("doc_id") === col("cid")).select("doc_id", "text")
     val sh = explodedShinglesOf(canon).distinct()
     // Hash each DISTINCT shingle once (16 md5s per unique string), then
@@ -779,6 +820,107 @@ object LlmOps {
           .as("keep")
       )
       .orderBy("doc_id")
+  }
+
+  /** The corpus-side dedup index d08's scaladoc promises as a persisted
+    * artifact, as two consumable tables:
+    *   - `hash`:  DISTINCT md5(text) of every corpus document — the
+    *     exact-dup membership table (one row per distinct text);
+    *   - `bands`: (doc_id, simhash, b, bv) — every corpus fingerprint
+    *     exploded into its pigeonhole bit-band buckets, the near-dup join
+    *     keys.
+    * Both are plain parquet-able (hex strings + longs, engine-exact), both
+    * linear in the corpus, both maintained incrementally at 100 TB (append
+    * the admitted batch's rows after each ingest) — so every future batch
+    * pays only its own fingerprinting plus two equi-joins against the
+    * artifact, never a corpus re-scan. */
+  private[graft] def dedupIndexOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val bBits = simhashBits / (hammingRadius + 1)
+    val hash = corpus.select(md5(col("text")).as("th")).distinct()
+    val fps = corpus
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), simhash64Col.as("simhash"))
+    (hash, simhashBandsDf(fps, bBits, hammingRadius + 1))
+  }
+
+  /** Write the dedup index artifact pair under `path` ({hash,bands}). */
+  private[graft] def saveDedupIndex(hash: DataFrame, bands: DataFrame, path: String): Unit = {
+    hash.write.mode("overwrite").parquet(s"$path/hash")
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Reload a dedup index written by saveDedupIndex. */
+  private[graft] def loadDedupIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/hash"), s.read.parquet(s"$path/bands"))
+
+  /** d08's admission verdict for a batch, against a PREBUILT corpus index
+    * (dedupIndexOf or loadDedupIndex) — the artifact-consuming half of
+    * the incremental-ingest split. Cost: fingerprint the batch (map-only)
+    * + one equi-join per table, linear in batch size and independent of
+    * corpus size. */
+  private[graft] def incrementalDedupAgainst(
+      batch: DataFrame,
+      hash: DataFrame,
+      bands: DataFrame
+  ): DataFrame = {
+    val bBits = simhashBits / (hammingRadius + 1)
+    val batchFps = batch
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), simhash64Col.as("simhash"))
+    val nearIds = simhashBandsDf(batchFps, bBits, hammingRadius + 1)
+      .as("x")
+      .join(bands.as("y"), col("x.b") === col("y.b") && col("x.bv") === col("y.bv"))
+      .filter(
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= hammingRadius
+      )
+      .select(col("x.doc_id"))
+      .distinct()
+      .withColumn("__near", lit(true))
+    batch
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .join(
+        hash.select(col("th").as("cth")).withColumn("__exact", lit(true)),
+        col("th") === col("cth"),
+        "left"
+      )
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("dup_exact"),
+        coalesce(col("__near"), lit(false)).as("dup_near"),
+        (!(coalesce(col("__exact"), lit(false)) || coalesce(col("__near"), lit(false))))
+          .as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** A fresh scratch dir for in-query artifact round-trips (d16/d17/e13).
+    * Lives under java.io.tmpdir (where Spark's own scratch already goes);
+    * the files must OUTLIVE query construction — the returned DataFrames
+    * lazily re-read them at execution — so cleanup is left to the OS
+    * tmp reaper, not an eager delete. */
+  private[graft] def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+
+  /** d08 THROUGH THE PERSISTED ARTIFACT: build the corpus index, write it
+    * to parquet, reload it, and run the batch verdict from the loaded
+    * tables — under d08's own oracle, so CORRECTNESS proves the artifact
+    * round-trip reproduces the fused plan byte-identically. This is the
+    * production ingest loop (index built once per corpus version, each
+    * batch admitted against the artifact), executable, not asserted. */
+  val d16 = Q("d16_incremental_dedup_persisted", d08.oracle) { (s, d) =>
+    val tagged = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_batch")
+      )
+    val (hash, bands) = dedupIndexOf(tagged.filter(!col("is_batch")))
+    val dir = scratchDir("d16")
+    saveDedupIndex(hash, bands, dir)
+    val (lHash, lBands) = loadDedupIndex(s, dir)
+    incrementalDedupAgainst(tagged.filter(col("is_batch")), lHash, lBands)
   }
 
   /** Eval-set n-gram decontamination: which TRAIN-split documents share
@@ -1503,6 +1645,22 @@ object LlmOps {
     * structurally measures the codebook that ships. */
   private def pqModel(s: SparkSession, emb: DataFrame): graft.operators.AnnPq.Model =
     graft.operators.AnnPq.fit(s, emb, pqSubspaces, pqSubDim, pqK, pqIters)
+
+  /** e10 THROUGH THE PERSISTED CODEBOOK: fit the PQ model, write it to
+    * parquet (AnnPq.save), reload it, and encode the corpus from the
+    * loaded artifact — under e10's own oracle, so CORRECTNESS proves the
+    * train-once/encode-forever split reproduces the fitted model's codes
+    * byte-identically (the integer centroids make this checkable). This
+    * is the shape PQ runs at production scale: codebooks are versioned
+    * artifacts; re-fitting per batch would silently re-code the corpus. */
+  val e13 = Q("e13_pq_codes_persisted", e10.oracle) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dir = scratchDir("e13")
+    graft.operators.AnnPq.save(s, pqModel(s, emb), dir)
+    graft.operators.AnnPq
+      .codes(s, emb, graft.operators.AnnPq.load(s, dir))
+      .orderBy("vec_id")
+  }
 
   /** d10 sizing: target within-cluster population. k = ceil(n / target),
     * so the expected within-cluster pair work is O(n * target) — LINEAR in
@@ -2527,7 +2685,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16)
 }

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIvf, AnnPq, KMeans}
+import graft.queries.LlmOps
+
+/** Persisted index artifacts: every index the engine builds (k-means
+  * model, IVF centroid set, PQ codebooks, d01 canonical table, d08
+  * hash/band tables) must survive a parquet round-trip and reproduce the
+  * SAME downstream output from the loaded artifact — byte-identical, not
+  * approximately (the integer/IEEE-exact representations make this
+  * checkable). This is the build-once/consume-forever split the 100 TB
+  * pipeline runs; d16/d17/e13 gate the same round-trips under the DuckDB
+  * oracles. */
+class IndexPersistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-spec-$tag-").toString
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private lazy val emb =
+    Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+
+  test("KMeans model round-trips exactly and reassigns identically") {
+    val model = KMeans.fit(spark, emb, k = 8, iters = 2)
+    val dir = tmp("kmeans")
+    KMeans.save(spark, model, dir)
+    val loaded = KMeans.load(spark, dir)
+    assert(loaded.k === model.k)
+    assert(
+      loaded.centroids.map(_.toSeq) === model.centroids.map(_.toSeq),
+      "centroid longs must round-trip bit-exactly"
+    )
+    val orig = rowsOf(KMeans.assign(spark, emb, model).orderBy("vec_id"))
+    val re = rowsOf(KMeans.assign(spark, emb, loaded).orderBy("vec_id"))
+    assert(re === orig, "assignment from the loaded model must be identical")
+  }
+
+  test("IVF centroid set round-trips exactly and searches identically") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val cs = AnnIvf.fit(spark, emb, nlist = 16)
+    val dir = tmp("ivf")
+    AnnIvf.saveCentroids(spark, cs, dir)
+    val loaded = AnnIvf.loadCentroids(spark, dir)
+    assert(
+      loaded.map(_.toSeq) === cs.map(_.toSeq),
+      "centroid doubles must round-trip bit-exactly (raw IEEE-754)"
+    )
+    val orig = rowsOf(AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4))
+    val re = rowsOf(AnnIvf.topKWith(spark, emb, queries, loaded, k = 5, nprobe = 4))
+    assert(re === orig, "search against the loaded centroids must be identical")
+    // and the fused topK (fit-in-plan) is the same plan as fit + topKWith
+    val fused = rowsOf(AnnIvf.topK(spark, emb, queries, k = 5, nlist = 16, nprobe = 4))
+    assert(fused === orig, "fit + topKWith must reproduce the fused topK")
+  }
+
+  test("PQ codebooks round-trip exactly; codes and search are identical") {
+    val model = AnnPq.fit(spark, emb, subspaces = 4, subDim = 16, k = 16, iters = 1)
+    val dir = tmp("pq")
+    AnnPq.save(spark, model, dir)
+    val loaded = AnnPq.load(spark, dir)
+    assert(loaded.subspaces === model.subspaces)
+    assert(loaded.subDim === model.subDim)
+    (0 until model.subspaces).foreach { m =>
+      assert(loaded.codebooks(m).k === model.codebooks(m).k)
+      assert(
+        loaded.codebooks(m).centroids.map(_.toSeq) ===
+          model.codebooks(m).centroids.map(_.toSeq),
+        s"subspace $m codebook must round-trip bit-exactly"
+      )
+    }
+    val orig = rowsOf(AnnPq.codes(spark, emb, model).orderBy("vec_id"))
+    val re = rowsOf(AnnPq.codes(spark, emb, loaded).orderBy("vec_id"))
+    assert(re === orig, "codes from the loaded codebooks must be identical")
+    val queries = emb.filter(col("vec_id") < 5)
+    val s1 = rowsOf(AnnPq.topK(spark, emb, queries, model, k = 5, shortlist = 50))
+    val s2 = rowsOf(AnnPq.topK(spark, emb, queries, loaded, k = 5, shortlist = 50))
+    assert(s2 === s1, "PQ search from the loaded codebooks must be identical")
+  }
+
+  test("canonical table round-trips and regenerates d02's exact pair list") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val dir = tmp("canonical")
+    LlmOps.canonicalTable(docs).write.mode("overwrite").parquet(dir)
+    val fromArtifact = rowsOf(
+      LlmOps
+        .minhashPairsFromCanonical(spark.read.parquet(dir))
+        .orderBy("doc_a", "doc_b")
+    )
+    val fused = rowsOf(LlmOps.d02.run(spark, TestSpark.sf001))
+    assert(fromArtifact === fused, "pairs from the loaded canonical table must match d02")
+  }
+
+  test("dedup index round-trips and reproduces d08's exact admission verdict") {
+    val tagged = Tables
+      .documents(spark, TestSpark.sf001)
+      .select(
+        col("doc_id"),
+        col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_batch")
+      )
+    val (hash, bands) = LlmOps.dedupIndexOf(tagged.filter(!col("is_batch")))
+    val dir = tmp("dedup-index")
+    LlmOps.saveDedupIndex(hash, bands, dir)
+    val (lHash, lBands) = LlmOps.loadDedupIndex(spark, dir)
+    val fromArtifact = rowsOf(
+      LlmOps.incrementalDedupAgainst(tagged.filter(col("is_batch")), lHash, lBands)
+    )
+    val fused = rowsOf(LlmOps.d08.run(spark, TestSpark.sf001))
+    assert(fromArtifact === fused, "verdict from the loaded index must match d08")
+    // the verdict actually exercises both tables: some batch doc is flagged
+    val flagged = fromArtifact.count(r => r.contains("true"))
+    assert(flagged > 0, "expected at least one dup flag in the batch at sf0.01")
+  }
+}

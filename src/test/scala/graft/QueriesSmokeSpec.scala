@@ -12,7 +12,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // Queries whose correct result CAN be empty at sf0.001.
   private val mayBeEmpty = Set("e02_embed_neardup", "d02_dedup_minhash_lsh",
-    "d03_dedup_ngram_jaccard", "q19_inactive_customers")
+    "d03_dedup_ngram_jaccard", "q19_inactive_customers", "d17_dedup_lsh_persisted")
 
   Registry.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
