@@ -170,11 +170,17 @@ object AnnPq {
       .filter(col("rnk") <= shortlist)
       .select(col("qid"), col("vec_id").as("vid"))
     val fp = KMeans.fixedPoint(emb, "embedding")
-    val qIds = queryVecs.map(_._1).toSeq
-    val qFp = fp.filter(col("vec_id").isin(qIds: _*))
+    // Query fixed-point vectors come from the QUERIES frame (driver-side,
+    // via the scalar twin of fixedPoint — same space, spec-pinned), not a
+    // corpus lookup: a query vector absent from `emb` would silently
+    // drop every result row through the inner joins below, breaking the
+    // corpus-and-queries-are-separate contract AnnIvf/AnnLsh honor.
+    val qFp = queryVecs.toSeq
+      .map { case (qid, vec) => (qid, vec.map(KMeans.fixedPointLong).toSeq) }
+      .toDF("qid", "qx")
     val reranked = short
       .join(fp.select(col("vec_id").as("vid"), col("x").as("vx")), "vid")
-      .join(broadcast(qFp.select(col("vec_id").as("qid"), col("x").as("qx"))), "qid")
+      .join(broadcast(qFp), "qid")
       .select(col("qid"), col("vid"), expr("int_sqdist(qx, vx)").as("d2"))
     val wRr = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
     reranked

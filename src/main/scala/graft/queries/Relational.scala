@@ -512,13 +512,38 @@ object Relational {
              COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   ) { (s, d) =>
-    Tables
-      .orders(s, d)
-      .groupBy("o_orderpriority")
-      .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
-        count(lit(1)).as("n")
+    // Distributed exact interpolated percentile with BOUNDED state. The
+    // percentile() UDAF buffers every group value in one aggregation
+    // buffer (near-unique doubles -> the whole group on one reducer at
+    // scale); this form ranks within the group via a streaming
+    // row_number window (external sort, spills, O(1) frame state) and
+    // aggregates only the <=2 rank-selected rows per target quantile.
+    // Interpolation is the form both engines share — lo*(ceil(h)-h) +
+    // hi*(h-floor(h)) with h = (n-1)*p in doubles — so the result stays
+    // hash-identical to DuckDB's quantile_cont.
+    val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val counts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val ranked = o
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .join(broadcast(counts), "o_orderpriority")
+    def h(p: Double): Column = (col("n").cast("double") - 1) * lit(p)
+    def lo(p: Double): Column = min(when(col("rn") === floor(h(p)) + 1, col("o_totalprice")))
+    def hi(p: Double): Column = min(when(col("rn") === ceil(h(p)) + 1, col("o_totalprice")))
+    def needed(p: Double): Column =
+      col("rn") === floor(h(p)) + 1 || col("rn") === ceil(h(p)) + 1
+    def interp(loC: Column, hiC: Column, p: Double): Column =
+      when(ceil(h(p)) === floor(h(p)), loC)
+        .otherwise(loC * (ceil(h(p)) - h(p)) + hiC * (h(p) - floor(h(p))))
+    ranked
+      .filter(needed(0.5) || needed(0.9))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(lo(0.5).as("lo50"), hi(0.5).as("hi50"), lo(0.9).as("lo90"), hi(0.9).as("hi90"))
+      .select(
+        col("o_orderpriority"),
+        interp(col("lo50"), col("hi50"), 0.5).as("p50"),
+        interp(col("lo90"), col("hi90"), 0.9).as("p90"),
+        col("n")
       )
       .orderBy("o_orderpriority")
   }

@@ -120,6 +120,11 @@ object EventStream {
     val ham = bit_count(col("s.simhash").bitwiseXOR(col("c.simhash")))
     sBands
       .join(broadcast(cBands), col("s.b") === col("c.b") && col("s.bv") === col("c.bv"))
+      // self-match exclusion: replay after checkpoint recovery (or any
+      // arrival already present in a refreshed index) must not emit a
+      // spurious (id, id, 0) pair — same id-inequality every batch
+      // sibling (d05/d08, AnnIvf/AnnPq) applies
+      .filter(col("s.doc_id") =!= col("c.doc_id"))
       .filter(ham <= radius && exactlyOnce)
       .select(
         col("s.doc_id").as("doc_id"),

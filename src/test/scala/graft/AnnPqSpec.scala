@@ -50,6 +50,21 @@ class AnnPqSpec extends AnyFunSuite {
     }
   }
 
+  test("topK serves query vectors that are NOT in the corpus (separate-frames contract)") {
+    // the re-rank stage must take query fixed-point vectors from the
+    // QUERIES frame; a corpus lookup would silently inner-join novel
+    // queries down to zero rows
+    val model = AnnPq.fit(spark, emb, 4, 16, 8)
+    val corpus = emb.filter(col("vec_id") >= 3) // queries 0..2 removed
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = AnnPq.topK(spark, corpus, queries, model, k = 4, shortlist = 20).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L), s"missing queries: ${byQ.keySet}")
+    byQ.values.foreach(rows => assert(rows.length == 4))
+    // results come from the corpus only
+    assert(out.forall(_.getLong(2) >= 3L))
+  }
+
   test("ADC lookup distances equal the compiled int_sqdist in the same fixed-point space") {
     // the LUT is computed driver-side with KMeans.fixedPointLong; if that
     // scalar ever drifts from fixedPoint's in-plan transform, ADC scores
