@@ -70,7 +70,13 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-bench-scale")
-    val factors = Seq(1, 3, 10)
+    // factors override: SPARK_GRAFT_SCALE_FACTORS="1,3,10,30" (the x30
+    // tier is where corpus-derived k, band-bucket density, and the CC
+    // round count actually bite; x100 is a wall-clock call)
+    val factors = sys.env
+      .get("SPARK_GRAFT_SCALE_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10, 30))
     // (query prefix, cost model exponent: 1 = linear paths, 2 = exact all-pairs)
     // d12's eval AND train splits both grow with f here (both are hash
     // fractions of the same table), so its candidate count is ~f^2 — in
@@ -80,7 +86,7 @@ object BenchScale {
       "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "d11" -> 1,
       "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2, "d13" -> 2
     )
-    val maxFactorByExp = Map(1 -> 10, 2 -> 3) // quadratic tier stops at x3
+    val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
     val docs = Tables.documents(spark, src)
     val emb = Tables.embeddings(spark, src)
@@ -128,7 +134,7 @@ object BenchScale {
         s""""$name":{$ts,"exp":$exp,"worst_vs_model":${f"$worst%.2f"}}"""
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale","factors":[1,3,10],"queries":$json}""")
+    println(s"""{"metric":"scale","factors":[${factors.mkString(",")}],"queries":$json}""")
     spark.stop()
   }
 }

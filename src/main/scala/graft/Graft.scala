@@ -191,9 +191,11 @@ object Graft {
 
   // ---- LLM-pipeline operators ----
 
+  /** LSH ANN; nprobe > 1 turns on multi-probe (margin-ordered bit flips —
+    * recall without more tables or corpus re-bucketing). */
   def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      dim: Int, k: Int = 5): DataFrame =
-    AnnLsh.topK(spark, corpus, queries, dim, k)
+      dim: Int, k: Int = 5, nprobe: Int = 1): DataFrame =
+    AnnLsh.topK(spark, corpus, queries, dim, k, nprobe = nprobe)
 
   /** PQ ANN: fit subspace codebooks, then ADC-shortlist + exact re-rank
     * top-k — the cheapest-scan scale path (codes-only corpus join). */
@@ -270,6 +272,11 @@ object Graft {
     graft.queries.LlmOps.saveDedupIndex(hash, bands, path)
   def dedupIndexLoad(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     graft.queries.LlmOps.loadDedupIndex(spark, path)
+
+  /** Incremental index maintenance: append an admitted batch's hash/band
+    * rows to the persisted index — no rebuild, linear in the batch. */
+  def dedupIndexAppend(admitted: DataFrame, path: String): Unit =
+    graft.queries.LlmOps.appendDedupIndex(admitted, path)
 
   /** Batch admission verdict (dup_exact / dup_near / keep) against a
     * prebuilt corpus index — linear in batch size (d08/d16 semantics). */

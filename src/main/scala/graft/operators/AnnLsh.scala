@@ -60,7 +60,59 @@ object AnnLsh {
   private def planeSql(p: Array[Float]): String =
     p.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
 
-  /** Top-k approximate neighbors for each query vector. */
+  /** Multi-probe bucket assignment for the QUERY side: per (row, table),
+    * `nprobe` bucket values — the row's own bucket first, then the
+    * buckets reached by flipping ONE sign bit each, in ascending order of
+    * the flipped hyperplane's |projection| (the classic multi-probe LSH
+    * probe sequence: the most marginal sign decisions are the likeliest
+    * to separate true neighbors, so flip those first). Recall rises the
+    * way adding hash tables would, WITHOUT re-bucketing the corpus — the
+    * corpus side stays one row per (doc, table); only the broadcast-sized
+    * query side fans out nprobe×. Bucket bits and probe margins are
+    * computed IN-PLAN from the same compiled projections as [[buckets]],
+    * so query- and corpus-side sign decisions can never disagree. */
+  private def probeBuckets(
+      queries: DataFrame,
+      dim: Int,
+      tables: Int,
+      bitsPerTable: Int,
+      seed: Long,
+      nprobe: Int
+  ): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val ps = planes(dim, tables, bitsPerTable, seed)
+    val nFlips = math.min(nprobe - 1, bitsPerTable)
+    val tableCols: Seq[Column] = (0 until tables).map { t =>
+      val dots = (0 until bitsPerTable).map { b =>
+        expr(s"cosine_similarity(embedding, ${planeSql(ps(t)(b))})")
+      }
+      val bucket: Column = dots.zipWithIndex
+        .map { case (d, b) => when(d > 0, lit(1 << b)).otherwise(lit(0)) }
+        .reduce(_ + _)
+      // (|margin|, bit) ascending: array_sort on structs orders by the
+      // margin, ties to the lower bit — deterministic probe sequence
+      val flips = array_sort(
+        array(dots.zipWithIndex.map { case (d, b) =>
+          struct(abs(d).as("m"), lit(b).as("b"))
+        }: _*)
+      )
+      val probes = bucket +: (0 until nFlips).map { i =>
+        bucket.bitwiseXOR(
+          call_function("shiftleft", lit(1), element_at(flips, i + 1).getField("b"))
+        )
+      }
+      struct(lit(t).as("t"), array(probes: _*).as("probes"))
+    }
+    queries
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), explode(col("tb.probes")).as("bucket"))
+  }
+
+  /** Top-k approximate neighbors for each query vector. `nprobe` > 1
+    * turns on multi-probe (see probeBuckets) — recall climbs toward the
+    * brute-force baseline at the cost of probing nprobe buckets per
+    * (query, table) instead of one; candidate generation stays an
+    * equi-join and the corpus is never re-bucketed. */
   def topK(
       spark: SparkSession,
       emb: DataFrame, // vec_id, embedding
@@ -68,10 +120,11 @@ object AnnLsh {
       dim: Int,
       k: Int = 5,
       tables: Int = 8,
-      bitsPerTable: Int = 4
+      bitsPerTable: Int = 4,
+      nprobe: Int = 1
   ): DataFrame = {
     val corpusBuckets = buckets(spark, emb, dim, tables, bitsPerTable)
-    val queryBuckets = buckets(spark, queries, dim, tables, bitsPerTable)
+    val queryBuckets = probeBuckets(queries, dim, tables, bitsPerTable, 42L, nprobe)
       .withColumnRenamed("vec_id", "qid")
     // Dedup multi-table candidate hits on bare (qid, vec_id) ids — the
     // distinct's shuffle then moves two longs per row instead of two full

@@ -91,13 +91,25 @@ object Multimodal {
   /** Decode stage: batch-shaped (mapPartitions) so a real codec/model is
     * initialized once per partition, not per row — the JVM equivalent of
     * `mapInPandas` batch semantics. */
-  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedImage] =
+    decodeImagesWith(spark, media, stubDecodeImage)
+
+  /** The codec SEAM: same stage, caller-supplied decode kernel
+    * (bytes => (width, height, channels)). The default stage passes the
+    * stub here; MultimodalSpec passes a real javax.imageio decoder
+    * through the same seam — one function value swaps, the plan
+    * (scan → mapPartitions → serialize) does not change. */
+  def decodeImagesWith(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      decode: Array[Byte] => (Int, Int, Int)
+  ): Dataset[DecodedImage] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (codec handles, model session)
       rows.collect {
         case r if r.kind == "image" =>
-          val (w, h, c) = stubDecodeImage(r.payload)
+          val (w, h, c) = decode(r.payload)
           DecodedImage(r.media_id, w, h, c, ok = true)
       }
     }
@@ -147,13 +159,25 @@ object Multimodal {
       media: Dataset[MediaRow],
       width: Int = 32,
       height: Int = 32
+  ): Dataset[ResizedImage] =
+    resizeImagesWith(spark, media, width, height,
+      (bytes, w, h) => stubResizeBytes(bytes, w * h * 3))
+
+  /** The resize SEAM (see decodeImagesWith): caller-supplied scale kernel
+    * (bytes, width, height) => w*h*3 pixel buffer. */
+  def resizeImagesWith(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      width: Int,
+      height: Int,
+      resize: (Array[Byte], Int, Int) => Array[Byte]
   ): Dataset[ResizedImage] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (scaler/codec handles)
       rows.collect {
         case r if r.kind == "image" =>
-          val px = stubResizeBytes(r.payload, width * height * 3)
+          val px = resize(r.payload, width, height)
           ResizedImage(r.media_id, width, height, px.length.toLong, px)
       }
     }

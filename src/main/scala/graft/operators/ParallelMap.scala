@@ -809,7 +809,9 @@ object ParallelMap {
     * calling code path abandoning it, but dies with the driver process.
     * Cluster-mode survival requires an external submission service
     * (spark-submit cluster mode / a job server), out of library scope;
-    * see docs/COVERAGE.md D6.
+    * see docs/COVERAGE.md D6 and docs/DETACH.md for the spark-submit
+    * --deploy-mode cluster recipe that delivers the reference's
+    * client-independent semantics outside the sandbox.
     */
   def runDetached[I: ClassTag, O: ClassTag](
       spark: SparkSession,

@@ -853,6 +853,29 @@ object LlmOps {
   private[graft] def loadDedupIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
     (s.read.parquet(s"$path/hash"), s.read.parquet(s"$path/bands"))
 
+  /** Append an ADMITTED batch's rows to a persisted dedup index — the
+    * maintenance half of the ingest loop ("maintained incrementally at
+    * 100 TB" is this call, not a rebuild): each ingest admits against the
+    * artifact (incrementalDedupAgainst), then appends only the kept docs'
+    * hash/band rows as new parquet files — no corpus re-scan, no index
+    * rewrite, cost linear in the admitted batch. The hash table may
+    * accumulate duplicate `th` rows across appends; the admission join
+    * dedups it (see incrementalDedupAgainst).
+    *
+    * READ-MODIFY-WRITE rule: `admitted` is normally DERIVED from a read
+    * of this same index (the admission verdict), and a lazy plan re-reads
+    * the index DURING the append — worse, cache() does not protect you
+    * (the append itself triggers recacheByPath, which re-lists the mutated
+    * files and re-runs the verdict, silently emptying the admitted set).
+    * LAND the admitted batch in its own store first — the corpus write an
+    * ingest performs anyway — and append from the landed copy
+    * (spec-pinned in IndexPersistSpec's ingest-loop test). */
+  private[graft] def appendDedupIndex(admitted: DataFrame, path: String): Unit = {
+    val (h, b) = dedupIndexOf(admitted)
+    h.write.mode("append").parquet(s"$path/hash")
+    b.write.mode("append").parquet(s"$path/bands")
+  }
+
   /** d08's admission verdict for a batch, against a PREBUILT corpus index
     * (dedupIndexOf or loadDedupIndex) — the artifact-consuming half of
     * the incremental-ingest split. Cost: fingerprint the batch (map-only)
@@ -879,7 +902,10 @@ object LlmOps {
     batch
       .select(col("doc_id"), md5(col("text")).as("th"))
       .join(
-        hash.select(col("th").as("cth")).withColumn("__exact", lit(true)),
+        // distinct: an appended index (appendDedupIndex) may carry the
+        // same content hash from several ingests; without it the left
+        // join would multiply batch rows per duplicate entry
+        hash.select(col("th").as("cth")).distinct().withColumn("__exact", lit(true)),
         col("th") === col("cth"),
         "left"
       )
@@ -1345,10 +1371,15 @@ object LlmOps {
 
   /** LSH-bucketed ANN — the sub-linear scale path beside e01's exact
     * baseline. Approximate by construction, so no SQL oracle (rows-only
-    * check); AnnLshSpec asserts recall against the oracle-verified e01. */
+    * check); AnnLshSpec asserts recall against the oracle-verified e01.
+    * nprobe = 4 multi-probe (flip the most marginal sign bits — see
+    * AnnLsh.probeBuckets): production recall without more tables, i.e.
+    * without growing the CORPUS-side index — only the broadcast query
+    * side fans out. */
   val e04 = Q("e04_ann_topk_lsh", None) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    graft.operators.AnnLsh.topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+    graft.operators.AnnLsh
+      .topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, nprobe = 4)
   }
 
   /** IVF-Flat ANN — the coarse-quantization scale path (cluster-probe
@@ -1467,8 +1498,10 @@ object LlmOps {
 
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
     * (e01), emitted through the verify gate: the oracle pins n_queries and
-    * recall_ok = TRUE, so a silent LSH regression below 0.4 mean recall
-    * fails CORRECTNESS instead of hiding in a rows-only query. */
+    * recall_ok = TRUE, so a silent LSH regression below 0.7 mean recall
+    * fails CORRECTNESS instead of hiding in a rows-only query. The bar is
+    * the production one (0.7); e04's nprobe=4 multi-probe clears it
+    * (measured 0.98 at the oracle tier vs 0.66 single-probe). */
   val e05 = Q(
     "e05_ann_recall",
     Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
@@ -1478,7 +1511,7 @@ object LlmOps {
     // rescore) executes twice inside this one gate (measured ~2x)
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
-    recallGate(exact, approx, 0.4)
+    recallGate(exact, approx, 0.7)
   }
 
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
@@ -2582,7 +2615,18 @@ object LlmOps {
       .withColumn("bucket", expr(s"doc_id div $packBucketSpan"))
     val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
     val cum = tk.withColumn("cum_in", sum("n").over(inBucket))
+    // The offsets prefix sum runs over the bucket-TOTALS table (n/256
+    // rows, metadata-scale by design — that is the whole point of the
+    // two-level split). The single partition is therefore deliberate;
+    // partitioning by an always-zero key says so explicitly, where a
+    // bare orderBy window would make WindowExec log its "moving all
+    // data to a single partition" warning into every bench tail as if
+    // the data path had a serial pass. The key must be NON-FOLDABLE
+    // (pmod of the row's own bucket, not a literal) or the optimizer
+    // constant-folds it out of the partition spec and the warning
+    // returns; bucket >= 0 so pmod(bucket, 1) = 0 on every row.
     val preceding = Window
+      .partitionBy(pmod(col("bucket"), lit(1L)))
       .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = tk

@@ -119,4 +119,49 @@ class IndexPersistSpec extends AnyFunSuite {
     val flagged = fromArtifact.count(r => r.contains("true"))
     assert(flagged > 0, "expected at least one dup flag in the batch at sf0.01")
   }
+
+  test("ingest loop: admit, append kept docs, recrawled copies are then rejected") {
+    // The full production cycle over the artifact: build -> admit batch 1
+    // -> APPEND its kept docs (incremental maintenance, no rebuild) ->
+    // a later batch recrawling the same content is now flagged dup.
+    val tagged = Tables
+      .documents(spark, TestSpark.sf001)
+      .select(
+        col("doc_id"),
+        col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_batch")
+      )
+    val dir = tmp("ingest-loop")
+    val (hash, bands) = LlmOps.dedupIndexOf(tagged.filter(!col("is_batch")))
+    LlmOps.saveDedupIndex(hash, bands, dir)
+    val batch1 = tagged.filter(col("is_batch")).select("doc_id", "text")
+    val (h1, b1) = LlmOps.loadDedupIndex(spark, dir)
+    val verdict1 = LlmOps.incrementalDedupAgainst(batch1, h1, b1)
+    // LANDED before the append — the read-modify-write rule on
+    // appendDedupIndex: the admitted set is derived from a read of the
+    // same index files the append mutates, and neither laziness nor
+    // cache() isolates it (the append's recacheByPath re-runs the verdict
+    // over the mutated index). An ingest writes accepted docs to the
+    // corpus store anyway; the index append consumes that landed copy.
+    batch1
+      .join(verdict1.filter(col("keep")).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$dir-landed")
+    val kept = spark.read.parquet(s"$dir-landed")
+    val nKept = kept.count()
+    assert(nKept > 0, "expected some admitted docs at sf0.01")
+    LlmOps.appendDedupIndex(kept, dir)
+    // batch 2 = the admitted content recrawled under fresh ids
+    val batch2 = kept.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val (h2, b2) = LlmOps.loadDedupIndex(spark, dir)
+    val verdict2 = LlmOps.incrementalDedupAgainst(batch2, h2, b2).collect()
+    assert(verdict2.length == nKept)
+    assert(
+      verdict2.forall(r => r.getAs[Boolean]("dup_exact") && !r.getAs[Boolean]("keep")),
+      "every recrawled copy must be rejected by the appended index"
+    )
+    // and the index is now saturated for batch 1 itself: every doc either
+    // matched the corpus before, or matches its own appended entry now
+    val verdict1Again = LlmOps.incrementalDedupAgainst(batch1, h2, b2).collect()
+    assert(verdict1Again.forall(!_.getAs[Boolean]("keep")))
+  }
 }

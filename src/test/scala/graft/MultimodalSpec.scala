@@ -47,6 +47,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
   }
 
+  test("codec seam: a REAL imageio/awt kernel swaps in for the stub, same plan") {
+    // The stubs exist because no media codecs ship in this sandbox — but
+    // the JDK's own javax.imageio/java.awt ARE here, so this pins the
+    // one-function-body-swap claim with a genuine codec: generate real
+    // PNGs, decode and resize them through the SAME stages the stubs run.
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png(40, 25, 0xff0000), "gen", 0L),
+      Multimodal.MediaRow(2L, "image", png(8, 64, 0x00ff00), "gen", 0L),
+      Multimodal.MediaRow(3L, "video", Array[Byte](1, 2, 3), "gen", 3L)
+    )
+    val pngMedia = spark.createDataset(rows)
+
+    // real decode kernel through the seam: actual pixel dimensions
+    val realDecode: Array[Byte] => (Int, Int, Int) = { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+    val decoded = Multimodal
+      .decodeImagesWith(spark, pngMedia, realDecode)
+      .collect()
+      .sortBy(_.media_id)
+    assert(decoded.map(d => (d.media_id, d.width, d.height, d.channels)).toSeq ==
+      Seq((1L, 40, 25, 3), (2L, 8, 64, 3)))
+
+    // real resize kernel: awt nearest-neighbor scale to w x h, RGB bytes
+    val realResize: (Array[Byte], Int, Int) => Array[Byte] = { (bytes, w, h) =>
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.drawImage(src.getScaledInstance(w, h, java.awt.Image.SCALE_FAST), 0, 0, null)
+      g.dispose()
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val p = dst.getRGB(x, y)
+          out(i) = ((p >> 16) & 0xff).toByte
+          out(i + 1) = ((p >> 8) & 0xff).toByte
+          out(i + 2) = (p & 0xff).toByte
+          i += 3
+        }
+      }
+      out
+    }
+    val resized = Multimodal
+      .resizeImagesWith(spark, pngMedia, 4, 4, realResize)
+      .collect()
+      .sortBy(_.media_id)
+    assert(resized.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(resized.forall(_.payload.length == 4 * 4 * 3))
+    // solid-color PNGs stay solid through a real scale: every pixel of
+    // image 1 is pure red, image 2 pure green
+    assert(resized(0).payload.grouped(3).forall(p =>
+      (p(0) & 0xff) == 255 && p(1) == 0 && p(2) == 0))
+    assert(resized(1).payload.grouped(3).forall(p =>
+      p(0) == 0 && (p(1) & 0xff) == 255 && p(2) == 0))
+
+    // and the SEAM claim itself: stub and real kernels produce the same
+    // physical plan shape — only the function value differs
+    def shape(ds: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      ds.queryExecution.executedPlan.collect { case n => n.getClass.getSimpleName }
+    assert(shape(Multimodal.decodeImagesWith(spark, pngMedia, realDecode)) ==
+      shape(Multimodal.decodeImages(spark, pngMedia)))
+    assert(shape(Multimodal.resizeImagesWith(spark, pngMedia, 4, 4, realResize)) ==
+      shape(Multimodal.resizeImages(spark, pngMedia, 4, 4)))
+  }
+
   test("frame sampling flatMaps videos into stride-sized frames") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 100).collect()
     assert(frames.nonEmpty)
