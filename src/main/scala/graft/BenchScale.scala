@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale validation for the heavy query family: derives corpora
-  * at ×1/×3/×10 the sf0.1 row counts, runs the expensive dedup/ANN
-  * queries at each factor, and prints one JSON line with per-factor warm
-  * seconds plus the ratio against each query's documented cost model
-  * (linear for the bucketed dedup paths, quadratic for e02's exact
-  * all-pairs). This is the "would the plan survive a scale-up"
+  * at ×1/×3/×10/×30/×100 the sf0.1 row counts, runs the expensive
+  * dedup/ANN queries at each factor, and prints one JSON line with
+  * per-factor warm seconds plus the ratio against each query's documented
+  * cost model (linear for the bucketed dedup paths, quadratic for e02's
+  * exact all-pairs). This is the "would the plan survive a scale-up"
   * check run as an experiment instead of an argument — docs/SCALE.md
   * records the resulting table.
   *
@@ -19,27 +19,42 @@ import org.apache.spark.sql.functions._
   *     candidate pairs — it benchmarks the hot-bucket pathology, not scale;
   *   - fresh random text changes dup density entirely.
   *   So replica i applies a BIJECTION per unit: texts go through
-  *   translate() under a rotated consonant alphabet (token equality, and
-  *   hence every shingle/MinHash/Jaccard relation WITHIN a replica, is
-  *   preserved exactly; cross-replica token overlap is destroyed),
-  *   embeddings get a circular dimension shift (within-replica cosines
-  *   bit-identical, cross-replica geometry decorrelated). Replica 0 is
-  *   the identity, so the ×1 tier is the original corpus, and dup density
-  *   per replica is constant — output pair counts grow ~linearly in f,
-  *   which is precisely the regime the scale notes claim to handle.
+  *   translate() under a composed two-alphabet rotation (token equality,
+  *   and hence every shingle/MinHash/Jaccard relation WITHIN a replica,
+  *   is preserved exactly; cross-replica token overlap is destroyed),
+  *   embeddings get a signed modular dimension shift (within-replica
+  *   cosines bit-identical, cross-replica geometry decorrelated).
+  *   Replica 0 is the identity, so the ×1 tier is the original corpus,
+  *   and dup density per replica is constant — output pair counts grow
+  *   ~linearly in f, which is precisely the regime the scale notes claim
+  *   to handle. Both bijection families stay pairwise distinct through
+  *   ×100 (see A1/A2 and the sign flip below — the v1 derivations
+  *   repeated every 10 and 64 replicas respectively, planting
+  *   cross-replica exact duplicates that inflated the ×30 tier).
   */
 object BenchScale {
-  private val Alphabet = "etaoinshrd" // high-frequency letters in the corpus
+  // Two DISJOINT high-frequency letter sets, rotated independently: the
+  // per-replica character bijection is (A1 rotated by i mod 10) ∘ (A2
+  // rotated by (i/10) mod 10), so mappings stay pairwise distinct up to
+  // ×100 — a single 10-letter rotation would repeat every 10 replicas and
+  // silently plant cross-replica EXACT duplicates at ×10+ (the ×30 tier
+  // caught this: replicas 0/10/20 shared the identity mapping).
+  private val A1 = "etaoinshrd"
+  private val A2 = "lucmfwygpb"
 
-  private def rotated(i: Int): String =
-    (Alphabet.drop(i % Alphabet.length) + Alphabet.take(i % Alphabet.length))
+  private def rot(a: String, i: Int): String = {
+    val k = i % a.length
+    a.drop(k) + a.take(k)
+  }
 
   /** Replicate df `factor` times with a per-replica id remap and unit
     * bijection. `idCol` is shifted by replica * (max id + 1). */
   private def scaleDocs(docs: DataFrame, factor: Int, idSpan: Long): DataFrame = {
     val r = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val from = A1 + A2
+    def to(i: Int): String = rot(A1, i % 10) + rot(A2, (i / 10) % 10)
     val translated = (1 until factor).foldLeft(when(col("r") === 0, col("text"))) {
-      (acc, i) => acc.when(col("r") === i, translate(col("text"), Alphabet, rotated(i)))
+      (acc, i) => acc.when(col("r") === i, translate(col("text"), from, to(i)))
     }
     docs
       .select(col("*"), r)
@@ -50,18 +65,26 @@ object BenchScale {
 
   private def scaleEmbeddings(emb: DataFrame, factor: Int, idSpan: Long): DataFrame = {
     val r = explode(sequence(lit(0), lit(factor - 1))).as("r")
-    // circular shift of the 64-dim vector by the replica index: norms and
-    // within-replica pairwise cosines are untouched (same permutation on
-    // both sides of any within-replica pair)
+    // circular shift of the 64-dim vector by (replica mod dims), sign-
+    // flipped every full dims cycle: norms and within-replica pairwise
+    // cosines are untouched (same permutation + same global sign on both
+    // sides of any within-replica pair — cos(-a,-b) = cos(a,b)), while
+    // cross-replica self-pairs at shift collisions land at cosine -1,
+    // far below every near-dup threshold. The raw `r`-shift version
+    // passed a NEGATIVE slice length past r = dims (runtime error at
+    // ×100) and silently repeated geometry every dims replicas.
     val dims = size(col("embedding"))
+    val sh = pmod(col("r"), dims)
     val shifted = concat(
-      slice(col("embedding"), col("r") + 1, dims - col("r")),
-      slice(col("embedding"), lit(1), col("r"))
+      slice(col("embedding"), sh + 1, dims - sh),
+      slice(col("embedding"), lit(1), sh)
     )
+    val signed = when(pmod(col("r").cast("int").divide(dims).cast("int"), lit(2)) === 1,
+      transform(shifted, x => -x)).otherwise(shifted)
     emb
       .select(col("*"), r)
       .withColumn("vec_id", col("vec_id") + col("r") * idSpan)
-      .withColumn("embedding", shifted)
+      .withColumn("embedding", signed)
       .drop("r")
   }
 
@@ -69,7 +92,11 @@ object BenchScale {
     val spark = GraftSession.builder("graft-bench-scale").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-bench-scale")
+    // v2: the derivation changed (composed two-alphabet bijection, signed
+    // modular embedding shift) — versioning the work dir keeps _done
+    // markers from silently mixing corpora built by different derivations
+    // in one published table
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-bench-scale-v2")
     // factors override: SPARK_GRAFT_SCALE_FACTORS="1,3,10,30" (the x30
     // tier is where corpus-derived k, band-bucket density, and the CC
     // round count actually bite; x100 is a wall-clock call)
@@ -90,8 +117,8 @@ object BenchScale {
 
     val docs = Tables.documents(spark, src)
     val emb = Tables.embeddings(spark, src)
-    val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
-    val vecSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val docSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val vecSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
     factors.foreach { f =>
       val dir = s"$workDir/x$f"
       val marker = new java.io.File(s"$dir/_done")
@@ -115,18 +142,25 @@ object BenchScale {
       t
     }
 
-    val rows = family.map { case (prefix, exp) =>
+    val rows = family.flatMap { case (prefix, exp) =>
       val name = SparkEntry.queries.keys.find(_.startsWith(prefix)).get
       val times = factors.filter(_ <= maxFactorByExp(exp)).map { f =>
         f -> timeWarm(name, s"$workDir/x$f")
       }
-      val t1 = times.head._2
-      // worst observed time vs the cost-model extrapolation from x1:
-      // model(f) = t1 * f^exp; the scale notes hold if ratio stays <= 2
-      val worst = times.tail.map { case (f, t) =>
-        t / (t1 * math.pow(f.toDouble, exp.toDouble))
-      }.maxOption.getOrElse(1.0)
-      (name, exp, times, worst)
+      // worst observed time vs the cost-model extrapolation from the
+      // SMALLEST benchmarked factor f0 (not hardcoded x1 — the factor
+      // list is an env override): model(f) = t(f0) * (f/f0)^exp; the
+      // scale notes hold if the ratio stays <= 2. A family member whose
+      // factors were entirely filtered out (e.g. quadratic tier under a
+      // "30,100"-only override) is skipped, not crashed on.
+      times match {
+        case (f0, t0) +: rest =>
+          val worst = rest.map { case (f, t) =>
+            t / (t0 * math.pow(f.toDouble / f0, exp.toDouble))
+          }.maxOption.getOrElse(1.0)
+          Seq((name, exp, times, worst))
+        case _ => Nil
+      }
     }
     val json = rows
       .map { case (name, exp, times, worst) =>

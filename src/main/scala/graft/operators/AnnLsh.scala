@@ -24,6 +24,13 @@ import graft.functions.VectorFunctions
   */
 object AnnLsh {
 
+  /** One seed for BOTH sides of the candidate equi-join: corpus bucketing
+    * (buckets' default) and query probing (topK -> probeBuckets) must
+    * draw the SAME hyperplanes or sign decisions diverge and the join
+    * matches essentially random buckets — recall collapses with no loud
+    * failure (only the e05 gate would catch it downstream). */
+  private[graft] val DefaultSeed = 42L
+
   /** Deterministic plane matrix: tables x bitsPerTable planes of `dim`. */
   private def planes(dim: Int, tables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rnd = new Random(seed)
@@ -37,7 +44,7 @@ object AnnLsh {
       dim: Int,
       tables: Int = 8,
       bitsPerTable: Int = 4,
-      seed: Long = 42L
+      seed: Long = DefaultSeed
   ): DataFrame = {
     VectorFunctions.register(spark)
     val ps = planes(dim, tables, bitsPerTable, seed)
@@ -80,8 +87,14 @@ object AnnLsh {
       nprobe: Int
   ): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    require(
+      nprobe >= 1 && nprobe - 1 <= bitsPerTable,
+      s"nprobe=$nprobe out of range: single-bit multi-probe yields at most " +
+        s"bitsPerTable + 1 = ${bitsPerTable + 1} distinct buckets per table " +
+        "(raise bitsPerTable or tables instead of probing further)"
+    )
     val ps = planes(dim, tables, bitsPerTable, seed)
-    val nFlips = math.min(nprobe - 1, bitsPerTable)
+    val nFlips = nprobe - 1
     val tableCols: Seq[Column] = (0 until tables).map { t =>
       val dots = (0 until bitsPerTable).map { b =>
         expr(s"cosine_similarity(embedding, ${planeSql(ps(t)(b))})")
@@ -124,7 +137,7 @@ object AnnLsh {
       nprobe: Int = 1
   ): DataFrame = {
     val corpusBuckets = buckets(spark, emb, dim, tables, bitsPerTable)
-    val queryBuckets = probeBuckets(queries, dim, tables, bitsPerTable, 42L, nprobe)
+    val queryBuckets = probeBuckets(queries, dim, tables, bitsPerTable, DefaultSeed, nprobe)
       .withColumnRenamed("vec_id", "qid")
     // Dedup multi-table candidate hits on bare (qid, vec_id) ids — the
     // distinct's shuffle then moves two longs per row instead of two full

@@ -522,12 +522,20 @@ object Relational {
     // hi*(h-floor(h)) with h = (n-1)*p in doubles — so the result stays
     // hash-identical to DuckDB's quantile_cont.
     val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+    // n (the output count) is COUNT(*) over ALL rows, but the quantile
+    // machinery must see only NON-NULL values — both percentile() and
+    // quantile_cont ignore NULLs, while row_number would rank a NULL row
+    // first and shift every selection. `np` is the quantile population;
+    // identical to n when the column is null-free (it is in this data).
+    val counts = o
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), count(col("o_totalprice")).as("np"))
     val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    val counts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     val ranked = o
+      .filter(col("o_totalprice").isNotNull)
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .join(broadcast(counts), "o_orderpriority")
-    def h(p: Double): Column = (col("n").cast("double") - 1) * lit(p)
+    def h(p: Double): Column = (col("np").cast("double") - 1) * lit(p)
     def lo(p: Double): Column = min(when(col("rn") === floor(h(p)) + 1, col("o_totalprice")))
     def hi(p: Double): Column = min(when(col("rn") === ceil(h(p)) + 1, col("o_totalprice")))
     def needed(p: Double): Column =
@@ -535,16 +543,21 @@ object Relational {
     def interp(loC: Column, hiC: Column, p: Double): Column =
       when(ceil(h(p)) === floor(h(p)), loC)
         .otherwise(loC * (ceil(h(p)) - h(p)) + hiC * (h(p) - floor(h(p))))
-    ranked
+    val pcts = ranked
       .filter(needed(0.5) || needed(0.9))
-      .groupBy(col("o_orderpriority"), col("n"))
+      .groupBy(col("o_orderpriority"), col("np"))
       .agg(lo(0.5).as("lo50"), hi(0.5).as("hi50"), lo(0.9).as("lo90"), hi(0.9).as("hi90"))
       .select(
         col("o_orderpriority"),
         interp(col("lo50"), col("hi50"), 0.5).as("p50"),
-        interp(col("lo90"), col("hi90"), 0.9).as("p90"),
-        col("n")
+        interp(col("lo90"), col("hi90"), 0.9).as("p90")
       )
+    // left join from counts: a group whose every value is NULL has no
+    // ranked rows, but still emits (n, NULL percentiles) — the UDAF /
+    // quantile_cont row shape
+    counts
+      .join(pcts, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("p50"), col("p90"), col("n"))
       .orderBy("o_orderpriority")
   }
 

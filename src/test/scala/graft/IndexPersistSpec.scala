@@ -137,12 +137,9 @@ class IndexPersistSpec extends AnyFunSuite {
     val batch1 = tagged.filter(col("is_batch")).select("doc_id", "text")
     val (h1, b1) = LlmOps.loadDedupIndex(spark, dir)
     val verdict1 = LlmOps.incrementalDedupAgainst(batch1, h1, b1)
-    // LANDED before the append — the read-modify-write rule on
-    // appendDedupIndex: the admitted set is derived from a read of the
-    // same index files the append mutates, and neither laziness nor
-    // cache() isolates it (the append's recacheByPath re-runs the verdict
-    // over the mutated index). An ingest writes accepted docs to the
-    // corpus store anyway; the index append consumes that landed copy.
+    // LANDED before the append — the production ingest shape (accepted
+    // docs hit the corpus store anyway; the index append consumes the
+    // landed copy). The unlanded path is exercised by the next test.
     batch1
       .join(verdict1.filter(col("keep")).select("doc_id"), "doc_id")
       .write.mode("overwrite").parquet(s"$dir-landed")
@@ -163,5 +160,37 @@ class IndexPersistSpec extends AnyFunSuite {
     // matched the corpus before, or matches its own appended entry now
     val verdict1Again = LlmOps.incrementalDedupAgainst(batch1, h2, b2).collect()
     assert(verdict1Again.forall(!_.getAs[Boolean]("keep")))
+  }
+
+  test("appendDedupIndex survives an UNLANDED admitted frame (read-modify-write)") {
+    // The trap: an admitted set still LAZILY derived from a read of the
+    // very index files the append mutates. Without the API's eager
+    // localCheckpoint, the append re-lists the mutated files mid-write
+    // (recacheByPath), re-runs the verdict, and silently appends an
+    // EMPTY set. This pins the in-API materialization.
+    val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val dir = tmp("rmw")
+    val (hash, bands) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(hash, bands, dir)
+    val (h1, b1) = LlmOps.loadDedupIndex(spark, dir)
+    // UNLANDED: kept's plan reads dir/hash + dir/bands
+    val kept = batch.join(
+      LlmOps.incrementalDedupAgainst(batch, h1, b1).filter(col("keep")).select("doc_id"),
+      "doc_id"
+    )
+    val nKept = kept.count()
+    assert(nKept > 0)
+    LlmOps.appendDedupIndex(kept, dir)
+    // recrawled copies of the admitted docs must now be rejected — which
+    // can only happen if the append actually wrote their entries
+    val recrawl = kept.select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val (h2, b2) = LlmOps.loadDedupIndex(spark, dir)
+    val v = LlmOps.incrementalDedupAgainst(recrawl, h2, b2).collect()
+    assert(v.length == nKept)
+    assert(v.forall(r => r.getAs[Boolean]("dup_exact") && !r.getAs[Boolean]("keep")),
+      "append from the unlanded frame lost entries — in-API materialization broken")
   }
 }

@@ -122,4 +122,31 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.toLowerCase.contains("int_argmin_sqdist"), s"$q lost the compiled kernel:\n$p")
     }
   }
+
+  test("q22: percentiles carry NO per-group value buffer — rank window + tiny agg") {
+    val p = plan("q22_price_percentiles")
+    // the old formulation's unbounded-state aggregate: the Percentile UDAF
+    // (an ObjectHashAggregate buffering every group value)
+    assert(!p.contains("percentile("), s"q22 regressed to the buffering UDAF:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"q22 has an object-buffer aggregate:\n$p")
+    // the bounded-state shape: a partitioned streaming window (row_number),
+    // a broadcast of the 5-row counts dim, and a plain hash aggregate over
+    // the <=4 rank-selected rows per group
+    assert(p.contains("Window"), p)
+    assert(p.contains("row_number"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e04: multi-probe fans out the broadcast query side only; corpus buckets once") {
+    val p = plan("e04_ann_topk_lsh")
+    // the corpus side must not be re-bucketed or replicated per probe: the
+    // candidate join takes the corpus bucket rows as the streamed side and
+    // the nprobe-exploded query rows as the BROADCAST side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Scan ExistingRDD"), "e04 re-parallelizes driver data")
+    // exactly two parquet scans of embeddings feed the candidate stage
+    // (corpus buckets + rescore re-attach); probes add none
+    assert(p.contains("cosine_similarity"), p)
+  }
 }
