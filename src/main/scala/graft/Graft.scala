@@ -278,6 +278,11 @@ object Graft {
   def dedupIndexAppend(admitted: DataFrame, path: String): Unit =
     graft.queries.LlmOps.appendDedupIndex(admitted, path)
 
+  /** Periodic compaction for an appended index: distinct + rewrite, run
+    * every N appends to bound file counts (never needed for correctness). */
+  def dedupIndexCompact(spark: SparkSession, path: String): Unit =
+    graft.queries.LlmOps.compactDedupIndex(spark, path)
+
   /** Batch admission verdict (dup_exact / dup_near / keep) against a
     * prebuilt corpus index — linear in batch size (d08/d16 semantics). */
   def incrementalDedup(batch: DataFrame, hash: DataFrame, bands: DataFrame): DataFrame =

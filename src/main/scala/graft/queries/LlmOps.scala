@@ -881,6 +881,24 @@ object LlmOps {
     b.write.mode("append").parquet(s"$path/bands")
   }
 
+  /** Compact an appended dedup index in place: distinct the hash table
+    * (appends legitimately re-add a content hash the corpus already
+    * carries — admission only needs membership) and rewrite both tables
+    * as fresh file sets. Run it on the maintenance cadence small-file
+    * pressure dictates (every N appends), not per ingest: admission
+    * correctness never needs it (incrementalDedupAgainst dedups the hash
+    * side at join time), it only bounds file counts and join input size.
+    * The rewrite stages through localCheckpoint for the same
+    * read-modify-write reason as appendDedupIndex: the new files replace
+    * the ones the input plan reads. */
+  private[graft] def compactDedupIndex(s: SparkSession, path: String): Unit = {
+    val (h, b) = loadDedupIndex(s, path)
+    val hc = h.distinct().localCheckpoint(true)
+    val bc = b.localCheckpoint(true)
+    hc.write.mode("overwrite").parquet(s"$path/hash")
+    bc.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
   /** d08's admission verdict for a batch, against a PREBUILT corpus index
     * (dedupIndexOf or loadDedupIndex) — the artifact-consuming half of
     * the incremental-ingest split. Cost: fingerprint the batch (map-only)

@@ -192,5 +192,16 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(v.length == nKept)
     assert(v.forall(r => r.getAs[Boolean]("dup_exact") && !r.getAs[Boolean]("keep")),
       "append from the unlanded frame lost entries — in-API materialization broken")
+
+    // compaction: same verdicts, fewer-or-equal hash rows, deduped ths
+    val before = spark.read.parquet(s"$dir/hash").count()
+    LlmOps.compactDedupIndex(spark, dir)
+    val (h3, b3) = LlmOps.loadDedupIndex(spark, dir)
+    val after = h3.count()
+    assert(after <= before)
+    assert(after == h3.distinct().count(), "compaction left duplicate hash rows")
+    val vc = LlmOps.incrementalDedupAgainst(recrawl, h3, b3).collect()
+    assert(vc.map(_.toString).sorted.toSeq == v.map(_.toString).sorted.toSeq,
+      "compaction changed admission verdicts")
   }
 }

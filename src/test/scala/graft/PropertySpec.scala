@@ -256,4 +256,47 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"edges=$edges")
     }
   }
+
+  test("property: rank-based q22 percentiles equal the percentile() UDAF bit-for-bit") {
+    // q22 replaced the buffering percentile() UDAF with a bounded-state
+    // rank/interpolation form; this pins exact (not approximate) double
+    // equality against the UDAF across adversarial shapes — heavy ties,
+    // NULLs, singleton groups, all-NULL groups — where an off-by-one rank
+    // or a reordered interpolation would diverge in the last ulp.
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      rows <- Gen.listOfN(
+        n,
+        for {
+          g <- Gen.oneOf("A", "B", "C")
+          v <- Gen.frequency(
+            4 -> Gen.chooseNum(0, 15).map(i => Some(i.toDouble)), // heavy ties
+            3 -> Gen.chooseNum(0.0, 1e6).map(Some(_)),
+            1 -> Gen.const(Option.empty[Double])
+          )
+        } yield (g, v)
+      )
+    } yield rows
+    forAllN(gen, n = 6) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-q22prop-").toString
+      val df = rows.toDF("o_orderpriority", "o_totalprice")
+      df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val ours = SparkEntry
+        .queries("q22_price_percentiles")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+      val ref = df
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+      assert(ours.toSeq == ref.toSeq, s"rows=$rows")
+    }
+  }
 }
