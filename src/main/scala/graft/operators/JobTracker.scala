@@ -81,10 +81,19 @@ object JobTracker {
 
   private def evictIfFull(): Unit =
     if (records.size > MaxJobs) {
-      val victims = records.values().asScala.toSeq
-        .filter(_.status != Running)
-        .sortBy(_.startedAtMs)
-        .take(records.size - MaxJobs)
+      // Prefer terminal records, oldest first — but fall back to evicting
+      // the OLDEST Running records if terminals alone can't get under the
+      // bound: a stream whose consumer abandoned the iterator never
+      // reaches completed(), and a registry that refuses to evict such
+      // records grows without bound on a long-lived driver (the scaladoc's
+      // memory guarantee would be a lie). An evicted Running record only
+      // loses its history row; the job itself is untouched.
+      val overBy = records.size - MaxJobs
+      val (running, terminal) =
+        records.values().asScala.toSeq.partition(_.status == Running)
+      val victims =
+        (terminal.sortBy(_.startedAtMs) ++ running.sortBy(_.startedAtMs))
+          .take(overBy)
       victims.foreach { r =>
         records.remove(r.jobId)
         sparkToPmap.entrySet().removeIf(e => e.getValue == r.jobId)
@@ -97,6 +106,13 @@ object JobTracker {
     val appId = spark.sparkContext.applicationId
     if (installedAppId != appId) {
       installedAppId = appId
+      // Spark job/stage ids restart at 0 in a fresh SparkContext: stale
+      // correlation entries from the previous app would mis-attribute the
+      // new app's tasks to old pmap records (inflating nTasks/taskTimeMs
+      // in jobs()/usageDaily()). The RECORDS survive — history spans
+      // sessions by design — only the id correlations reset.
+      sparkToPmap.clear()
+      stageToPmap.clear()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
           val group = Option(e.properties)

@@ -39,7 +39,12 @@ object MMOps {
   }
 
   /** Feature-stage gate: every media row gets a dim-16 pseudo-embedding
-    * with all elements in the stub's [-0.5, 0.5) range. */
+    * with all elements in the stub's [-0.5, 0.5] range. The interval is
+    * CLOSED on both ends: (h & 0xffff)/65535 reaches exactly 1.0 when a
+    * hash step lands on 0xffff, so 0.5 is attainable (about one element
+    * in 65536 — doc_ids 1364 and 3213 hit it at sf0.1; an exclusive
+    * upper-bound check failed exactly those rows against the oracle's
+    * hardcoded TRUE). */
   val m02 = Q(
     "m02_media_features",
     Some("""
@@ -50,7 +55,7 @@ object MMOps {
     Multimodal
       .extractFeatures(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), dim = 16)
       .map(f =>
-        (f.media_id, f.feature.length, f.feature.forall(x => x >= -0.5f && x < 0.5f))
+        (f.media_id, f.feature.length, f.feature.forall(x => x >= -0.5f && x <= 0.5f))
       )
       .toDF("media_id", "dim", "range_ok")
       .orderBy("media_id")

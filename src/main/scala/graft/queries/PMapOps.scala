@@ -60,7 +60,11 @@ object PMapOps {
       .toSeq
       .map(r => (r.getLong(0), r.getString(1)))
     ParallelMap
-      .run(s, inputs) { case (id, text) => (id, text.length) }
+      // codePointCount, not String.length: the oracle's length(text)
+      // counts Unicode code points, while length on a JVM String counts
+      // UTF-16 code units — they diverge on any astral character (emoji),
+      // the same parity rule Spark's own length() follows
+      .run(s, inputs) { case (id, text) => (id, text.codePointCount(0, text.length)) }
       .toDF("doc_id", "n_chars_computed")
       .orderBy("doc_id")
   }

@@ -111,6 +111,44 @@ object Relational {
       .limit(10)
   }
 
+  // TPC-H Q4 shape: order-priority checking — correlated EXISTS against
+  // lineitem, counted per priority. The schema has no commit/receipt
+  // dates, so "late" is l_shipdate more than 60 days past the order date.
+  // Scale: the EXISTS is a LEFT SEMI join — one shuffle on the order key,
+  // no row multiplication however many lineitems match, and the date
+  // filter prunes the orders scan before the join.
+  val q04 = Q(
+    "q04_priority_checking",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  ) { (s, d) =>
+    val ord = Tables
+      .orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")
+      )
+    // timestamp + interval (not date_add): keeps the addition in timestamp
+    // space exactly as the oracle computes it
+    ord
+      .join(
+        Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi"
+      )
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   // TPC-H Q5 shape: 6-way star join, grouped by nation.
   val q05 = Q(
     "q05_local_supplier_volume",
@@ -1136,7 +1174,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q01, q02, q03, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42
   )

@@ -83,13 +83,21 @@ final class FileManager(spark: SparkSession, base: String) {
     finally out.close()
   }
 
-  /** Download a single file's bytes. */
+  /** Download a single file's bytes. Refuses files past the JVM array
+    * bound EXPLICITLY: `getLen.toInt` on a >=2 GiB file goes negative
+    * (allocation crash) and on a >=4 GiB file silently WRAPS — returning
+    * a tiny truncated array with no error, which is corruption, not
+    * failure. Callers with files that size should stream (open/copy). */
   def download(rel: String): Array[Byte] = {
     val p = resolve(rel)
+    val len = fs.getFileStatus(p).getLen
+    require(
+      len <= Int.MaxValue,
+      s"$rel is $len bytes — larger than a JVM byte array; stream it instead"
+    )
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()
@@ -103,7 +111,11 @@ final class FileManager(spark: SparkSession, base: String) {
     val out = new ZipOutputStream(new BufferedOutputStream(fs.create(resolve(zipRel), true)))
     try {
       var n = 0
-      rels.foreach { rel =>
+      // distinct: a repeated rel would make putNextEntry throw
+      // ZipException("duplicate entry") mid-write, aborting the batch and
+      // leaving a truncated zip behind — requesting a file twice means
+      // "include it", not "fail the bundle"
+      rels.distinct.foreach { rel =>
         val p = resolve(rel)
         if (fs.exists(p) && fs.getFileStatus(p).isFile) {
           out.putNextEntry(new ZipEntry(rel))

@@ -256,7 +256,16 @@ object EventStream {
         } else {
           var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
           val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // flatMapGroupsWithState does NOT filter late data for you: an
+          // event below the watermark (replay, stalled producer) would
+          // merge BACKWARDS into the open session — min(first, t) rewinds
+          // the session start and inflates its duration by hours. Drop
+          // them, the same verdict the engine's windowed aggs apply.
+          val watermarkSec = state.getCurrentWatermarkMs() / 1000
+          batch.toSeq
+            .sortBy(_.ts.getTime)
+            .filter(_.ts.getTime / 1000 >= watermarkSec)
+            .foreach { e =>
             val t = e.ts.getTime / 1000
             if (cur.n > 0 && t - cur.last > gapSeconds) {
               closed += UserSession(uid, cur.n, cur.last - cur.first)
