@@ -23,6 +23,13 @@ import org.apache.spark.sql.SparkSession
   * directory; BASELINE.md carries the committed per-query reference table.
   */
 object Bench {
+  /** Locale-fixed decimal rendering for the JSON outputs: the f""
+    * interpolator uses the JVM default locale, so a de_DE/fr_FR driver
+    * would emit comma decimal separators — invalid JSON the round driver
+    * (and any consumer) fails to parse. */
+  private[graft] def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -62,7 +69,7 @@ object Bench {
       else (name, -1.0, -1.0, false)
     }
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._4)
     val total = ok.map(_._2).sum
@@ -76,18 +83,18 @@ object Bench {
     if (args.isEmpty) {
       val detail = results
         .map { case (k, v, c, o) =>
-          f"""  "$k": {"warm": $v%.3f, "cold": $c%.3f, "ok": $o}"""
+          s"""  "$k": {"warm": ${jnum(v)}, "cold": ${jnum(c)}, "ok": $o}"""
         }
         .mkString("{\n", ",\n", "\n}")
       val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
-        f"""{"sf": "$sfDir", "warm_total": $total%.3f, "cold_total": $coldTotal%.3f, "failed": $failed, "queries": $detail}""".stripMargin
+        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "queries": $detail}"""
           .getBytes("UTF-8")
       )
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_value":$coldTotal%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

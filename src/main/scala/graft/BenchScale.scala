@@ -164,8 +164,9 @@ object BenchScale {
     }
     val json = rows
       .map { case (name, exp, times, worst) =>
-        val ts = times.map { case (f, t) => s""""x$f":${f"$t%.3f"}""" }.mkString(",")
-        s""""$name":{$ts,"exp":$exp,"worst_vs_model":${f"$worst%.2f"}}"""
+        // Bench.jnum: locale-fixed decimals, or a non-dot locale breaks the JSON
+        val ts = times.map { case (f, t) => s""""x$f":${Bench.jnum(t)}""" }.mkString(",")
+        s""""$name":{$ts,"exp":$exp,"worst_vs_model":${Bench.jnum(worst)}}"""
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale","factors":[${factors.mkString(",")}],"queries":$json}""")

@@ -26,21 +26,29 @@ import org.apache.spark.sql.functions.udaf
   */
 final case class BoundedSetBuf(var overflow: Boolean, var items: List[Long])
 
+/** Input is boxed java.lang.Long, NOT primitive Long: the primitive
+  * encoder is non-nullable, so a NULL in the aggregated column would abort
+  * the whole job ("Null value appeared in non-nullable field") — while
+  * collect_set, whose semantics this bounds, silently skips NULLs. reduce
+  * skips them the same way. */
 class BoundedCollectSet(maxSize: Int)
-    extends Aggregator[Long, BoundedSetBuf, Seq[Long]] {
+    extends Aggregator[java.lang.Long, BoundedSetBuf, Seq[Long]] {
   require(maxSize > 0)
 
   override def zero: BoundedSetBuf = BoundedSetBuf(overflow = false, Nil)
 
-  override def reduce(b: BoundedSetBuf, a: Long): BoundedSetBuf =
+  private def add(b: BoundedSetBuf, a: Long): BoundedSetBuf =
     if (b.overflow || b.items.contains(a)) b // contains is O(size<=maxSize)
     else if (b.items.size >= maxSize) { b.overflow = true; b.items = Nil; b }
     else { b.items = a :: b.items; b }
 
+  override def reduce(b: BoundedSetBuf, a: java.lang.Long): BoundedSetBuf =
+    if (a == null) b else add(b, a.longValue) // NULLs skipped, like collect_set
+
   override def merge(x: BoundedSetBuf, y: BoundedSetBuf): BoundedSetBuf =
     if (x.overflow) x
     else if (y.overflow) y
-    else y.items.foldLeft(x)(reduce)
+    else y.items.foldLeft(x)(add)
 
   override def finish(b: BoundedSetBuf): Seq[Long] =
     if (b.overflow) Nil else b.items
@@ -50,7 +58,8 @@ class BoundedCollectSet(maxSize: Int)
 }
 
 object BoundedCollectSet {
-  /** Column form: bounded-set aggregate of a Long column. */
+  /** Column form: bounded-set aggregate of a Long column (NULLs skipped,
+    * matching collect_set). */
   def boundedSet(c: Column, maxSize: Int): Column =
-    udaf(new BoundedCollectSet(maxSize), Encoders.scalaLong)(c)
+    udaf(new BoundedCollectSet(maxSize), Encoders.LONG)(c)
 }

@@ -78,12 +78,32 @@ object CentroidKernels {
     ArrayData.toArrayData(Array(bestC, bestDist))
   }
 
+  /** Per-centroid squared norms, computed ONCE when the literal matrix is
+    * materialized — the centroid matrix is a plan-time constant, so
+    * recomputing its norms inside the per-row kernel would double the
+    * multiply-add work of the hottest loop (N rows x k centroids x dim). */
+  def centroidSqNorms(mat: Array[Array[Float]]): Array[Double] = {
+    val out = new Array[Double](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      var s = 0.0
+      var j = 0
+      while (j < cent.length) { val v = cent(j).toDouble; s += v * v; j += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
   /** Cluster ids ordered by descending (cosine(e, centroid), id), first
     * `topn` — ties break to the HIGHER cluster id, replicating the
     * lexicographic array_max / reverse(array_sort) semantics of the
     * per-centroid formulation it replaces. Zero-norm sides score 0.0
-    * (CosineSimilarityExpr contract). Called from generated code. */
-  def cosineTopClusters(e: ArrayData, mat: Array[Array[Float]], topn: Int): ArrayData = {
+    * (CosineSimilarityExpr contract). `sqNorms` is centroidSqNorms(mat),
+    * precomputed once per plan. Called from generated code. */
+  def cosineTopClusters(
+      e: ArrayData, mat: Array[Array[Float]], sqNorms: Array[Double], topn: Int): ArrayData = {
     val k = mat.length
     val cos = new Array[Double](k)
     var ne = 0.0
@@ -95,17 +115,20 @@ object CentroidKernels {
       val cent = mat(c)
       val n = math.min(n0, cent.length)
       var dot = 0.0
-      var nc = 0.0
       var j = 0
       while (j < n) {
-        val xj = e.getFloat(j).toDouble
-        val yj = cent(j).toDouble
-        dot += xj * yj
-        nc += yj * yj
+        dot += e.getFloat(j).toDouble * cent(j).toDouble
         j += 1
       }
       // norms over the common prefix only, matching CosineSimilarityExpr's
-      // min-length contract (equal-width vectors in practice)
+      // min-length contract (equal-width vectors in practice). The
+      // precomputed full-length norms apply on the fast path; a ragged
+      // pair recomputes the truncated side's prefix norm.
+      var nc = sqNorms(c)
+      if (n < cent.length) {
+        nc = 0.0; var t = 0
+        while (t < n) { val v = cent(t).toDouble; nc += v * v; t += 1 }
+      }
       var nep = ne
       if (n < n0) {
         nep = 0.0; var t = 0
@@ -117,19 +140,20 @@ object CentroidKernels {
     val m = math.min(math.max(topn, 0), k)
     val out = new Array[Int](m)
     if (m == 1) {
-      // the corpus-assignment hot path: linear argmax, no sort.
-      // Double.compare, NOT primitive >/==: the sort path below ranks by
-      // TotalOrdering (NaN greatest, -0.0 < 0.0), and a primitive compare
-      // here would disagree on those values — an Inf/NaN embedding would
-      // be STORED in one list but PROBED starting at another.
+      // the corpus-assignment hot path: linear argmax, no sort. The
+      // comparison is EXACTLY the sort path's comparator — key (-cos, -i)
+      // ascending under TotalOrdering (Double.compare) — so the two paths
+      // agree BY CONSTRUCTION on every input, including NaN (ranks worst:
+      // -NaN is NaN, greatest under total order) and -0.0 vs 0.0. A
+      // primitive >/== here, or Double.compare on the un-negated cosines,
+      // would rank a NaN cosine best in this path but worst in the sort
+      // path — an Inf/NaN embedding would be STORED in a list the probe
+      // never visits.
       var bestC = 0
-      var bestCos = cos(0)
       c = 1
       while (c < k) {
-        val cmp = java.lang.Double.compare(cos(c), bestCos)
-        if (cmp > 0 || (cmp == 0 && c > bestC)) {
-          bestCos = cos(c); bestC = c
-        }
+        val cmp = java.lang.Double.compare(-cos(c), -cos(bestC))
+        if (cmp < 0 || (cmp == 0 && c > bestC)) bestC = c
         c += 1
       }
       out(0) = bestC
@@ -248,6 +272,8 @@ case class CosineTopClustersExpr(first: Expression, second: Expression, third: E
 
   @transient private lazy val matrix: Array[Array[Float]] =
     CentroidKernels.toFloatMatrix(second.eval().asInstanceOf[ArrayData])
+  @transient private lazy val sqNorms: Array[Double] =
+    CentroidKernels.centroidSqNorms(matrix)
   @transient private lazy val topn: Int = third.eval().asInstanceOf[Int]
 
   override def nullable: Boolean = first.nullable
@@ -255,12 +281,13 @@ case class CosineTopClustersExpr(first: Expression, second: Expression, third: E
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val e = first.eval(input)
     if (e == null) null
-    else CentroidKernels.cosineTopClusters(e.asInstanceOf[ArrayData], matrix, topn)
+    else CentroidKernels.cosineTopClusters(e.asInstanceOf[ArrayData], matrix, sqNorms, topn)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val matRef = ctx.addReferenceObj("centroidMatrix", matrix, "float[][]")
+    val normRef = ctx.addReferenceObj("centroidSqNorms", sqNorms, "double[]")
     val eGen = first.genCode(ctx)
     ev.copy(code = code"""
         ${eGen.code}
@@ -268,7 +295,7 @@ case class CosineTopClustersExpr(first: Expression, second: Expression, third: E
         ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = graft.functions.CentroidKernels.cosineTopClusters(
-            ${eGen.value}, $matRef, $topn);
+            ${eGen.value}, $matRef, $normRef, $topn);
         }
       """)
   }

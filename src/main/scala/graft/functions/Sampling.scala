@@ -11,27 +11,32 @@ import org.apache.spark.sql.functions._
   * what make ablations and decontamination audits possible on a 100 TB
   * corpus, and a changed salt yields an independent resample.
   *
-  * Mechanics: keep a row iff the first 8 hex chars of md5(salt|key)
-  * compare lexicographically below floor(fraction * 16^8) rendered as
-  * 8 lowercase hex digits. Same-length lowercase hex compares identically
+  * Mechanics: keep a row iff "0" + the first 8 hex chars of md5(salt|key)
+  * compares lexicographically below floor(fraction * 16^8) rendered as
+  * 9 lowercase hex digits. Same-length lowercase hex compares identically
   * to the numeric value, in Spark, DuckDB, or any engine with md5 — no
-  * integer-conversion dialect differences to reconcile. Pure projection +
+  * integer-conversion dialect differences to reconcile. The 9th digit is
+  * why fraction = 1.0 is exact: its threshold "100000000" sits strictly
+  * above every bucket (an 8-digit threshold would top out at "ffffffff"
+  * and the strict < would silently drop rows whose bucket IS "ffffffff" —
+  * ~1 in 2^32, a guaranteed loss at corpus scale). Pure projection +
   * filter: pushes to the scan, no shuffle.
   */
 object Sampling {
 
-  /** floor(fraction * 2^32) as 8 lowercase hex digits. */
+  /** floor(fraction * 2^32) as 9 lowercase hex digits ("000000000" ..
+    * "100000000"), compared against "0"-prefixed 8-digit buckets. */
   def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
-    f"${math.min((fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+    f"${(fraction * 4294967296.0).toLong}%09x"
   }
 
   private def bucket(key: Column, salt: String): Column =
-    substring(md5(concat(lit(salt + "|"), key.cast("string"))), 1, 8)
+    concat(lit("0"), substring(md5(concat(lit(salt + "|"), key.cast("string"))), 1, 8))
 
   /** SQL twin of the membership predicate (DuckDB). */
   def predicateSql(keyExpr: String, fraction: Double, salt: String): String =
-    s"substr(md5('$salt|' || CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(fraction)}'"
+    s"'0' || substr(md5('$salt|' || CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(fraction)}'"
 
   /** Uniform deterministic sample: keep ~fraction of rows by key hash. */
   def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = "s0"): DataFrame =

@@ -164,6 +164,36 @@ object VectorFunctions {
     case _ => false
   }
 
+  /** The ONE list of custom SQL functions: (name, expression class, usage
+    * doc, builder). Both injection paths — GraftExtensions (session
+    * extensions) and register() (temp-function bootstrap) — consume this
+    * list, so a kernel added here is present in BOTH, eliminating the
+    * two-parallel-lists drift that once left int8_max_err_ratio
+    * unregistered on one path. */
+  val registry: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarityExpr],
+      "cosine_similarity(a, b) - cosine similarity of two float arrays",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1))),
+    ("int8_max_err_ratio", classOf[Int8MaxErrRatioExpr],
+      "int8_max_err_ratio(v) - max |x/s - round(x/s)| under absmax int8 quantization",
+      exprs => Int8MaxErrRatioExpr(exprs(0))),
+    ("simhash16", classOf[SimHash16Expr],
+      "simhash16(tokens) - 16-bit SimHash fingerprint of an array<string> of tokens",
+      exprs => SimHash16Expr(exprs(0))),
+    ("simhash64", classOf[SimHash64Expr],
+      "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string> of tokens",
+      exprs => SimHash64Expr(exprs(0))),
+    ("int_sqdist", classOf[IntSqDistExpr],
+      "int_sqdist(a, b) - exact integer squared distance of two bigint arrays",
+      exprs => IntSqDistExpr(exprs(0), exprs(1))),
+    ("int_argmin_sqdist", classOf[IntArgminSqdistExpr],
+      "int_argmin_sqdist(x, centroids) - [argmin cluster, its int_sqdist] over the centroid matrix",
+      exprs => IntArgminSqdistExpr(exprs(0), exprs(1))),
+    ("cosine_top_clusters", classOf[CosineTopClustersExpr],
+      "cosine_top_clusters(e, centroids, topn) - topn cluster ids by descending cosine",
+      exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2)))
+  )
+
   /** Register SQL-callable vector functions on this session (idempotent —
     * skips when already present, avoiding "replaced a previously
     * registered function" warnings on every query invocation). */
@@ -172,19 +202,11 @@ object VectorFunctions {
     // guard EACH function separately: a session built with GraftExtensions
     // already has some of them, and skipping the rest on that evidence
     // left int8_max_err_ratio unregistered
-    def ensure(name: String, builder: Seq[Expression] => Expression): Unit = {
+    registry.foreach { case (name, _, _, builder) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    ensure("cosine_similarity", exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
-    ensure("int8_max_err_ratio", exprs => Int8MaxErrRatioExpr(exprs(0)))
-    ensure("simhash16", exprs => SimHash16Expr(exprs(0)))
-    ensure("simhash64", exprs => SimHash64Expr(exprs(0)))
-    ensure("int_sqdist", exprs => IntSqDistExpr(exprs(0), exprs(1)))
-    ensure("int_argmin_sqdist", exprs => IntArgminSqdistExpr(exprs(0), exprs(1)))
-    ensure("cosine_top_clusters",
-      exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2)))
   }
 
   /** SQL fragment form: register first, then use in expr()/selectExpr. */

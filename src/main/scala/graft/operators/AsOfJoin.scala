@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.StructType
   * before the union; left rows with a NULL time match nothing (their
   * payload columns come back NULL) — they sort before every timed row in
   * the window, so no right payload can be carried into them.
+  *
+  * NULL key semantics (matching SQL `l.key = r.key`, where NULL = NULL is
+  * not true): right rows with a NULL key never match anything and are
+  * filtered out with the NULL-time rows; left rows with a NULL key come
+  * back with NULL payload. Without the filter, Window.partitionBy groups
+  * all NULL keys into ONE partition and a NULL-key left row would carry a
+  * NULL-key right row's payload — a silent deviation from the equi-join
+  * semantics the oracle twins (q23/q40) express.
   */
 object AsOfJoin {
   def latestAtOrBefore(
@@ -86,7 +94,7 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(pStructType).as("__p")
     )
-    val r = right.filter(col(rightTime).isNotNull).select(
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       col(rightKey).as("__key"),
       col(rightTime).as("__t"),
       lit(0).as("__tag"),

@@ -61,13 +61,20 @@ object JobTracker {
       List((Running.name, startedAtMs))
     val inputErrors = new java.util.concurrent.ConcurrentLinkedQueue[InputError]()
 
-    private[JobTracker] def moveTo(s: Status): Unit = synchronized {
-      if (status == Running) { // terminal states are final (cancel races)
+    /** Transition to a terminal state; returns whether THIS call won.
+      * Terminal states are final (cancel/complete race) — and the caller
+      * must set its companion fields (nErrors, failure) only when it won,
+      * inside the same r.synchronized block, or a losing completed()/
+      * failed() would stamp contradictory fields onto the winner's record
+      * (e.g. status=COMPLETED with a CancellationException failure). */
+    private[JobTracker] def moveTo(s: Status): Boolean = synchronized {
+      if (status == Running) {
         status = s
         val now = System.currentTimeMillis()
         endedAtMs = Some(now)
         transitions = transitions :+ ((s.name, now))
-      }
+        true
+      } else false
     }
   }
 
@@ -149,14 +156,16 @@ object JobTracker {
 
   private[operators] def completed(jobId: String, nErrors: Long = 0): Unit =
     Option(records.get(jobId)).foreach { r =>
-      r.nErrors = nErrors
-      r.moveTo(Completed)
+      r.synchronized { if (r.moveTo(Completed)) r.nErrors = nErrors }
     }
 
   private[operators] def failed(jobId: String, e: Throwable): Unit =
     Option(records.get(jobId)).foreach { r =>
-      r.failure = Some(s"${e.getClass.getName}: ${e.getMessage}")
-      r.moveTo(if (e.isInstanceOf[java.util.concurrent.CancellationException]) Cancelled else Failed)
+      val terminal =
+        if (e.isInstanceOf[java.util.concurrent.CancellationException]) Cancelled else Failed
+      r.synchronized {
+        if (r.moveTo(terminal)) r.failure = Some(s"${e.getClass.getName}: ${e.getMessage}")
+      }
     }
 
   private[operators] def inputError(jobId: String, idx: Long, msg: String): Unit =

@@ -90,6 +90,29 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopClusters: argmax and sort paths agree on NaN cosines") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.CentroidKernels
+    // ragged matrix makes cosines MIXED NaN/finite for one embedding:
+    // c0 is length-1, so the prefix norm stays finite (cos = 1.0) while
+    // c1 overlaps the Inf component (cos = NaN). The argmax (store) path
+    // must start where the sort (probe) path starts — the old
+    // un-negated Double.compare ranked NaN best in argmax but worst in
+    // the sort, splitting store and probe.
+    val mat = Array(Array(1.0f), Array(0.0f, 1.0f))
+    val norms = CentroidKernels.centroidSqNorms(mat)
+    def run(e: Array[Float], topn: Int): Seq[Int] = {
+      val r = CentroidKernels.cosineTopClusters(ArrayData.toArrayData(e), mat, norms, topn)
+      (0 until r.numElements()).map(r.getInt)
+    }
+    val mixed = Array(1.0f, Float.PositiveInfinity)
+    assert(run(mixed, 2) == Seq(0, 1), "finite cosine must outrank NaN")
+    assert(run(mixed, 1) == Seq(run(mixed, 2).head), "store == first probe")
+    // all-NaN: pure tie, both paths must resolve to the higher id
+    val allNaN = Array(Float.NaN, Float.NaN)
+    assert(run(allNaN, 1) == Seq(run(allNaN, 2).head))
+  }
+
   test("centroids are deterministic and complete (every cluster has one)") {
     val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
     val c1 = AnnIvf.centroids(spark, emb, 8)

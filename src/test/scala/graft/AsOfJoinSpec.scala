@@ -63,6 +63,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
   }
 
+  test("NULL keys: NULL = NULL never matches (SQL equi-join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-05 00:00:00")),
+      (2L, None: Option[Long], ts("2024-01-05 00:00:00")) // NULL key
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // NULL-key right row at an earlier time: Window.partitionBy groups
+      // NULL keys together, so without the key filter its payload would
+      // be carried into the NULL-key left row — SQL `l.key = r.key`
+      // never matches NULLs
+      (None: Option[Long], ts("2024-01-02 00:00:00"), 999L, 9.9),
+      (Some(10L), ts("2024-01-02 00:00:00"), 100L, 1.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+      .collect()
+    assert(out.length == 2, "left rows all survive (left-join semantics)")
+    assert(out(0).getAs[Long]("o_orderkey") == 100L)
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")),
+      "NULL-key left row must not carry the NULL-key right row's payload")
+  }
+
   test("forward variant: earliest right row at-or-after each left row") {
     import spark.implicits._
     val left = Seq(

@@ -118,6 +118,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sets("q") == Set(1L, 2L, 3L), "duplicates dedup below the bound")
   }
 
+  test("BoundedCollectSet skips NULL values like collect_set") {
+    import spark.implicits._
+    // primitive-encoder formulation aborted the job on the NULL row
+    // ("Null value appeared in non-nullable field"); collect_set skips it
+    val df = Seq(("a", Some(1L)), ("a", None: Option[Long]), ("a", Some(2L)),
+      ("b", None: Option[Long]))
+      .toDF("k", "v").repartition(4)
+    val sets = df
+      .groupBy("k")
+      .agg(graft.functions.BoundedCollectSet.boundedSet(col("v"), 10).as("vs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(sets("a") == Set(1L, 2L))
+    assert(sets("b").isEmpty, "all-NULL key aggregates to the empty set, not a crash")
+  }
+
   test("simhash16 kernel matches the exploded grouped-sum reference formulation") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)

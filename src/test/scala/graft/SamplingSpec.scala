@@ -18,11 +18,19 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("id", "text", "stratum")
   }
 
-  test("thresholdHex renders the fraction as 8 lowercase hex digits") {
-    assert(Sampling.thresholdHex(0.0) == "00000000")
-    assert(Sampling.thresholdHex(1.0) == "ffffffff")
-    assert(Sampling.thresholdHex(0.5) == "80000000")
-    assert(Sampling.thresholdHex(0.2) == "33333333")
+  test("thresholdHex renders the fraction as 9 lowercase hex digits") {
+    assert(Sampling.thresholdHex(0.0) == "000000000")
+    // 9 digits so fraction=1.0 exceeds every "0"-prefixed 8-digit bucket:
+    // an 8-digit cap at "ffffffff" would drop buckets equal to it
+    assert(Sampling.thresholdHex(1.0) == "100000000")
+    assert(Sampling.thresholdHex(0.5) == "080000000")
+    assert(Sampling.thresholdHex(0.2) == "033333333")
+  }
+
+  test("fraction 1.0 keeps the complete dataset, including max-bucket keys") {
+    assert(ids(Sampling.hashSample(corpus, col("text"), 1.0)).size == 2000)
+    // and the threshold string itself is strictly above any possible bucket
+    assert("0ffffffff" < Sampling.thresholdHex(1.0))
   }
 
   test("hashSample is deterministic, order-independent, and near the fraction") {
