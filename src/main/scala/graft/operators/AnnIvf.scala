@@ -141,12 +141,19 @@ object AnnIvf {
     // cache the corpus for the duration of the index build + query: the
     // seed scan, the Lloyd aggregation, the final assignment, and the
     // probe join would otherwise each re-evaluate the upstream pipeline.
+    // The RESULT is materialized eagerly (queries x k rows — small by
+    // construction) so the corpus cache can be RELEASED before returning:
+    // cache entries are never auto-evicted on reference drop, and a
+    // service issuing repeated topK calls would otherwise pin one corpus
+    // copy per call for the session lifetime.
     // At 100 TB the equivalent move is building once and searching from
     // the persisted artifact — fit + saveCentroids/loadCentroids +
     // topKWith (spec-pinned identical to this fused form).
     val cached = emb.cache()
-    val cs = centroids(spark, cached, nlist)
-    topKWith(spark, cached, queries, cs, k, nprobe)
+    try {
+      val cs = centroids(spark, cached, nlist)
+      topKWith(spark, cached, queries, cs, k, nprobe).localCheckpoint()
+    } finally cached.unpersist()
   }
 
   /** Search against a PREBUILT centroid set (fit or loadCentroids) — the

@@ -59,9 +59,15 @@ object AnnLsh {
         .reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("bucket"))
     }
+    // ids + bucket keys ONLY — no embedding column: the bucket table is
+    // the persistable index artifact, and carrying the raw vectors
+    // through the explode would store/shuffle tables x corpus copies of
+    // them (8x the embedding volume at the default tables=8) for any
+    // consumer that materializes this frame. Rescoring re-attaches
+    // embeddings by joining the corpus on vec_id (see topK).
     emb
-      .select(col("vec_id"), col("embedding"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
   }
 
   private def planeSql(p: Array[Float]): String =

@@ -132,11 +132,19 @@ object AnnPq {
       shortlist: Int = 50
   ): DataFrame = {
     VectorFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
     val codesDf = codes(spark, emb, model)
+    // qid stays the CALLER's id type (long, int, string, ...) end to end —
+    // the driver-side frames are built with an explicit schema carrying
+    // queries' own vec_id type, like the id-agnostic joins AnnIvf/AnnLsh
+    // use (a hard-coded getLong would crash any non-bigint-keyed corpus)
+    val qidType = queries.schema("vec_id").dataType
     val queryVecs = queries
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .map(r => r.get(0) -> r.getSeq[Float](1).toArray)
     val lutRows = for {
       (qid, vec) <- queryVecs.toSeq
       m <- 0 until model.subspaces
@@ -147,10 +155,14 @@ object AnnPq {
         .map(KMeans.fixedPointLong)
       val cent = model.codebooks(m).centroids(c)
       val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
-      (qid, m, c, dist)
+      Row(qid, m, c, dist)
     }
-    import spark.implicits._
-    val lut = lutRows.toDF("qid", "m", "code", "d")
+    val lut = spark.createDataFrame(
+      lutRows.asJava,
+      StructType(Seq(
+        StructField("qid", qidType), StructField("m", IntegerType),
+        StructField("code", IntegerType), StructField("d", LongType)))
+    )
     val unpivot = codesDf
       .select(
         col("vec_id"),
@@ -175,9 +187,14 @@ object AnnPq {
     // corpus lookup: a query vector absent from `emb` would silently
     // drop every result row through the inner joins below, breaking the
     // corpus-and-queries-are-separate contract AnnIvf/AnnLsh honor.
-    val qFp = queryVecs.toSeq
-      .map { case (qid, vec) => (qid, vec.map(KMeans.fixedPointLong).toSeq) }
-      .toDF("qid", "qx")
+    val qFp = spark.createDataFrame(
+      queryVecs.toSeq
+        .map { case (qid, vec) => Row(qid, vec.map(KMeans.fixedPointLong).toSeq) }
+        .asJava,
+      StructType(Seq(
+        StructField("qid", qidType),
+        StructField("qx", ArrayType(LongType, containsNull = false))))
+    )
     val reranked = short
       .join(fp.select(col("vec_id").as("vid"), col("x").as("vx")), "vid")
       .join(broadcast(qFp), "qid")

@@ -65,28 +65,32 @@ object ConnectedComponents {
     val changed = spark.sparkContext.longAccumulator("cc-changed")
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min("vcomp").as("nbr"))
-      changed.reset()
-      val next = labels
-        .join(nbrMin, "id")
-        .select(col("id"), col("comp"), col("nbr"))
-        .as[(Long, Long, Long)]
-        .map { case (id, comp, nbr) =>
-          val nc = math.min(comp, nbr)
-          if (nc < comp) changed.add(1L)
-          (id, nc)
-        }
-        .toDF("id", "comp")
-        .localCheckpoint() // materializes eagerly => accumulator is final
-      labels = next
-      converged = changed.value == 0L
-      iter += 1
-    }
-    und.unpersist()
+    // finally, not fall-through: a task failure mid-iteration (executor
+    // losing a localCheckpoint block is the documented risk) must not
+    // leak the doubled edge list in the cache for the session lifetime
+    try {
+      while (!converged && iter < maxIter) {
+        val nbrMin = und
+          .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+          .groupBy(col("u").as("id"))
+          .agg(min("vcomp").as("nbr"))
+        changed.reset()
+        val next = labels
+          .join(nbrMin, "id")
+          .select(col("id"), col("comp"), col("nbr"))
+          .as[(Long, Long, Long)]
+          .map { case (id, comp, nbr) =>
+            val nc = math.min(comp, nbr)
+            if (nc < comp) changed.add(1L)
+            (id, nc)
+          }
+          .toDF("id", "comp")
+          .localCheckpoint() // materializes eagerly => accumulator is final
+        labels = next
+        converged = changed.value == 0L
+        iter += 1
+      }
+    } finally und.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations " +

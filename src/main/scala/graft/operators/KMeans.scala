@@ -115,51 +115,57 @@ object KMeans {
   ): Model = {
     VectorFunctions.register(spark)
     require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
+    // cache scope = this fit() call (seeds + bound check + iters passes);
+    // released in the finally — AnnPq.fit calls this once per subspace,
+    // and un-released corpus caches would pin subspaces x corpus in
+    // executor storage for the session lifetime
     val fp = fixedPoint(emb, embCol).cache()
-    val seeds = fp
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(k)
-      .select("x")
-      .collect()
-      .map(_.getSeq[Long](0).toArray)
-      .toIndexedSeq
-    require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
-    val dims = math.max(seeds.head.length, 1)
-    val maxAbs = fp
-      .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
-      .head()
-      .getLong(0)
-    val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
-    require(
-      maxAbs.toDouble <= bound,
-      s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
-        s"bound $bound for dims=$dims: squared distances would wrap"
-    )
-    var model = Model(seeds.length, seeds)
-    for (_ <- 0 until iters) {
-      // one corpus pass: compiled assignment, then per-(cluster, dim)
-      // exact long sums — k x dims rows back to the driver (metadata)
-      val sums = fp
-        .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
-        .select(col("c"), posexplode(col("x")))
-        .groupBy("c", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    try {
+      val seeds = fp
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k)
+        .select("x")
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      val next = model.centroids.zipWithIndex.map { case (old, c) =>
-        // a cluster that lost all members keeps its previous centroid
-        if (!sums.contains((c, 0))) old
-        else
-          old.indices.map { d =>
-            val (s, n) = sums((c, d))
-            s / n // Java long division truncates toward zero — the
-            // documented centroid semantic, mirrored in the oracle SQL
-          }.toArray
+        .map(_.getSeq[Long](0).toArray)
+        .toIndexedSeq
+      require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
+      val dims = math.max(seeds.head.length, 1)
+      val maxAbs = fp
+        .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
+        .head()
+        .getLong(0)
+      val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
+      require(
+        maxAbs.toDouble <= bound,
+        s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
+          s"bound $bound for dims=$dims: squared distances would wrap"
+      )
+      var model = Model(seeds.length, seeds)
+      for (_ <- 0 until iters) {
+        // one corpus pass: compiled assignment, then per-(cluster, dim)
+        // exact long sums — k x dims rows back to the driver (metadata)
+        val sums = fp
+          .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
+          .select(col("c"), posexplode(col("x")))
+          .groupBy("c", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        val next = model.centroids.zipWithIndex.map { case (old, c) =>
+          // a cluster that lost all members keeps its previous centroid
+          if (!sums.contains((c, 0))) old
+          else
+            old.indices.map { d =>
+              val (s, n) = sums((c, d))
+              s / n // Java long division truncates toward zero — the
+              // documented centroid semantic, mirrored in the oracle SQL
+            }.toArray
+        }
+        model = Model(model.k, next)
       }
-      model = Model(model.k, next)
-    }
-    model
+      model
+    } finally fp.unpersist()
   }
 
   /** Persist a fitted model as a parquet artifact: one row per cluster,

@@ -176,6 +176,37 @@ object ParallelMap {
     }
   }
 
+  /** Partition count shared by EVERY mode: the caller's maxParallelism,
+    * else min(defaultParallelism, #inputs) — always bounded by the
+    * local-mode resource cap (cores/funcCpus, heap/funcRamGb; a no-op on
+    * cluster managers, where applyResources attaches a real task
+    * profile). One formula, one place: the modes used to each carry a
+    * copy and had already drifted on whether the resource cap applied. */
+  private def sliceCount(
+      spark: SparkSession,
+      nInputs: Int,
+      maxParallelism: Option[Int],
+      resources: Resources
+  ): Int = {
+    val defaultPar = spark.sparkContext.defaultParallelism
+    math.min(
+      maxParallelism.getOrElse(math.min(defaultPar, math.max(1, nInputs))),
+      resourceSlicesCap(spark, resources)
+    )
+  }
+
+  /** The indexed, repartitioned input dataset every Dataset-backed mode
+    * maps over (index rides along for error/log attribution). */
+  private def indexedDataset[I: ClassTag](
+      spark: SparkSession,
+      inputs: Seq[I],
+      maxParallelism: Option[Int],
+      resources: Resources
+  ): Dataset[(Long, I)] =
+    spark
+      .createDataset(inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) })(kryoPair[I])
+      .repartition(sliceCount(spark, inputs.size, maxParallelism, resources))
+
   /** Build the indexed, error-attributed dataset backing all modes. */
   private def plan[I: ClassTag, O: ClassTag](
       spark: SparkSession,
@@ -183,21 +214,11 @@ object ParallelMap {
       f: I => O,
       maxParallelism: Option[Int],
       resources: Resources = Resources()
-  ): Dataset[(Long, O)] = {
-    val defaultPar = spark.sparkContext.defaultParallelism
-    val requested =
-      maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size)))
-    // in local mode the resource request is honored by capping concurrency
-    // (cores/funcCpus); on cluster managers applyResources attaches a real
-    // task profile and the cap is unnecessary but harmless guidance
-    val slices = math.min(requested, resourceSlicesCap(spark, resources))
-    val indexed: Seq[(Long, I)] = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-    val ds = spark.createDataset(indexed)(kryoPair[I]).repartition(slices)
-    ds.map { case (idx, x) =>
+  ): Dataset[(Long, O)] =
+    indexedDataset(spark, inputs, maxParallelism, resources).map { case (idx, x) =>
       try (idx, f(x))
       catch { case e: Throwable => throw UdfFailure(idx, e) }
     }(kryoPair[O])
-  }
 
   private def newGroup(): String = s"pmap-${java.util.UUID.randomUUID()}"
 
@@ -271,13 +292,6 @@ object ParallelMap {
   )(f: I => O): Seq[(Long, Try[O])] = {
     if (inputs.isEmpty) return Nil
     guardSizes(inputs, f)
-    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-    val slices = math.min(
-      maxParallelism.getOrElse(
-        math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
-      ),
-      resourceSlicesCap(spark, resources)
-    )
     implicit val enc: Encoder[(Long, Either[String, O])] =
       Encoders.kryo[(Long, Either[String, O])]
     val group = newGroup()
@@ -286,9 +300,7 @@ object ParallelMap {
     try {
       val raw = withGroup(spark, group, s"ParallelMap runAttributed ($group)") {
         withResourceProps(spark, resources) {
-          spark
-            .createDataset(indexed)(kryoPair[I])
-            .repartition(slices)
+          indexedDataset(spark, inputs, maxParallelism, resources)
             .map { case (idx, x) =>
               val r: Either[String, O] =
                 try Right(f(x))
@@ -337,10 +349,7 @@ object ParallelMap {
     guardSizes(inputs, f)
     guardSizes(Seq.empty[J], g)
     val defaultPar = spark.sparkContext.defaultParallelism
-    val slices = math.min(
-      maxParallelism.getOrElse(math.min(defaultPar, math.max(1, inputs.size))),
-      resourceSlicesCap(spark, resources)
-    )
+    val slices = sliceCount(spark, inputs.size, maxParallelism, resources)
     val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
     implicit val encJ: Encoder[(Long, Long, J)] = Encoders.kryo[(Long, Long, J)]
     implicit val encO: Encoder[(Long, Long, O)] = Encoders.kryo[(Long, Long, O)]
@@ -360,8 +369,16 @@ object ParallelMap {
               js.iterator.zipWithIndex.map { case (j, ii) => (oi, ii.toLong, j) }
             }
             // spread the EXPANDED inner inputs; fan-out sizes are skewed by
-            // nature and the inner stage's parallelism must not inherit that
-            .repartition(spark.sparkContext.defaultParallelism)
+            // nature and the inner stage's parallelism must not inherit
+            // that — nor the OUTER input count (3 outer inputs fanning to
+            // 1M inner ones want the whole cluster). But the caller's
+            // explicit concurrency contract still binds: maxParallelism
+            // and the Resources core cap apply to the g() stage exactly
+            // as they do to the outer stage (a rate-limited or
+            // cores-per-call nested map must not run g() uncapped).
+            .repartition(math.min(
+              maxParallelism.getOrElse(defaultPar),
+              resourceSlicesCap(spark, resources)))
             .map { case (oi, ii, j) =>
               try (oi, ii, g(j))
               catch { case e: Throwable => throw NestedUdfFailure(oi, ii, e) }
@@ -406,10 +423,6 @@ object ParallelMap {
   )(f: I => O): Seq[(Long, Try[O], String)] = {
     if (inputs.isEmpty) return Nil
     guardSizes(inputs, f)
-    val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-    val slices = maxParallelism.getOrElse(
-      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
-    )
     implicit val enc: Encoder[(Long, Either[String, O], String)] =
       Encoders.kryo[(Long, Either[String, O], String)]
     val cap = MaxLogBytesPerInput
@@ -418,9 +431,7 @@ object ParallelMap {
     JobTracker.started(group, "runWithLogs", inputs.size)
     try {
       val raw = withGroup(spark, group, s"ParallelMap runWithLogs ($group)") {
-        spark
-          .createDataset(indexed)(kryoPair[I])
-          .repartition(slices)
+        indexedDataset(spark, inputs, maxParallelism, Resources())
           .map { case (idx, x) =>
             val buf = new java.io.ByteArrayOutputStream()
             val r: Either[String, O] =
@@ -518,9 +529,9 @@ object ParallelMap {
     if (inputs.isEmpty) return Nil
     guardSizes(inputs, f)
     val indexed = inputs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-    val slices = maxParallelism.getOrElse(
-      math.min(spark.sparkContext.defaultParallelism, math.max(1, inputs.size))
-    )
+    // RDD path (accumulator relay needs parallelize) — same slice formula
+    // as every Dataset-backed mode
+    val slices = sliceCount(spark, inputs.size, maxParallelism, Resources())
     val cap = MaxLogBytesPerInput
     val sc = spark.sparkContext
     val acc = new LogRelayAcc
@@ -790,10 +801,18 @@ object ParallelMap {
 
     /** Cancel this map. Sticky: a cancel that lands before the Spark job
       * is submitted still cancels (the reference fails a job canceled
-      * before upload completes — endpoints semantics of D7). Idempotent. */
+      * before upload completes — endpoints semantics of D7). Idempotent.
+      *
+      * cancelJobGroupAndFutureJobs, not cancelJobGroup: the plain form
+      * only cancels ACTIVE jobs, so a cancel landing in the window after
+      * the worker thread's cancelled-flag check but before its job
+      * submission would seal the future yet let the whole map run to
+      * completion on the cluster — the AndFutureJobs form also kills jobs
+      * the group submits later (each map's group is a UUID, so the
+      * tombstone can never hit an unrelated job). */
     def cancel(): Unit = {
       cancelled.set(true)
-      spark.sparkContext.cancelJobGroup(jobGroup)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
       val ce = new java.util.concurrent.CancellationException(s"$jobGroup canceled")
       if (fut.completeExceptionally(ce)) JobTracker.failed(jobGroup, ce)
     }

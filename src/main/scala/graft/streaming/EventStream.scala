@@ -221,18 +221,30 @@ object EventStream {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(n: Long, first: Long, last: Long)
+  case class OpenSession(n: Long, first: Long, last: Long)
+  case class SessionState(sessions: List[OpenSession])
   case class UserSession(user_id: Long, n_events: Long, duration_s: Long)
 
   /** Gap-based sessionization with typed per-key state
     * (flatMapGroupsWithState) — the custom-state streaming primitive the
     * reference's per-job in-memory state machines map onto.
     *
-    * State is bounded by EVENT-time timeouts under the watermark: when the
-    * watermark passes a session's last event + gap, the open session is
-    * flushed and its state removed — so keys do not accumulate forever and
-    * a silent user's final session is still emitted. (Processing-time
-    * timeouts are unsuitable here: they keep scheduling batches, so
+    * A session is emitted ONLY once the watermark passes its last event +
+    * gap — never on an in-batch gap. Closing on the in-batch gap alone is
+    * unsound: with watermark delay >= the remaining gap headroom, an
+    * ON-TIME out-of-order event in a later batch can still land inside the
+    * gap and bridge the "closed" session (one true session would come out
+    * as two). So the state holds ALL open sessions for the key (plural:
+    * a batch can open a later session while an earlier one is still
+    * bridgeable), merges incoming events into them, and flushes exactly
+    * the sessions nothing admissible can extend.
+    *
+    * State stays bounded: open sessions are separated by > gap and all of
+    * them end above watermark - gap, so a key holds at most about
+    * (watermark delay / gap) + 2 sessions, each a fixed-width triple —
+    * bounded by the watermark horizon, not the stream. Event-time
+    * timeouts flush a silent user's sessions. (Processing-time timeouts
+    * are unsuitable here: they keep scheduling batches, so
     * `processAllAvailable` never settles and tests hang.)
     */
   def sessionize(
@@ -248,39 +260,45 @@ object EventStream {
         OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout
       ) { (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-        if (state.hasTimedOut) {
-          val cur = state.get
-          state.remove()
-          if (cur.n > 0) Iterator.single(UserSession(uid, cur.n, cur.last - cur.first))
-          else Iterator.empty
-        } else {
-          var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
-          // flatMapGroupsWithState does NOT filter late data for you: an
-          // event below the watermark (replay, stalled producer) would
-          // merge BACKWARDS into the open session — min(first, t) rewinds
-          // the session start and inflates its duration by hours. Drop
-          // them, the same verdict the engine's windowed aggs apply.
-          val watermarkSec = state.getCurrentWatermarkMs() / 1000
-          batch.toSeq
-            .sortBy(_.ts.getTime)
-            .filter(_.ts.getTime / 1000 >= watermarkSec)
-            .foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (cur.n > 0 && t - cur.last > gapSeconds) {
-              closed += UserSession(uid, cur.n, cur.last - cur.first)
-              cur = SessionState(0, Long.MaxValue, Long.MinValue)
-            }
-            cur = SessionState(cur.n + 1, math.min(cur.first, t), math.max(cur.last, t))
+        val watermarkSec = state.getCurrentWatermarkMs() / 1000
+        val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+        // flatMapGroupsWithState does NOT filter late data for you: an
+        // event below the watermark (replay, stalled producer) would
+        // merge BACKWARDS into an open session — rewinding its start and
+        // inflating its duration by hours. Drop them, the same verdict
+        // the engine's windowed aggs apply. (On timeout the batch is
+        // empty, so the same code handles both invocation kinds.)
+        val incoming = batch
+          .map(_.ts.getTime / 1000)
+          .filter(_ >= watermarkSec)
+          .map(t => OpenSession(1, t, t))
+          .toList
+        // merge: sessions and singleton events, ordered by start; a run
+        // whose next element starts within gap of the current end fuses
+        // (an event bridging two prior sessions fuses all three)
+        val merged = (prior ++ incoming)
+          .sortBy(s => (s.first, s.last))
+          .foldLeft(List.empty[OpenSession]) {
+            case (h :: t, s) if s.first - h.last <= gapSeconds =>
+              OpenSession(h.n + s.n, h.first, math.max(h.last, s.last)) :: t
+            case (acc, s) => s :: acc
           }
-          state.update(cur)
-          // flush when the watermark passes last-event + gap; the timeout
+          .reverse
+        // closed = no admissible event can extend it: extension needs
+        // t <= last + gap, admission needs t >= watermark, so the session
+        // is final exactly when watermark > last + gap
+        val (open, closed) = merged.partition(_.last + gapSeconds >= watermarkSec)
+        if (open.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(SessionState(open))
+          // fire when the watermark passes the EARLIEST close point; the
           // timestamp must sit above the current watermark or Spark rejects
           state.setTimeoutTimestamp(
-            math.max((cur.last + gapSeconds) * 1000, state.getCurrentWatermarkMs() + 1)
+            math.max((open.map(_.last).min + gapSeconds) * 1000,
+              state.getCurrentWatermarkMs() + 1)
           )
-          closed.iterator
         }
+        closed.iterator.map(s => UserSession(uid, s.n, s.last - s.first))
       }
   }
 }

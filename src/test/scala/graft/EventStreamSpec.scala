@@ -159,9 +159,10 @@ class EventStreamSpec extends AnyFunSuite {
       .queryName("sessions_out").start()
     try {
       q.processAllAvailable()
-      // user 1's first session closed by the 9000s event (gap logic);
-      // user 2's open session flushed by the event-time timeout once the
-      // watermark (9100s - gap) passed its last event + gap (2300s)
+      // both sessions flush once the watermark (9100s - gap = 7300s)
+      // passes their last event + gap (3000s and 2300s) — never on the
+      // in-batch gap alone, which an on-time out-of-order event could
+      // still bridge (see the bridging test below)
       val sessions = spark.table("sessions_out").as[EventStream.UserSession].collect()
       assert(sessions.toSet == Set(
         EventStream.UserSession(1L, 3L, 200L),
@@ -177,6 +178,43 @@ class EventStreamSpec extends AnyFunSuite {
         EventStream.UserSession(2L, 1L, 0L),
         EventStream.UserSession(1L, 2L, 100L)
       ))
+    } finally q.stop()
+  }
+
+  test("sessionization: an on-time out-of-order event bridges an in-batch gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    def ev(id: Long, uid: Long, epochS: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(epochS * 1000), uid, "view", 1.0)
+    // batch 1: t=10000 and t=13000 — an in-batch gap > 1800 s. Closing on
+    // that gap alone would emit (n=1, dur=0) prematurely: the watermark
+    // after this batch is only 13000 - 1800 = 11200, so an event at t in
+    // [11200, 11800] is still ON TIME and bridges the two. (Timestamps sit
+    // well above epoch 0: Spark's own late-row filter drops a t=0 event
+    // against the INITIAL watermark value 0 before the state function
+    // ever sees it.)
+    src.addData(ev(1, 1, 10000), ev(2, 1, 13000))
+    val out = EventStream.sessionize(spark, src.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_bridge").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions_bridge").isEmpty,
+        "nothing may flush while the watermark can still admit a bridge")
+      // batch 2: t=11500 >= watermark 11200 — admissible, and within gap
+      // of both t=10000 and t=13000: the three events are ONE session
+      src.addData(ev(3, 1, 11500))
+      q.processAllAvailable()
+      // batch 3: far-future event pushes the watermark past 13000 + gap,
+      // flushing the bridged session
+      src.addData(ev(4, 2, 99999))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_bridge")
+        .as[EventStream.UserSession].collect()
+      assert(sessions.toSet == Set(EventStream.UserSession(1L, 3L, 3000L)),
+        s"expected one bridged session, got ${sessions.mkString(", ")}")
     } finally q.stop()
   }
 

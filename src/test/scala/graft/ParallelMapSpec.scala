@@ -359,6 +359,26 @@ class ParallelMapSpec extends AnyFunSuite {
     assert(out.sorted == Seq(10, 20, 20, 30, 30, 30))
   }
 
+  test("nested map: maxParallelism caps the INNER stage too") {
+    // the inner repartition used to go straight to defaultParallelism,
+    // ignoring the caller's concurrency contract — with the cap honored,
+    // g() runs serially, so its execution intervals never overlap
+    val spans = ParallelMap.runNested(
+      spark, Seq(1, 2, 3, 4), maxParallelism = Some(1)
+    )(i => Seq(i)) { _ =>
+      val s = System.nanoTime()
+      Thread.sleep(30)
+      (s, System.nanoTime())
+    }
+    assert(spans.size == 4)
+    val sorted = spans.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) =>
+        assert(s2 >= e1, "inner g() calls overlapped under maxParallelism=1")
+      case _ => ()
+    }
+  }
+
   test("nested map: empty inputs and empty fan-outs short-circuit") {
     assert(ParallelMap.runNested(null, Seq.empty[Int])(Seq(_))(identity[Int]) == Nil)
     assert(ParallelMap.runNested(spark, Seq(1, 2))(_ => Seq.empty[Int])(identity) == Nil)
