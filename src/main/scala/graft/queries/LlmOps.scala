@@ -184,14 +184,18 @@ object LlmOps {
 
   /** Frame-parameterized body of minhashPairs — package-visible so the
     * adversarial hot-bucket spec can feed a mass-duplicate corpus without
-    * writing parquet. */
-  private[graft] def minhashPairsOf(documents: DataFrame): DataFrame = {
-    val (docs0, nearPairs) = minhashCanonParts(documents)
-    val dupEdges = docs0
+    * writing parquet. EXACTLY the persisted-artifact path (d17) minus the
+    * disk round-trip, by construction: one body, not a drifting copy. */
+  private[graft] def minhashPairsOf(documents: DataFrame): DataFrame =
+    minhashPairsFromCanonical(canonicalTable(documents))
+
+  /** The exact-dup star edges of a canonical table: canonical -> each
+    * collapsed member. ONE copy of the orientation/selection semantics,
+    * shared by every consumer of the star form. */
+  private[graft] def dupStarEdges(docs0: DataFrame): DataFrame =
+    docs0
       .filter(col("doc_id") =!= col("cid"))
       .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
-    nearPairs.unionAll(dupEdges)
-  }
 
   /** d02 THROUGH THE PERSISTED CANONICAL TABLE: write d01's artifact
     * (canonicalTable) to parquet, reload it, and generate the near-dup
@@ -201,7 +205,7 @@ object LlmOps {
     * at ingest and every near-dup pass (d02/d06/d07/d15) starts here
     * instead of re-running the content-hash window. */
   val d17 = Q("d17_dedup_lsh_persisted", d02.oracle) { (s, d) =>
-    val dir = scratchDir("d17")
+    val dir = scratchDir("d17", d)
     canonicalTable(Tables.documents(s, d))
       .write
       .mode("overwrite")
@@ -248,10 +252,7 @@ object LlmOps {
     * canonical table — the artifact-consuming twin of minhashPairsOf. */
   private[graft] def minhashPairsFromCanonical(docs0: DataFrame): DataFrame = {
     val (d0, _, nearPairs) = minhashSigPartsFrom(docs0)
-    val dupEdges = d0
-      .filter(col("doc_id") =!= col("cid"))
-      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
-    nearPairs.unionAll(dupEdges)
+    nearPairs.unionAll(dupStarEdges(d0))
   }
 
   /** Signature/band/pair machinery over a prebuilt canonical table
@@ -349,10 +350,7 @@ object LlmOps {
   /** Frame-parameterized body of d15. */
   private[graft] def minhashEstimateOf(documents: DataFrame): DataFrame = {
     val (docs0, sigH, nearPairs) = minhashSigParts(documents)
-    val dupEdges = docs0
-      .filter(col("doc_id") =!= col("cid"))
-      .select(col("cid").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = nearPairs.unionAll(dupEdges)
+    val pairs = nearPairs.unionAll(dupStarEdges(docs0))
     val cidOf = docs0.select(col("doc_id"), col("cid"))
     val agree = (0 until 16)
       .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1).otherwise(0))
@@ -436,11 +434,7 @@ object LlmOps {
     "d07_split_leakage",
     Some(s"""
       WITH $minhashPairCtes,
-      sp AS (SELECT doc_id, cid,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
-                    ELSE 'train' END AS split
-             FROM docs0),
+      sp AS (SELECT doc_id, cid, $splitTagSql AS split FROM docs0),
       cls AS (SELECT DISTINCT cid AS doc_a, cid AS doc_b FROM docs0),
       cp AS (SELECT doc_a, doc_b FROM near_pairs
              UNION ALL SELECT doc_a, doc_b FROM cls),
@@ -685,10 +679,12 @@ object LlmOps {
     shiftright(c, b * bBits).bitwiseAND(lit((1L << bBits) - 1))
 
   /** Keep a candidate pair only at its FIRST matching band — the
-    * exactly-once emission predicate shared by the batch self-join (d05),
-    * the cross-set incremental join (d08 shape) and the streaming guard
-    * (EventStream.nearDupStream). `aBand` is the exploded band index
-    * column of the pair's left side. */
+    * exactly-once emission predicate shared by the batch self-join (d05)
+    * and the streaming guard (EventStream.nearDupStream). The cross-set
+    * incremental join (d08/incrementalDedupAgainst) does NOT use it: its
+    * output is per-DOC verdicts, so a distinct() on doc_id is already
+    * exactly-once there. `aBand` is the exploded band index column of
+    * the pair's left side. */
   private[graft] def firstMatchBand(
       aSim: Column,
       bSim: Column,
@@ -807,11 +803,22 @@ object LlmOps {
       .select(col("x.doc_id"))
       .distinct()
       .withColumn("__near", lit(true))
-    tagged
-      .filter(col("is_batch"))
-      .select(col("doc_id"), md5(col("text")).as("th"))
-      .join(corpusTh.withColumn("__exact", lit(true)), col("th") === col("cth"), "left")
-      .join(nearIds, Seq("doc_id"), "left")
+    admissionVerdict(
+      tagged
+        .filter(col("is_batch"))
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .join(corpusTh.withColumn("__exact", lit(true)), col("th") === col("cth"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+    )
+  }
+
+  /** The admission-verdict projection — ONE copy shared by d08's fused
+    * scan and incrementalDedupAgainst (whose artifact round-trip d16
+    * gates under d08's own oracle; a drifting duplicate here would
+    * silently decouple exactly the pairing that gate proves identical).
+    * Input: doc_id plus nullable __exact/__near marker columns. */
+  private def admissionVerdict(flagged: DataFrame): DataFrame =
+    flagged
       .select(
         col("doc_id"),
         coalesce(col("__exact"), lit(false)).as("dup_exact"),
@@ -820,7 +827,6 @@ object LlmOps {
           .as("keep")
       )
       .orderBy("doc_id")
-  }
 
   /** The corpus-side dedup index d08's scaladoc promises as a persisted
     * artifact, as two consumable tables:
@@ -835,6 +841,10 @@ object LlmOps {
     * pays only its own fingerprinting plus two equi-joins against the
     * artifact, never a corpus re-scan. */
   private[graft] def dedupIndexOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    // simhash64Col is an expr() call: without registration a session not
+    // built via GraftExtensions fails analysis right here — every other
+    // simhash64 path registers, this one must too
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val bBits = simhashBits / (hammingRadius + 1)
     val hash = corpus.select(md5(col("text")).as("th")).distinct()
     val fps = corpus
@@ -881,22 +891,41 @@ object LlmOps {
     b.write.mode("append").parquet(s"$path/bands")
   }
 
-  /** Compact an appended dedup index in place: distinct the hash table
-    * (appends legitimately re-add a content hash the corpus already
-    * carries — admission only needs membership) and rewrite both tables
-    * as fresh file sets. Run it on the maintenance cadence small-file
-    * pressure dictates (every N appends), not per ingest: admission
-    * correctness never needs it (incrementalDedupAgainst dedups the hash
-    * side at join time), it only bounds file counts and join input size.
-    * The rewrite stages through localCheckpoint for the same
-    * read-modify-write reason as appendDedupIndex: the new files replace
-    * the ones the input plan reads. */
+  /** Compact an appended dedup index: distinct the hash table (appends
+    * legitimately re-add a content hash the corpus already carries —
+    * admission only needs membership) and rewrite both tables as fresh
+    * file sets. Run it on the maintenance cadence small-file pressure
+    * dictates (every N appends), not per ingest: admission correctness
+    * never needs it (incrementalDedupAgainst dedups the hash side at
+    * join time), it only bounds file counts and join input size.
+    *
+    * The rewrite STAGES beside the live tables and swaps by rename —
+    * never mode-overwrite in place: in-place overwrite deletes the only
+    * durable copy before the new files commit, with the survivors held
+    * solely in volatile localCheckpoint executor blocks, so an executor
+    * loss mid-write would destroy the index permanently. The staged
+    * write needs no lineage cut at all (the files it reads are not
+    * mutated), and the swap is two metadata renames on any Hadoop FS; a
+    * crash between them leaves the previous table intact under .old for
+    * manual recovery, never a deleted index. */
   private[graft] def compactDedupIndex(s: SparkSession, path: String): Unit = {
     val (h, b) = loadDedupIndex(s, path)
-    val hc = h.distinct().localCheckpoint(true)
-    val bc = b.localCheckpoint(true)
-    hc.write.mode("overwrite").parquet(s"$path/hash")
-    bc.write.mode("overwrite").parquet(s"$path/bands")
+    h.distinct().write.mode("overwrite").parquet(s"$path/hash.next")
+    b.write.mode("overwrite").parquet(s"$path/bands.next")
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("hash", "bands").foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$path/$name.next")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$name.old")
+      val fs = live.getFileSystem(conf)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"compactDedupIndex: cannot stage $live aside")
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(
+          s"compactDedupIndex: swap failed; previous table preserved at $old")
+      fs.delete(old, true): Unit
+    }
   }
 
   /** d08's admission verdict for a batch, against a PREBUILT corpus index
@@ -909,6 +938,7 @@ object LlmOps {
       hash: DataFrame,
       bands: DataFrame
   ): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession) // simhash64
     val bBits = simhashBits / (hammingRadius + 1)
     val batchFps = batch
       .filter(trim(col("text")) =!= "")
@@ -922,25 +952,19 @@ object LlmOps {
       .select(col("x.doc_id"))
       .distinct()
       .withColumn("__near", lit(true))
-    batch
-      .select(col("doc_id"), md5(col("text")).as("th"))
-      .join(
-        // distinct: an appended index (appendDedupIndex) may carry the
-        // same content hash from several ingests; without it the left
-        // join would multiply batch rows per duplicate entry
-        hash.select(col("th").as("cth")).distinct().withColumn("__exact", lit(true)),
-        col("th") === col("cth"),
-        "left"
-      )
-      .join(nearIds, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("__exact"), lit(false)).as("dup_exact"),
-        coalesce(col("__near"), lit(false)).as("dup_near"),
-        (!(coalesce(col("__exact"), lit(false)) || coalesce(col("__near"), lit(false))))
-          .as("keep")
-      )
-      .orderBy("doc_id")
+    admissionVerdict(
+      batch
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .join(
+          // distinct: an appended index (appendDedupIndex) may carry the
+          // same content hash from several ingests; without it the left
+          // join would multiply batch rows per duplicate entry
+          hash.select(col("th").as("cth")).distinct().withColumn("__exact", lit(true)),
+          col("th") === col("cth"),
+          "left"
+        )
+        .join(nearIds, Seq("doc_id"), "left")
+    )
   }
 
   /** Scratch dir for in-query artifact round-trips (d16/d17/e13), under
@@ -962,10 +986,19 @@ object LlmOps {
         rm(new java.io.File(d))
       }
     ))
-  private[graft] def scratchDir(tag: String): String = {
+  /** Keyed by (tag, input dir), not tag alone: the artifact files must
+    * outlive query CONSTRUCTION (the returned plans lazily re-read them
+    * at execution), so a tag-only key would let constructing the same
+    * query for a SECOND dataset overwrite the first's still-unexecuted
+    * artifact — plan A would silently read dataset B's files. One dir
+    * per (tag, dataset) makes interleaved construction and concurrent
+    * tiers safe; same-dataset reuse stays idempotent (mode overwrite). */
+  private[graft] def scratchDir(tag: String, inputDir: String): String = {
     scratchCleanupHook
+    val key = tag + "-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(inputDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     scratchDirs.computeIfAbsent(
-      tag,
+      key,
       t => java.nio.file.Files.createTempDirectory(s"graft-$t-").toString
     )
   }
@@ -985,7 +1018,7 @@ object LlmOps {
         substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_batch")
       )
     val (hash, bands) = dedupIndexOf(tagged.filter(!col("is_batch")))
-    val dir = scratchDir("d16")
+    val dir = scratchDir("d16", d)
     saveDedupIndex(hash, bands, dir)
     val (lHash, lBands) = loadDedupIndex(s, dir)
     incrementalDedupAgainst(tagged.filter(col("is_batch")), lHash, lBands)
@@ -1073,6 +1106,19 @@ object LlmOps {
   private val normsSql =
     s"""SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM ($flatSql) GROUP BY vec_id"""
 
+  /** Oracle-side cosine over a `dot` column and two norm aliases, with
+    * the SAME zero-norm guard as the Spark side (exactCosine) and the
+    * compiled kernel (CosineSimilarityExpr): a zero vector scores 0.0.
+    * Unguarded, 0/0 is NaN in DuckDB — which sorts and compares NaN as
+    * GREATEST, so a degenerate embedding would top-rank in the oracle
+    * while the Spark side's guard drops it: the cross-engine divergence
+    * class the parity notes exist to prevent. ONE copy, interpolated
+    * into every cosine oracle. */
+  private def cosineSql(n1: String, n2: String): String =
+    s"""CASE WHEN $n1.nrm = 0 OR $n2.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(dot AS DOUBLE) /
+                    (sqrt(CAST($n1.nrm AS DOUBLE)) * sqrt(CAST($n2.nrm AS DOUBLE))) END"""
+
   /** Per-pair exact dot product without exploding: zip_with multiplies
     * element-wise (in double), quantizes each product to DECIMAL(28,12),
     * and aggregate() sums in exact decimal — the same value as the
@@ -1096,10 +1142,15 @@ object LlmOps {
     * oracle-comparable value on survivors only — exact-decimal dot and
     * norms, cast to double in the same sequence DuckDB evaluates. Any
     * precision or cast change here must land in every consumer at once;
-    * that is exactly why there is one copy. */
-  private def exactCosine(a: Column, b: Column): Column =
-    dotArr(a, b).cast("double") /
-      (sqrt(dotArr(a, a).cast("double")) * sqrt(dotArr(b, b).cast("double")))
+    * that is exactly why there is one copy. Zero-norm sides score 0.0
+    * (the CosineSimilarityExpr contract, mirrored in cosineSql) instead
+    * of 0/0 — engines disagree on NaN/NULL ranking. */
+  private def exactCosine(a: Column, b: Column): Column = {
+    val na = dotArr(a, a).cast("double")
+    val nb = dotArr(b, b).cast("double")
+    when(na === 0.0 || nb === 0.0, lit(0.0d))
+      .otherwise(dotArr(a, b).cast("double") / (sqrt(na) * sqrt(nb)))
+  }
 
   /** Brute-force cosine top-k for a query subset — the exact ANN baseline.
     * At 100 TB the same plan shape works with a broadcast query set; the
@@ -1115,8 +1166,7 @@ object LlmOps {
               FROM q JOIN f ON q.pos = f.pos AND q.vec_id <> f.vec_id
               GROUP BY qid, vid),
       cos AS (SELECT qid, vid,
-                CAST(dot AS DOUBLE) /
-                  (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cosine
+                ${cosineSql("nq", "nv")} AS cosine
               FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
       r AS (SELECT qid, vid, cosine,
               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS INTEGER) AS rnk
@@ -1184,8 +1234,7 @@ object LlmOps {
               FROM f a JOIN f b ON a.pos = b.pos AND a.vec_id < b.vec_id
               GROUP BY va, vb),
       cos AS (SELECT va, vb,
-                CAST(dot AS DOUBLE) /
-                  (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+                ${cosineSql("na", "nb")} AS cosine
               FROM dot JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
       SELECT va, vb, cosine FROM cos WHERE cosine >= 0.35 ORDER BY va, vb""")
   ) { (s, d) =>
@@ -1225,12 +1274,15 @@ object LlmOps {
   }
 
   /** Semantic decontamination: for every EVAL-split vector, count the
-    * TRAIN-split vectors within cosine >= 0.35 — the embedding-space
-    * complement of d09's n-gram eval-set decontamination (an eval example
-    * paraphrased into the training corpus shares no 8-gram but sits right
-    * on top of it in embedding space). Splits are tagged IN-PLAN from the
-    * deterministic md5(vec_id) nibble (t06's rule, 'e'/'f' => eval —
-    * ~1/8), so no second scan and no materialized split table. Output per
+    * NON-EVAL vectors (train + val — everything a run might fit or tune
+    * on; note d09's n-gram audit uses the strict 'train' split only, so
+    * the two reports' "training side" differs by the val slice) within
+    * cosine >= 0.35 — the embedding-space complement of d09's n-gram
+    * eval-set decontamination (an eval example paraphrased into the
+    * training corpus shares no 8-gram but sits right on top of it in
+    * embedding space). Splits are tagged IN-PLAN from the deterministic
+    * md5(vec_id) nibble (t06's rule, 'e'/'f' => eval — ~1/8), so no
+    * second scan and no materialized split table. Output per
     * contaminated eval vector: hit count and the SUM of hitting train ids
     * (a membership checksum — one flipped pair fails the hash gate).
     *
@@ -1256,8 +1308,7 @@ object LlmOps {
               FROM q JOIN t ON q.pos = t.pos
               GROUP BY qid, tid),
       cos AS (SELECT qid, tid,
-                CAST(dot AS DOUBLE) /
-                  (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nt.nrm AS DOUBLE))) AS cosine
+                ${cosineSql("nq", "nt")} AS cosine
               FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nt ON tid = nt.vec_id)
       SELECT qid AS vec_id,
              CAST(COUNT(*) AS BIGINT) AS n_hits,
@@ -1730,7 +1781,7 @@ object LlmOps {
     * artifacts; re-fitting per batch would silently re-code the corpus. */
   val e13 = Q("e13_pq_codes_persisted", e10.oracle) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val dir = scratchDir("e13")
+    val dir = scratchDir("e13", d)
     graft.operators.AnnPq.save(s, pqModel(s, emb), dir)
     graft.operators.AnnPq
       .codes(s, emb, graft.operators.AnnPq.load(s, dir))
@@ -1913,8 +1964,7 @@ object LlmOps {
               JOIN fin fb ON fb.vec_id = b.vec_id AND fa.cluster = fb.cluster
               GROUP BY va, vb),
       cos AS (SELECT va, vb,
-                CAST(dot AS DOUBLE) /
-                  (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+                ${cosineSql("na", "nb")} AS cosine
               FROM dot JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id)
       SELECT fa.cluster, va, vb, cosine
       FROM cos JOIN fin fa ON va = fa.vec_id
@@ -2753,6 +2803,11 @@ object LlmOps {
         ).as("c")
       )
       .select(col("doc_id"), md5(concat_ws(" ", chunk)).as("h"))
+      // cached: feeds BOTH the index aggregate and the attribution join
+      // (differing exchange children block ReusedExchange), and the
+      // tokenize->slice->md5 subtree is the dominant cost — the d03/d09
+      // double-consumption pattern
+      .cache()
     val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     chunks
       .join(idx, "h")
