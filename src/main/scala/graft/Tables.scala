@@ -35,7 +35,12 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, not `div`: div truncates toward zero, so a
+        // pre-1970 nanosecond timestamp would round UP a microsecond —
+        // e.g. -500 ns must floor to -1 us, not 0 (the boundary a
+        // `<= ts` comparison flips on). pmod is non-negative, making
+        // (ts - pmod) an exact long floor.
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

@@ -13,8 +13,15 @@ final case class Q(
 )(val run: (SparkSession, String) => DataFrame)
 
 object Registry {
-  def all: Seq[Q] =
-    Relational.all ++ LlmOps.all ++ PMapOps.all ++ MMOps.all
+  def all: Seq[Q] = {
+    val qs = Relational.all ++ LlmOps.all ++ PMapOps.all ++ MMOps.all
+    // fail fast on a reused name: .toMap below would silently keep only
+    // the LAST entry, making one implementation vanish from the verify
+    // dump with no error
+    val dup = qs.groupBy(_.name).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -101,7 +101,11 @@ object Relational {
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint: customer grows with scale factor, so a forced
+      // broadcast would bypass autoBroadcastJoinThreshold and collect a
+      // scale-proportional table to the driver at 100 TB — let the
+      // optimizer/AQE pick (it still broadcasts at small tiers)
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
@@ -176,7 +180,10 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(
-        broadcast(Tables.supplier(s, d)),
+        // supplier is scale-proportional (unlike nation/region below):
+        // no forced broadcast — AQE picks broadcast at small tiers and
+        // a shuffle join once the table outgrows the threshold
+        Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey")
       )
@@ -257,16 +264,21 @@ object Relational {
   val q09 = Q(
     "q09_json_props",
     Some(s"""
-      SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+      SELECT TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
              COUNT(*) AS n, ${dsumSql("value", 2)} AS total
-      FROM events GROUP BY k ORDER BY k""")
+      FROM events GROUP BY k ORDER BY k NULLS LAST""")
   ) { (s, d) =>
     Tables
       .events(s, d)
+      // TRY_CAST / nulls-last pinned on BOTH sides: Spark's cast returns
+      // NULL on a non-integral string where DuckDB's plain CAST aborts
+      // the whole oracle query, and the engines' default ASC null order
+      // differs (Spark NULLS FIRST, DuckDB NULLS LAST) — a props row
+      // without '$.k' would otherwise break the gate two ways
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total"))
-      .orderBy("k")
+      .orderBy(col("k").asc_nulls_last)
   }
 
   // R5 (endpoints/usage.py:109,249,366): time-bucketed usage aggregation.
@@ -344,7 +356,8 @@ object Relational {
   ) { (s, d) =>
     val e = Tables.events(s, d)
     val c = Tables.customer(s, d)
-    e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+    // customer is scale-proportional — no forced broadcast (see q03)
+    e.join(c, e("user_id") === c("c_custkey"), "left")
       .select(
         col("event_id"),
         coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
@@ -637,7 +650,7 @@ object Relational {
         UPPER(o_orderpriority) AS pri_up,
         SUBSTR(o_orderpriority, 1, 1) AS pri_code,
         CAST(LENGTH(o_orderstatus) AS INTEGER) AS st_len,
-        CONCAT(o_orderstatus, '-', o_orderpriority) AS tag,
+        o_orderstatus || '-' || o_orderpriority AS tag,
         CAST(year(o_orderdate) AS INTEGER) AS yr,
         CAST(month(o_orderdate) AS INTEGER) AS mo,
         CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
@@ -699,7 +712,10 @@ object Relational {
       .orderBy("hour_s", "event_type")
   }
 
-  // Broadcast join: revenue per brand (small dim fanned to executors).
+  // Dim join: revenue per brand. part is scale-proportional, so the
+  // broadcast decision belongs to the optimizer (AQE broadcasts it at
+  // small tiers, shuffles once it outgrows the threshold) — a forced
+  // hint here would ship a SF-sized table to every executor at 100 TB.
   val q27 = Q(
     "q27_brand_revenue",
     Some(s"""
@@ -711,7 +727,7 @@ object Relational {
   ) { (s, d) =>
     Tables
       .lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
@@ -755,8 +771,15 @@ object Relational {
       .select(
         col("event_type"),
         col("exact_users"),
-        (abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users") <= 0.05).as("approx_ok"),
+        // all-NULL user_id group: exact_users = 0 and the ratio is
+        // NULL-by-zero-division, while the oracle hardcodes TRUE — an
+        // estimate of nothing is vacuously within bound
+        when(col("exact_users") === 0, lit(true))
+          .otherwise(
+            abs(col("approx_users") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05
+          )
+          .as("approx_ok"),
         col("n")
       )
       .orderBy("event_type")
@@ -819,8 +842,7 @@ object Relational {
   val q31 = Q(
     "q31_small_quantity_revenue",
     Some(s"""
-      WITH a AS (SELECT l_partkey AS pk,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      WITH a AS (SELECT l_partkey AS pk, ${davgSql("l_quantity", 2)} AS avg_qty
                  FROM lineitem GROUP BY pk)
       SELECT COUNT(*) AS n, ${dsumSql("l_extendedprice", 2)} AS total
       FROM lineitem JOIN a ON l_partkey = pk
@@ -881,11 +903,15 @@ object Relational {
   // Heterogeneous UNION ALL rollup across two fact tables.
   val q34 = Q(
     "q34_union_all_counts",
+    // || not CONCAT in the oracle: DuckDB's CONCAT SKIPS null arguments
+    // (a NULL event_type would group under 'event:') while Spark's
+    // concat propagates NULL — || propagates NULL in both engines, and
+    // the nulls-last order pins the one remaining default divergence
     Some("""
-      SELECT CONCAT('event:', event_type) AS k, COUNT(*) AS n FROM events GROUP BY k
+      SELECT 'event:' || event_type AS k, COUNT(*) AS n FROM events GROUP BY k
       UNION ALL
-      SELECT CONCAT('order:', o_orderstatus) AS k, COUNT(*) AS n FROM orders GROUP BY k
-      ORDER BY k""")
+      SELECT 'order:' || o_orderstatus AS k, COUNT(*) AS n FROM orders GROUP BY k
+      ORDER BY k NULLS LAST""")
   ) { (s, d) =>
     val e = Tables
       .events(s, d)
@@ -895,7 +921,7 @@ object Relational {
       .orders(s, d)
       .groupBy(concat(lit("order:"), col("o_orderstatus")).as("k"))
       .agg(count(lit(1)).as("n"))
-    e.unionByName(o).orderBy("k")
+    e.unionByName(o).orderBy(col("k").asc_nulls_last)
   }
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
