@@ -65,6 +65,23 @@ class AnnPqSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) >= 3L))
   }
 
+  test("topK keeps the caller's vec_id type (string-keyed corpus)") {
+    // the LUT/qFp frames are built driver-side with an explicit schema
+    // carrying queries' own id type; a hard-coded getLong crashed any
+    // non-bigint-keyed corpus
+    val model = AnnPq.fit(spark, emb, 4, 16, 8)
+    val sEmb = emb.select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val queries = sEmb.filter(col("vec_id").isin("doc-0", "doc-1"))
+    val out = AnnPq.topK(spark, sEmb, queries, model, k = 3, shortlist = 20).collect()
+    val byQ = out.groupBy(_.getString(0))
+    assert(byQ.keySet == Set("doc-0", "doc-1"))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 3)
+      assert(rows.forall(_.getString(2) != qid))
+      assert(rows.forall(_.getString(2).startsWith("doc-")))
+    }
+  }
+
   test("ADC lookup distances equal the compiled int_sqdist in the same fixed-point space") {
     // the LUT is computed driver-side with KMeans.fixedPointLong; if that
     // scalar ever drifts from fixedPoint's in-plan transform, ADC scores

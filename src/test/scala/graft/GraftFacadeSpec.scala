@@ -89,4 +89,15 @@ class GraftFacadeSpec extends AnyFunSuite {
     Graft.writeParquet(df, dir)
     assert(Graft.readParquet(spark, dir).count() == df.count())
   }
+
+  test("bench JSON numbers are locale-independent (dot decimal separator)") {
+    // a de_DE default locale renders f"%.3f" as "1,500" — invalid JSON
+    // the round driver cannot parse; jnum pins Locale.ROOT
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.jnum(1.5) == "1.500")
+      assert(Bench.jnum(-0.1234) == "-0.123")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -203,5 +203,10 @@ class IndexPersistSpec extends AnyFunSuite {
     val vc = LlmOps.incrementalDedupAgainst(recrawl, h3, b3).collect()
     assert(vc.map(_.toString).sorted.toSeq == v.map(_.toString).sorted.toSeq,
       "compaction changed admission verdicts")
+    // the staged-swap rewrite must clean up after itself: no .next/.old
+    // leftovers beside the live tables
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".next") || n.endsWith(".old"))
+    assert(leftovers.isEmpty, s"compaction left staging dirs: ${leftovers.mkString(", ")}")
   }
 }
