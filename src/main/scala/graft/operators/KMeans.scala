@@ -118,54 +118,83 @@ object KMeans {
     // cache scope = this fit() call (seeds + bound check + iters passes);
     // released in the finally — AnnPq.fit calls this once per subspace,
     // and un-released corpus caches would pin subspaces x corpus in
-    // executor storage for the session lifetime
+    // executor storage for the session lifetime. Callers that label the
+    // SAME corpus right after fitting should use fitAssign, which shares
+    // this cache scope instead of recomputing the transform.
+    val fp = fixedPoint(emb, embCol).cache()
+    try fitOnCached(fp, k, iters)
+    finally fp.unpersist()
+  }
+
+  /** fit + the fitted corpus's own labeling in ONE cache scope: the
+    * fixed-point corpus is cached once, feeds the fit passes AND the
+    * final assignment, and is released before returning — the assignment
+    * is eagerly materialized (localCheckpoint) as metadata-light
+    * (vec_id, cluster, dist) rows, auto-freed when the frame is dropped.
+    * This is the shape d10/e09 run: fit-then-label-the-training-corpus;
+    * fit followed by assign() would recompute the corpus transform after
+    * the fit cache is gone. */
+  def fitAssign(
+      spark: SparkSession,
+      emb: DataFrame,
+      k: Int,
+      iters: Int,
+      embCol: String = "embedding"
+  ): (Model, DataFrame) = {
+    VectorFunctions.register(spark)
+    require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
     val fp = fixedPoint(emb, embCol).cache()
     try {
-      val seeds = fp
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(k)
-        .select("x")
-        .collect()
-        .map(_.getSeq[Long](0).toArray)
-        .toIndexedSeq
-      require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
-      val dims = math.max(seeds.head.length, 1)
-      val maxAbs = fp
-        .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
-        .head()
-        .getLong(0)
-      val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
-      require(
-        maxAbs.toDouble <= bound,
-        s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
-          s"bound $bound for dims=$dims: squared distances would wrap"
-      )
-      var model = Model(seeds.length, seeds)
-      for (_ <- 0 until iters) {
-        // one corpus pass: compiled assignment, then per-(cluster, dim)
-        // exact long sums — k x dims rows back to the driver (metadata)
-        val sums = fp
-          .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
-          .select(col("c"), posexplode(col("x")))
-          .groupBy("c", "pos")
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-          .toMap
-        val next = model.centroids.zipWithIndex.map { case (old, c) =>
-          // a cluster that lost all members keeps its previous centroid
-          if (!sums.contains((c, 0))) old
-          else
-            old.indices.map { d =>
-              val (s, n) = sums((c, d))
-              s / n // Java long division truncates toward zero — the
-              // documented centroid semantic, mirrored in the oracle SQL
-            }.toArray
-        }
-        model = Model(model.k, next)
-      }
-      model
+      val model = fitOnCached(fp, k, iters)
+      (model, assignFromFp(fp, model).localCheckpoint(true))
     } finally fp.unpersist()
+  }
+
+  private def fitOnCached(fp: DataFrame, k: Int, iters: Int): Model = {
+    val seeds = fp
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select("x")
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+      .toIndexedSeq
+    require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
+    val dims = math.max(seeds.head.length, 1)
+    val maxAbs = fp
+      .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
+      .head()
+      .getLong(0)
+    val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
+    require(
+      maxAbs.toDouble <= bound,
+      s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
+        s"bound $bound for dims=$dims: squared distances would wrap"
+    )
+    var model = Model(seeds.length, seeds)
+    for (_ <- 0 until iters) {
+      // one corpus pass: compiled assignment, then per-(cluster, dim)
+      // exact long sums — k x dims rows back to the driver (metadata)
+      val sums = fp
+        .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
+        .select(col("c"), posexplode(col("x")))
+        .groupBy("c", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val next = model.centroids.zipWithIndex.map { case (old, c) =>
+        // a cluster that lost all members keeps its previous centroid
+        if (!sums.contains((c, 0))) old
+        else
+          old.indices.map { d =>
+            val (s, n) = sums((c, d))
+            s / n // Java long division truncates toward zero — the
+            // documented centroid semantic, mirrored in the oracle SQL
+          }.toArray
+      }
+      model = Model(model.k, next)
+    }
+    model
   }
 
   /** Persist a fitted model as a parquet artifact: one row per cluster,
@@ -204,12 +233,15 @@ object KMeans {
     * squared distance to the assigned centroid). */
   def assign(spark: SparkSession, emb: DataFrame, model: Model, embCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(spark)
-    fixedPoint(emb, embCol)
+    assignFromFp(fixedPoint(emb, embCol), model)
+  }
+
+  private def assignFromFp(fp: DataFrame, model: Model): DataFrame =
+    fp
       .withColumn("asn", assignPairCol(model))
       .select(
         col("vec_id"),
         element_at(col("asn"), 1).cast("int").as("cluster"),
         element_at(col("asn"), 2).as("dist")
       )
-  }
 }

@@ -1144,13 +1144,17 @@ object LlmOps {
     * precision or cast change here must land in every consumer at once;
     * that is exactly why there is one copy. Zero-norm sides score 0.0
     * (the CosineSimilarityExpr contract, mirrored in cosineSql) instead
-    * of 0/0 — engines disagree on NaN/NULL ranking. */
-  private def exactCosine(a: Column, b: Column): Column = {
-    val na = dotArr(a, a).cast("double")
-    val nb = dotArr(b, b).cast("double")
-    when(na === 0.0 || nb === 0.0, lit(0.0d))
-      .otherwise(dotArr(a, b).cast("double") / (sqrt(na) * sqrt(nb)))
-  }
+    * of 0/0 — engines disagree on NaN/NULL ranking. The guard is the
+    * nullif/coalesce form, NOT a when() over the norms: when() would
+    * reference each exact-decimal norm tree twice (test + use), doubling
+    * the dominant rescore cost unless subexpression elimination happens
+    * to fire; nullif evaluates each norm once. */
+  private def exactCosine(a: Column, b: Column): Column =
+    coalesce(
+      dotArr(a, b).cast("double") /
+        nullif(sqrt(dotArr(a, a).cast("double")) * sqrt(dotArr(b, b).cast("double")), lit(0.0d)),
+      lit(0.0d)
+    )
 
   /** Brute-force cosine top-k for a query subset — the exact ANN baseline.
     * At 100 TB the same plan shape works with a broadcast query set; the
@@ -1710,13 +1714,15 @@ object LlmOps {
     Some(kmeansOracleSql(8, 2))
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val model = graft.operators.KMeans.fit(s, emb, k = 8, iters = 2)
+    // fitAssign, not fit + assign: one shared corpus-cache scope — the
+    // separate calls would recompute the fixed-point transform for the
+    // labeling pass after fit released its cache
+    val (model, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
     val l1 = {
       import s.implicits._
       model.centroids.indices.map(c => (c, model.l1(c))).toDF("cluster", "centroid_l1")
     }
-    graft.operators.KMeans
-      .assign(s, emb, model)
+    assigned
       .groupBy("cluster")
       // sse in plain longs: per-point dist <= ~9e15 but the SUM of ~n/k
       // nearest-centroid distances stays orders of magnitude below
@@ -1833,11 +1839,13 @@ object LlmOps {
     // one count() action sizes k: parquet row-count metadata, not a data
     // collect — the only alternative is a caller-supplied k
     val k = kForCorpus(emb.count(), targetClusterSize)
-    val model = graft.operators.KMeans.fit(s, emb, k = k, iters = 2)
+    // fitAssign shares one corpus-cache scope across fit + labeling (the
+    // split calls recompute the fixed-point transform post-fit)
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = k, iters = 2)
     // cached: the labeled corpus feeds both sides of the within-cluster
     // self-join — without it the scan + compiled assignment runs twice
     val ea = emb
-      .join(graft.operators.KMeans.assign(s, emb, model).select("vec_id", "cluster"), "vec_id")
+      .join(assigned.select("vec_id", "cluster"), "vec_id")
       .cache()
     val hotThreshold = targetClusterSize.toLong * hotFactor
     // k rows of (cluster, size): broadcast to tag membership shuffle-free

@@ -115,12 +115,35 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("e09/e10: k-means assignment is compiled from parquet; only centroid metadata is local") {
-    for (q <- Seq("e09_kmeans", "e10_pq_codes")) {
-      val p = plan(q)
-      assert(!p.contains("Scan ExistingRDD"), s"$q re-parallelizes driver data")
-      assert(p.contains("Scan parquet"), p)
-      assert(p.toLowerCase.contains("int_argmin_sqdist"), s"$q lost the compiled kernel:\n$p")
-    }
+    val p10 = plan("e10_pq_codes")
+    assert(!p10.contains("Scan ExistingRDD"), "e10 re-parallelizes driver data")
+    assert(p10.contains("Scan parquet"), p10)
+    assert(p10.toLowerCase.contains("int_argmin_sqdist"), s"e10 lost the compiled kernel:\n$p10")
+
+    // e09 runs through KMeans.fitAssign: the labeling materializes ONCE from
+    // the fit's cached corpus as a localCheckpoint of compact
+    // (vec_id, cluster, dist) rows, so e09's final agg plan reads that
+    // checkpoint instead of rescanning parquet. Pin both halves:
+    //  (a) the only ExistingRDD scan in the final plan is the compact label
+    //      frame — embedding arrays must never ride a checkpoint;
+    val p9 = plan("e09_kmeans")
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p9).map(_.group(1)).toList
+    assert(rddScans.nonEmpty, s"e09 no longer reads the fitAssign checkpoint:\n$p9")
+    for (cols <- rddScans)
+      assert(
+        !cols.contains("embedding") && !cols.contains("x#"),
+        s"e09 checkpoints embedding data, not just labels: [$cols]"
+      )
+    //  (b) the assignment plan itself — what fitAssign materialized — still
+    //      compiles the kernel directly over the parquet scan.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"), org.apache.spark.sql.functions.col("embedding"))
+    val model = graft.operators.KMeans.fit(spark, emb, k = 4, iters = 1)
+    val ap = graft.operators.KMeans.assign(spark, emb, model)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("Scan ExistingRDD"), s"assignment re-parallelizes driver data:\n$ap")
+    assert(ap.contains("Scan parquet"), ap)
+    assert(ap.toLowerCase.contains("int_argmin_sqdist"), s"assignment lost the compiled kernel:\n$ap")
   }
 
   test("q22: percentiles carry NO per-group value buffer — rank window + tiny agg") {
