@@ -2491,11 +2491,12 @@ object LlmOps {
     * top-k is a TakeOrderedAndProject (partial per-partition top-k, no
     * global sort). At 100 TB the doc-length table is the only reused
     * intermediate — materialize it once per corpus build. */
-  val t13 = Q(
-    "t13_bm25",
-    Some {
-      val termsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""
+  /** The t13 CTE chain up to the per-doc score table `bm` (doc_id,
+    * n_terms, bm25) — shared verbatim by t13 and t17's lexical side so the
+    * two oracles cannot drift apart. */
+  private val bm25CtesSql = {
+    val termsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
       WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
       l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t),
       g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sl, COUNT(*) AS n FROM l),
@@ -2509,13 +2510,15 @@ object LlmOps {
                 * (CAST(22 * tf.tf * g.sl AS DOUBLE)
                    / CAST(10 * tf.tf * g.sl + 3 * g.sl + 9 * l.dl * g.n AS DOUBLE))
                 AS DECIMAL(28,12)) AS sc
-            FROM tf JOIN l USING (doc_id) JOIN df USING (tok) CROSS JOIN g)
-      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
-             CAST(SUM(sc) AS DOUBLE) AS bm25
-      FROM s GROUP BY doc_id
-      ORDER BY bm25 DESC, doc_id LIMIT 50"""
-    }
-  ) { (s, d) =>
+            FROM tf JOIN l USING (doc_id) JOIN df USING (tok) CROSS JOIN g),
+      bm AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+                    CAST(SUM(sc) AS DOUBLE) AS bm25
+             FROM s GROUP BY doc_id)"""
+  }
+
+  /** Per-doc BM25 score frame (doc_id, n_terms, bm25) — the Spark twin of
+    * `bm25CtesSql`, shared by t13 and t17. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     // (doc_id, dl) is the one reused intermediate: tiny (two longs/doc),
     // cached so the tokenizer runs exactly twice (lengths + term counts),
     // not once per consumer.
@@ -2549,6 +2552,16 @@ object LlmOps {
         // stays far under 2^53 (score ~O(1) per term, 3 terms)
         sum(col("sc")).cast("double").as("bm25")
       )
+  }
+
+  val t13 = Q(
+    "t13_bm25",
+    Some(s"""
+      $bm25CtesSql
+      SELECT doc_id, n_terms, bm25
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50""")
+  ) { (s, d) =>
+    bm25Scored(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(50)
   }
@@ -2833,8 +2846,221 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate STRIP — the transform d11 only reports on: rewrite every
+    * document with its cross-doc-shared chunks removed (the RefinedWeb /
+    * CCNet "drop lines that recur across documents" pass, at d11's chunk
+    * granularity so the two operators agree on what "boilerplate" means).
+    * Per doc: chunk counts before/after, the post-strip token count, and
+    * the md5 of the reassembled cleaned text (chunks rejoined in position
+    * order) — the fingerprint a downstream exact-dedup (d01) would key on,
+    * making the gate sensitive to any mis-kept or mis-ordered chunk. A doc
+    * that is pure boilerplate strips to the empty string (md5("")) — kept,
+    * not dropped, so the row count stays corpus-stable.
+    *
+    * Scale: d11's chunk-hash index (COUNT(DISTINCT doc_id) per md5 key)
+    * plus ONE extra property — chunk text rides the attribution join,
+    * because a rewrite has to move the text. Both shuffles are linear and
+    * uniformly keyed (md5 / doc_id); the reassembly agg's state per doc is
+    * the doc itself (bounded by max doc size, the same bound the corpus
+    * format already imposes). At 100 TB the index is the d11/d01-style
+    * persisted artifact and the output IS the cleaned corpus you write. */
+  val d18 = Q(
+    "d18_boilerplate_strip",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      nc AS (SELECT doc_id, t,
+               CAST(CEIL(len(t) / $subdocWindow.0) AS INTEGER) AS n_chunks
+             FROM tk WHERE len(t) > 0),
+      ch0 AS (SELECT doc_id, t, UNNEST(range(0, n_chunks)) AS c FROM nc),
+      ch AS (SELECT doc_id, CAST(c AS INTEGER) AS c,
+               array_to_string(list_slice(t, c * $subdocWindow + 1,
+                 c * $subdocWindow + $subdocWindow), ' ') AS txt,
+               CAST(len(list_slice(t, c * $subdocWindow + 1,
+                 c * $subdocWindow + $subdocWindow)) AS BIGINT) AS ntk
+             FROM ch0),
+      chh AS (SELECT doc_id, c, txt, ntk, md5(txt) AS h FROM ch),
+      idx AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chh GROUP BY h)
+      SELECT chh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN idx.nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(CASE WHEN idx.nd < 2 THEN ntk END), 0) AS BIGINT)
+               AS n_tokens_after,
+             md5(COALESCE(string_agg(txt, ' ' ORDER BY c) FILTER (WHERE idx.nd < 2), ''))
+               AS clean_md5
+      FROM chh JOIN idx USING (h)
+      GROUP BY chh.doc_id ORDER BY chh.doc_id""")
+  ) { (s, d) =>
+    val w = subdocWindow
+    val chunkToks = slice(col("t"), col("c") * w + 1, lit(w))
+    // same chunking subtree as d11 (tokenize → slice → md5), plus the
+    // chunk TEXT and its token count: a strip is a rewrite, so the text
+    // must survive to the reassembly. Cached for the same reason as d11 —
+    // index aggregate + attribution join both consume it.
+    val chunks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(
+          sequence(lit(0), ceil(size(col("t")) / lit(w.toDouble)).cast("int") - 1)
+        ).as("c")
+      )
+      .select(
+        col("doc_id"),
+        col("c").cast("int").as("c"),
+        concat_ws(" ", chunkToks).as("txt"),
+        size(chunkToks).cast("long").as("ntk")
+      )
+      .withColumn("h", md5(col("txt")))
+      .cache()
+    val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    chunks
+      .join(idx, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") < 2, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("nd") < 2, col("ntk"))), lit(0L)).as("n_tokens_after"),
+        // kept chunks rejoin in position order: collect_list drops the
+        // when()-nulled boilerplate chunks, array_sort orders the (c, txt)
+        // structs by the unique chunk index, and the md5 pins the exact
+        // reassembled text against the oracle's ordered string_agg
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("nd") < 2, struct(col("c"), col("txt"))))),
+              x => x.getField("txt")
+            ),
+            " "
+          )
+        ).as("clean_md5")
+      )
+      .orderBy("doc_id")
+  }
+
+  // ---- hybrid retrieval (lexical + semantic rank fusion) ----
+
+  /** Hybrid retrieval: fuse a BM25 term-query ranking (t13's scorer,
+    * verbatim) with an embedding-cosine query-by-example ranking (e01's
+    * two-stage exact kernel, query = doc 0's vector) via reciprocal-rank
+    * fusion, RRF(d) = Σ_lists 1/(60 + rank_list(d)) — the standard fusion
+    * of keyword and vector search that every retrieval-augmented data
+    * pipeline runs to build training pairs. Integer ranks make the fusion
+    * score exactly reproducible cross-engine: 1/(60+r) is one correctly-
+    * rounded double division, and the two-term sum is order-fixed.
+    *
+    * Scale: each side ends in a TakeOrdered top-50 — the rank windows run
+    * over those 50-row lists (metadata), never the corpus. The corpus-side
+    * costs are exactly t13's (two linear passes, broadcast stats) and
+    * e01's (broadcast query, compiled prefilter, ~k exact rescores); at
+    * 100 TB the semantic list would come from the ANN paths (e04/e06/e12)
+    * instead of the exact baseline — the fusion stage is list-size-bounded
+    * either way, so swapping the candidate generator does not change the
+    * plan past the lists. The 50-row full-outer fusion join is a
+    * metadata-scale sort-merge. */
+  val t17 = Q(
+    "t17_hybrid_retrieval",
+    Some(s"""
+      $bm25CtesSql,
+      lex0 AS (SELECT doc_id, bm25 FROM bm WHERE doc_id <> 0
+               ORDER BY bm25 DESC, doc_id LIMIT 50),
+      lex AS (SELECT doc_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+              FROM lex0),
+      f AS ($flatSql),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      qf AS (SELECT * FROM f WHERE vec_id = 0),
+      dot AS (SELECT f.vec_id AS vid, ${dprodSql("qf.v", "f.v")} AS dot
+              FROM qf JOIN f ON qf.pos = f.pos AND f.vec_id <> 0
+              GROUP BY vid),
+      cos AS (SELECT vid, ${cosineSql("nq", "nv")} AS cosine
+              FROM dot JOIN n nq ON nq.vec_id = 0 JOIN n nv ON vid = nv.vec_id),
+      sem0 AS (SELECT vid, cosine FROM cos ORDER BY cosine DESC, vid LIMIT 50),
+      sem AS (SELECT vid AS doc_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vid) AS INTEGER) AS sem_rank
+              FROM sem0),
+      fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                  lex.lex_rank, sem.sem_rank,
+                  COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0.0 AS DOUBLE))
+                  + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0.0 AS DOUBLE))
+                    AS rrf
+                FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS DOUBLE) AS rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""")
+  ) { (s, d) =>
+    graft.functions.VectorFunctions.register(s)
+    // lexical list: t13's scorer, example doc excluded, TakeOrdered top-50;
+    // the rank window then runs over 50 rows with a non-foldable all-zero
+    // partition key (a literal key would be constant-folded out and the
+    // single-partition WindowExec warning would return — see t15)
+    val lex = bm25Scored(s, d)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+      .withColumn(
+        "lex_rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(pmod(col("doc_id"), lit(1L)))
+              .orderBy(col("bm25").desc, col("doc_id"))
+          )
+          .cast("int")
+      )
+      .select("doc_id", "lex_rank")
+    // semantic list: e01's two-stage contract with the single example
+    // vector — compiled double cosine ranks the corpus, the exact-decimal
+    // kernel rescores only the margin-bounded ~top-50 survivors
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+    val dbl = emb
+      .as("e")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
+      )
+    val wq = Window.partitionBy("qid")
+    val candidates = dbl
+      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
+      .withColumn("kth", min(when(col("rnk0") <= 50, col("dbl"))).over(wq))
+      .filter(col("dbl") >= col("kth") - 1e-9)
+      .select("vid")
+    val sem = candidates
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
+      .crossJoin(broadcast(q.select(col("embedding").as("qe"))))
+      .select(col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vid"))
+      .limit(50)
+      .withColumn(
+        "sem_rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(pmod(col("vid"), lit(1L)))
+              .orderBy(col("cosine").desc, col("vid"))
+          )
+          .cast("int")
+      )
+      .select(col("vid").as("doc_id"), col("sem_rank"))
+    lex
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        col("lex_rank"),
+        col("sem_rank"),
+        (coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("sem_rank") + 60), lit(0.0))).as("rrf")
+      )
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17)
 }

@@ -105,6 +105,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
   }
 
+  test("d18: strip shuffles on the chunk-hash key; chunk text never cartesians") {
+    val p = plan("d18_boilerplate_strip")
+    // index build + attribution rejoin both key on the md5 chunk hash —
+    // uniform by construction, like d11
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Scan ExistingRDD"), "d18 re-parallelizes driver data")
+    // the rewrite needs doc_id + text only
+    assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
+  }
+
+  test("t17: both retrieval lists are partial top-k; rank windows never see the corpus") {
+    val p = plan("t17_hybrid_retrieval")
+    // the lexical and semantic lists each end in a TakeOrderedAndProject
+    // (partial per-partition top-50) — the row_number windows behind the
+    // RRF ranks run over those 50-row lists, not the corpus
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the single example-query vector rides a broadcast on both the
+    // prefilter join and the exact-rescore reattachment
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan ExistingRDD"), "t17 re-parallelizes driver data")
+  }
+
   test("d12: eval side broadcasts; the compiled cosine prefilter is the join predicate") {
     val p = plan("d12_semantic_decontam")
     // the small eval split rides a broadcast; the train scan never shuffles
