@@ -1734,6 +1734,78 @@ object LlmOps {
       .orderBy("cluster")
   }
 
+  /** Cluster-balanced corpus sampling: downsample every LEARNED k-means
+    * cluster to the size of the smallest one with deterministic
+    * hash-threshold membership — the semantic-mixture twin of t14's
+    * source mixing (same exact integer threshold arithmetic, stratum =
+    * e09's integer-exact cluster instead of source metadata). This is the
+    * diversity-preserving downsample step of a SemDeDup-style curation
+    * pass: after near-dups are gone, rebalance what remains so no
+    * semantic mode dominates the training mix. Output pins per cluster
+    * the original count, kept count, and kept-id checksum — any flipped
+    * membership fails the gate.
+    *
+    * Scale: labeling is the e09 fitAssign pass (at 100 TB, `assign`
+    * against the PERSISTED KMeans model — a map-only compiled pass, no
+    * fit); cluster counts are a k-row dim broadcast back; membership is a
+    * pure row predicate (md5 prefix vs hex threshold, t14's arithmetic:
+    * exact integers, no floats anywhere); one k-row summary agg. The
+    * m * 2^32 product needs DECIMAL(38,0) past ~2^31 rows, as t14 notes. */
+  val e14 = Q(
+    "e14_cluster_balanced_sample",
+    Some(s"""
+      WITH ${kmeansCtes(8, 2)},
+      cnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM fin GROUP BY cluster),
+      mm AS (SELECT MIN(n_vecs) AS m FROM cnt),
+      th AS (SELECT cluster, n_vecs,
+               printf('%08x', LEAST((mm.m * 4294967296) // n_vecs, 4294967295)) AS th
+             FROM cnt CROSS JOIN mm),
+      kept AS (SELECT f.cluster, f.vec_id
+               FROM fin f JOIN th USING (cluster)
+               WHERE substr(md5('cbal1|' || CAST(f.vec_id AS VARCHAR)), 1, 8) < th.th),
+      smry AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+            FROM kept GROUP BY cluster)
+      SELECT th.cluster, th.n_vecs,
+             COALESCE(smry.n_kept, 0) AS n_kept,
+             COALESCE(smry.kept_id_sum, 0) AS kept_id_sum
+      FROM th LEFT JOIN smry USING (cluster) ORDER BY th.cluster""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
+    val lab = assigned.select("vec_id", "cluster")
+    val counts = lab.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val mMin = counts.agg(min(col("n_vecs")).as("m"))
+    // t14's exact-integer keep threshold, stratum = learned cluster
+    val th = counts
+      .crossJoin(broadcast(mMin))
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        format_string(
+          "%08x",
+          least(expr("(m * 4294967296L) div n_vecs"), lit(4294967295L))
+        ).as("th")
+      )
+    val kept = lab
+      .join(broadcast(th.select("cluster", "th")), "cluster")
+      .filter(
+        substring(md5(concat(lit("cbal1|"), col("vec_id").cast("string"))), 1, 8) < col("th")
+      )
+    val summary = kept
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
+    th.select("cluster", "n_vecs")
+      .join(summary, Seq("cluster"), "left")
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
+      )
+      .orderBy("cluster")
+  }
+
   private val pqSubspaces = 4
   private val pqSubDim = 16 // 64 dims / 4 subspaces
   private val pqK = 16
@@ -3061,6 +3133,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17)
 }

@@ -129,6 +129,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Scan ExistingRDD"), "t17 re-parallelizes driver data")
   }
 
+  test("e14: threshold dim broadcasts back; labels are the compact fitAssign checkpoint") {
+    val p = plan("e14_cluster_balanced_sample")
+    // the k-row cluster/threshold dim must ride broadcasts, never shuffle
+    // the labeled corpus against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only ExistingRDD scan allowed is fitAssign's compact label frame
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    for (cols <- rddScans)
+      assert(!cols.contains("embedding") && !cols.contains("x#"),
+        s"e14 checkpoints embedding data, not just labels: [$cols]")
+  }
+
   test("d12: eval side broadcasts; the compiled cosine prefilter is the join predicate") {
     val p = plan("d12_semantic_decontam")
     // the small eval split rides a broadcast; the train scan never shuffles
