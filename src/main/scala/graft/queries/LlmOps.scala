@@ -2961,15 +2961,19 @@ object LlmOps {
                AS clean_md5
       FROM chh JOIN idx USING (h)
       GROUP BY chh.doc_id ORDER BY chh.doc_id""")
-  ) { (s, d) =>
+  ) { (s, d) => boilerplateStripOf(Tables.documents(s, d)) }
+
+  /** Frame-parameterized body of d18 — package-visible so the edge-case
+    * spec (pure-boilerplate doc, kept-chunk ordering) can feed a
+    * constructed corpus without writing parquet. */
+  private[graft] def boilerplateStripOf(documents: DataFrame): DataFrame = {
     val w = subdocWindow
     val chunkToks = slice(col("t"), col("c") * w + 1, lit(w))
     // same chunking subtree as d11 (tokenize → slice → md5), plus the
     // chunk TEXT and its token count: a strip is a rewrite, so the text
     // must survive to the reassembly. Cached for the same reason as d11 —
     // index aggregate + attribution join both consume it.
-    val chunks = Tables
-      .documents(s, d)
+    val chunks = documents
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(

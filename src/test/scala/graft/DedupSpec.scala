@@ -35,6 +35,39 @@ class DedupSpec extends AnyFunSuite {
     ))
   }
 
+  test("d18 strip: pure-boilerplate doc survives as empty; kept chunks keep position order") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    // 16-token chunks, matching subdocWindow
+    def chunk(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val (a, b, cc, dd, ee) = (chunk("a"), chunk("b"), chunk("c"), chunk("d"), chunk("e"))
+    val docs = Seq(
+      (1L, s"$a $b"),  // shares chunk a with docs 2 and 3 -> keeps b
+      (2L, s"$a $cc"), // keeps c
+      (3L, a),         // PURE boilerplate: strips to the empty string
+      (4L, s"$dd $a $ee") // kept chunks d, e must rejoin in that order
+    ).toDF("doc_id", "text")
+    val out = LlmOps
+      .boilerplateStripOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // every doc keeps its row — a fully-stripped doc is reported, not lost
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2L, 1L, 16L, md5Hex(b))))
+    assert(out(2L) == ((2L, 1L, 16L, md5Hex(cc))))
+    // md5("") — the deterministic empty-doc fingerprint in both engines
+    assert(out(3L) == ((1L, 0L, 0L, md5Hex(""))))
+    // d then e, never e then d: the reassembly is position-ordered even
+    // though the boilerplate chunk sat between them
+    assert(out(4L) == ((3L, 2L, 32L, md5Hex(s"$dd $ee"))))
+  }
+
   test("capShingles drops hot shingles and bounds self-join fan-out") {
     import spark.implicits._
     // 50 docs all share the stop shingle "S"; each also has one unique
