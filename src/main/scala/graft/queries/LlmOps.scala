@@ -2638,6 +2638,68 @@ object LlmOps {
       .limit(50)
   }
 
+  /** Corpus-trained unigram-LM quality scoring: per document the mean
+    * negative log-likelihood under the corpus's own unigram distribution —
+    * the CCNet/KenLM quality-filter shape at unigram granularity (docs
+    * far from the corpus distribution score high NLL and get bucketed
+    * out). The LM "training" (token counts / total) and the scoring are
+    * one declarative plan; every token is in-vocabulary by construction,
+    * so no smoothing constant muddies the oracle.
+    *
+    * Parity: cnt/total is a correctly-rounded double division of exact
+    * integers, identical in both engines; ln() carries t13's documented
+    * 1-ulp acceptance; each occurrence's -ln is quantized to
+    * DECIMAL(28,12) and summed exactly (order-independent), and the final
+    * mean is ONE double division. The per-occurrence sum deliberately
+    * avoids tf × decimal products — Spark would shrink the product's
+    * scale to 6 past precision 38 (adjustPrecisionScale), silently
+    * diverging from DuckDB's widening.
+    *
+    * Scale: the unigram table IS the LM artifact (persist it at 100 TB,
+    * score every increment against it); scoring is one equi-join of
+    * occurrences against that dim (optimizer picks broadcast while the
+    * vocab fits, AQE handles hot-token skew otherwise) and one per-doc
+    * agg. */
+  val t18 = Q(
+    "t18_unigram_nll",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      oc AS (SELECT doc_id, UNNEST(t) AS tok FROM tk),
+      ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
+      g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
+      lp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
+                           AS DECIMAL(28,12)) AS nlp
+             FROM ug CROSS JOIN g),
+      sc AS (SELECT oc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lp.nlp) AS s
+             FROM oc JOIN lp USING (tok) GROUP BY oc.doc_id)
+      SELECT doc_id, n_tokens, CAST(CAST(s AS DOUBLE) / n_tokens AS DOUBLE) AS nll
+      FROM sc ORDER BY doc_id""")
+  ) { (s, d) =>
+    // cached: occurrences feed the LM aggregate AND the scoring join —
+    // without it the tokenize+explode subtree runs twice
+    val oc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cache()
+    val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val g = ug.agg(sum(col("cnt")).as("tt"))
+    val lp = ug
+      .crossJoin(broadcast(g))
+      .select(
+        col("tok"),
+        (-log(col("cnt").cast("double") / col("tt").cast("double"))).cast(dec28).as("nlp")
+      )
+    oc.join(lp, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp")).as("s"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("s").cast("double") / col("n_tokens")).as("nll")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Source-balanced data mixing: downsample every source to the size of
     * the smallest one with deterministic content-hash sampling — the
     * data-mixture rebalancing step of a pretraining corpus build, with
@@ -3138,5 +3200,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18)
 }
