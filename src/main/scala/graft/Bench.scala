@@ -65,6 +65,12 @@ object Bench {
       // Clearing sits OUTSIDE the timed region; within-query cache
       // materialization still pays inside its own number.
       spark.sqlContext.clearCache()
+      // clearCache only empties the SQL CacheManager; localCheckpoint
+      // blocks (KMeans.fitAssign's label frames in e09/e14/d10) live as
+      // plain persisted RDDs until the driver GCs them — release them
+      // explicitly. Safe here: queries are independent, and a dead
+      // checkpoint's frame is never re-read.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (okC && okW) (name, math.min(cold, warm), cold, true)
       else (name, -1.0, -1.0, false)
     }

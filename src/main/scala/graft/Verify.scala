@@ -29,11 +29,15 @@ object Verify {
           Files.createSymbolicLink(alias, Paths.get(name))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
+      } finally {
         // the dedup/ANN family caches signature/candidate frames per
         // query; across 85 queries the leftovers would pile up in storage
         // memory (same hygiene as Bench — clearing is outside any timing)
         spark.sqlContext.clearCache()
+        // localCheckpoint blocks (fitAssign label frames) are invisible
+        // to clearCache — release the dead RDDs too, as Bench does
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

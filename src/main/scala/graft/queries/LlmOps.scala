@@ -1148,13 +1148,26 @@ object LlmOps {
     * nullif/coalesce form, NOT a when() over the norms: when() would
     * reference each exact-decimal norm tree twice (test + use), doubling
     * the dominant rescore cost unless subexpression elimination happens
-    * to fire; nullif evaluates each norm once. */
+    * to fire; nullif evaluates each norm once. A NULL embedding column
+    * still scores NULL (the cheap isNull test below fires before the
+    * coalesce can launder it into a plausible 0.0 — a corrupt row must
+    * surface, not rank). Null ELEMENTS inside a non-null array are out of
+    * contract for every consumer: the engines' aggregation primitives
+    * disagree on them at the dot-product level (SQL SUM skips NULLs,
+    * Spark's aggregate() propagates), so no guard here could reconcile
+    * them — filter upstream. */
   private def exactCosine(a: Column, b: Column): Column =
-    coalesce(
-      dotArr(a, b).cast("double") /
-        nullif(sqrt(dotArr(a, a).cast("double")) * sqrt(dotArr(b, b).cast("double")), lit(0.0d)),
-      lit(0.0d)
-    )
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(
+        coalesce(
+          dotArr(a, b).cast("double") /
+            nullif(
+              sqrt(dotArr(a, a).cast("double")) * sqrt(dotArr(b, b).cast("double")),
+              lit(0.0d)
+            ),
+          lit(0.0d)
+        )
+      )
 
   /** Brute-force cosine top-k for a query subset — the exact ANN baseline.
     * At 100 TB the same plan shape works with a broadcast query set; the
@@ -2649,11 +2662,16 @@ object LlmOps {
     * Parity: cnt/total is a correctly-rounded double division of exact
     * integers, identical in both engines; ln() carries t13's documented
     * 1-ulp acceptance; each occurrence's -ln is quantized to
-    * DECIMAL(28,12) and summed exactly (order-independent), and the final
-    * mean is ONE double division. The per-occurrence sum deliberately
-    * avoids tf × decimal products — Spark would shrink the product's
-    * scale to 6 past precision 38 (adjustPrecisionScale), silently
-    * diverging from DuckDB's widening.
+    * DECIMAL(28,9) and summed exactly (order-independent), and the final
+    * mean is ONE double division. Scale 9, NOT the usual 12: the summed
+    * unscaled value must stay under 2^53 for the exact decimal→double
+    * conversion (the dec28 invariant above), and a long document sums
+    * |ln p| ≈ 3.4 per token — scale 12 would cross 2^53 near 2.6k
+    * tokens/doc, scale 9 holds to ~2.6M (far past any corpus's doc cap)
+    * at a 1e-9/token precision cost invisible in a quality score. The
+    * per-occurrence sum also deliberately avoids tf × decimal products —
+    * Spark would shrink the product's scale to 6 past precision 38
+    * (adjustPrecisionScale), silently diverging from DuckDB's widening.
     *
     * Scale: the unigram table IS the LM artifact (persist it at 100 TB,
     * score every increment against it); scoring is one equi-join of
@@ -2668,7 +2686,7 @@ object LlmOps {
       ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
       g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
       lp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
-                           AS DECIMAL(28,12)) AS nlp
+                           AS DECIMAL(28,9)) AS nlp
              FROM ug CROSS JOIN g),
       sc AS (SELECT oc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lp.nlp) AS s
              FROM oc JOIN lp USING (tok) GROUP BY oc.doc_id)
@@ -2687,7 +2705,9 @@ object LlmOps {
       .crossJoin(broadcast(g))
       .select(
         col("tok"),
-        (-log(col("cnt").cast("double") / col("tt").cast("double"))).cast(dec28).as("nlp")
+        (-log(col("cnt").cast("double") / col("tt").cast("double")))
+          .cast(DecimalType(28, 9))
+          .as("nlp")
       )
     oc.join(lp, "tok")
       .groupBy("doc_id")

@@ -15,6 +15,23 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.centroids.map(_.toSeq) === b.centroids.map(_.toSeq))
   }
 
+  test("fitAssign equals fit + assign, model and labels both") {
+    val (mA, labeled) = KMeans.fitAssign(spark, emb, k = 4, iters = 2)
+    val mB = KMeans.fit(spark, emb, k = 4, iters = 2)
+    assert(mA.centroids.map(_.toSeq) === mB.centroids.map(_.toSeq))
+    // the checkpointed label frame must be the FINAL model's assignment —
+    // a regression that materializes from a pre-final-iteration model (or
+    // reads the corpus after the fit cache is gone) diverges here, not in
+    // an opaque e09/e14 oracle mismatch later
+    val a = labeled.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = KMeans
+      .assign(spark, emb, mB)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a === b)
+  }
+
   test("Lloyd iterations do not increase total SSE") {
     // monotone non-increase is the textbook invariant; with truncated
     // integer means it can be violated by at most a rounding epsilon per

@@ -123,8 +123,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // RRF ranks run over those 50-row lists, not the corpus
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
     // the single example-query vector rides a broadcast on both the
-    // prefilter join and the exact-rescore reattachment
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // prefilter join and the exact-rescore reattachment. Count the
+    // nested-loop broadcasts specifically: the lexical side's dims are
+    // BroadcastHashJoins, so an OR over join types would pass vacuously
+    // even if the semantic side degraded to a corpus-wide SortMergeJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"semantic side lost a query-vector broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Scan ExistingRDD"), "t17 re-parallelizes driver data")
   }
