@@ -1786,33 +1786,41 @@ object LlmOps {
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
-    val lab = assigned.select("vec_id", "cluster")
-    val counts = lab.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
-    val mMin = counts.agg(min(col("n_vecs")).as("m"))
-    // t14's exact-integer keep threshold, stratum = learned cluster
+    balanceByCluster(assigned.select("vec_id", "cluster"), salt = "cbal1", nName = "n_vecs")
+  }
+
+  /** The cluster-proportional downsample tail shared by e14 and t19:
+    * per-cluster counts → t14's exact-integer keep threshold (smallest
+    * cluster's size, m·2^32/n hex compare) → membership predicate on the
+    * salted vec_id hash → per-cluster kept summary. `lab` is
+    * (vec_id, cluster); the count column is caller-named so each query's
+    * oracle keeps its vocabulary. */
+  private def balanceByCluster(lab: DataFrame, salt: String, nName: String): DataFrame = {
+    val counts = lab.groupBy("cluster").agg(count(lit(1)).as(nName))
+    val mMin = counts.agg(min(col(nName)).as("m"))
     val th = counts
       .crossJoin(broadcast(mMin))
       .select(
         col("cluster"),
-        col("n_vecs"),
+        col(nName),
         format_string(
           "%08x",
-          least(expr("(m * 4294967296L) div n_vecs"), lit(4294967295L))
+          least(expr(s"(m * 4294967296L) div $nName"), lit(4294967295L))
         ).as("th")
       )
     val kept = lab
       .join(broadcast(th.select("cluster", "th")), "cluster")
       .filter(
-        substring(md5(concat(lit("cbal1|"), col("vec_id").cast("string"))), 1, 8) < col("th")
+        substring(md5(concat(lit(s"$salt|"), col("vec_id").cast("string"))), 1, 8) < col("th")
       )
     val summary = kept
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
-    th.select("cluster", "n_vecs")
+    th.select("cluster", nName)
       .join(summary, Seq("cluster"), "left")
       .select(
         col("cluster"),
-        col("n_vecs"),
+        col(nName),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
       )
@@ -3018,10 +3026,11 @@ object LlmOps {
     * the doc itself (bounded by max doc size, the same bound the corpus
     * format already imposes). At 100 TB the index is the d11/d01-style
     * persisted artifact and the output IS the cleaned corpus you write. */
-  val d18 = Q(
-    "d18_boilerplate_strip",
-    Some(s"""
-      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** The d18 chunk-index CTE chain (tk → nc → ch0 → ch → chh → idx) —
+    * shared verbatim by d18 and t19 so the chunking oracles cannot
+    * drift. Ends with chh(doc_id, c, txt, ntk, h) and idx(h, nd). */
+  private val chunkIndexCtesSql =
+    s"""tk AS (SELECT doc_id, $toksSql AS t FROM documents),
       nc AS (SELECT doc_id, t,
                CAST(CEIL(len(t) / $subdocWindow.0) AS INTEGER) AS n_chunks
              FROM tk WHERE len(t) > 0),
@@ -3033,7 +3042,12 @@ object LlmOps {
                  c * $subdocWindow + $subdocWindow)) AS BIGINT) AS ntk
              FROM ch0),
       chh AS (SELECT doc_id, c, txt, ntk, md5(txt) AS h FROM ch),
-      idx AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chh GROUP BY h)
+      idx AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chh GROUP BY h)"""
+
+  val d18 = Q(
+    "d18_boilerplate_strip",
+    Some(s"""
+      WITH $chunkIndexCtesSql
       SELECT chh.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_chunks,
              CAST(SUM(CASE WHEN idx.nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -3045,16 +3059,15 @@ object LlmOps {
       GROUP BY chh.doc_id ORDER BY chh.doc_id""")
   ) { (s, d) => boilerplateStripOf(Tables.documents(s, d)) }
 
-  /** Frame-parameterized body of d18 — package-visible so the edge-case
-    * spec (pure-boilerplate doc, kept-chunk ordering) can feed a
-    * constructed corpus without writing parquet. */
-  private[graft] def boilerplateStripOf(documents: DataFrame): DataFrame = {
+  /** Every chunk row with its cross-doc document frequency attached:
+    * (doc_id, c, txt, ntk, h, nd) — the d11 chunking subtree (tokenize →
+    * slice → md5) plus the chunk TEXT and token count, joined to the
+    * chunk-hash index. The chunk frame is cached inside (index aggregate
+    * + attribution join both consume it, the d11 double-consumption
+    * pattern). Shared by d18 (strip report) and t19 (curation chain). */
+  private def chunkIndexOf(documents: DataFrame): DataFrame = {
     val w = subdocWindow
     val chunkToks = slice(col("t"), col("c") * w + 1, lit(w))
-    // same chunking subtree as d11 (tokenize → slice → md5), plus the
-    // chunk TEXT and its token count: a strip is a rewrite, so the text
-    // must survive to the reassembly. Cached for the same reason as d11 —
-    // index aggregate + attribution join both consume it.
     val chunks = documents
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
@@ -3074,8 +3087,14 @@ object LlmOps {
       .withColumn("h", md5(col("txt")))
       .cache()
     val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-    chunks
-      .join(idx, "h")
+    chunks.join(idx, "h")
+  }
+
+  /** Frame-parameterized body of d18 — package-visible so the edge-case
+    * spec (pure-boilerplate doc, kept-chunk ordering) can feed a
+    * constructed corpus without writing parquet. */
+  private[graft] def boilerplateStripOf(documents: DataFrame): DataFrame =
+    chunkIndexOf(documents)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -3096,7 +3115,6 @@ object LlmOps {
         ).as("clean_md5")
       )
       .orderBy("doc_id")
-  }
 
   // ---- hybrid retrieval (lexical + semantic rank fusion) ----
 
@@ -3217,8 +3235,103 @@ object LlmOps {
       .limit(20)
   }
 
+  /** The embedding-aware flagship composite (t08's successor built from
+    * this round's operators): boilerplate STRIP (d18's chunk index) →
+    * unigram-LM QUALITY filter (t18's NLL, trained on the CLEANED corpus,
+    * keep docs at or below the corpus-mean NLL) → cluster-BALANCED
+    * downsample (e14's tail over e09's k-means labels) — one declarative
+    * plan, so Catalyst sees the whole curation chain. A reference user
+    * runs this as three UDF jobs with intermediate files; here the only
+    * materialization is the k-means label checkpoint.
+    *
+    * Determinism chain: chunk verdicts are integer df counts; the NLL is
+    * t18's exact-decimal sum; the mean-NLL threshold quantizes each
+    * per-doc nll to DECIMAL(28,6) (500-doc sums stay far under 2^53 —
+    * past ~1e9 docs widen the scale or fold hierarchically, noted here
+    * because this is the one corpus-constant reduction in the chain) and
+    * compares in double — a boundary doc ties identically in both
+    * engines; the balance step is t14's integer threshold arithmetic.
+    *
+    * Scale: every stage is a documented shape — d18's two md5-keyed
+    * shuffles, t18's occurrences-vs-vocab join, e09's compiled
+    * assignment, e14's broadcast dims. Nothing new materializes; the
+    * stages pipeline through Catalyst without intermediate files. */
+  val t19 = Q(
+    "t19_semantic_curation",
+    Some(s"""
+      WITH ${kmeansCtes(8, 2)},
+      $chunkIndexCtesSql,
+      oc AS (SELECT chh.doc_id, UNNEST(string_split(txt, ' ')) AS tok
+             FROM chh JOIN idx USING (h) WHERE idx.nd < 2),
+      ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
+      gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
+      lpp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
+                            AS DECIMAL(28,9)) AS nlp
+              FROM ug CROSS JOIN gg),
+      sc AS (SELECT oc.doc_id, CAST(CAST(SUM(lpp.nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
+             FROM oc JOIN lpp USING (tok) GROUP BY oc.doc_id),
+      mn AS (SELECT CAST(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                      AS DOUBLE) AS m
+             FROM sc),
+      surv AS (SELECT doc_id FROM sc CROSS JOIN mn WHERE nll <= m),
+      lab AS (SELECT s.doc_id AS vec_id, f.cluster
+              FROM surv s JOIN fin f ON f.vec_id = s.doc_id),
+      cnt2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_candidates
+               FROM lab GROUP BY cluster),
+      mm2 AS (SELECT MIN(n_candidates) AS m2 FROM cnt2),
+      th2 AS (SELECT cluster, n_candidates,
+                printf('%08x', LEAST((mm2.m2 * 4294967296) // n_candidates, 4294967295)) AS th
+              FROM cnt2 CROSS JOIN mm2),
+      kept AS (SELECT l.cluster, l.vec_id FROM lab l JOIN th2 USING (cluster)
+               WHERE substr(md5('cur1|' || CAST(l.vec_id AS VARCHAR)), 1, 8) < th2.th),
+      smry AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+               FROM kept GROUP BY cluster)
+      SELECT th2.cluster, th2.n_candidates,
+             COALESCE(smry.n_kept, 0) AS n_kept,
+             COALESCE(smry.kept_id_sum, 0) AS kept_id_sum
+      FROM th2 LEFT JOIN smry USING (cluster) ORDER BY th2.cluster""")
+  ) { (s, d) =>
+    // STRIP: kept (non-boilerplate) chunks, re-tokenized. Cached — the
+    // occurrence frame feeds the LM aggregate AND the scoring join (t18's
+    // double-consumption pattern).
+    val oc = chunkIndexOf(Tables.documents(s, d))
+      .filter(col("nd") < 2)
+      .select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
+      .cache()
+    // QUALITY: t18's unigram NLL over the cleaned corpus
+    val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val g = ug.agg(sum(col("cnt")).as("tt"))
+    val lp = ug
+      .crossJoin(broadcast(g))
+      .select(
+        col("tok"),
+        (-log(col("cnt").cast("double") / col("tt").cast("double")))
+          .cast(DecimalType(28, 9))
+          .as("nlp")
+      )
+    // cached: the per-doc score table feeds the mean AND the filter
+    val sc = oc
+      .join(lp, "tok")
+      .groupBy("doc_id")
+      .agg((sum(col("nlp")).cast("double") / count(lit(1))).as("nll"))
+      .cache()
+    val mn = sc.agg(
+      (sum(col("nll").cast(DecimalType(28, 6))).cast("double") / count(lit(1))).as("m")
+    )
+    val surv = sc.crossJoin(broadcast(mn)).filter(col("nll") <= col("m")).select("doc_id")
+    // BALANCE: e09 labels (shared fitAssign checkpoint) restricted to the
+    // survivors, then e14's cluster-proportional downsample tail
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
+    val lab = surv
+      .join(assigned.select("vec_id", "cluster"), col("doc_id") === col("vec_id"))
+      .select("vec_id", "cluster")
+    balanceByCluster(lab, salt = "cur1", nName = "n_candidates")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }

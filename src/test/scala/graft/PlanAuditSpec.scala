@@ -146,6 +146,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"e14 checkpoints embedding data, not just labels: [$cols]")
   }
 
+  test("t19: the curation chain stays distributed — md5-keyed shuffles, broadcast dims, label checkpoint only") {
+    val p = plan("t19_semantic_curation")
+    // strip + LM stages shuffle on md5/token/doc keys, dims broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only ExistingRDD scan is the compact k-means label checkpoint
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    for (cols <- rddScans)
+      assert(!cols.contains("embedding") && !cols.contains("x#"),
+        s"t19 checkpoints embedding data, not just labels: [$cols]")
+  }
+
   test("d12: eval side broadcasts; the compiled cosine prefilter is the join predicate") {
     val p = plan("d12_semantic_decontam")
     // the small eval split rides a broadcast; the train scan never shuffles
