@@ -133,6 +133,20 @@ object EventStream {
       )
   }
 
+  /** Map-only semantic routing: label a stream of (vec_id, embedding)
+    * rows with a PERSISTED k-means model (`KMeans.load`) — the streaming
+    * consumer of the batch-trained artifact, completing the
+    * train-once/score-anywhere split (batch twin: `KMeans.assign`,
+    * e09/e14's labeler). The assignment is a stateless compiled
+    * projection (one `int_argmin_sqdist` call against the centroid
+    * literal), so it needs no state store, composes with any
+    * watermark/sink downstream, and costs O(k·dims) per row — the shape
+    * an ingest router needs. The integer-exact kernel makes stream labels
+    * byte-identical to the batch assignment of the same rows
+    * (spec-pinned). */
+  def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
+    graft.operators.KMeans.assign(emb.sparkSession, emb, model)
+
   /** Stream-stream event-time interval join: correlate each left event
     * with the right-stream events of the SAME user that happen within
     * `withinSeconds` AFTER it ("purchase within 30 min of a click").

@@ -141,6 +141,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster routing labels arrivals identically to the batch assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.KMeans
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val model = KMeans.fit(spark, emb, k = 4, iters = 1)
+    // the stream consumes the LOADED artifact, not the in-memory model —
+    // the train-once/persist/score-anywhere split end to end
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_stream").toString
+    KMeans.save(spark, model, dir)
+    val loaded = KMeans.load(spark, dir)
+    val rows = emb.limit(20).collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val out = EventStream.clusterStream(src.toDF().toDF("vec_id", "embedding"), loaded)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cluster_out").start()
+    try {
+      src.addData(rows.take(10): _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(10): _*) // later batch, same contract
+      q.processAllAvailable()
+      val got = spark.table("cluster_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      val ids = rows.map(_._1)
+      val want = KMeans
+        .assign(spark, emb.filter(col("vec_id").isin(ids: _*)), model)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sessionization closes gap-separated sessions with typed state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
