@@ -252,6 +252,26 @@ object Graft {
   def kMeansLoad(spark: SparkSession, path: String): graft.operators.KMeans.Model =
     graft.operators.KMeans.load(spark, path)
 
+  /** fit + label-the-fitted-corpus in ONE shared cache scope — the shape
+    * e09/d10/e14 run (separate fit + assign calls recompute the
+    * fixed-point transform after the fit cache is released). The label
+    * frame is an eagerly-materialized compact (vec_id, cluster, dist)
+    * checkpoint. */
+  def kMeansFitAssign(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+      embCol: String = "embedding"): (graft.operators.KMeans.Model, DataFrame) =
+    graft.operators.KMeans.fitAssign(spark, emb, k, iters, embCol)
+
+  /** d18's transform as a frame API: per doc, chunk counts before/after
+    * the cross-doc-boilerplate strip and the cleaned-text md5. */
+  def boilerplateStrip(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.boilerplateStripOf(documents)
+
+  /** e14's tail: downsample every cluster of a (vec_id, cluster) label
+    * frame to the smallest cluster's size with deterministic
+    * hash-threshold membership (t14's exact integer arithmetic). */
+  def clusterBalancedSample(labels: DataFrame, salt: String = "cbal1"): DataFrame =
+    graft.queries.LlmOps.balanceByCluster(labels, salt, nName = "n_vecs")
+
   // ---- persisted dedup-index artifacts (the incremental-ingest loop) ----
 
   /** d01's artifact: every document with its exact-dup class id
@@ -320,6 +340,12 @@ object Graft {
     * SimHash fingerprint index (d04's artifact) — zero stream state. */
   def nearDupStream(docs: DataFrame, corpusFps: DataFrame, radius: Int = 3): DataFrame =
     graft.streaming.EventStream.nearDupStream(docs, corpusFps, radius)
+
+  /** Label a stream of (vec_id, embedding) rows with a persisted k-means
+    * model — stateless compiled projection, byte-identical to the batch
+    * assignment (EventStreamSpec). */
+  def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
+    graft.streaming.EventStream.clusterStream(emb, model)
 
   /** Exactly-once parquet landing zone (file-sink manifest + checkpoint). */
   def sinkParquet(df: DataFrame, path: String, checkpoint: String)

@@ -1795,7 +1795,7 @@ object LlmOps {
     * salted vec_id hash → per-cluster kept summary. `lab` is
     * (vec_id, cluster); the count column is caller-named so each query's
     * oracle keeps its vocabulary. */
-  private def balanceByCluster(lab: DataFrame, salt: String, nName: String): DataFrame = {
+  private[graft] def balanceByCluster(lab: DataFrame, salt: String, nName: String): DataFrame = {
     val counts = lab.groupBy("cluster").agg(count(lit(1)).as(nName))
     val mMin = counts.agg(min(col(nName)).as("m"))
     val th = counts

@@ -83,6 +83,22 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(guard.columns.toSeq == Seq("doc_id", "matched_id", "hamming"))
   }
 
+  test("curation surface: strip, fitAssign, balanced sample route through the engine") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val stripped = Graft.boilerplateStrip(docs)
+    assert(stripped.columns.toSeq ==
+      Seq("doc_id", "n_chunks", "n_kept", "n_tokens_after", "clean_md5"))
+    assert(stripped.count() > 0)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val (model, labels) = Graft.kMeansFitAssign(spark, emb, k = 4, iters = 1)
+    assert(model.k == 4 && labels.columns.toSeq == Seq("vec_id", "cluster", "dist"))
+    val bal = Graft.clusterBalancedSample(labels.select("vec_id", "cluster"))
+    assert(bal.columns.toSeq == Seq("cluster", "n_vecs", "n_kept", "kept_id_sum"))
+    // the smallest cluster's keep threshold is ~2^32-1: it keeps ~all rows
+    val byMin = bal.orderBy(col("n_vecs")).head()
+    assert(byMin.getLong(2) >= byMin.getLong(1) - 1)
+  }
+
   test("storage surface: parquet round trip via the facade") {
     val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
     val df = Tables.nation(spark, TestSpark.sf0001)
