@@ -111,7 +111,12 @@ object BenchScale {
     // train side; the f^2 model is the honest bound for THIS derivation.
     val family: Seq[(String, Int)] = Seq(
       "d02" -> 1, "d03" -> 1, "d06" -> 1, "d10" -> 1, "d11" -> 1,
-      "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2, "d13" -> 2
+      "t15" -> 1, "e09" -> 1, "e02" -> 2, "d12" -> 2, "d13" -> 2,
+      // late-round additions, all linear by design: d18 (two md5-keyed
+      // shuffles + doc_id reassembly), t18 (occurrences-vs-vocab join),
+      // e14 (fixed-k labeling + broadcast dims), t19 (the d18→t18→e14
+      // chain — linear iff every stage is)
+      "d18" -> 1, "t18" -> 1, "e14" -> 1, "t19" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -2702,7 +2702,10 @@ object LlmOps {
       FROM sc ORDER BY doc_id""")
   ) { (s, d) =>
     // cached: occurrences feed the LM aggregate AND the scoring join —
-    // without it the tokenize+explode subtree runs twice
+    // without it the tokenize+explode subtree runs twice. The frame is
+    // corpus-token-sized (local-disk-spillable, released with the query);
+    // at 100 TB drop the hint to trade a second tokenize for zero storage
+    // — the cache is an optimization, never a correctness dependency
     val oc = Tables
       .documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
@@ -3064,7 +3067,13 @@ object LlmOps {
     * slice → md5) plus the chunk TEXT and token count, joined to the
     * chunk-hash index. The chunk frame is cached inside (index aggregate
     * + attribution join both consume it, the d11 double-consumption
-    * pattern). Shared by d18 (strip report) and t19 (curation chain). */
+    * pattern). Unlike d11's hash-only cache this one carries the text —
+    * sized corpus/executors, spillable to local disk (MEMORY_AND_DISK),
+    * released with the query. At 100 TB either accept the spill (~100 GB
+    * per executor per 100 TB at 1000 executors) or drop the hint and pay
+    * the chunk subtree twice — both linear; the cache is an optimization,
+    * never a correctness dependency. Shared by d18 (strip report) and
+    * t19 (curation chain). */
   private def chunkIndexOf(documents: DataFrame): DataFrame = {
     val w = subdocWindow
     val chunkToks = slice(col("t"), col("c") * w + 1, lit(w))
