@@ -3301,6 +3301,16 @@ object LlmOps {
              COALESCE(smry.kept_id_sum, 0) AS kept_id_sum
       FROM th2 LEFT JOIN smry USING (cluster) ORDER BY th2.cluster""")
   ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
+    curationSummary(s, d, assigned)
+  }
+
+  /** t19's strip → NLL-filter → balance chain over a caller-supplied
+    * (vec_id, cluster) label frame — shared by t19 (in-plan fitAssign)
+    * and t20 (labels from the persisted model artifact), so the
+    * round-trip variant cannot drift from the fused one. */
+  private def curationSummary(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
     // STRIP: kept (non-boilerplate) chunks, re-tokenized. Cached — the
     // occurrence frame feeds the LM aggregate AND the scoring join (t18's
     // double-consumption pattern).
@@ -3329,18 +3339,31 @@ object LlmOps {
       (sum(col("nll").cast(DecimalType(28, 6))).cast("double") / count(lit(1))).as("m")
     )
     val surv = sc.crossJoin(broadcast(mn)).filter(col("nll") <= col("m")).select("doc_id")
-    // BALANCE: e09 labels (shared fitAssign checkpoint) restricted to the
-    // survivors, then e14's cluster-proportional downsample tail
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = 8, iters = 2)
+    // BALANCE: k-means labels restricted to the survivors, then e14's
+    // cluster-proportional downsample tail
     val lab = surv
-      .join(assigned.select("vec_id", "cluster"), col("doc_id") === col("vec_id"))
+      .join(labels.select("vec_id", "cluster"), col("doc_id") === col("vec_id"))
       .select("vec_id", "cluster")
     balanceByCluster(lab, salt = "cur1", nName = "n_candidates")
+  }
+
+  /** t19 THROUGH THE PERSISTED MODEL: fit, save, reload, and label with
+    * the LOADED artifact (`KMeans.assign`, the lineage-free map-only
+    * pass) — under t19's own oracle, proving the train-once/score-from-
+    * artifact split t19's scale note promises reproduces the fused plan
+    * byte-identically. The d17/e13 pattern applied to the curation
+    * chain; at 100 TB this is the shape that actually runs (the model is
+    * fitted at corpus build, every curation pass loads it). */
+  val t20 = Q("t20_curation_persisted", t19.oracle) { (s, d) =>
+    val dir = scratchDir("t20", d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.KMeans.save(s, graft.operators.KMeans.fit(s, emb, k = 8, iters = 2), s"$dir/kmeans")
+    val loaded = graft.operators.KMeans.load(s, s"$dir/kmeans")
+    curationSummary(s, d, graft.operators.KMeans.assign(s, emb, loaded))
   }
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }
