@@ -144,6 +144,10 @@ object BenchScale {
       }
       val t = math.min(once(), once())
       spark.sqlContext.clearCache()
+      // same hygiene as Bench: localCheckpoint label RDDs (e09/e14/t19's
+      // fitAssign) are invisible to clearCache — release the dead blocks
+      // so later tiers don't time against accumulated storage
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       t
     }
 

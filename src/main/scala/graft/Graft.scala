@@ -262,9 +262,13 @@ object Graft {
     graft.operators.KMeans.fitAssign(spark, emb, k, iters, embCol)
 
   /** d18's transform as a frame API: per doc, chunk counts before/after
-    * the cross-doc-boilerplate strip and the cleaned-text md5. */
+    * the cross-doc-boilerplate strip and the cleaned-text md5. Uncached
+    * variant — the chunk subtree runs twice (still linear) instead of
+    * pinning a corpus-sized cache the caller could never release; in a
+    * long-lived session, one leaked entry per ingest batch is the worse
+    * trade. */
   def boilerplateStrip(documents: DataFrame): DataFrame =
-    graft.queries.LlmOps.boilerplateStripOf(documents)
+    graft.queries.LlmOps.boilerplateStripOf(documents, cache = false)
 
   /** e14's tail: downsample every cluster of a (vec_id, cluster) label
     * frame to the smallest cluster's size with deterministic

@@ -2686,30 +2686,27 @@ object LlmOps {
     * occurrences against that dim (optimizer picks broadcast while the
     * vocab fits, AQE handles hot-token skew otherwise) and one per-doc
     * agg. */
-  val t18 = Q(
-    "t18_unigram_nll",
-    Some(s"""
-      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-      oc AS (SELECT doc_id, UNNEST(t) AS tok FROM tk),
+  /** The unigram-NLL CTE chain over a caller-supplied occurrence CTE
+    * body (doc_id, tok rows) — ONE copy shared by the t18 and t19
+    * oracles, ending with sc(doc_id, n_tokens, nll). Any precision or
+    * cast change here lands in every consumer at once (the exactCosine
+    * rule). */
+  private def nllCtesSql(ocBody: String): String =
+    s"""oc AS ($ocBody),
       ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
-      g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
-      lp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
-                           AS DECIMAL(28,9)) AS nlp
-             FROM ug CROSS JOIN g),
-      sc AS (SELECT oc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lp.nlp) AS s
-             FROM oc JOIN lp USING (tok) GROUP BY oc.doc_id)
-      SELECT doc_id, n_tokens, CAST(CAST(s AS DOUBLE) / n_tokens AS DOUBLE) AS nll
-      FROM sc ORDER BY doc_id""")
-  ) { (s, d) =>
-    // cached: occurrences feed the LM aggregate AND the scoring join —
-    // without it the tokenize+explode subtree runs twice. The frame is
-    // corpus-token-sized (local-disk-spillable, released with the query);
-    // at 100 TB drop the hint to trade a second tokenize for zero storage
-    // — the cache is an optimization, never a correctness dependency
-    val oc = Tables
-      .documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .cache()
+      gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
+      lpp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
+                            AS DECIMAL(28,9)) AS nlp
+              FROM ug CROSS JOIN gg),
+      sc AS (SELECT oc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(CAST(SUM(lpp.nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
+             FROM oc JOIN lpp USING (tok) GROUP BY oc.doc_id)"""
+
+  /** Per-doc unigram NLL of an occurrence frame (doc_id, tok) — the
+    * Spark twin of nllCtesSql, shared by t18 and t19 (curationSummary).
+    * Callers cache `oc` (it feeds the LM aggregate AND the scoring
+    * join). */
+  private def unigramNllOf(oc: DataFrame): DataFrame = {
     val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val g = ug.agg(sum(col("cnt")).as("tt"))
     val lp = ug
@@ -2722,12 +2719,30 @@ object LlmOps {
       )
     oc.join(lp, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp")).as("s"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        (col("s").cast("double") / col("n_tokens")).as("nll")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("nlp")).cast("double") / count(lit(1))).as("nll")
       )
+  }
+
+  val t18 = Q(
+    "t18_unigram_nll",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      ${nllCtesSql("SELECT doc_id, UNNEST(t) AS tok FROM tk")}
+      SELECT doc_id, n_tokens, nll FROM sc ORDER BY doc_id""")
+  ) { (s, d) =>
+    // cached: occurrences feed the LM aggregate AND the scoring join —
+    // without it the tokenize+explode subtree runs twice. The frame is
+    // corpus-token-sized (local-disk-spillable, released with the query);
+    // at 100 TB drop the hint to trade a second tokenize for zero storage
+    // — the cache is an optimization, never a correctness dependency
+    val oc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cache()
+    unigramNllOf(oc)
+      .select("doc_id", "n_tokens", "nll")
       .orderBy("doc_id")
   }
 
@@ -3073,11 +3088,15 @@ object LlmOps {
     * per executor per 100 TB at 1000 executors) or drop the hint and pay
     * the chunk subtree twice — both linear; the cache is an optimization,
     * never a correctness dependency. Shared by d18 (strip report) and
-    * t19 (curation chain). */
-  private def chunkIndexOf(documents: DataFrame): DataFrame = {
+    * t19 (curation chain). `cache = false` skips the hint entirely — the
+    * facade path uses it, because a lazy caller cannot release an
+    * internal cache and a long-lived session would accumulate one
+    * corpus-sized entry per input (the harness queries run under
+    * Bench/Verify's per-query clearCache hygiene instead). */
+  private def chunkIndexOf(documents: DataFrame, cache: Boolean = true): DataFrame = {
     val w = subdocWindow
     val chunkToks = slice(col("t"), col("c") * w + 1, lit(w))
-    val chunks = documents
+    val chunks0 = documents
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
       .select(
@@ -3094,16 +3113,17 @@ object LlmOps {
         size(chunkToks).cast("long").as("ntk")
       )
       .withColumn("h", md5(col("txt")))
-      .cache()
+    val chunks = if (cache) chunks0.cache() else chunks0
     val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     chunks.join(idx, "h")
   }
 
   /** Frame-parameterized body of d18 — package-visible so the edge-case
     * spec (pure-boilerplate doc, kept-chunk ordering) can feed a
-    * constructed corpus without writing parquet. */
-  private[graft] def boilerplateStripOf(documents: DataFrame): DataFrame =
-    chunkIndexOf(documents)
+    * constructed corpus without writing parquet, and so the facade can
+    * opt out of the internal cache (see chunkIndexOf). */
+  private[graft] def boilerplateStripOf(documents: DataFrame, cache: Boolean = true): DataFrame =
+    chunkIndexOf(documents, cache)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -3270,15 +3290,8 @@ object LlmOps {
     Some(s"""
       WITH ${kmeansCtes(8, 2)},
       $chunkIndexCtesSql,
-      oc AS (SELECT chh.doc_id, UNNEST(string_split(txt, ' ')) AS tok
-             FROM chh JOIN idx USING (h) WHERE idx.nd < 2),
-      ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
-      gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
-      lpp AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
-                            AS DECIMAL(28,9)) AS nlp
-              FROM ug CROSS JOIN gg),
-      sc AS (SELECT oc.doc_id, CAST(CAST(SUM(lpp.nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
-             FROM oc JOIN lpp USING (tok) GROUP BY oc.doc_id),
+      ${nllCtesSql("""SELECT chh.doc_id, UNNEST(string_split(txt, ' ')) AS tok
+             FROM chh JOIN idx USING (h) WHERE idx.nd < 2""")},
       mn AS (SELECT CAST(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
                       AS DOUBLE) AS m
              FROM sc),
@@ -3318,23 +3331,10 @@ object LlmOps {
       .filter(col("nd") < 2)
       .select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
       .cache()
-    // QUALITY: t18's unigram NLL over the cleaned corpus
-    val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val g = ug.agg(sum(col("cnt")).as("tt"))
-    val lp = ug
-      .crossJoin(broadcast(g))
-      .select(
-        col("tok"),
-        (-log(col("cnt").cast("double") / col("tt").cast("double")))
-          .cast(DecimalType(28, 9))
-          .as("nlp")
-      )
-    // cached: the per-doc score table feeds the mean AND the filter
-    val sc = oc
-      .join(lp, "tok")
-      .groupBy("doc_id")
-      .agg((sum(col("nlp")).cast("double") / count(lit(1))).as("nll"))
-      .cache()
+    // QUALITY: t18's unigram NLL over the cleaned corpus (the shared
+    // helper — ONE copy of the scoring math). Cached: the per-doc score
+    // table feeds the mean AND the filter.
+    val sc = unigramNllOf(oc).select("doc_id", "nll").cache()
     val mn = sc.agg(
       (sum(col("nll").cast(DecimalType(28, 6))).cast("double") / count(lit(1))).as("m")
     )
@@ -3359,7 +3359,15 @@ object LlmOps {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     graft.operators.KMeans.save(s, graft.operators.KMeans.fit(s, emb, k = 8, iters = 2), s"$dir/kmeans")
     val loaded = graft.operators.KMeans.load(s, s"$dir/kmeans")
-    curationSummary(s, d, graft.operators.KMeans.assign(s, emb, loaded))
+    // materialize the labels once (the fitAssign shape): curationSummary's
+    // balance tail evaluates the label frame more than once, and an
+    // un-checkpointed assign would recompute the full corpus transform +
+    // argmin kernel on every evaluation
+    curationSummary(
+      s,
+      d,
+      graft.operators.KMeans.assign(s, emb, loaded).localCheckpoint(true)
+    )
   }
 
   val all: Seq[Q] =
