@@ -3165,6 +3165,38 @@ object LlmOps {
     * either way, so swapping the candidate generator does not change the
     * plan past the lists. The 50-row full-outer fusion join is a
     * metadata-scale sort-merge. */
+  /** Exact-cosine top-C list for the single example query (vec_id 0),
+    * e01's two-stage contract: the compiled double cosine ranks the
+    * corpus, the exact-decimal kernel rescores only the margin-bounded
+    * ~top-C survivors. Returns (vid, cosine), the C best by
+    * (cosine DESC, vid). Shared by t17 (semantic RRF list) and e15 (MMR
+    * candidate stage). */
+  private def exampleCosineTopC(s: SparkSession, d: String, c: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+    val dbl = emb
+      .as("e")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
+      )
+    val wq = Window.partitionBy("qid")
+    val candidates = dbl
+      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
+      .withColumn("kth", min(when(col("rnk0") <= c, col("dbl"))).over(wq))
+      .filter(col("dbl") >= col("kth") - 1e-9)
+      .select("vid")
+    candidates
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
+      .crossJoin(broadcast(q.select(col("embedding").as("qe"))))
+      .select(col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vid"))
+      .limit(c)
+  }
+
   val t17 = Q(
     "t17_hybrid_retrieval",
     Some(s"""
@@ -3216,30 +3248,8 @@ object LlmOps {
       )
       .select("doc_id", "lex_rank")
     // semantic list: e01's two-stage contract with the single example
-    // vector — compiled double cosine ranks the corpus, the exact-decimal
-    // kernel rescores only the margin-bounded ~top-50 survivors
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = emb.filter(col("vec_id") === 0)
-    val dbl = emb
-      .as("e")
-      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
-      .select(
-        col("q.vec_id").as("qid"),
-        col("e.vec_id").as("vid"),
-        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
-      )
-    val wq = Window.partitionBy("qid")
-    val candidates = dbl
-      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
-      .withColumn("kth", min(when(col("rnk0") <= 50, col("dbl"))).over(wq))
-      .filter(col("dbl") >= col("kth") - 1e-9)
-      .select("vid")
-    val sem = candidates
-      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
-      .crossJoin(broadcast(q.select(col("embedding").as("qe"))))
-      .select(col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vid"))
-      .limit(50)
+    // vector (shared with e15's candidate stage)
+    val sem = exampleCosineTopC(s, d, 50)
       .withColumn(
         "sem_rank",
         row_number()
@@ -3370,8 +3380,105 @@ object LlmOps {
     )
   }
 
+  private val mmrCandidates = 20
+  private val mmrK = 10
+
+  /** MMR (maximal marginal relevance) diversified top-k: from the exact
+    * top-C cosine candidates for the example query, greedily select k
+    * items maximizing λ·relevance − (1−λ)·max-similarity-to-selected
+    * (λ = 0.5) — the diversity-aware re-rank that keeps a retrieved
+    * few-shot/training set from being k near-copies of the same hit. The
+    * greedy recursion is inherently sequential, so it runs where
+    * sequential things belong: over the COLLECTED C-row shortlist on the
+    * driver (C relevances + C²/2 pairwise sims ≈ metadata, the e02
+    * block-pair / KMeans-centroid precedent) — while every corpus-sized
+    * step (candidate generation, pairwise exact cosines) stays
+    * distributed. The DuckDB oracle replays the same greedy as a
+    * recursive CTE; exact-decimal cosines and a (score DESC, vid)
+    * tie-break make the k picks and scores bit-identical.
+    *
+    * Scale: candidate generation is e01's broadcast-scan shape (or any
+    * ANN path — the MMR stage only sees the shortlist); the C² sim join
+    * is C=20 rows a side. The collect is C + C²/2 rows — constant,
+    * independent of corpus size. */
+  val e15 = Q(
+    "e15_mmr_diverse",
+    Some(s"""
+      WITH RECURSIVE
+      f AS ($flatSql),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      qf AS (SELECT * FROM f WHERE vec_id = 0),
+      dot AS (SELECT f.vec_id AS vid, ${dprodSql("qf.v", "f.v")} AS dot
+              FROM qf JOIN f ON qf.pos = f.pos AND f.vec_id <> 0
+              GROUP BY vid),
+      cos AS (SELECT vid, ${cosineSql("nq", "nv")} AS rel
+              FROM dot JOIN n nq ON nq.vec_id = 0 JOIN n nv ON vid = nv.vec_id),
+      cand AS (SELECT vid, rel FROM cos ORDER BY rel DESC, vid LIMIT $mmrCandidates),
+      pd AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${dprodSql("a.v", "b.v")} AS dot
+             FROM f a JOIN f b ON a.pos = b.pos
+             WHERE a.vec_id IN (SELECT vid FROM cand)
+               AND b.vec_id IN (SELECT vid FROM cand) AND a.vec_id < b.vec_id
+             GROUP BY va, vb),
+      ps AS (SELECT va, vb, ${cosineSql("na", "nb")} AS sim
+             FROM (SELECT va, vb, dot FROM pd) pd
+             JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id),
+      sym AS (SELECT va, vb, sim FROM ps UNION ALL SELECT vb, va, sim FROM ps),
+      sel AS (
+        SELECT 1 AS step, vid, CAST(rel AS DOUBLE) AS mmr, [vid] AS chosen
+        FROM (SELECT vid, rel FROM cand ORDER BY rel DESC, vid LIMIT 1)
+        UNION ALL
+        SELECT s.step + 1, pick.vid, pick.mmr, list_append(s.chosen, pick.vid)
+        FROM sel s, LATERAL (
+          SELECT c.vid,
+                 CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * MAX(y.sim) AS mmr
+          FROM cand c JOIN sym y ON y.va = c.vid AND list_contains(s.chosen, y.vb)
+          WHERE NOT list_contains(s.chosen, c.vid)
+          GROUP BY c.vid, c.rel
+          ORDER BY mmr DESC, c.vid LIMIT 1
+        ) pick
+        WHERE s.step < $mmrK
+      )
+      SELECT CAST(step AS INTEGER) AS step, CAST(vid AS BIGINT) AS vid,
+             CAST(mmr AS DOUBLE) AS mmr
+      FROM sel ORDER BY step""")
+  ) { (s, d) =>
+    // distributed: candidate list (corpus scan) + pairwise exact cosines
+    val cand = exampleCosineTopC(s, d, mmrCandidates).cache()
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val ce = cand
+      .select("vid")
+      .join(emb, col("vid") === col("vec_id"))
+      .select(col("vid"), col("embedding"))
+    val simRows = ce
+      .as("a")
+      .join(ce.as("b"), col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("va"),
+        col("b.vid").as("vb"),
+        exactCosine(col("a.embedding"), col("b.embedding")).as("sim")
+      )
+    // driver: the sequential greedy over the metadata-sized shortlist
+    val rel = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = simRows.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sim(a: Long, b: Long): Double = sims((math.min(a, b), math.max(a, b)))
+    val byRel = rel.toSeq.sortBy { case (v, r) => (-r, v) }
+    var chosen = Vector[(Int, Long, Double)]((1, byRel.head._1, byRel.head._2))
+    var remaining = byRel.map(_._1).toSet - byRel.head._1
+    for (step <- 2 to math.min(mmrK, byRel.size)) {
+      // same expression shape as the oracle: 0.5·rel − 0.5·max(sim to
+      // chosen), both correctly-rounded double ops; ties break on vid
+      val pick = remaining.toSeq
+        .map(v => (v, 0.5 * rel(v) - 0.5 * chosen.map(c => sim(v, c._2)).max))
+        .minBy { case (v, m) => (-m, v) }
+      chosen :+= ((step, pick._1, pick._2))
+      remaining -= pick._1
+    }
+    import s.implicits._
+    chosen.toDF("step", "vid", "mmr").orderBy("step")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }
