@@ -3420,8 +3420,7 @@ object LlmOps {
                AND b.vec_id IN (SELECT vid FROM cand) AND a.vec_id < b.vec_id
              GROUP BY va, vb),
       ps AS (SELECT va, vb, ${cosineSql("na", "nb")} AS sim
-             FROM (SELECT va, vb, dot FROM pd) pd
-             JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id),
+             FROM pd JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id),
       sym AS (SELECT va, vb, sim FROM ps UNION ALL SELECT vb, va, sim FROM ps),
       sel AS (
         SELECT 1 AS step, vid, CAST(rel AS DOUBLE) AS mmr, [vid] AS chosen
@@ -3445,10 +3444,13 @@ object LlmOps {
     // distributed: candidate list (corpus scan) + pairwise exact cosines
     val cand = exampleCosineTopC(s, d, mmrCandidates).cache()
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // cached: the C-row candidate-embedding frame feeds BOTH sides of the
+    // pairwise self-join — uncached, each side would rescan embeddings
     val ce = cand
       .select("vid")
       .join(emb, col("vid") === col("vec_id"))
       .select(col("vid"), col("embedding"))
+      .cache()
     val simRows = ce
       .as("a")
       .join(ce.as("b"), col("a.vid") < col("b.vid"))
@@ -3462,19 +3464,24 @@ object LlmOps {
     val sims = simRows.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     def sim(a: Long, b: Long): Double = sims((math.min(a, b), math.max(a, b)))
     val byRel = rel.toSeq.sortBy { case (v, r) => (-r, v) }
-    var chosen = Vector[(Int, Long, Double)]((1, byRel.head._1, byRel.head._2))
-    var remaining = byRel.map(_._1).toSet - byRel.head._1
-    for (step <- 2 to math.min(mmrK, byRel.size)) {
-      // same expression shape as the oracle: 0.5·rel − 0.5·max(sim to
-      // chosen), both correctly-rounded double ops; ties break on vid
-      val pick = remaining.toSeq
-        .map(v => (v, 0.5 * rel(v) - 0.5 * chosen.map(c => sim(v, c._2)).max))
-        .minBy { case (v, m) => (-m, v) }
-      chosen :+= ((step, pick._1, pick._2))
-      remaining -= pick._1
-    }
     import s.implicits._
-    chosen.toDF("step", "vid", "mmr").orderBy("step")
+    // no candidates (corpus is empty or only the query vector): the
+    // oracle's recursive seed yields zero rows — match it, don't throw
+    if (byRel.isEmpty) Seq.empty[(Int, Long, Double)].toDF("step", "vid", "mmr")
+    else {
+      var chosen = Vector[(Int, Long, Double)]((1, byRel.head._1, byRel.head._2))
+      var remaining = byRel.map(_._1).toSet - byRel.head._1
+      for (step <- 2 to math.min(mmrK, byRel.size)) {
+        // same expression shape as the oracle: 0.5·rel − 0.5·max(sim to
+        // chosen), both correctly-rounded double ops; ties break on vid
+        val pick = remaining.toSeq
+          .map(v => (v, 0.5 * rel(v) - 0.5 * chosen.map(c => sim(v, c._2)).max))
+          .minBy { case (v, m) => (-m, v) }
+        chosen :+= ((step, pick._1, pick._2))
+        remaining -= pick._1
+      }
+      chosen.toDF("step", "vid", "mmr").orderBy("step")
+    }
   }
 
   val all: Seq[Q] =
