@@ -225,6 +225,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: boilerplate strip equals the brute-force chunk reference") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val w = 16
+    // docs assembled from a small pool of 16-token blocks (so cross-doc
+    // boilerplate actually occurs) plus a random unaligned tail — tails
+    // exercise the short final chunk, block reuse exercises nd >= 2
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val block = Gen.listOfN(w, word).map(_.mkString(" "))
+    val gen = for {
+      pool <- Gen.listOfN(4, block)
+      docs <- Gen.listOfN(
+        8,
+        for {
+          nBlocks <- Gen.chooseNum(0, 3)
+          blocks <- Gen.listOfN(nBlocks, Gen.oneOf(pool))
+          tailLen <- Gen.chooseNum(0, 20)
+          tail <- Gen.listOfN(tailLen, word)
+        } yield (blocks ++ (if (tail.isEmpty) Nil else Seq(tail.mkString(" ")))).mkString(" ")
+      )
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllN(gen, n = 6) { docs =>
+      // brute-force reference: chunk, count distinct docs per chunk text,
+      // keep nd < 2 chunks in order
+      def toks(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val chunked = docs
+        .map { case (id, t) => id -> toks(t).grouped(w).map(_.mkString(" ")).toVector }
+        .filter(_._2.nonEmpty)
+      val nd = chunked
+        .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1)
+        .map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+      val want = chunked.map { case (id, cs) =>
+        val kept = cs.filter(c => nd(c) < 2)
+        (id, cs.size.toLong, kept.size.toLong,
+          kept.map(c => toks(c).size.toLong).sum, md5Hex(kept.mkString(" ")))
+      }.sortBy(_._1)
+      val got = queries.LlmOps
+        .boilerplateStripOf(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+        .sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
   test("property: connected components match driver-side union-find") {
     import spark.implicits._
     val gen = for {
