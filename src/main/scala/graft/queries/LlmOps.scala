@@ -2706,7 +2706,7 @@ object LlmOps {
     * Spark twin of nllCtesSql, shared by t18 and t19 (curationSummary).
     * Callers cache `oc` (it feeds the LM aggregate AND the scoring
     * join). */
-  private def unigramNllOf(oc: DataFrame): DataFrame = {
+  private[graft] def unigramNllOf(oc: DataFrame): DataFrame = {
     val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val g = ug.agg(sum(col("cnt")).as("tt"))
     val lp = ug

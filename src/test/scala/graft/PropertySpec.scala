@@ -277,6 +277,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: unigram NLL equals the BigDecimal reference bit-for-bit") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // occurrence rows over a tiny vocab: hot tokens, singleton tokens,
+    // multi-occurrence docs — the shapes the decimal chain must survive
+    val gen = Gen.nonEmptyListOf(
+      for {
+        doc <- Gen.chooseNum(0L, 5L)
+        tok <- Gen.oneOf("a", "b", "c", "d", "e")
+      } yield (doc, tok)
+    )
+    forAllN(gen, n = 8) { occ =>
+      // reference: quantize each -ln(cnt/tt) to scale 9 HALF_UP (Spark's
+      // decimal-cast rounding), sum exactly, one double division
+      val cnt = occ.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val tt = occ.size.toLong
+      val nlp = cnt.map { case (t, c) =>
+        t -> JBD.valueOf(-math.log(c.toDouble / tt.toDouble)).setScale(9, RoundingMode.HALF_UP)
+      }
+      val want = occ
+        .groupBy(_._1)
+        .map { case (doc, xs) =>
+          val s = xs.map(x => nlp(x._2)).reduce(_.add(_))
+          (doc, xs.size.toLong, s.doubleValue / xs.size)
+        }
+        .toSeq
+        .sortBy(_._1)
+      val got = queries.LlmOps
+        .unigramNllOf(occ.toDF("doc_id", "tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+        .sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
   test("property: connected components match driver-side union-find") {
     import spark.implicits._
     val gen = for {
