@@ -146,6 +146,16 @@ class PlanAuditSpec extends AnyFunSuite {
         s"e14 checkpoints embedding data, not just labels: [$cols]")
   }
 
+  test("t18: LM stats ride broadcasts; the occurrence scan never cartesians") {
+    val p = plan("t18_unigram_nll")
+    // the 1-row total-token dim must broadcast into the vocab projection
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan ExistingRDD"), "t18 re-parallelizes driver data")
+    // scoring needs doc_id + text only
+    assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
+  }
+
   test("t19: the curation chain stays distributed — md5-keyed shuffles, broadcast dims, label checkpoint only") {
     val p = plan("t19_semantic_curation")
     // strip + LM stages shuffle on md5/token/doc keys, dims broadcast
