@@ -3380,6 +3380,90 @@ object LlmOps {
     )
   }
 
+  /** CCNet-style perplexity bucketing: rank every document by its
+    * unigram NLL (t18's score) and split the corpus into head / middle /
+    * tail terciles — the quality-tier assignment CCNet uses to decide
+    * what to keep, sample, or drop. Output per bucket: doc and token
+    * counts plus the NLL range, pinning every rank (a doc in the wrong
+    * tercile moves two buckets' counts and boundaries).
+    *
+    * The interesting part at scale is the GLOBAL EXACT RANK: a naive
+    * ROW_NUMBER() OVER (ORDER BY nll) is a single-partition window over
+    * the corpus. Here rank = range-exchange + within-partition
+    * row_number + per-partition count offsets (a 32-row metadata
+    * broadcast, t15's two-level idea applied to an arbitrary sort key
+    * instead of dense ids): repartitionByRange gives monotonic
+    * partitions over (nll, doc_id), so offset + local row number IS the
+    * global rank — whatever boundaries the range sampler picks, making
+    * the result independent of the sampling. The pid window costs one
+    * more hash exchange after the range one (Catalyst can't reuse a
+    * range partitioning for a window requirement) — two linear shuffles
+    * of 3-column metadata-light rows, vs the naive version's corpus
+    * through ONE task. Bucket assignment is integer arithmetic
+    * ((rank-1)·3 div n), exact in both engines. */
+  val t21 = Q(
+    "t21_nll_buckets",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      ${nllCtesSql("SELECT doc_id, UNNEST(t) AS tok FROM tk")},
+      r AS (SELECT doc_id, n_tokens, nll,
+              ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS rnk
+            FROM sc),
+      g2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc)
+      SELECT CAST(((rnk - 1) * 3) // n AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
+      FROM r CROSS JOIN g2 GROUP BY bucket ORDER BY bucket""")
+  ) { (s, d) =>
+    val oc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cache()
+    // cached: the scored frame feeds the range exchange AND the offset
+    // count — tiny rows (doc_id, n_tokens, nll)
+    val scored = unigramNllOf(oc).cache()
+    val ranked = scored
+      .repartitionByRange(32, col("nll"), col("doc_id"))
+      .sortWithinPartitions("nll", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("pid").orderBy("nll", "doc_id"))
+      )
+    // per-partition counts -> exclusive prefix offsets: 32 metadata rows
+    // (the t15 bucket-totals shape, incl. its non-foldable window key)
+    val offs = ranked
+      .groupBy("pid")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("c")).over(
+            Window
+              .partitionBy(pmod(col("pid"), lit(1)))
+              .orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+    val total = offs.agg(sum(col("c")).as("n"))
+    ranked
+      .join(broadcast(offs.select("pid", "off")), "pid")
+      .withColumn("rnk", col("off") + col("rn"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr("((rnk - 1) * 3) div n").cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("nll")).as("nll_lo"),
+        max(col("nll")).as("nll_hi")
+      )
+      .orderBy("bucket")
+  }
+
   private val mmrCandidates = 20
   private val mmrK = 10
 
@@ -3487,5 +3571,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

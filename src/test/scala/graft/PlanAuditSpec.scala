@@ -156,6 +156,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
   }
 
+  test("t21: global rank rides a range exchange; offsets broadcast back; no corpus-wide window") {
+    val p = plan("t21_nll_buckets")
+    // the rank's heavy lifting is the range repartition on (nll, doc_id)
+    assert(p.contains("rangepartitioning(nll"), p)
+    // offsets and total are metadata broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the data-path window must be pid-partitioned — a WINDOW fed by a
+    // SinglePartition exchange would be the naive global ROW_NUMBER this
+    // query exists to avoid (1-row aggregates may legitimately use
+    // single-partition exchanges, so pin the window's input specifically)
+    val naive = "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+    assert(naive.findFirstIn(p).isEmpty, s"corpus-wide window detected:\n$p")
+    assert(!p.contains("Scan ExistingRDD"), "t21 re-parallelizes driver data")
+  }
+
   test("t19: the curation chain stays distributed — md5-keyed shuffles, broadcast dims, label checkpoint only") {
     val p = plan("t19_semantic_curation")
     // strip + LM stages shuffle on md5/token/doc keys, dims broadcast
