@@ -116,7 +116,9 @@ object BenchScale {
       // shuffles + doc_id reassembly), t18 (occurrences-vs-vocab join),
       // e14 (fixed-k labeling + broadcast dims), t19 (the d18→t18→e14
       // chain — linear iff every stage is)
-      "d18" -> 1, "t18" -> 1, "e14" -> 1, "t19" -> 1
+      "d18" -> 1, "t18" -> 1, "e14" -> 1, "t19" -> 1,
+      // t21's global rank = two linear shuffles of 3-column rows
+      "t21" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
