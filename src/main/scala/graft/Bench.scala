@@ -13,6 +13,27 @@ import org.apache.spark.sql.SparkSession
   * honesty. Queries are forced with .count() (full plan execution, no
   * driver-side result materialization in the timing).
   *
+  * STATE DISCIPLINE: the cold run builds a query's caches, the warm run
+  * reuses them (steady-state — the number a long-lived pipeline stage
+  * sees), and then EVERY block the query pinned — SQL caches and
+  * localCheckpoint RDDs alike — is released synchronously
+  * (Hygiene.release, blocking unpersist) before the next query starts.
+  * The r6 full-suite capture had t20/d09/t21 at 2.4-3.9x their isolated
+  * numbers because the old release was non-blocking: block removal
+  * drifted behind the 103-query suite and storage pressure landed
+  * exactly on the queries that cache most. Clearing sits OUTSIDE the
+  * timed regions; within-query cache materialization still pays inside
+  * the cold number.
+  *
+  * DRIFT FLAGS: per query the live storage bytes after each run are
+  * recorded (the accumulation signal), and the warm time is compared
+  * against the committed BASELINE.md reference table (the LAST
+  * `| name | warm | cold |` row per query wins — later rounds override
+  * earlier ones). warm > 2x the reference row flags the query in
+  * bench_full.json ("drift": true) and increments "drift_flags" on the
+  * stdout line — a full-suite capture that degrades its own recorded
+  * numbers can no longer pass silently.
+  *
   * Output budget: the round driver captures only the LAST 2000 chars of
   * stdout, and full query names (~25 chars/entry x 80+ queries) overflow
   * that, truncating the head of the map (r3/r4 lost d01-d10). The stdout
@@ -30,10 +51,26 @@ object Bench {
   private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Reference warm seconds per query from BASELINE.md's recorded tables.
+    * Tolerant parse: any `| <query_id> | <num> | <num> |` row anywhere in
+    * the file; the last occurrence of a query wins. Missing file or
+    * unparseable rows → no reference → no flag (new queries are unflagged
+    * until their first committed row). */
+  private[graft] def baselineWarm(path: String = "BASELINE.md"): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val row = """\|\s*([a-z]\d{2}_[a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|\s*[0-9]+\.[0-9]+\s*\|""".r
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      row.findAllMatchIn(src).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ref = baselineWarm()
     // Warm the session once on the smallest tier (classloading, first-job
     // scheduler setup) so even "cold" numbers measure the engine.
     try SparkEntry.entry(spark).count()
@@ -54,53 +91,56 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => args.exists(n.contains) }
+    case class R(
+        name: String,
+        warm: Double,
+        cold: Double,
+        ok: Boolean,
+        stCold: Long,
+        stWarm: Long,
+        drift: Boolean
+    )
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
       val (cold, okC) = time(exec())
+      val stCold = Hygiene.storageBytes(spark)
       val (warm, okW) = time(exec())
-      // Drop cached intermediates (the dedup/ANN family caches signature
-      // and candidate frames) so a query's leftovers don't evict/GC-churn
-      // the queries benched after it — measured: q27/q28 read 3.3 s in the
-      // full suite vs 1.3/1.2 s isolated before this, identical after.
-      // Clearing sits OUTSIDE the timed region; within-query cache
-      // materialization still pays inside its own number.
-      spark.sqlContext.clearCache()
-      // clearCache only empties the SQL CacheManager; localCheckpoint
-      // blocks (KMeans.fitAssign's label frames in e09/e14/d10) live as
-      // plain persisted RDDs until the driver GCs them — release them
-      // explicitly. Safe here: queries are independent, and a dead
-      // checkpoint's frame is never re-read.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (okC && okW) (name, math.min(cold, warm), cold, true)
-      else (name, -1.0, -1.0, false)
+      val stWarm = Hygiene.storageBytes(spark)
+      Hygiene.release(spark)
+      if (okC && okW) {
+        val best = math.min(cold, warm)
+        R(name, best, cold, ok = true, stCold, stWarm, ref.get(name).exists(best > 2 * _))
+      } else R(name, -1.0, -1.0, ok = false, stCold, stWarm, drift = false)
     }
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + jnum(v) }
+      .map(r => "\"" + r.name.takeWhile(_ != '_') + "\":" + jnum(r.warm))
       .mkString("{", ",", "}")
-    val ok = results.filter(_._4)
-    val total = ok.map(_._2).sum
-    val coldTotal = ok.map(_._3).sum
-    val failed = results.count(!_._4)
-    // Full-name detail artifact (not size-constrained): warm + cold per
-    // query. ONLY full-suite runs may write it — a subset run (`Bench d13
-    // d14`) would otherwise clobber the tracked 85-query record with a
-    // 2-query file that reads as a clean full run (and the round snapshot
-    // commits the tree wholesale).
+    val ok = results.filter(_.ok)
+    val total = ok.map(_.warm).sum
+    val coldTotal = ok.map(_.cold).sum
+    val failed = results.count(!_.ok)
+    val driftFlags = results.count(_.drift)
+    // Full-name detail artifact (not size-constrained): warm + cold +
+    // end-of-run storage bytes + drift flag per query. ONLY full-suite
+    // runs may write it — a subset run (`Bench d13 d14`) would otherwise
+    // clobber the tracked record with a 2-query file that reads as a
+    // clean full run (and the round snapshot commits the tree wholesale).
     if (args.isEmpty) {
       val detail = results
-        .map { case (k, v, c, o) =>
-          s"""  "$k": {"warm": ${jnum(v)}, "cold": ${jnum(c)}, "ok": $o}"""
+        .map { r =>
+          val refPart = ref.get(r.name).map(v => s""", "ref_warm": ${jnum(v)}""").getOrElse("")
+          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "drift": ${r.drift}$refPart}"""
         }
         .mkString("{\n", ",\n", "\n}")
       val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
-        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "queries": $detail}"""
+        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "queries": $detail}"""
           .getBytes("UTF-8")
       )
     }
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

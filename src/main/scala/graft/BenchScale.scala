@@ -104,6 +104,20 @@ object BenchScale {
       .get("SPARK_GRAFT_SCALE_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 3, 10, 30))
+    // the composed two-alphabet text bijection repeats at i=100 (both
+    // digits 0) and the embedding shift+sign-flip repeats at r=128 — a
+    // factor past 100 would silently re-plant the cross-replica
+    // exact-duplicate inflation the v2 derivation exists to prevent
+    require(
+      factors.max <= 100,
+      s"scale derivation repeats past x100 (got x${factors.max}): extend the bijection first"
+    )
+    // subset override: SPARK_GRAFT_SCALE_QUERIES="d18,t18" runs only the
+    // named prefixes — the ×100 tier is filled in per-family across
+    // sessions rather than re-timing the whole table in one wall-clock hit
+    val onlyPrefixes = sys.env
+      .get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // (query prefix, cost model exponent: 1 = linear paths, 2 = exact all-pairs)
     // d12's eval AND train splits both grow with f here (both are hash
     // fractions of the same table), so its candidate count is ~f^2 — in
@@ -145,15 +159,17 @@ object BenchScale {
         val t0 = System.nanoTime(); exec(); (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(once(), once())
-      spark.sqlContext.clearCache()
-      // same hygiene as Bench: localCheckpoint label RDDs (e09/e14/t19's
-      // fitAssign) are invisible to clearCache — release the dead blocks
-      // so later tiers don't time against accumulated storage
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // same hygiene as Bench: Hygiene.release drops SQL caches AND
+      // localCheckpoint label RDDs (e09/e14/t19's fitAssign),
+      // synchronously, so later tiers don't time against accumulated
+      // storage
+      Hygiene.release(spark)
       t
     }
 
-    val rows = family.flatMap { case (prefix, exp) =>
+    val rows = family
+      .filter { case (p, _) => onlyPrefixes.forall(_.contains(p)) }
+      .flatMap { case (prefix, exp) =>
       val name = SparkEntry.queries.keys.find(_.startsWith(prefix)).get
       val times = factors.filter(_ <= maxFactorByExp(exp)).map { f =>
         f -> timeWarm(name, s"$workDir/x$f")

@@ -31,12 +31,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // the dedup/ANN family caches signature/candidate frames per
-        // query; across 85 queries the leftovers would pile up in storage
-        // memory (same hygiene as Bench — clearing is outside any timing)
-        spark.sqlContext.clearCache()
-        // localCheckpoint blocks (fitAssign label frames) are invisible
-        // to clearCache — release the dead RDDs too, as Bench does
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // query; across 100+ queries the leftovers would pile up in
+        // storage memory. Hygiene.release drops SQL caches AND
+        // localCheckpoint blocks, synchronously (same discipline as Bench
+        // — clearing is outside any timing).
+        Hygiene.release(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
