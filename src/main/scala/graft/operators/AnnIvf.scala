@@ -112,10 +112,20 @@ object AnnIvf {
       .write
       .mode("overwrite")
       .parquet(path)
+    // manifest LAST — it is the artifact's commit marker (see ArtifactManifest)
+    ArtifactManifest.write(
+      spark,
+      path,
+      "ivf-centroids",
+      Map("nlist" -> cs.length.toString, "dim" -> cs.head.length.toString)
+    )
   }
 
-  /** Reload a centroid set written by [[saveCentroids]] (exact inverse). */
+  /** Reload a centroid set written by [[saveCentroids]] (exact inverse).
+    * Manifest-validated: kind/version, then nlist and dimensionality
+    * against the loaded rows — typed errors, never a silent mis-probe. */
   def loadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] = {
+    val mf = ArtifactManifest.readAndCheck(spark, path, "ivf-centroids")
     val cs = spark.read
       .parquet(path)
       .select("cluster", "centroid")
@@ -125,6 +135,8 @@ object AnnIvf {
       .map(_._2)
       .toSeq
     require(cs.nonEmpty, s"no IVF centroids found at $path")
+    ArtifactManifest.check(path, "nlist", mf.getOrElse("nlist", "?"), cs.length.toString)
+    ArtifactManifest.check(path, "dim", mf.getOrElse("dim", "?"), cs.head.length.toString)
     cs
   }
 

@@ -75,10 +75,26 @@ object AnnPq {
       .write
       .mode("overwrite")
       .parquet(path)
+    // manifest LAST — it is the artifact's commit marker (see ArtifactManifest)
+    ArtifactManifest.write(
+      spark,
+      path,
+      "pq-codebooks",
+      Map(
+        "subspaces" -> model.subspaces.toString,
+        "sub_dim" -> model.subDim.toString,
+        "k" -> model.codebooks.head.k.toString
+      )
+    )
   }
 
-  /** Reload a codebook artifact written by [[save]] (exact inverse). */
+  /** Reload a codebook artifact written by [[save]] (exact inverse).
+    * Manifest-validated: kind/version, then subspace count, subspace
+    * width, and per-book k against the loaded rows — a foreign or
+    * truncated codebook raises a typed error instead of re-coding the
+    * corpus differently in silence. */
   def load(spark: SparkSession, path: String): Model = {
+    val mf = ArtifactManifest.readAndCheck(spark, path, "pq-codebooks")
     val rows = spark.read
       .parquet(path)
       .select("subspace", "cluster", "centroid", "sub_dim")
@@ -94,6 +110,9 @@ object AnnPq {
         val cents = rs.sortBy(_._2).map(_._3).toIndexedSeq
         KMeans.Model(cents.length, cents)
       }
+    ArtifactManifest.check(path, "subspaces", mf.getOrElse("subspaces", "?"), books.length.toString)
+    ArtifactManifest.check(path, "sub_dim", mf.getOrElse("sub_dim", "?"), subDim.toString)
+    ArtifactManifest.check(path, "k", mf.getOrElse("k", "?"), books.head.k.toString)
     Model(books.length, subDim, books)
   }
 

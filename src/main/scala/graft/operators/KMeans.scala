@@ -213,10 +213,23 @@ object KMeans {
       .write
       .mode("overwrite")
       .parquet(path)
+    // manifest LAST — it is the artifact's commit marker (see ArtifactManifest)
+    ArtifactManifest.write(
+      spark,
+      path,
+      "kmeans",
+      Map("k" -> model.k.toString, "dim" -> model.centroids.head.length.toString)
+    )
   }
 
-  /** Reload a model written by [[save]] (exact inverse — see save). */
+  /** Reload a model written by [[save]] (exact inverse — see save). The
+    * manifest is verified first: kind/version, then the declared k and
+    * centroid dimensionality against what the table actually holds —
+    * a truncated, foreign, or hand-mutated artifact raises a typed
+    * [[ArtifactManifest.Mismatch]]/[[ArtifactManifest.Missing]] instead
+    * of silently mislabeling a corpus. */
   def load(spark: SparkSession, path: String): Model = {
+    val mf = ArtifactManifest.readAndCheck(spark, path, "kmeans")
     val cents = spark.read
       .parquet(path)
       .select("cluster", "centroid")
@@ -226,6 +239,8 @@ object KMeans {
       .map(_._2)
       .toIndexedSeq
     require(cents.nonEmpty, s"no k-means centroids found at $path")
+    ArtifactManifest.check(path, "k", mf.getOrElse("k", "?"), cents.length.toString)
+    ArtifactManifest.check(path, "dim", mf.getOrElse("dim", "?"), cents.head.length.toString)
     Model(cents.length, cents)
   }
 
