@@ -24,6 +24,16 @@ import graft.Tables
   */
 object LlmOps {
 
+  /** `.cache()` with idempotent re-registration: a warm re-execution of a
+    * query reconstructs the same plan, and a second `.cache()` on an
+    * already-registered plan is pure `WARN CacheManager` log noise (reuse
+    * happens via plan matching either way). Every cache in this file goes
+    * through this so a bench/verify warm run leaves a clean log — see
+    * [[graft.Hygiene.cacheOnce]]. */
+  private implicit class CacheOnceOps(private val df: DataFrame) {
+    def cacheOnce(): DataFrame = graft.Hygiene.cacheOnce(df)
+  }
+
   // ---- canonical text primitives (must stay in lockstep with the SQL) ----
   // array_remove, not a filter() lambda: higher-order functions evaluate
   // interpreted (per-element lambda dispatch), which dominated the bench;
@@ -282,7 +292,7 @@ object LlmOps {
       .join(hashed, "sh")
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
-      .cache()
+      .cacheOnce()
     val sig = sigH
       .select(
         col("doc_id") +: (0 until 4).map(b =>
@@ -535,7 +545,7 @@ object LlmOps {
     // buffer conversions). The count-based df-cap below is also already
     // skew-proof: the cap groupBy aggregates O(1) state per key, and the
     // join fan-out after it is bounded by maxDf per shingle.
-    val sh = cappedShingles(s, d, jaccardMaxDf).cache()
+    val sh = cappedShingles(s, d, jaccardMaxDf).cacheOnce()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .as("a")
@@ -658,7 +668,7 @@ object LlmOps {
     // exchange on the 1-row-per-doc fingerprint table costs ~nothing
     // relative to tokenizing the corpus and makes that stage's parallelism
     // independent of scan split layout.
-    val fps = simhashFingerprints(s, d).repartition(col("doc_id")).cache()
+    val fps = simhashFingerprints(s, d).repartition(col("doc_id")).cacheOnce()
     simhashBandPairs(fps, simhashBits, hammingRadius).orderBy("doc_a", "doc_b")
   }
 
@@ -791,7 +801,7 @@ object LlmOps {
     // dup_near = false (exact-dup detection still sees them via text hash)
     val fps = simhashFingerprints(s, d)
       .join(tagged.select("doc_id", "is_batch"), "doc_id")
-      .cache()
+      .cacheOnce()
     val bBatch = simhashBandsDf(fps.filter(col("is_batch")), bBits, hammingRadius + 1)
     val bCorp = simhashBandsDf(fps.filter(!col("is_batch")), bBits, hammingRadius + 1)
     val nearIds = bBatch
@@ -853,15 +863,45 @@ object LlmOps {
     (hash, simhashBandsDf(fps, bBits, hammingRadius + 1))
   }
 
-  /** Write the dedup index artifact pair under `path` ({hash,bands}). */
+  /** Write the dedup index artifact pair under `path` ({hash,bands}).
+    * The manifest (written LAST — the commit marker) records both tables'
+    * physical row counts and the banding geometry; every mutator
+    * (appendDedupIndex, compactDedupIndex) rewrites it after its own data
+    * mutation commits. */
   private[graft] def saveDedupIndex(hash: DataFrame, bands: DataFrame, path: String): Unit = {
     hash.write.mode("overwrite").parquet(s"$path/hash")
     bands.write.mode("overwrite").parquet(s"$path/bands")
+    writeDedupManifest(hash.sparkSession, path)
   }
 
-  /** Reload a dedup index written by saveDedupIndex. */
-  private[graft] def loadDedupIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+  private def writeDedupManifest(s: SparkSession, path: String): Unit =
+    graft.operators.ArtifactManifest.write(
+      s,
+      path,
+      "dedup-index",
+      Map(
+        "simhash_bits" -> simhashBits.toString,
+        "bands" -> (simhashBits / (hammingRadius + 1)).toString,
+        "hash_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/hash").toString,
+        "band_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/bands").toString
+      )
+    )
+
+  /** Reload a dedup index written by saveDedupIndex. Manifest-validated:
+    * kind/version, banding geometry (an index banded for a different
+    * Hamming radius would silently change the near-dup recall), and both
+    * tables' physical row counts (a truncated or half-appended table —
+    * band rows missing for appended hash rows — fails here with a typed
+    * error instead of admitting near-duplicates). */
+  private[graft] def loadDedupIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val M = graft.operators.ArtifactManifest
+    val mf = M.readAndCheck(s, path, "dedup-index")
+    M.check(path, "simhash_bits", mf.getOrElse("simhash_bits", "?"), simhashBits.toString)
+    M.check(path, "bands", mf.getOrElse("bands", "?"), (simhashBits / (hammingRadius + 1)).toString)
+    M.check(path, "hash_rows", mf.getOrElse("hash_rows", "?"), M.tableRows(s, s"$path/hash").toString)
+    M.check(path, "band_rows", mf.getOrElse("band_rows", "?"), M.tableRows(s, s"$path/bands").toString)
     (s.read.parquet(s"$path/hash"), s.read.parquet(s"$path/bands"))
+  }
 
   /** Append an ADMITTED batch's rows to a persisted dedup index — the
     * maintenance half of the ingest loop ("maintained incrementally at
@@ -883,12 +923,32 @@ object LlmOps {
     * checkpoint is linear in the batch, the same cost class as the append
     * itself. (An ingest that has already LANDED its accepted docs — the
     * corpus write it performs anyway — pays nothing extra here beyond a
-    * re-read of the landed files.) */
+    * re-read of the landed files.)
+    *
+    * CRASH WINDOW between the two table appends: each parquet append is
+    * job-atomic (uncommitted task files are invisible to readers), but the
+    * two appends are separate jobs. Bands are written FIRST because a
+    * bands-present/hash-missing index stays SAFE for admission — an exact
+    * recrawl of an appended doc has an identical minhash signature, so the
+    * band join surfaces it and the similarity verdict rejects it at
+    * estimated Jaccard 1.0; the reverse order (hash first) would leave
+    * near-dup variants of the batch silently admitted, which no later
+    * append repairs. Recovery after any suspected partial append is to
+    * RE-APPEND the same batch: both tables tolerate duplicate rows by
+    * construction (admission dedups the hash side at join time; duplicate
+    * band rows only repeat a candidate pair), so the operation is
+    * idempotent for admission, and compactDedupIndex's distinct() retires
+    * the extra rows on the normal maintenance cadence. */
   private[graft] def appendDedupIndex(admitted: DataFrame, path: String): Unit = {
     val materialized = admitted.localCheckpoint(true)
     val (h, b) = dedupIndexOf(materialized)
-    h.write.mode("append").parquet(s"$path/hash")
     b.write.mode("append").parquet(s"$path/bands")
+    h.write.mode("append").parquet(s"$path/hash")
+    // re-commit the manifest with the post-append counts — a crash before
+    // this line leaves the OLD manifest contradicting the appended tables,
+    // so the next load fails typed and the operator re-appends (see the
+    // recovery note above)
+    writeDedupManifest(admitted.sparkSession, path)
   }
 
   /** Compact an appended dedup index: distinct the hash table (appends
@@ -926,6 +986,9 @@ object LlmOps {
           s"compactDedupIndex: swap failed; previous table preserved at $old")
       fs.delete(old, true): Unit
     }
+    // the distinct() changed hash_rows — re-commit the manifest against
+    // the swapped-in tables (manifest-last, as everywhere)
+    writeDedupManifest(s, path)
   }
 
   /** d08's admission verdict for a batch, against a PREBUILT corpus index
@@ -1035,9 +1098,12 @@ object LlmOps {
     * Scale: the shared-shingle inverted index join, bounded by the same
     * document-frequency cap as d03 (a boilerplate shingle in >maxDf docs
     * is noise, not contamination signal — and uncapped it would be the
-    * quadratic join key). Both aggregates are distinct-then-count (two
-    * clean map-side-combinable shuffles) instead of multi-COUNT(DISTINCT)
-    * in one groupBy, which would Expand-multiply the joined rows. */
+    * quadratic join key). Both distinct counts run in ONE grouped
+    * aggregate over a single evaluation of the join (Catalyst's Expand
+    * rewrite: 2x the joined rows map-side, partially aggregated before
+    * the shuffle) — measured cheaper than caching the corpus-sized join
+    * output to feed two separate distinct-then-count passes, and immune
+    * to the suite-wide cache-eviction failure the r6 bench exposed. */
   val d09 = Q(
     "d09_eval_decontam",
     Some(s"""
@@ -1060,20 +1126,22 @@ object LlmOps {
     val ev = sh
       .filter(col("split") === "test")
       .select(col("doc_id").as("eval_doc"), col("sh"))
-    // cached: the contamination rows feed both aggregates; without it the
-    // whole tokenize->shingle->cap->join subtree runs twice
-    val j = tr.join(ev, "sh").cache()
-    val a = j
-      .select("doc_id", "sh")
-      .distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared_shingles"))
-    val b = j
-      .select("doc_id", "eval_doc")
-      .distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_eval_docs"))
-    a.join(b, "doc_id").orderBy("doc_id")
+    // ONE pass over the contamination join: both distinct counts in a
+    // single grouped aggregate. Catalyst rewrites two COUNT(DISTINCT x)
+    // columns as an Expand (2x the joined rows) + two-level aggregation —
+    // so the join subtree is evaluated once per run instead of the r6
+    // shape's twice (two separate distinct-then-count aggregates over a
+    // cached join, whose corpus-sized cache was the 3.6x eviction victim
+    // in the r6 full-suite capture). The cache stays only for warm reuse
+    // of the materialized join across repeated audits; within a single
+    // run nothing depends on it.
+    val j = tr.join(ev, "sh").cacheOnce()
+    j.groupBy("doc_id")
+      .agg(
+        countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs")
+      )
+      .orderBy("doc_id")
   }
 
   // ---- embedding similarity ----
@@ -1427,7 +1495,7 @@ object LlmOps {
       .filter(nib.isin("e", "f"))
       .agg(count(lit(1)).as("n_eval"))
     // cached: the exact side feeds both the semi-join and its own count
-    val exact = d12.run(s, d).select("vec_id").cache()
+    val exact = d12.run(s, d).select("vec_id").cacheOnce()
     val detected = exact.join(d13.run(s, d).select("vec_id"), Seq("vec_id"), "left_semi")
     nEval
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
@@ -1507,7 +1575,7 @@ object LlmOps {
     Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
   ) { (s, d) =>
     // cached for the same double-reference reason as e05
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
     recallGate(exact, approx, 0.4)
   }
@@ -1577,7 +1645,7 @@ object LlmOps {
       .filter(col("rnk") <= 5)
       .select("qid", "vid")
     // cached: exact feeds both the hit join and the per-query k counts
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     recallGate(exact, approx, 0.7)
   }
 
@@ -1619,7 +1687,7 @@ object LlmOps {
     // cached: `exact` feeds both the hit join and the per-query k counts —
     // without it the entire e01 pipeline (broadcast scan + two-stage
     // rescore) executes twice inside this one gate (measured ~2x)
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cache()
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
     recallGate(exact, approx, 0.7)
   }
@@ -1771,11 +1839,11 @@ object LlmOps {
       cnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM fin GROUP BY cluster),
       mm AS (SELECT MIN(n_vecs) AS m FROM cnt),
       th AS (SELECT cluster, n_vecs,
-               printf('%08x', LEAST((mm.m * 4294967296) // n_vecs, 4294967295)) AS th
+               printf('%09x', (mm.m * 4294967296) // n_vecs) AS th
              FROM cnt CROSS JOIN mm),
       kept AS (SELECT f.cluster, f.vec_id
                FROM fin f JOIN th USING (cluster)
-               WHERE substr(md5('cbal1|' || CAST(f.vec_id AS VARCHAR)), 1, 8) < th.th),
+               WHERE '0' || substr(md5('cbal1|' || CAST(f.vec_id AS VARCHAR)), 1, 8) < th.th),
       smry AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
             FROM kept GROUP BY cluster)
@@ -1798,20 +1866,26 @@ object LlmOps {
   private[graft] def balanceByCluster(lab: DataFrame, salt: String, nName: String): DataFrame = {
     val counts = lab.groupBy("cluster").agg(count(lit(1)).as(nName))
     val mMin = counts.agg(min(col(nName)).as("m"))
+    // 9-digit scheme (functions.Sampling.thresholdHex's fix): the m == n
+    // smallest cluster gets threshold "100000000" (= 2^32, one digit
+    // wider than any "0"-prefixed 8-digit hash bucket), so it keeps ALL
+    // its rows — an 8-digit threshold clamped to "ffffffff" under a
+    // strict < would drop the ~1-in-4e9 row whose bucket is exactly
+    // "ffffffff", which at corpus scale is a real row.
     val th = counts
       .crossJoin(broadcast(mMin))
       .select(
         col("cluster"),
         col(nName),
-        format_string(
-          "%08x",
-          least(expr(s"(m * 4294967296L) div $nName"), lit(4294967295L))
-        ).as("th")
+        format_string("%09x", expr(s"(m * 4294967296L) div $nName")).as("th")
       )
     val kept = lab
       .join(broadcast(th.select("cluster", "th")), "cluster")
       .filter(
-        substring(md5(concat(lit(s"$salt|"), col("vec_id").cast("string"))), 1, 8) < col("th")
+        concat(
+          lit("0"),
+          substring(md5(concat(lit(s"$salt|"), col("vec_id").cast("string"))), 1, 8)
+        ) < col("th")
       )
     val summary = kept
       .groupBy("cluster")
@@ -1939,7 +2013,7 @@ object LlmOps {
     // self-join — without it the scan + compiled assignment runs twice
     val ea = emb
       .join(assigned.select("vec_id", "cluster"), "vec_id")
-      .cache()
+      .cacheOnce()
     val hotThreshold = targetClusterSize.toLong * hotFactor
     // k rows of (cluster, size): broadcast to tag membership shuffle-free
     val sizes = ea.groupBy("cluster").agg(count(lit(1)).as("__csize"))
@@ -2021,7 +2095,7 @@ object LlmOps {
       .select("qid", "vid")
     // exact integer-L2 baseline: compiled int_sqdist brute force over the
     // same fixed-point encoding (cached: feeds the hit join and k counts)
-    val fp = KMeans.fixedPoint(emb, "embedding").cache()
+    val fp = KMeans.fixedPoint(emb, "embedding").cacheOnce()
     val qFp = fp.filter(col("vec_id") < 10)
     val exactL2 = fp
       .as("e")
@@ -2036,7 +2110,7 @@ object LlmOps {
       .withColumn("rnk", row_number().over(wEx))
       .filter(col("rnk") <= 5)
       .select("qid", "vid")
-      .cache()
+      .cacheOnce()
     recallGate(exact, approx, 0.4)
   }
 
@@ -2618,7 +2692,7 @@ object LlmOps {
     val lens = Tables
       .documents(s, d)
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
-      .cache()
+      .cacheOnce()
     val g = lens.agg(sum(col("dl")).as("sl"), count(lit(1)).as("n"))
     val tf = Tables
       .documents(s, d)
@@ -2702,28 +2776,79 @@ object LlmOps {
                     CAST(CAST(SUM(lpp.nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
              FROM oc JOIN lpp USING (tok) GROUP BY oc.doc_id)"""
 
-  /** Per-doc unigram NLL of an occurrence frame (doc_id, tok) — the
-    * Spark twin of nllCtesSql, shared by t18 and t19 (curationSummary).
-    * Callers cache `oc` (it feeds the LM aggregate AND the scoring
-    * join). */
-  private[graft] def unigramNllOf(oc: DataFrame): DataFrame = {
+  /** The trained unigram LM of an occurrence frame: (tok, nlp) with nlp =
+    * -ln(count/total) as DECIMAL(28,9) — the model half of unigramNllOf,
+    * factored out so it can be PERSISTED (saveUnigramLm) and scored
+    * against from batch (t18/t22) and streams (EventStream.nllStream)
+    * alike. Vocabulary-sized: one row per distinct token. */
+  private[graft] def unigramLmOf(oc: DataFrame): DataFrame = {
     val ug = oc.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val g = ug.agg(sum(col("cnt")).as("tt"))
-    val lp = ug
-      .crossJoin(broadcast(g))
+    ug.crossJoin(broadcast(g))
       .select(
         col("tok"),
         (-log(col("cnt").cast("double") / col("tt").cast("double")))
           .cast(DecimalType(28, 9))
           .as("nlp")
       )
-    oc.join(lp, "tok")
-      .groupBy("doc_id")
+  }
+
+  /** Score an occurrence frame against a unigram LM (fitted in-plan or
+    * loaded from the artifact): per doc, token count and mean token NLL
+    * via the exact DECIMAL(28,9) sum. ONE copy of the scoring math —
+    * `groupKeys` lets the streaming scorer group by (event-time, doc_id)
+    * so watermark-append semantics hold, with the identical aggregate
+    * expressions (parity is spec-pinned). */
+  private[graft] def scoreAgainstLm(
+      oc: DataFrame,
+      lm: DataFrame,
+      groupKeys: Seq[Column] = Seq(col("doc_id"))
+  ): DataFrame =
+    oc.join(lm, "tok")
+      .groupBy(groupKeys: _*)
       .agg(
         count(lit(1)).as("n_tokens"),
         (sum(col("nlp")).cast("double") / count(lit(1))).as("nll")
       )
+
+  /** Per-doc unigram NLL of an occurrence frame (doc_id, tok) — the
+    * Spark twin of nllCtesSql, shared by t18 and t19 (curationSummary).
+    * Callers cache `oc` (it feeds the LM aggregate AND the scoring
+    * join). */
+  private[graft] def unigramNllOf(oc: DataFrame): DataFrame =
+    scoreAgainstLm(oc, unigramLmOf(oc))
+
+  /** Persist a unigram LM as a parquet artifact (tok, nlp) + manifest —
+    * the one index family that was still rebuilt in-plan on every scoring
+    * pass. At 100 TB the LM is trained on a corpus build and every later
+    * quality gate (batch t22, streaming nllStream — the CCNet
+    * online-filter shape) scores against the frozen artifact; DECIMAL
+    * fixed-point round-trips parquet bit-exactly, so scores from the
+    * loaded LM are byte-identical to the fused plan (t22 is gated under
+    * t18's oracle to prove it). */
+  private[graft] def saveUnigramLm(lm: DataFrame, path: String): Unit = {
+    lm.write.mode("overwrite").parquet(path)
+    val s = lm.sparkSession
+    graft.operators.ArtifactManifest.write(
+      s,
+      path,
+      "unigram-lm",
+      Map("vocab_rows" -> graft.operators.ArtifactManifest.tableRows(s, path).toString)
+    )
   }
+
+  /** Reload a unigram LM written by [[saveUnigramLm]]; manifest-validated
+    * (kind/version + vocabulary row count vs the physical table). */
+  private[graft] def loadUnigramLm(s: SparkSession, path: String): DataFrame = {
+    val M = graft.operators.ArtifactManifest
+    val mf = M.readAndCheck(s, path, "unigram-lm")
+    M.check(path, "vocab_rows", mf.getOrElse("vocab_rows", "?"), M.tableRows(s, path).toString)
+    s.read.parquet(path)
+  }
+
+  /** Tokenizer handle for the streaming scorer (EventStream.nllStream
+    * must tokenize arriving docs EXACTLY as the batch LM trainer did). */
+  private[graft] def tokensCol(text: Column): Column = toks(text)
 
   val t18 = Q(
     "t18_unigram_nll",
@@ -2740,8 +2865,28 @@ object LlmOps {
     val oc = Tables
       .documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .cache()
+      .cacheOnce()
     unigramNllOf(oc)
+      .select("doc_id", "n_tokens", "nll")
+      .orderBy("doc_id")
+  }
+
+  /** t18 THROUGH THE PERSISTED LM: train the unigram LM, save it, reload
+    * it, and score the corpus from the LOADED artifact — under t18's own
+    * oracle, proving the train-once/score-from-artifact split for the
+    * quality-score family (the d17/e13/t20 pattern applied to the LM —
+    * the one index family that was still rebuilt in-plan every pass).
+    * This is the batch half of the CCNet online-filter shape; the
+    * streaming half (EventStream.nllStream) scores arrivals against the
+    * same artifact, spec-pinned byte-identical. */
+  val t22 = Q("t22_nll_persisted", t18.oracle) { (s, d) =>
+    val dir = scratchDir("t22", d)
+    val oc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cacheOnce()
+    saveUnigramLm(unigramLmOf(oc), s"$dir/lm")
+    scoreAgainstLm(oc, loadUnigramLm(s, s"$dir/lm"))
       .select("doc_id", "n_tokens", "nll")
       .orderBy("doc_id")
   }
@@ -2752,12 +2897,12 @@ object LlmOps {
     * DATA-DEPENDENT fractions (m/n per source) computed in-plan.
     *
     * The per-source keep threshold is exact integer arithmetic end to
-    * end: floor(m * 2^32 / n_source), capped at 2^32-1 (so the smallest
-    * source keeps everything except the 1-in-4e9 hash value 'ffffffff' —
-    * a documented, deterministic cap, identical in both engines; floats
-    * never appear, so membership is bit-reproducible). Rendered as 8
-    * lowercase hex digits, membership is the same lexicographic
-    * md5-prefix compare as functions.Sampling — a pure row predicate.
+    * end: floor(m * 2^32 / n_source), rendered as 9 lowercase hex digits
+    * (the smallest source's threshold is "100000000" = 2^32, so it keeps
+    * EVERY row — see functions.Sampling.thresholdHex; floats never
+    * appear, so membership is bit-reproducible). Membership is the same
+    * lexicographic "0"-prefixed md5-bucket compare as functions.Sampling
+    * — a pure row predicate.
     *
     * Output pins the mixture: per source the original count, kept count,
     * and the SUM of kept doc_ids (a membership checksum — any flipped
@@ -2773,11 +2918,11 @@ object LlmOps {
                  FROM documents GROUP BY source),
       mm AS (SELECT MIN(n_docs) AS m FROM c),
       th AS (SELECT source, n_docs,
-               printf('%08x', LEAST((mm.m * 4294967296) // n_docs, 4294967295)) AS th
+               printf('%09x', (mm.m * 4294967296) // n_docs) AS th
              FROM c CROSS JOIN mm),
       kept AS (SELECT d.source, d.doc_id
                FROM documents d JOIN th ON d.source = th.source
-               WHERE substr(md5('mix1|' || d.text), 1, 8) < th.th),
+               WHERE '0' || substr(md5('mix1|' || d.text), 1, 8) < th.th),
       s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
             FROM kept GROUP BY source)
@@ -2796,14 +2941,13 @@ object LlmOps {
       .select(
         col("source"),
         col("n_docs"),
-        format_string(
-          "%08x",
-          least(expr("(m * 4294967296L) div n_docs"), lit(4294967295L))
-        ).as("th")
+        format_string("%09x", expr("(m * 4294967296L) div n_docs")).as("th")
       )
     val kept = docs
       .join(broadcast(th.select("source", "th")), "source")
-      .filter(substring(md5(concat(lit("mix1|"), col("text"))), 1, 8) < col("th"))
+      .filter(
+        concat(lit("0"), substring(md5(concat(lit("mix1|"), col("text"))), 1, 8)) < col("th")
+      )
     val summary = kept
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
@@ -3008,7 +3152,7 @@ object LlmOps {
       // (differing exchange children block ReusedExchange), and the
       // tokenize->slice->md5 subtree is the dominant cost — the d03/d09
       // double-consumption pattern
-      .cache()
+      .cacheOnce()
     val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     chunks
       .join(idx, "h")
@@ -3113,7 +3257,7 @@ object LlmOps {
         size(chunkToks).cast("long").as("ntk")
       )
       .withColumn("h", md5(col("txt")))
-    val chunks = if (cache) chunks0.cache() else chunks0
+    val chunks = if (cache) chunks0.cacheOnce() else chunks0
     val idx = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     chunks.join(idx, "h")
   }
@@ -3312,10 +3456,10 @@ object LlmOps {
                FROM lab GROUP BY cluster),
       mm2 AS (SELECT MIN(n_candidates) AS m2 FROM cnt2),
       th2 AS (SELECT cluster, n_candidates,
-                printf('%08x', LEAST((mm2.m2 * 4294967296) // n_candidates, 4294967295)) AS th
+                printf('%09x', (mm2.m2 * 4294967296) // n_candidates) AS th
               FROM cnt2 CROSS JOIN mm2),
       kept AS (SELECT l.cluster, l.vec_id FROM lab l JOIN th2 USING (cluster)
-               WHERE substr(md5('cur1|' || CAST(l.vec_id AS VARCHAR)), 1, 8) < th2.th),
+               WHERE '0' || substr(md5('cur1|' || CAST(l.vec_id AS VARCHAR)), 1, 8) < th2.th),
       smry AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
                       CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
                FROM kept GROUP BY cluster)
@@ -3340,11 +3484,11 @@ object LlmOps {
     val oc = chunkIndexOf(Tables.documents(s, d))
       .filter(col("nd") < 2)
       .select(col("doc_id"), explode(split(col("txt"), " ")).as("tok"))
-      .cache()
+      .cacheOnce()
     // QUALITY: t18's unigram NLL over the cleaned corpus (the shared
     // helper — ONE copy of the scoring math). Cached: the per-doc score
     // table feeds the mean AND the filter.
-    val sc = unigramNllOf(oc).select("doc_id", "nll").cache()
+    val sc = unigramNllOf(oc).select("doc_id", "nll").cacheOnce()
     val mn = sc.agg(
       (sum(col("nll").cast(DecimalType(28, 6))).cast("double") / count(lit(1))).as("m")
     )
@@ -3415,24 +3559,28 @@ object LlmOps {
              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
       FROM r CROSS JOIN g2 GROUP BY bucket ORDER BY bucket""")
-  ) { (s, d) =>
-    val oc = Tables
-      .documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .cache()
-    // cached: the scored frame feeds the range exchange AND the offset
-    // count — tiny rows (doc_id, n_tokens, nll)
-    val scored = unigramNllOf(oc).cache()
-    val ranked = scored
-      .repartitionByRange(32, col("nll"), col("doc_id"))
-      .sortWithinPartitions("nll", "doc_id")
-      .withColumn("pid", spark_partition_id())
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("pid").orderBy("nll", "doc_id"))
-      )
-    // per-partition counts -> exclusive prefix offsets: 32 metadata rows
-    // (the t15 bucket-totals shape, incl. its non-foldable window key)
+  ) { (s, d) => nllBuckets(s, d, s.sparkContext.defaultParallelism) }
+
+  /** t21's rank machinery with the range-exchange width explicit — the
+    * partition count is cluster-sized (`defaultParallelism` from the
+    * query, 32 on the local harness, 2560 on a 2560-CPU cluster), never
+    * hard-coded: the offset arithmetic makes the result invariant to the
+    * width AND to whatever boundaries the range sampler picks, which is
+    * the point of the design (RankParitySpec pins two widths to identical
+    * output). */
+  private[graft] def nllBuckets(s: SparkSession, d: String, numParts: Int): DataFrame = {
+    // The ranked frame is read TWICE (offset aggregate + final join), and
+    // its correctness depends on both readers seeing the SAME partition
+    // assignment. RangePartitioner samples boundaries per-instantiation,
+    // so a plan where the two subtrees each evaluate the exchange could
+    // pick different boundaries if ReuseExchange ever fails to fire
+    // (spark.sql.exchange.reuse=false, future plan divergence) — silent
+    // wrong ranks. localCheckpoint(true) materializes pid+rn ONCE
+    // (tiny 5-column rows) so pid assignment is structurally
+    // single-evaluation, not an optimizer artifact.
+    val ranked = rankedByNll(s, d, numParts).localCheckpoint(true)
+    // per-partition counts -> exclusive prefix offsets: numParts metadata
+    // rows (the t15 bucket-totals shape, incl. its non-foldable window key)
     val offs = ranked
       .groupBy("pid")
       .agg(count(lit(1)).as("c"))
@@ -3462,6 +3610,28 @@ object LlmOps {
         max(col("nll")).as("nll_hi")
       )
       .orderBy("bucket")
+  }
+
+  /** The distributed-rank data path (pre-checkpoint): score, range-exchange
+    * on (nll, doc_id), local row_number. Factored out so PlanAuditSpec can
+    * pin the shape Catalyst actually runs — the checkpoint in nllBuckets
+    * erases it from the downstream plan. */
+  private[graft] def rankedByNll(s: SparkSession, d: String, numParts: Int): DataFrame = {
+    val oc = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cacheOnce()
+    // cached for warm reuse: the per-doc score table is the expensive
+    // upstream of the (re-executed-per-run) checkpoint in nllBuckets
+    val scored = unigramNllOf(oc).cacheOnce()
+    scored
+      .repartitionByRange(numParts, col("nll"), col("doc_id"))
+      .sortWithinPartitions("nll", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("pid").orderBy("nll", "doc_id"))
+      )
   }
 
   private val mmrCandidates = 20
@@ -3526,7 +3696,7 @@ object LlmOps {
       FROM sel ORDER BY step""")
   ) { (s, d) =>
     // distributed: candidate list (corpus scan) + pairwise exact cosines
-    val cand = exampleCosineTopC(s, d, mmrCandidates).cache()
+    val cand = exampleCosineTopC(s, d, mmrCandidates).cacheOnce()
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // cached: the C-row candidate-embedding frame feeds BOTH sides of the
     // pairwise self-join — uncached, each side would rescan embeddings
@@ -3534,7 +3704,7 @@ object LlmOps {
       .select("vid")
       .join(emb, col("vid") === col("vec_id"))
       .select(col("vid"), col("embedding"))
-      .cache()
+      .cacheOnce()
     val simRows = ce
       .as("a")
       .join(ce.as("b"), col("a.vid") < col("b.vid"))
@@ -3568,8 +3738,168 @@ object LlmOps {
     }
   }
 
+  private val mmrQids = Seq(0L, 1L, 2L)
+
+  /** GROUPED MMR: e15's diversified top-k PER QUERY, over a set of query
+    * vectors at once — the shape a retrieval/few-shot pipeline actually
+    * runs (thousands of qids against one corpus; reference README.md's
+    * demo-card retrieval is this workload). e15 keeps the didactic
+    * single-query form with the greedy on the driver; here NOTHING scales
+    * with the number of queries on the driver: candidate generation is
+    * one per-qid-windowed corpus pass, pairwise sims one qid-keyed
+    * self-join, and the inherently-sequential greedy runs INSIDE
+    * `flatMapGroups` — each qid's group carries C relevances + C²/2 sims
+    * (constant, ~210 rows at C=20), so a million qids are a million
+    * constant-size groups across the cluster, zero driver collects
+    * (PlanAuditSpec pins the plan). The greedy body is the same
+    * correctly-rounded double expression as e15's, and the oracle is the
+    * same recursive-CTE greedy with qid carried through seed, LATERAL
+    * pick, and recursion state — bit-identical picks and scores per qid. */
+  val e16 = Q(
+    "e16_mmr_grouped",
+    Some(s"""
+      WITH RECURSIVE
+      f AS ($flatSql),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      qf AS (SELECT * FROM f WHERE vec_id IN (${mmrQids.mkString(", ")})),
+      dot AS (SELECT qf.vec_id AS qid, f.vec_id AS vid, ${dprodSql("qf.v", "f.v")} AS dot
+              FROM qf JOIN f ON qf.pos = f.pos AND f.vec_id <> qf.vec_id
+              GROUP BY qid, vid),
+      cos AS (SELECT qid, vid, ${cosineSql("nq", "nv")} AS rel
+              FROM dot JOIN n nq ON nq.vec_id = qid JOIN n nv ON vid = nv.vec_id),
+      cand AS (SELECT qid, vid, rel FROM cos
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vid) <= $mmrCandidates),
+      cd AS (SELECT DISTINCT qid, vid FROM cand),
+      pd AS (SELECT ca.qid, a.vec_id AS va, b.vec_id AS vb, ${dprodSql("a.v", "b.v")} AS dot
+             FROM f a JOIN f b ON a.pos = b.pos AND a.vec_id < b.vec_id
+             JOIN cd ca ON ca.vid = a.vec_id
+             JOIN cd cb ON cb.vid = b.vec_id AND cb.qid = ca.qid
+             GROUP BY ca.qid, va, vb),
+      ps AS (SELECT qid, va, vb, ${cosineSql("na", "nb")} AS sim
+             FROM pd JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id),
+      sym AS (SELECT qid, va, vb, sim FROM ps
+              UNION ALL SELECT qid, vb, va, sim FROM ps),
+      sel AS (
+        SELECT qid, 1 AS step, vid, CAST(rel AS DOUBLE) AS mmr, [vid] AS chosen
+        FROM (SELECT qid, vid, rel FROM cand
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vid) = 1)
+        UNION ALL
+        SELECT s.qid, s.step + 1, pick.vid, pick.mmr, list_append(s.chosen, pick.vid)
+        FROM sel s, LATERAL (
+          SELECT c.vid,
+                 CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * MAX(y.sim) AS mmr
+          FROM cand c JOIN sym y ON y.qid = s.qid AND y.va = c.vid
+                                AND list_contains(s.chosen, y.vb)
+          WHERE c.qid = s.qid AND NOT list_contains(s.chosen, c.vid)
+          GROUP BY c.vid, c.rel
+          ORDER BY mmr DESC, c.vid LIMIT 1
+        ) pick
+        WHERE s.step < $mmrK
+      )
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(step AS INTEGER) AS step,
+             CAST(vid AS BIGINT) AS vid, CAST(mmr AS DOUBLE) AS mmr
+      FROM sel ORDER BY qid, step""")
+  ) { (s, d) =>
+    val cand = groupedCosineTopC(s, d, mmrQids, mmrCandidates).cacheOnce()
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // per-qid candidate embeddings: C rows per qid, both sides of the
+    // qid-keyed pairwise self-join
+    val ce = cand
+      .select("qid", "vid")
+      .join(emb, col("vid") === col("vec_id"))
+      .select(col("qid"), col("vid"), col("embedding"))
+      .cacheOnce()
+    val simRows = ce
+      .as("a")
+      .join(
+        ce.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vid") < col("b.vid")
+      )
+      .select(
+        col("a.qid").as("qid"),
+        col("a.vid").as("va"),
+        col("b.vid").as("vb"),
+        exactCosine(col("a.embedding"), col("b.embedding")).cast("double").as("sim")
+      )
+    // one frame per qid-group: rel rows ride with vb = -1 (vids are
+    // non-negative by schema), sim rows carry the pair
+    val relRows = cand.select(
+      col("qid"),
+      col("vid").as("va"),
+      lit(-1L).as("vb"),
+      col("cosine").cast("double").as("x")
+    )
+    import s.implicits._
+    relRows
+      .union(simRows.select(col("qid"), col("va"), col("vb"), col("sim").as("x")))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        val rows = it.toArray
+        val rel = rows.collect { case (_, v, -1L, x) => v -> x }.toMap
+        val sims = rows.collect { case (_, a, b, x) if b != -1L => (a, b) -> x }.toMap
+        def sim(a: Long, b: Long): Double = sims((math.min(a, b), math.max(a, b)))
+        val byRel = rel.toSeq.sortBy { case (v, r) => (-r, v) }
+        if (byRel.isEmpty) Iterator.empty
+        else {
+          // the e15 greedy verbatim — same correctly-rounded double ops,
+          // same (mmr DESC, vid) tie-break as the oracle's LATERAL pick
+          var chosen = Vector[(Int, Long, Double)]((1, byRel.head._1, byRel.head._2))
+          var remaining = byRel.map(_._1).toSet - byRel.head._1
+          for (step <- 2 to math.min(mmrK, byRel.size)) {
+            val pick = remaining.toSeq
+              .map(v => (v, 0.5 * rel(v) - 0.5 * chosen.map(c => sim(v, c._2)).max))
+              .minBy { case (v, m) => (-m, v) }
+            chosen :+= ((step, pick._1, pick._2))
+            remaining -= pick._1
+          }
+          chosen.iterator.map { case (step, vid, mmr) => (qid, step, vid, mmr) }
+        }
+      }
+      .toDF("qid", "step", "vid", "mmr")
+      .orderBy("qid", "step")
+  }
+
+  /** exampleCosineTopC generalized to a SET of query vectors: per-qid
+    * exact top-C with the double-prefilter + exact-decimal re-rank
+    * discipline (the prefilter's kth-value margin keeps every true
+    * top-C row; the re-rank orders by the exact cosine). Emits
+    * (qid, vid, cosine), C rows per qid. */
+  private def groupedCosineTopC(s: SparkSession, d: String, qids: Seq[Long], c: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id").isin(qids: _*))
+    val dbl = emb
+      .as("e")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
+      )
+    val wq = Window.partitionBy("qid")
+    val candidates = dbl
+      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
+      .withColumn("kth", min(when(col("rnk0") <= c, col("dbl"))).over(wq))
+      .filter(col("dbl") >= col("kth") - 1e-9)
+      .select("qid", "vid")
+    candidates
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
+      .join(
+        broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        "qid"
+      )
+      .select(col("qid"), col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid")))
+      )
+      .filter(col("rnk") <= c)
+      .select("qid", "vid", "cosine")
+  }
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

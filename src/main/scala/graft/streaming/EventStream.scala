@@ -147,6 +147,36 @@ object EventStream {
   def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
     graft.operators.KMeans.assign(emb.sparkSession, emb, model)
 
+  /** Streaming unigram-NLL quality gate: score arriving (doc_id, ts,
+    * text) documents against a PERSISTED unigram LM
+    * (`LlmOps.loadUnigramLm`) — the CCNet online-filter shape: the LM is
+    * trained once on a reference corpus (batch, t18's math), then every
+    * crawled document is scored AS IT ARRIVES and routed/dropped by its
+    * perplexity before it ever lands in the corpus store.
+    *
+    * Per-doc scoring needs the doc's tokens re-assembled, so unlike
+    * clusterStream this IS a stateful aggregation: tokens explode, join
+    * the static LM table (stream-static equi-join — broadcast-able,
+    * stateless), then group by (ts, doc_id). Grouping on the event-time
+    * column itself is what bounds the state: with the watermark, a doc's
+    * group finalizes and EMITS (append mode) once the watermark passes
+    * its ts, and its state is evicted — state is (arrival rate x
+    * watermark delay), independent of stream lifetime. The aggregate
+    * expressions are LlmOps.scoreAgainstLm — the ONE copy of the scoring
+    * math — so a doc's streamed score is byte-identical to batch-scoring
+    * the same row against the same artifact (spec-pinned).
+    *
+    * Output: (ts, doc_id, n_tokens, nll). Docs whose tokens all fall
+    * outside the LM vocabulary produce no row (inner join semantics —
+    * same as the batch scorer). */
+  def nllStream(docs: DataFrame, lm: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    import graft.queries.LlmOps
+    val oc = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"), explode(LlmOps.tokensCol(col("text"))).as("tok"))
+    LlmOps.scoreAgainstLm(oc, lm, groupKeys = Seq(col("ts"), col("doc_id")))
+  }
+
   /** Stream-stream event-time interval join: correlate each left event
     * with the right-stream events of the SAME user that happen within
     * `withinSeconds` AFTER it ("purchase within 30 min of a click").

@@ -315,6 +315,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NLL gate scores arrivals byte-identically to the batch scorer, from the persisted LM") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    // train once (batch), persist, reload — the artifact is what the
+    // stream consumes (the CCNet online-filter split end to end)
+    val oc = docs.select(col("doc_id"), explode(LlmOps.tokensCol(col("text"))).as("tok"))
+    val dir = java.nio.file.Files.createTempDirectory("unigram_lm").toString
+    LlmOps.saveUnigramLm(LlmOps.unigramLmOf(oc), dir)
+    val lm = LlmOps.loadUnigramLm(spark, dir)
+    // 20 "arriving" docs with event times; two batches to prove the
+    // contract holds across triggers
+    val arrivals = docs.limit(20).collect().map { r =>
+      (r.getLong(0), new java.sql.Timestamp(1000_000L + r.getLong(0)), r.getString(1))
+    }
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = EventStream.nllStream(src.toDF().toDF("doc_id", "ts", "text"), lm)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("nll_out").start()
+    try {
+      src.addData(arrivals.take(10): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(10): _*)
+      q.processAllAvailable()
+      // append mode holds rows until the watermark passes their ts; a
+      // final far-future arrival flushes everything pending
+      src.addData((999999L, new java.sql.Timestamp(9_000_000_000L), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("nll_out")
+        .filter(col("doc_id") < 999999L)
+        .select("doc_id", "n_tokens", "nll")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val ids = arrivals.map(_._1)
+      val want = LlmOps
+        .scoreAgainstLm(oc.filter(col("doc_id").isin(ids: _*)), lm)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got === want, "streamed NLL scores must be byte-identical to the batch scorer")
+    } finally q.stop()
+  }
+
   test("parquet sink restart from checkpoint: no loss, no duplicates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

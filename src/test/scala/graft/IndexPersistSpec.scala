@@ -209,4 +209,91 @@ class IndexPersistSpec extends AnyFunSuite {
       .map(_.getName).filter(n => n.endsWith(".next") || n.endsWith(".old"))
     assert(leftovers.isEmpty, s"compaction left staging dirs: ${leftovers.mkString(", ")}")
   }
+
+  // ---- manifest validation: stale / foreign / mutated artifacts are ----
+  // ---- rejected with typed errors across all four artifact families ----
+
+  import graft.operators.ArtifactManifest
+
+  private def manifestFile(dir: String) = new java.io.File(dir, "_graft_manifest")
+
+  private def doctorManifest(dir: String, field: String, value: String): Unit = {
+    val f = manifestFile(dir)
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+    val out = lines.map(l => if (l.startsWith(s"$field=")) s"$field=$value" else l)
+    Files.write(f.toPath, out.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the local Hadoop FS checksums its own writes; an out-of-band edit
+    // must drop the stale CRC or the read fails on checksum, not content
+    new java.io.File(dir, "._graft_manifest.crc").delete(): Unit
+  }
+
+  test("unversioned artifacts (no manifest — interrupted save or foreign dir) refuse to load") {
+    val km = KMeans.fit(spark, emb, k = 4, iters = 1)
+    val kmDir = tmp("mf-missing-km"); KMeans.save(spark, km, kmDir)
+    assert(manifestFile(kmDir).delete())
+    intercept[ArtifactManifest.Missing] { KMeans.load(spark, kmDir) }
+
+    val ivfDir = tmp("mf-missing-ivf"); AnnIvf.saveCentroids(spark, AnnIvf.fit(spark, emb, nlist = 4), ivfDir)
+    assert(manifestFile(ivfDir).delete())
+    intercept[ArtifactManifest.Missing] { AnnIvf.loadCentroids(spark, ivfDir) }
+
+    val pq = AnnPq.fit(spark, emb, subspaces = 2, subDim = 32, k = 4, iters = 1)
+    val pqDir = tmp("mf-missing-pq"); AnnPq.save(spark, pq, pqDir)
+    assert(manifestFile(pqDir).delete())
+    intercept[ArtifactManifest.Missing] { AnnPq.load(spark, pqDir) }
+
+    val (h, b) = LlmOps.dedupIndexOf(Tables.documents(spark, TestSpark.sf001))
+    val ddDir = tmp("mf-missing-dd"); LlmOps.saveDedupIndex(h, b, ddDir)
+    assert(manifestFile(ddDir).delete())
+    intercept[ArtifactManifest.Missing] { LlmOps.loadDedupIndex(spark, ddDir) }
+  }
+
+  test("an artifact of the wrong family fails on kind, not on a shape coincidence") {
+    // a KMeans model dir handed to the IVF loader: both are
+    // (cluster, centroid) parquet — without the manifest this LOADS and
+    // probes garbage (long centroids read as doubles)
+    val kmDir = tmp("mf-kind")
+    KMeans.save(spark, KMeans.fit(spark, emb, k = 4, iters = 1), kmDir)
+    val e = intercept[ArtifactManifest.Mismatch] { AnnIvf.loadCentroids(spark, kmDir) }
+    assert(e.field == "kind")
+  }
+
+  test("a stale format_version is rejected before any data is read") {
+    val dir = tmp("mf-version")
+    KMeans.save(spark, KMeans.fit(spark, emb, k = 4, iters = 1), dir)
+    doctorManifest(dir, "format_version", "0")
+    val e = intercept[ArtifactManifest.Mismatch] { KMeans.load(spark, dir) }
+    assert(e.field == "format_version")
+  }
+
+  test("structural params are verified against the loaded content, not just echoed") {
+    // manifest says k=7, table holds 4 centroids — the artifact was
+    // mutated (or mixed) after save
+    val kmDir = tmp("mf-k")
+    KMeans.save(spark, KMeans.fit(spark, emb, k = 4, iters = 1), kmDir)
+    doctorManifest(kmDir, "k", "7")
+    assert(intercept[ArtifactManifest.Mismatch] { KMeans.load(spark, kmDir) }.field == "k")
+
+    val pqDir = tmp("mf-subdim")
+    AnnPq.save(spark, AnnPq.fit(spark, emb, subspaces = 2, subDim = 32, k = 4, iters = 1), pqDir)
+    doctorManifest(pqDir, "sub_dim", "16")
+    assert(intercept[ArtifactManifest.Mismatch] { AnnPq.load(spark, pqDir) }.field == "sub_dim")
+  }
+
+  test("a dedup index whose tables contradict the manifest (half-written append) is rejected") {
+    val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
+    val (h, b) = LlmOps.dedupIndexOf(docs.filter(col("doc_id") % 2 === 0))
+    val dir = tmp("mf-halfappend")
+    LlmOps.saveDedupIndex(h, b, dir)
+    // simulate the crash window: hash rows land, manifest (and here the
+    // band rows) never re-commit — physical count contradicts the manifest
+    h.limit(5).write.mode("append").parquet(s"$dir/hash")
+    val e = intercept[ArtifactManifest.Mismatch] { LlmOps.loadDedupIndex(spark, dir) }
+    assert(e.field == "hash_rows")
+    // recovery is a re-append (idempotent for admission) — which
+    // re-commits the manifest and the index loads again
+    LlmOps.appendDedupIndex(docs.filter(col("doc_id") % 2 =!= 0).localCheckpoint(true), dir)
+    val (h2, b2) = LlmOps.loadDedupIndex(spark, dir)
+    assert(h2.count() > 0 && b2.count() > 0)
+  }
 }

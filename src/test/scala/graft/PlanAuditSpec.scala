@@ -157,18 +157,52 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("t21: global rank rides a range exchange; offsets broadcast back; no corpus-wide window") {
-    val p = plan("t21_nll_buckets")
+    // the rank data path (pre-checkpoint — the checkpoint in nllBuckets
+    // erases it from the downstream plan, by design: the materialization
+    // is what makes pid assignment single-evaluation)
+    val rp = queries.LlmOps
+      .rankedByNll(spark, TestSpark.sf0001, 32)
+      .queryExecution
+      .executedPlan
+      .toString
     // the rank's heavy lifting is the range repartition on (nll, doc_id)
-    assert(p.contains("rangepartitioning(nll"), p)
-    // offsets and total are metadata broadcasts
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(rp.contains("rangepartitioning(nll"), rp)
     // the data-path window must be pid-partitioned — a WINDOW fed by a
     // SinglePartition exchange would be the naive global ROW_NUMBER this
     // query exists to avoid (1-row aggregates may legitimately use
     // single-partition exchanges, so pin the window's input specifically)
     val naive = "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
-    assert(naive.findFirstIn(p).isEmpty, s"corpus-wide window detected:\n$p")
-    assert(!p.contains("Scan ExistingRDD"), "t21 re-parallelizes driver data")
+    assert(naive.findFirstIn(rp).isEmpty, s"corpus-wide window detected:\n$rp")
+    assert(!rp.contains("Scan ExistingRDD"), "t21 rank path re-parallelizes driver data")
+    // downstream: offsets and total are metadata broadcasts over the
+    // checkpointed rank frame, whose scans carry ONLY the 5 rank columns
+    val p = plan("t21_nll_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rddScans.nonEmpty, s"expected the checkpointed rank frame:\n$p")
+    for (cols <- rddScans) {
+      // attribute NAMES (the token before '#'), not substrings — "n_tokens"
+      // must not trip a "tok" check
+      val names = cols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+      assert(
+        Set("text", "tok", "embedding").intersect(names).isEmpty,
+        s"t21 checkpoints corpus data, not just rank metadata: [$cols]"
+      )
+    }
+  }
+
+  test("e16: grouped MMR keeps every stage distributed — greedy in MapGroups, zero driver collects") {
+    val p = plan("e16_mmr_grouped")
+    // the sequential greedy lives INSIDE the plan (one MapGroups over
+    // qid-keyed constant-size groups), so qid count never touches the
+    // driver — e15's collect-the-shortlist shape must NOT reappear here
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("Scan ExistingRDD"), "e16 re-parallelizes driver data")
+    assert(!p.contains("LocalTableScan"), "e16 embeds driver-collected rows")
+    // the 3-query dim broadcasts into the corpus scan; candidates never
+    // cartesian against it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("t19: the curation chain stays distributed — md5-keyed shuffles, broadcast dims, label checkpoint only") {
