@@ -39,21 +39,32 @@ object GraftSession {
       .config("spark.dynamicAllocation.maxExecutors", maxExecutors.toString)
       .config("spark.dynamicAllocation.executorIdleTimeout", s"${idleTimeoutSec}s")
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
+  private def common(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    common(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+
+  /** Builder for a main launched by `spark-submit`: identical engine
+    * configs, but master / deploy mode / UI / driver binding are the
+    * submitter's to decide (cluster deploy mode in particular must NOT be
+    * overridden back to local — that would silently re-attach the job to
+    * the submitting process, defeating docs/DETACH.md's whole point). */
+  def submittedBuilder(appName: String = "graft"): SparkSession.Builder =
+    common(appName)
 
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
