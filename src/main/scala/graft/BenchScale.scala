@@ -132,7 +132,13 @@ object BenchScale {
       // chain — linear iff every stage is)
       "d18" -> 1, "t18" -> 1, "e14" -> 1, "t19" -> 1,
       // t21's global rank = two linear shuffles of 3-column rows
-      "t21" -> 1
+      "t21" -> 1,
+      // e16's grouped MMR: candidate generation linear in corpus for the
+      // fixed qid set; the greedy is per-qid constant work in mapGroups
+      "e16" -> 1,
+      // t23's DSIR selection: one grouped pass for the LM pair, t18's
+      // occurrence join to score, t21's metadata-light rank to cut
+      "t23" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

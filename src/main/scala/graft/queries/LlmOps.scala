@@ -2891,6 +2891,116 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style data selection via importance ratios (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public method): train TWO unigram LMs — a target LM on a curated
+    * reference sample (the d08-style doc_id-hash tag stands in for "the
+    * high-quality corpus you wish you had more of") and a raw LM on the
+    * full corpus — then score every document by its mean per-token log
+    * importance ratio log(p_target/p_raw) = nlp_raw − nlp_target and keep
+    * the top quartile. This is the "make the crawl look like the
+    * reference" selection step of a pretraining data build, one rung
+    * above t18's absolute-quality NLL gate (which this reuses wholesale).
+    *
+    * Exactness across engines: both LMs share ONE vocabulary (the raw
+    * corpus's) under add-one smoothing, so each token's two nlp values
+    * are single ln() calls rounded to DECIMAL(28,9) — t18's
+    * property-tested chain; per-doc sums are exact decimal; the final
+    * mean is one double division both engines round identically. The
+    * top-quartile cut is t21's distributed global exact rank
+    * (range-exchange + local row_number + offset broadcast — never a
+    * corpus-wide single-partition window) over the total order
+    * (logw DESC, doc_id), with integer-arithmetic membership
+    * ((rnk−1)·4 div n = 0), so selection is bit-reproducible whatever
+    * boundaries the range sampler picks.
+    *
+    * Scale: the LM pair is one grouped pass over the token occurrences
+    * (vocabulary-sized output, broadcast totals); scoring is t18's
+    * occurrences⋈vocab join; ranking moves 3-column metadata rows
+    * through two linear exchanges. The occurrence cache is
+    * corpus-token-sized and droppable at 100 TB (recompute beats
+    * storage), as with t18. */
+  val t23 = Q(
+    "t23_dsir_select",
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      f AS (SELECT doc_id, UNNEST(t) AS tok,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_t
+            FROM tk),
+      ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr,
+                    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             FROM f GROUP BY tok),
+      g AS (SELECT CAST(SUM(cr) AS BIGINT) AS ttr, CAST(SUM(ct) AS BIGINT) AS ttt,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM ug),
+      lm AS (SELECT tok,
+                    CAST(-ln(CAST(cr + 1 AS DOUBLE) / CAST(ttr + v AS DOUBLE))
+                         AS DECIMAL(28,9))
+                    - CAST(-ln(CAST(ct + 1 AS DOUBLE) / CAST(ttt + v AS DOUBLE))
+                         AS DECIMAL(28,9)) AS d
+             FROM ug CROSS JOIN g),
+      sc AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    SUM(lm.d) AS sd
+             FROM f JOIN lm USING (tok) GROUP BY f.doc_id),
+      scored AS (SELECT doc_id, n_tokens,
+                        CAST(CAST(sd AS DOUBLE) / n_tokens AS DOUBLE) AS logw
+                 FROM sc),
+      r AS (SELECT doc_id, n_tokens, logw,
+                   ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM scored)
+      SELECT doc_id, n_tokens, logw FROM r
+      WHERE ((rnk - 1) * 4) // n = 0
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    val f = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(toks(col("text"))).as("tok"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_t")
+      )
+      .cacheOnce() // LM aggregate + scoring join; corpus-token-sized, droppable at scale
+    val ug = f
+      .groupBy("tok")
+      .agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct")
+      )
+    val g = ug.agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v"))
+    // per-token ratio FIRST, sum second: the two rounded nlps subtract at
+    // DECIMAL(29,9) (exact) and SUM carries DECIMAL(38,9) (exact). The
+    // other order — SUM each side, then subtract — overflows precision 38
+    // and Spark's adjustPrecisionScale silently SHRINKS THE SCALE to 8,
+    // rounding the corpus-level difference (the tf×DECIMAL trap's sibling;
+    // caught by the oracle at one doc's 9th decimal)
+    val lm = ug
+      .crossJoin(broadcast(g))
+      .select(
+        col("tok"),
+        ((-log((col("cr") + 1).cast("double") / (col("ttr") + col("v")).cast("double")))
+          .cast(DecimalType(28, 9))
+          - (-log((col("ct") + 1).cast("double") / (col("ttt") + col("v")).cast("double")))
+            .cast(DecimalType(28, 9))).as("d")
+      )
+    val scored = f
+      .join(lm, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("d").as("sd"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sd").cast("double") / col("n_tokens")).as("logw")
+      )
+    // materialized once: the rank frame feeds the offset aggregate AND the
+    // final join (the t21/ADVICE single-evaluation discipline)
+    val ranked = rankedBy(scored, s.sparkContext.defaultParallelism,
+      col("logw").desc, col("doc_id")).localCheckpoint(true)
+    withGlobalRank(ranked)
+      .filter(expr("((rnk - 1) * 4) div n") === 0)
+      .select("doc_id", "n_tokens", "logw")
+      .orderBy("doc_id")
+  }
+
   /** Source-balanced data mixing: downsample every source to the size of
     * the smallest one with deterministic content-hash sampling — the
     * data-mixture rebalancing step of a pretraining corpus build, with
@@ -3579,8 +3689,42 @@ object LlmOps {
     // (tiny 5-column rows) so pid assignment is structurally
     // single-evaluation, not an optimizer artifact.
     val ranked = rankedByNll(s, d, numParts).localCheckpoint(true)
-    // per-partition counts -> exclusive prefix offsets: numParts metadata
-    // rows (the t15 bucket-totals shape, incl. its non-foldable window key)
+    withGlobalRank(ranked)
+      .withColumn("bucket", expr("((rnk - 1) * 3) div n").cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("nll")).as("nll_lo"),
+        max(col("nll")).as("nll_hi")
+      )
+      .orderBy("bucket")
+  }
+
+  /** Distributed global exact rank, part 1: range-exchange `df` on the
+    * TOTAL order `keys` (include a unique tiebreaker), local row_number
+    * within each of the `numParts` monotonic partitions. Shared by t21's
+    * tercile bucketing and t23's DSIR top-quartile selection — any
+    * corpus-wide "rank by score" that must never fold into a
+    * single-partition window. */
+  private[graft] def rankedBy(df: DataFrame, numParts: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(numParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("pid").orderBy(keys: _*))
+      )
+
+  /** Part 2: turn (pid, rn) into the global rank. Per-partition counts →
+    * exclusive prefix offsets (numParts metadata rows, broadcast back;
+    * the t15 two-level prefix-sum shape incl. its non-foldable window
+    * key), plus the corpus total: rank = offset(pid) + rn, `n` = total.
+    * CALLER CONTRACT: `ranked` must be materialized (localCheckpoint)
+    * first — it is read twice here, and correctness needs both reads to
+    * see ONE partition assignment, not two samplings of the range
+    * boundaries. */
+  private def withGlobalRank(ranked: DataFrame): DataFrame = {
     val offs = ranked
       .groupBy("pid")
       .agg(count(lit(1)).as("c"))
@@ -3601,15 +3745,6 @@ object LlmOps {
       .join(broadcast(offs.select("pid", "off")), "pid")
       .withColumn("rnk", col("off") + col("rn"))
       .crossJoin(broadcast(total))
-      .withColumn("bucket", expr("((rnk - 1) * 3) div n").cast("int"))
-      .groupBy("bucket")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("nll")).as("nll_lo"),
-        max(col("nll")).as("nll_hi")
-      )
-      .orderBy("bucket")
   }
 
   /** The distributed-rank data path (pre-checkpoint): score, range-exchange
@@ -3624,14 +3759,7 @@ object LlmOps {
     // cached for warm reuse: the per-doc score table is the expensive
     // upstream of the (re-executed-per-run) checkpoint in nllBuckets
     val scored = unigramNllOf(oc).cacheOnce()
-    scored
-      .repartitionByRange(numParts, col("nll"), col("doc_id"))
-      .sortWithinPartitions("nll", "doc_id")
-      .withColumn("pid", spark_partition_id())
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("pid").orderBy("nll", "doc_id"))
-      )
+    rankedBy(scored, numParts, col("nll"), col("doc_id"))
   }
 
   private val mmrCandidates = 20
@@ -3901,5 +4029,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

@@ -191,6 +191,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t23: DSIR selection ranks on a range exchange; LM totals broadcast; rank scans carry metadata only") {
+    val p = plan("t23_dsir_select")
+    // the quartile cut rides t21's global-rank machinery — no corpus-wide
+    // single-partition window may appear anywhere in the final plan
+    val naive = "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+    assert(naive.findFirstIn(p).isEmpty, s"corpus-wide window detected:\n$p")
+    // the LM-pair totals (ttr/ttt/v) and rank offsets ride broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the checkpointed rank frame carries only the 5 rank columns, never
+    // corpus text/tokens (attribute NAMES, not substrings)
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rddScans.nonEmpty, s"expected the checkpointed rank frame:\n$p")
+    for (cols <- rddScans) {
+      val names = cols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+      assert(
+        Set("text", "tok", "embedding").intersect(names).isEmpty,
+        s"t23 checkpoints corpus data, not just rank metadata: [$cols]"
+      )
+    }
+  }
+
   test("e16: grouped MMR keeps every stage distributed — greedy in MapGroups, zero driver collects") {
     val p = plan("e16_mmr_grouped")
     // the sequential greedy lives INSIDE the plan (one MapGroups over
