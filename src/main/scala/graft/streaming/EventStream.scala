@@ -263,6 +263,69 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest admission that CONSUMES and MAINTAINS the persisted
+    * dedup index — the live-crawl loop closed: every arriving document is
+    * scored against the artifact (d08's verdict: exact-dup by content
+    * hash, near-dup by SimHash band within Hamming radius), verdicts land
+    * in a parquet sink, and the admitted docs' hash + band rows are
+    * appended back so the NEXT micro-batch (or the next nightly batch
+    * ingest — same index) already sees them.
+    *
+    * Spark-first shape: `foreachBatch`, not a stateful stream. The corpus
+    * membership is the INDEX's job, not the state store's — admission is
+    * a stream-static join per micro-batch, so the streaming side holds
+    * ZERO state regardless of corpus size, and the per-batch cost is the
+    * batch's own fingerprinting plus two equi-joins (linear in batch,
+    * independent of corpus — d16's gated property). The batch twin is
+    * `incrementalDedupAgainst`, which is THE one copy of the verdict
+    * logic run here, so a streamed verdict is byte-identical to
+    * batch-scoring the same rows against the same index (spec-pinned).
+    *
+    * Semantics and failure notes:
+    *   - verdicts are computed and materialized BEFORE the index append
+    *     (a batch must not be flagged against itself);
+    *   - batch-INTERNAL duplicates are admitted together, as in d08 (the
+    *     reference's incremental shape): dedupe within the pipe upstream
+    *     via [[dedupStream]] if arrivals can repeat inside one horizon;
+    *   - a replayed micro-batch (restart) re-appends its admitted rows —
+    *     harmless: the index tolerates duplicate rows by construction
+    *     (appendDedupIndex's recovery note) and compaction retires them;
+    *     the verdict sink is at-least-once, keyed by (batch_id, doc_id)
+    *     for idempotent downstream consumption;
+    *   - batch-local checkpoint blocks are freed by the ContextCleaner
+    *     once the batch closure returns (the silent release path
+    *     documented on [[graft.Hygiene]]); run `compactDedupIndex` on the
+    *     small-file cadence, as any long-lived ingest would.
+    */
+  def ingestGuard(
+      docs: DataFrame,
+      indexPath: String,
+      verdictDir: String,
+      checkpointDir: String,
+      maintainIndex: Boolean = true
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.queries.LlmOps
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (hash, bands) = LlmOps.loadDedupIndex(s, indexPath)
+        val verdicts = LlmOps
+          .incrementalDedupAgainst(batch, hash, bands)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint(true) // pin the pre-append view; consumed twice below
+        if (maintainIndex) {
+          val admitted =
+            batch.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
+          if (!admitted.isEmpty) LlmOps.appendDedupIndex(admitted, indexPath)
+        }
+        verdicts.write.mode("append").parquet(verdictDir)
+        ()
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class OpenSession(n: Long, first: Long, last: Long)

@@ -360,6 +360,68 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestGuard: streamed verdicts byte-identical to batch, index maintained across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    // corpus/arrival split exactly as d08 tags it, so the verdict mix is
+    // known-nontrivial (exact dups, near dups, and admits all occur)
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val corpus = docs.filter(!isBatch)
+    val arriving = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2base) = arriving.splitAt(arriving.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("ingest-guard").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"; val ck = s"$base/ck"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dup_exact", "dup_near", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+
+    // batch twins, computed EAGERLY before the stream mutates the index:
+    // batch 1 against the pristine artifact; batch 2 (plus an exact
+    // replay of an admitted batch-1 doc under a fresh id) against
+    // pristine + batch-1's admitted rows — exactly what ingestGuard's
+    // maintenance must have appended by then
+    val (hash0, bands0) = LlmOps.loadDedupIndex(spark, idx)
+    val want1 = asTuples(LlmOps.incrementalDedupAgainst(b1.toDF("doc_id", "text"), hash0, bands0))
+    val admitted1 = b1.filter(d => want1.find(_._1 == d._1).exists(_._4))
+    assert(admitted1.nonEmpty && admitted1.size < b1.size,
+      "split must produce both admitted and rejected docs for the test to bite")
+    val replayId = arriving.map(_._1).max + 1
+    val b2 = b2base :+ (replayId -> admitted1.head._2)
+    val (ha, ba) = LlmOps.dedupIndexOf(admitted1.toDF("doc_id", "text"))
+    val want2 = asTuples(LlmOps.incrementalDedupAgainst(
+      b2.toDF("doc_id", "text"), hash0.union(ha), bands0.union(ba)))
+
+    val src = MemoryStream[(Long, String)]
+    val q = EventStream.ingestGuard(src.toDF().toDF("doc_id", "text"), idx, out, ck)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.read.parquet(out)
+    assert(asTuples(verdicts.filter(col("batch_id") === 0)) === want1,
+      "micro-batch 1 must match the batch operator against the pristine index")
+    assert(asTuples(verdicts.filter(col("batch_id") === 1)) === want2,
+      "micro-batch 2 must see batch 1's admitted rows — the index append worked")
+    // the replayed text was admitted in batch 1, so its copy is an exact dup now
+    assert(want2.find(_._1 == replayId).exists(_._2), "replay doc should be dup_exact")
+    // and the artifact on disk grew by both batches' admitted rows (each
+    // append distincts its own batch's texts), manifest re-committed to
+    // match (loadDedupIndex re-validates it or this line throws)
+    val admitted2Ids = want2.filter(_._4).map(_._1).toSet
+    val d1 = admitted1.map(_._2).distinct.size
+    val d2 = b2.filter(d => admitted2Ids(d._1)).map(_._2).distinct.size
+    val (hEnd, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(hEnd.count() == h0.count() + d1 + d2)
+  }
+
   test("parquet sink restart from checkpoint: no loss, no duplicates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
