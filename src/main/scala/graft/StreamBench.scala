@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput measurement — the scale evidence for the
+  * streaming family (batch tiers live in BenchScale; this is their
+  * micro-batch sibling). Two workloads, each fed through a REAL file
+  * source (files land one at a time in a staging directory, exactly how a
+  * crawler hands batches to an ingest pipeline), with per-batch rows and
+  * durations taken from the StreamingQuery's own progress events:
+  *
+  *   - `ingest`: [[graft.streaming.EventStream.ingestGuard]] over a
+  *     documents corpus — the corpus's untagged half builds the persisted
+  *     dedup index, the tagged half arrives as K document batches; each
+  *     batch pays fingerprinting + two index equi-joins + the staged
+  *     index append. The streaming side holds ZERO state (the index is
+  *     the membership), so the metric is docs/s and the check is that
+  *     per-batch cost does not grow with the number of batches already
+  *     ingested (the index grows, the per-batch join stays
+  *     batch-linear).
+  *   - `hourly`: [[graft.streaming.EventStream.hourlyStats]] over the
+  *     events table split into K time-contiguous slices (watermark
+  *     semantics need arrival roughly in event-time order, as a live
+  *     feed delivers) — the metric is events/s plus the state store's
+  *     row count per batch, which must stay bounded by the watermark
+  *     horizon (windows older than watermark − delay are evicted), not
+  *     grow with stream lifetime.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"stream","ingest":{"batches":[{rows,sec}...],"rows_per_s":N},
+  *  "hourly":{"batches":[{rows,sec,state_rows}...],"rows_per_s":N}}
+  *
+  * Args: optional docs dir override (default SPARK_GRAFT_SF_DIR or
+  * sf0.1; pass the BenchScale ×30 corpus dir to measure at derived
+  * scale). Events always come from SPARK_GRAFT_SF_DIR (the derivation
+  * does not scale events).
+  */
+object StreamBench {
+  private case class B(rows: Long, sec: Double, stateRows: Long)
+
+  /** Feed `slices` one file at a time into `landing`, draining the query
+    * between files; return per-micro-batch (rows, seconds, stateRows)
+    * from the query's progress log. */
+  private def drive(
+      spark: SparkSession,
+      slices: Seq[DataFrame],
+      landing: String,
+      start: String => org.apache.spark.sql.streaming.StreamingQuery
+  ): Seq[B] = {
+    val q = start(landing)
+    try {
+      slices.zipWithIndex.foreach { case (df, i) =>
+        // land the slice as ONE directory move-in: write aside, then move
+        // the part files in (the file source lists per trigger; a
+        // half-written file set would split one intended batch)
+        val aside = s"$landing/../slice$i"
+        df.coalesce(4).write.mode("overwrite").parquet(aside)
+        val fs = new org.apache.hadoop.fs.Path(landing)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(aside))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(landing, s"slice$i-${st.getPath.getName}")): Unit
+          }
+        q.processAllAvailable()
+      }
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map { p =>
+          val stateRows = Option(p.stateOperators).toSeq.flatten
+            .map(_.numRowsTotal).sum
+          B(p.numInputRows, p.batchDuration / 1e3, stateRows)
+        }
+    } finally q.stop()
+  }
+
+  private def fmt(bs: Seq[B], withState: Boolean): String = {
+    val items = bs.map { b =>
+      val st = if (withState) s""","state_rows":${b.stateRows}""" else ""
+      s"""{"rows":${b.rows},"sec":${Bench.jnum(b.sec)}$st}"""
+    }.mkString("[", ",", "]")
+    val rate =
+      if (bs.isEmpty) 0.0 else bs.map(_.rows).sum / math.max(1e-9, bs.map(_.sec).sum)
+    s"""{"batches":$items,"rows_per_s":${Bench.jnum(rate)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docsDir = args.headOption.getOrElse(sfDir)
+    val k = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
+    val spark = GraftSession.builder("graft-stream-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.LlmOps
+    import graft.streaming.EventStream
+
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+
+    // ---- ingest: index from the untagged half, arrivals in K batches ----
+    val docs = Tables.documents(spark, docsDir).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val idx = s"$base/idx"
+    val (h0, b0) = LlmOps.dedupIndexOf(docs.filter(!isBatch))
+    LlmOps.saveDedupIndex(h0, b0, idx)
+    val arrivals = docs.filter(isBatch).withColumn("__s", pmod(col("doc_id"), lit(k)))
+    val docSlices = (0 until k).map(i => arrivals.filter(col("__s") === i).drop("__s"))
+    val ingestLanding = s"$base/ingest-landing"
+    new java.io.File(ingestLanding).mkdirs()
+    // schema-matched empty seed so readDocuments can peek the schema
+    docSlices.head.limit(0).write.parquet(s"$ingestLanding/seed.parquet")
+    val ingest = drive(spark, docSlices, ingestLanding, landing =>
+      EventStream.ingestGuard(
+        EventStream.readDocuments(spark, landing),
+        idx, s"$base/verdicts", s"$base/ingest-ck"))
+    Hygiene.release(spark)
+
+    // ---- hourly: events in K time-contiguous slices ----
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val bounds = ev.agg(min("ts").cast("long"), max("ts").cast("long")).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (t1 - t0 + k) / k)
+    val evSlices = (0 until k).map { i =>
+      ev.filter(col("ts").cast("long") >= t0 + i * span &&
+        (if (i == k - 1) lit(true) else col("ts").cast("long") < t0 + (i + 1) * span))
+    }
+    val hourlyLanding = s"$base/hourly-landing"
+    new java.io.File(hourlyLanding).mkdirs()
+    evSlices.head.limit(0).write.parquet(s"$hourlyLanding/seed.parquet")
+    val hourly = drive(spark, evSlices, hourlyLanding, landing =>
+      EventStream.hourlyStats(EventStream.readEvents(spark, landing))
+        .writeStream
+        .option("checkpointLocation", s"$base/hourly-ck")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/hourly-out")
+        .start())
+
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)}}""")
+    spark.stop()
+  }
+}

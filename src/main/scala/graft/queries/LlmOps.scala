@@ -874,18 +874,32 @@ object LlmOps {
     writeDedupManifest(hash.sparkSession, path)
   }
 
-  private def writeDedupManifest(s: SparkSession, path: String): Unit =
+  /** `extra` lets the streaming ingest commit its batch marker atomically
+    * with the row counts; an existing `last_batch` marker is carried
+    * forward by every OTHER mutator (append/compact between micro-batches
+    * must not erase the stream's replay-skip evidence). */
+  private def writeDedupManifest(
+      s: SparkSession,
+      path: String,
+      extra: Map[String, String] = Map.empty
+  ): Unit = {
+    val carried =
+      try graft.operators.ArtifactManifest
+        .readAndCheck(s, path, "dedup-index")
+        .view.filterKeys(_ == "last_batch").toMap
+      catch { case _: Throwable => Map.empty[String, String] }
     graft.operators.ArtifactManifest.write(
       s,
       path,
       "dedup-index",
-      Map(
+      carried ++ Map(
         "simhash_bits" -> simhashBits.toString,
         "bands" -> (simhashBits / (hammingRadius + 1)).toString,
         "hash_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/hash").toString,
         "band_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/bands").toString
-      )
+      ) ++ extra
     )
+  }
 
   /** Reload a dedup index written by saveDedupIndex. Manifest-validated:
     * kind/version, banding geometry (an index banded for a different
@@ -949,6 +963,131 @@ object LlmOps {
     // so the next load fails typed and the operator re-appends (see the
     // recovery note above)
     writeDedupManifest(admitted.sparkSession, path)
+  }
+
+  /** One micro-batch of the streaming ingest-admission loop, as a
+    * CRASH-SAFE commit protocol — the foreachBatch body of
+    * [[graft.streaming.EventStream.ingestGuard]], factored here beside the
+    * index it mutates. The r7 version appended in place and relied on
+    * manifest row counts to DETECT a torn batch at the next load; this is
+    * the RECOVERY: every on-disk effect of a batch is either undoable or
+    * idempotent, so a kill anywhere inside the batch replays to the exact
+    * same verdicts and exactly one logical append.
+    *
+    * The subtle hazard recovery must handle: a replayed batch that
+    * recomputes verdicts against an index already holding its own partial
+    * append would flag its documents as duplicates OF THEMSELVES —
+    * silently dropping everything the crashed attempt had admitted. So the
+    * batch's published files must be identifiable and removable, which
+    * drives the whole protocol:
+    *
+    *   1. SKIP if committed: the manifest's `last_batch` field (written
+    *      atomically with the post-append row counts — one properties
+    *      file) equals this batchId ⇒ the previous attempt fully
+    *      committed and only the stream's own checkpoint advance was
+    *      lost; every on-disk effect is already in place, do nothing.
+    *   2. UNDO any torn append: delete live files carrying this batch's
+    *      `batch<id>-` name prefix (publish renames staged parts to that
+    *      prefix precisely so a torn publish is enumerable); the index is
+    *      now byte-identical to its pre-batch state and its manifest row
+    *      counts validate again.
+    *   3. Verdicts against the CLEAN index, landed by per-batch
+    *      OVERWRITE into `verdictDir/batch_id=<id>` (a partition
+    *      directory: replay rewrites the same files — exactly-once
+    *      verdicts for downstream readers, not at-least-once).
+    *   4. Stage the admitted rows' hash+band parts under
+    *      `.stage-<id>` (overwrite — idempotent), then publish by
+    *      RENAMING each part into the live tables under the batch prefix
+    *      (metadata ops on HDFS-like stores; an object store without
+    *      atomic rename would run this loop against a table format
+    *      instead — the discipline, not the syscall, is the point).
+    *   5. COMMIT: rewrite the manifest with the post-append counts and
+    *      `last_batch=<id>`, then drop the stage dir. A crash before 5
+    *      replays into the undo at 2; a crash after 5 replays into the
+    *      skip at 1.
+    *
+    * One writer per index: batch ids are scoped to the stream's own
+    * checkpoint (same assumption the r7 loop made; a second concurrent
+    * ingest against one index needs a coordinator either way). */
+  private[graft] def ingestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      verdictDir: String,
+      batchId: Long,
+      maintainIndex: Boolean
+  ): Unit = {
+    val s = batch.sparkSession
+    val M = graft.operators.ArtifactManifest
+    val committed = M.readAndCheck(s, indexPath, "dedup-index")
+      .get("last_batch").contains(batchId.toString)
+    if (!committed) {
+      undoBatchFiles(s, indexPath, batchId)
+      val (hash, bands) = loadDedupIndex(s, indexPath)
+      val verdicts = incrementalDedupAgainst(batch, hash, bands)
+        .localCheckpoint(true) // pin the pre-append view; consumed twice below
+      verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+      if (maintainIndex) {
+        val admitted =
+          batch.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
+        publishBatchAppend(s, admitted, indexPath, batchId)
+      }
+    }
+  }
+
+  /** Step 2 of [[ingestBatch]]: remove a torn publish's live files (the
+    * `batch<id>-` prefix enumerates them). Idempotent. */
+  private def undoBatchFiles(s: SparkSession, path: String, batchId: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("hash", "bands").foreach { name =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir)
+          .filter(_.getPath.getName.startsWith(s"batch$batchId-"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
+  }
+
+  /** Steps 4-5 of [[ingestBatch]]: stage the admitted rows' index parts,
+    * publish them into the live tables under the batch prefix, commit the
+    * manifest (counts + `last_batch`), drop the stage. An EMPTY admitted
+    * set still commits the marker — the batch happened, its replay must
+    * skip. */
+  private def publishBatchAppend(
+      s: SparkSession,
+      admitted: DataFrame,
+      path: String,
+      batchId: Long
+  ): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val stage = s"$path/.stage-$batchId"
+    if (!admitted.isEmpty) {
+      val materialized = admitted.localCheckpoint(true) // appendDedupIndex's lineage cut
+      val (h, b) = dedupIndexOf(materialized)
+      // bands before hash, appendDedupIndex's crash-order argument: a
+      // bands-present/hash-missing state stays safe for admission even if
+      // the undo itself were lost
+      b.write.mode("overwrite").parquet(s"$stage/bands")
+      h.write.mode("overwrite").parquet(s"$stage/hash")
+      Seq("bands", "hash").foreach { name =>
+        val src = new org.apache.hadoop.fs.Path(s"$stage/$name")
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+        val fs = src.getFileSystem(conf)
+        fs.listStatus(src)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val target = new org.apache.hadoop.fs.Path(dst, s"batch$batchId-${st.getPath.getName}")
+            if (fs.exists(target)) fs.delete(target, false)
+            if (!fs.rename(st.getPath, target))
+              throw new java.io.IOException(s"ingest publish: cannot rename ${st.getPath} to $target")
+          }
+      }
+    }
+    writeDedupManifest(s, path, Map("last_batch" -> batchId.toString))
+    val st = new org.apache.hadoop.fs.Path(stage)
+    val fs = st.getFileSystem(conf)
+    if (fs.exists(st)) fs.delete(st, true): Unit
   }
 
   /** Compact an appended dedup index: distinct the hash table (appends
@@ -2952,29 +3091,48 @@ object LlmOps {
       WHERE ((rnk - 1) * 4) // n = 0
       ORDER BY doc_id""")
   ) { (s, d) =>
-    val f = Tables
+    val f = dsirOccurrences(s, d)
+      .cacheOnce() // LM aggregate + scoring join; corpus-token-sized, droppable at scale
+    dsirSelect(s, f, dsirRatios(dsirLmPairOf(f)))
+  }
+
+  /** The tagged token occurrences DSIR consumes: (doc_id, tok, is_t) with
+    * is_t = the d08-style doc_id-hash membership in the target sample. */
+  private[graft] def dsirOccurrences(s: SparkSession, d: String): DataFrame =
+    Tables
       .documents(s, d)
       .select(
         col("doc_id"),
         explode(toks(col("text"))).as("tok"),
         substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1").as("is_t")
       )
-      .cacheOnce() // LM aggregate + scoring join; corpus-token-sized, droppable at scale
-    val ug = f
-      .groupBy("tok")
+
+  /** The DSIR LM PAIR over one shared vocabulary, as exact integer counts:
+    * (tok, cr, ct) — raw-corpus and target-sample token counts from ONE
+    * grouped pass. This (not the derived float ratios) is the persistable
+    * model: integers round-trip parquet bit-exactly, and the ratio math
+    * re-derives deterministically from them ([[dsirRatios]]), so a loaded
+    * pair reproduces in-plan selection byte-identically. */
+  private[graft] def dsirLmPairOf(f: DataFrame): DataFrame =
+    f.groupBy("tok")
       .agg(
         count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct")
       )
+
+  /** Per-token log importance ratio d = nlp_raw − nlp_target from the LM
+    * pair, add-one smoothed over the shared vocabulary.
+    *
+    * Per-token ratio FIRST, sum second (in [[dsirSelect]]): the two
+    * rounded nlps subtract at DECIMAL(29,9) (exact) and SUM carries
+    * DECIMAL(38,9) (exact). The other order — SUM each side, then
+    * subtract — overflows precision 38 and Spark's adjustPrecisionScale
+    * silently SHRINKS THE SCALE to 8, rounding the corpus-level
+    * difference (the tf×DECIMAL trap's sibling; caught by the oracle at
+    * one doc's 9th decimal). */
+  private[graft] def dsirRatios(ug: DataFrame): DataFrame = {
     val g = ug.agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v"))
-    // per-token ratio FIRST, sum second: the two rounded nlps subtract at
-    // DECIMAL(29,9) (exact) and SUM carries DECIMAL(38,9) (exact). The
-    // other order — SUM each side, then subtract — overflows precision 38
-    // and Spark's adjustPrecisionScale silently SHRINKS THE SCALE to 8,
-    // rounding the corpus-level difference (the tf×DECIMAL trap's sibling;
-    // caught by the oracle at one doc's 9th decimal)
-    val lm = ug
-      .crossJoin(broadcast(g))
+    ug.crossJoin(broadcast(g))
       .select(
         col("tok"),
         ((-log((col("cr") + 1).cast("double") / (col("ttr") + col("v")).cast("double")))
@@ -2982,6 +3140,11 @@ object LlmOps {
           - (-log((col("ct") + 1).cast("double") / (col("ttt") + col("v")).cast("double")))
             .cast(DecimalType(28, 9))).as("d")
       )
+  }
+
+  /** Score the occurrences against the ratio table and keep the top
+    * quartile by t21's distributed global exact rank. */
+  private[graft] def dsirSelect(s: SparkSession, f: DataFrame, lm: DataFrame): DataFrame = {
     val scored = f
       .join(lm, "tok")
       .groupBy("doc_id")
@@ -2999,6 +3162,60 @@ object LlmOps {
       .filter(expr("((rnk - 1) * 4) div n") === 0)
       .select("doc_id", "n_tokens", "logw")
       .orderBy("doc_id")
+  }
+
+  /** Persist the DSIR (target, raw) LM pair as ONE artifact: the count
+    * table (tok, cr, ct) + a manifest recording the vocabulary size and
+    * both corpus token totals. The totals are re-aggregated from the
+    * WRITTEN table (not echoed from the plan), so the manifest describes
+    * the physical file; load re-derives them and any lost/extra vocabulary
+    * row fails loudly on one of the three counts. Write order: data first,
+    * manifest last (the commit-marker discipline). */
+  private[graft] def saveDsirLmPair(ug: DataFrame, path: String): Unit = {
+    ug.write.mode("overwrite").parquet(path)
+    val s = ug.sparkSession
+    val t = s.read.parquet(path)
+      .agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v"))
+      .head()
+    graft.operators.ArtifactManifest.write(
+      s,
+      path,
+      "dsir-lm-pair",
+      Map(
+        "vocab_rows" -> t.getLong(2).toString,
+        "raw_tokens" -> t.getLong(0).toString,
+        "target_tokens" -> t.getLong(1).toString
+      )
+    )
+  }
+
+  /** Reload a DSIR LM pair written by [[saveDsirLmPair]]:
+    * manifest-validated on kind/version, vocabulary row count, and both
+    * token totals (all three recomputed from the loaded table — a
+    * vocabulary-sized aggregate, cheap at any corpus scale). */
+  private[graft] def loadDsirLmPair(s: SparkSession, path: String): DataFrame = {
+    val M = graft.operators.ArtifactManifest
+    val mf = M.readAndCheck(s, path, "dsir-lm-pair")
+    val df = s.read.parquet(path)
+    val t = df.agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v")).head()
+    M.check(path, "vocab_rows", mf.getOrElse("vocab_rows", "?"), t.getLong(2).toString)
+    M.check(path, "raw_tokens", mf.getOrElse("raw_tokens", "?"), t.getLong(0).toString)
+    M.check(path, "target_tokens", mf.getOrElse("target_tokens", "?"), t.getLong(1).toString)
+    df
+  }
+
+  /** t23 THROUGH THE PERSISTED LM PAIR: train both DSIR LMs, save them
+    * under one manifest, reload, and reproduce the selection from the
+    * LOADED artifact — under t23's own oracle, completing the
+    * d16/d17/e13/t20/t22 persist-and-reuse pattern for the last model
+    * family that was still trained in-plan on every pass. At 100 TB the
+    * pair is trained once per (corpus, target-sample) version and every
+    * selection run scores against the frozen counts. */
+  val t24 = Q("t24_dsir_persisted", t23.oracle) { (s, d) =>
+    val dir = scratchDir("t24", d)
+    val f = dsirOccurrences(s, d).cacheOnce()
+    saveDsirLmPair(dsirLmPairOf(f), s"$dir/lm")
+    dsirSelect(s, f, dsirRatios(loadDsirLmPair(s, s"$dir/lm")))
   }
 
   /** Source-balanced data mixing: downsample every source to the size of
@@ -3419,12 +3636,35 @@ object LlmOps {
     * either way, so swapping the candidate generator does not change the
     * plan past the lists. The 50-row full-outer fusion join is a
     * metadata-scale sort-merge. */
+  /** The prefilter of the two-stage exact-cosine kernels: margin-bounded
+    * candidates for the per-qid top-C, with NO corpus-wide window. The
+    * C-th-largest double cosine per qid comes from the constant-state
+    * [[graft.functions.KthLargest]] aggregate (map-side partial combine: a
+    * k-slot heap per task, merged as ≤ C-double states — never a per-qid
+    * partition holding the corpus), broadcast back, and the corpus is
+    * re-filtered by `dbl >= kth - 1e-9`. Two linear map-only passes over
+    * the dbl relation replace the one corpus-wide `row_number` window the
+    * r7 plan used — the shape that held a full copy of the corpus on one
+    * reducer per qid. The epsilon margin keeps every row whose DOUBLE
+    * cosine rounds within 1e-9 of the boundary, so the exact-decimal
+    * re-rank downstream sees a superset of the true top-C, exactly as
+    * before. Emits (qid, vid), ~C rows per qid. */
+  private def topCCandidates(dbl: DataFrame, c: Int): DataFrame = {
+    val kth = dbl
+      .groupBy("qid")
+      .agg(graft.functions.KthLargest.kthLargest(col("dbl"), c).as("kth"))
+    dbl
+      .join(broadcast(kth), "qid")
+      .filter(col("dbl") >= col("kth") - 1e-9)
+      .select("qid", "vid")
+  }
+
   /** Exact-cosine top-C list for the single example query (vec_id 0),
     * e01's two-stage contract: the compiled double cosine ranks the
     * corpus, the exact-decimal kernel rescores only the margin-bounded
-    * ~top-C survivors. Returns (vid, cosine), the C best by
-    * (cosine DESC, vid). Shared by t17 (semantic RRF list) and e15 (MMR
-    * candidate stage). */
+    * ~top-C survivors ([[topCCandidates]]). Returns (vid, cosine), the C
+    * best by (cosine DESC, vid). Shared by t17 (semantic RRF list) and
+    * e15 (MMR candidate stage). */
   private def exampleCosineTopC(s: SparkSession, d: String, c: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -3437,13 +3677,8 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
       )
-    val wq = Window.partitionBy("qid")
-    val candidates = dbl
-      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
-      .withColumn("kth", min(when(col("rnk0") <= c, col("dbl"))).over(wq))
-      .filter(col("dbl") >= col("kth") - 1e-9)
+    topCCandidates(dbl, c)
       .select("vid")
-    candidates
       .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
       .crossJoin(broadcast(q.select(col("embedding").as("qe"))))
       .select(col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
@@ -3990,9 +4225,11 @@ object LlmOps {
 
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid
     * exact top-C with the double-prefilter + exact-decimal re-rank
-    * discipline (the prefilter's kth-value margin keeps every true
-    * top-C row; the re-rank orders by the exact cosine). Emits
-    * (qid, vid, cosine), C rows per qid. */
+    * discipline ([[topCCandidates]] — constant-state kth aggregate +
+    * broadcast re-filter, no per-qid corpus-wide window; the prefilter's
+    * kth-value margin keeps every true top-C row, the re-rank orders by
+    * the exact cosine). The surviving-row window below runs over ~C rows
+    * per qid, not the corpus. Emits (qid, vid, cosine), C rows per qid. */
   private def groupedCosineTopC(s: SparkSession, d: String, qids: Seq[Long], c: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -4005,13 +4242,7 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
       )
-    val wq = Window.partitionBy("qid")
-    val candidates = dbl
-      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
-      .withColumn("kth", min(when(col("rnk0") <= c, col("dbl"))).over(wq))
-      .filter(col("dbl") >= col("kth") - 1e-9)
-      .select("qid", "vid")
-    candidates
+    topCCandidates(dbl, c)
       .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
       .join(
         broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
@@ -4029,5 +4260,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

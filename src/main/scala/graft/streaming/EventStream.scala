@@ -16,23 +16,62 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The on-disk events schema (ts arrives as TIMESTAMP(NANOS) → long when
-    * read with nanosAsLong; see graft.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
+  /** Schema-negotiated file-source stream: Structured Streaming's file
+    * source demands a user-supplied schema, and guessing it is exactly how
+    * a unit mismatch slips in (declaring int64 against a `timestamp[us]`
+    * file makes Spark hand back the raw microsecond integers, and a nanos
+    * ÷1000 then lands every window in 1970). So don't guess: peek the
+    * directory's PHYSICAL schema with a one-off batch read — a
+    * footer-metadata operation, no data scan — declare the stream with
+    * exactly that schema, and normalize `tsCol` the same way
+    * [[graft.Tables.events]] does, dispatching on the same physical fact:
+    *   - int64 (TIMESTAMP(NANOS) under nanosAsLong): the same exact floor
+    *     division as the batch loader (`div` truncates toward zero, so a
+    *     pre-1970 nanosecond value would round UP a microsecond; pmod
+    *     makes the floor exact in long arithmetic);
+    *   - TIMESTAMP_NTZ (what a plain `timestamp[us]` parquet column
+    *     infers as): cast to TimestampType, because
+    *     `withWatermark`/`window` REQUIRE the instant-bearing TIMESTAMP
+    *     type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The engine
+    *     pins the session timezone to UTC (GraftSession), so the cast is
+    *     wall-clock-preserving and streamed window bounds equal the batch
+    *     side's NTZ date_trunc values instant-for-instant — pinned by the
+    *     source-parity spec;
+    *   - TimestampType passes through untouched. */
+  private def readTable(
+      spark: SparkSession,
+      path: String,
+      tsCol: Option[String]
+  ): DataFrame = {
+    val physical = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(physical).parquet(path)
+    tsCol match {
+      case Some(c) => physical(c).dataType match {
+        case LongType =>
+          raw.withColumn(c, timestamp_micros(expr(s"($c - pmod($c, 1000)) div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn(c, col(c).cast(TimestampType))
+        case _ => raw
+      }
+      case None => raw
+    }
+  }
 
-  /** File-source stream over an events parquet directory. */
+  /** File-source stream over an events parquet directory, `ts` normalized
+    * to TimestampType(µs) whatever the file physically stored. */
   def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readTable(spark, path, tsCol = Some("ts"))
+
+  /** File-source stream over a documents parquet directory (doc_id, text,
+    * lang, source, n_chars) — feeds [[ingestGuard]]/[[nllStream]] straight
+    * from a landing directory instead of a hand-built typed frame. */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    readTable(spark, path, tsCol = None)
+
+  /** File-source stream over an embeddings parquet directory (vec_id,
+    * embedding, label) — feeds [[clusterStream]] from a landing dir. */
+  def readEmbeddings(spark: SparkSession, path: String): DataFrame =
+    readTable(spark, path, tsCol = None)
 
   /** Tumbling-window counts/sums per event type with a watermark: the
     * streaming twin of the batch query q26_events_hourly. */
@@ -287,15 +326,20 @@ object EventStream {
     *   - batch-INTERNAL duplicates are admitted together, as in d08 (the
     *     reference's incremental shape): dedupe within the pipe upstream
     *     via [[dedupStream]] if arrivals can repeat inside one horizon;
-    *   - a replayed micro-batch (restart) re-appends its admitted rows —
-    *     harmless: the index tolerates duplicate rows by construction
-    *     (appendDedupIndex's recovery note) and compaction retires them;
-    *     the verdict sink is at-least-once, keyed by (batch_id, doc_id)
-    *     for idempotent downstream consumption;
+    *   - CRASH SAFETY is [[graft.queries.LlmOps.ingestBatch]]'s commit
+    *     protocol: a kill anywhere inside a batch — mid-append, between
+    *     append and manifest rewrite, after commit but before the
+    *     checkpoint advances — replays to the SAME verdicts and exactly
+    *     one logical index append (chaos-spec-pinned). Verdicts land by
+    *     per-batch overwrite into `verdictDir/batch_id=<id>`, so the
+    *     verdict table is exactly-once, readable as one partitioned
+    *     parquet table;
     *   - batch-local checkpoint blocks are freed by the ContextCleaner
     *     once the batch closure returns (the silent release path
     *     documented on [[graft.Hygiene]]); run `compactDedupIndex` on the
-    *     small-file cadence, as any long-lived ingest would.
+    *     small-file cadence, as any long-lived ingest would (it retires
+    *     the per-batch published files and carries the stream's
+    *     `last_batch` marker forward).
     */
   def ingestGuard(
       docs: DataFrame,
@@ -303,28 +347,14 @@ object EventStream {
       verdictDir: String,
       checkpointDir: String,
       maintainIndex: Boolean = true
-  ): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.queries.LlmOps
+  ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val (hash, bands) = LlmOps.loadDedupIndex(s, indexPath)
-        val verdicts = LlmOps
-          .incrementalDedupAgainst(batch, hash, bands)
-          .withColumn("batch_id", lit(batchId))
-          .localCheckpoint(true) // pin the pre-append view; consumed twice below
-        if (maintainIndex) {
-          val admitted =
-            batch.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
-          if (!admitted.isEmpty) LlmOps.appendDedupIndex(admitted, indexPath)
-        }
-        verdicts.write.mode("append").parquet(verdictDir)
-        ()
+        graft.queries.LlmOps.ingestBatch(batch, indexPath, verdictDir, batchId, maintainIndex)
       }
       .start()
-  }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

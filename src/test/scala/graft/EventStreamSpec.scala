@@ -7,6 +7,62 @@ import graft.streaming.EventStream
 class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("readEvents equals Tables.events row-for-row on the same file") {
+    // the stream source and the batch loader dispatch on the same physical
+    // schema — this pins that they can never diverge silently (the r7 bug:
+    // the stream side hard-coded int64-nanos against a timestamp[us] file
+    // and every streamed window landed in 1970)
+    val dir = java.nio.file.Files.createTempDirectory("events-parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.readEvents(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("events_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("events_parity")
+      // the one documented divergence: the stream side carries ts as
+      // TIMESTAMP (watermarks demand the instant type); with the session
+      // pinned to UTC the cast is wall-clock-preserving, so batch-side
+      // cast here makes the comparison exact
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      assert(streamed.schema === batch.schema,
+        "stream source must declare the batch loader's schema (ts normalized to TIMESTAMP)")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      assert(key(streamed) === key(batch))
+      assert(streamed.count() === batch.count())
+    } finally q.stop()
+  }
+
+  test("readDocuments / readEmbeddings stream the batch schema and rows") {
+    for ((name, reader, idCol) <- Seq(
+        ("documents", EventStream.readDocuments _, "doc_id"),
+        ("embeddings", EventStream.readEmbeddings _, "vec_id"))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"$name-parity")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf0001}/$name.parquet"),
+        dir.resolve(s"$name.parquet"))
+      val q = reader(spark, dir.toString)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"${name}_parity").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(s"${name}_parity")
+        val batch = Tables.table(spark, TestSpark.sf0001, name)
+        assert(streamed.schema === batch.schema, s"$name schema drift")
+        val gotIds = streamed.select(idCol).collect().map(_.getLong(0)).sorted.toSeq
+        val wantIds = batch.select(idCol).collect().map(_.getLong(0)).sorted.toSeq
+        assert(gotIds === wantIds, s"$name ids drift")
+      } finally q.stop()
+    }
+  }
+
   test("streaming hourly stats equal the batch computation (memory sink)") {
     // the file source needs a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
@@ -31,7 +87,7 @@ class EventStreamSpec extends AnyFunSuite {
         .toMap
       val want = Tables
         .events(spark, TestSpark.sf0001)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .collect()
         .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
@@ -63,7 +119,8 @@ class EventStreamSpec extends AnyFunSuite {
       val wEnd = new java.sql.Timestamp(wStart.getTime + 5 * 60 * 1000)
       val want = Tables.events(spark, TestSpark.sf0001)
         .filter(col("event_type") === eType &&
-          col("ts") >= lit(wStart) && col("ts") < lit(wEnd))
+          col("ts").cast("timestamp") >= lit(wStart) &&
+          col("ts").cast("timestamp") < lit(wEnd))
         .count()
       assert(n == want, s"window $wStart/$eType: stream=$n batch=$want")
     } finally q.stop()
@@ -420,6 +477,69 @@ class EventStreamSpec extends AnyFunSuite {
     val d2 = b2.filter(d => admitted2Ids(d._1)).map(_._2).distinct.size
     val (hEnd, _) = LlmOps.loadDedupIndex(spark, idx)
     assert(hEnd.count() == h0.count() + d1 + d2)
+  }
+
+  test("ingestGuard chaos: a batch killed mid-commit replays to the same verdicts and one logical append") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val corpus = docs.filter(!isBatch)
+    val arriving = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("ingest-chaos").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dup_exact", "dup_near", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+
+    // batch 0 commits normally (ingestBatch IS the foreachBatch body)
+    LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
+    val (h1, _) = LlmOps.loadDedupIndex(spark, idx)
+    val h1Count = h1.count()
+    // the batch-1 twin, against the post-batch-0 index, BEFORE any chaos
+    val (hashPre, bandsPre) = LlmOps.loadDedupIndex(spark, idx)
+    val want2 = asTuples(LlmOps.incrementalDedupAgainst(b2.toDF("doc_id", "text"), hashPre, bandsPre))
+    assert(want2.exists(_._4) && want2.exists(!_._4), "batch 1 must mix admits and rejects")
+
+    // CHAOS: fabricate the exact state a kill between publish and manifest
+    // rewrite leaves — batch-1-prefixed index parts live, no last_batch=1
+    // marker. (The prefix naming exists precisely so this state is
+    // enumerable; without the undo, batch 1's docs would flag as
+    // duplicates OF THEMSELVES on replay.)
+    val (oh, ob) = LlmOps.dedupIndexOf(b2.toDF("doc_id", "text"))
+    val orphans = s"$base/orphans"
+    ob.write.parquet(s"$orphans/bands"); oh.write.parquet(s"$orphans/hash")
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (name <- Seq("bands", "hash"))
+      fs.listStatus(new Path(s"$orphans/$name"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath, new Path(s"$idx/$name", s"batch1-chaos$i.parquet"))
+        }
+    // detection still works: the torn state refuses a plain load
+    intercept[graft.operators.ArtifactManifest.Mismatch] { LlmOps.loadDedupIndex(spark, idx) }
+
+    // REPLAY batch 1: undo the torn files, verdicts against the clean
+    // index — byte-identical to the pre-chaos twin, nothing self-flagged
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    assert(asTuples(spark.read.parquet(out).filter(col("batch_id") === 1)) === want2,
+      "recovered batch must score against the undone (pre-batch) index")
+    val (h2, _) = LlmOps.loadDedupIndex(spark, idx) // consistent again
+    val admitted2 = b2.filter(d => want2.find(_._1 == d._1).exists(_._4)).map(_._2).distinct.size
+    assert(h2.count() === h1Count + admitted2, "exactly one logical append")
+
+    // REPLAY after full commit (crash after manifest, before the stream
+    // checkpoint advanced): must be a no-op — same verdicts, no growth
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    assert(asTuples(spark.read.parquet(out).filter(col("batch_id") === 1)) === want2,
+      "a committed batch's replay must not recompute against the appended index")
+    val (h3, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h3.count() === h1Count + admitted2, "no double append on committed replay")
   }
 
   test("parquet sink restart from checkpoint: no loss, no duplicates") {

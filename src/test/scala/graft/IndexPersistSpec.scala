@@ -280,6 +280,33 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(intercept[ArtifactManifest.Mismatch] { AnnPq.load(spark, pqDir) }.field == "sub_dim")
   }
 
+  test("DSIR LM pair round-trips byte-identically; a mutated vocabulary is rejected") {
+    // the loaded pair reproduces the in-plan selection exactly (the t24
+    // contract, here at the smoke tier)
+    val sel23 = SparkEntry.queries("t23_dsir_select")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val sel24 = SparkEntry.queries("t24_dsir_persisted")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(sel24 === sel23, "selection from the loaded LM pair must equal the in-plan selection")
+
+    val f = LlmOps.dsirOccurrences(spark, TestSpark.sf0001)
+    val dir = tmp("mf-dsir")
+    LlmOps.saveDsirLmPair(LlmOps.dsirLmPairOf(f), dir)
+    LlmOps.loadDsirLmPair(spark, dir) // pristine artifact loads
+    // a vocabulary mutated after the manifest committed (here: duplicate
+    // count rows appended — same failure class as lost rows) contradicts
+    // the recomputed vocab_rows/totals and refuses to load
+    spark.read.parquet(dir).limit(7).write.mode("append").parquet(dir)
+    val e = intercept[ArtifactManifest.Mismatch] { LlmOps.loadDsirLmPair(spark, dir) }
+    assert(Set("vocab_rows", "raw_tokens", "target_tokens").contains(e.field))
+    // and the pair is its own family: the unigram-LM loader fails on kind
+    val dir2 = tmp("mf-dsir-kind")
+    LlmOps.saveDsirLmPair(LlmOps.dsirLmPairOf(f), dir2)
+    assert(intercept[ArtifactManifest.Mismatch] {
+      LlmOps.loadUnigramLm(spark, dir2)
+    }.field == "kind")
+  }
+
   test("a dedup index whose tables contradict the manifest (half-written append) is rejected") {
     val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
     val (h, b) = LlmOps.dedupIndexOf(docs.filter(col("doc_id") % 2 === 0))

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.KthLargest.kthLargest
+
+class KthLargestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kth largest equals the sort-based answer across many partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // several keys, scattered over 16 partitions so map-side partials and
+    // the merge path both run; duplicates included deliberately
+    val rows = for {
+      key <- 0 to 4
+      i <- 0 until 500
+    } yield (key.toLong, math.floor(rnd.nextDouble() * 100) / 10.0)
+    val df = rows.toDF("qid", "v").repartition(16)
+    for (k <- Seq(1, 7, 50)) {
+      val got = df.groupBy("qid").agg(kthLargest(col("v"), k).as("kth"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).map { case (q, vs) =>
+        q -> vs.map(_._2).sorted(Ordering[Double].reverse).apply(k - 1)
+      }
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("groups smaller than k return their minimum (every row qualifies)") {
+    import spark.implicits._
+    val df = Seq((1L, 3.0), (1L, 1.0), (1L, 2.0), (2L, 9.0)).toDF("qid", "v")
+      .repartition(4)
+    val got = df.groupBy("qid").agg(kthLargest(col("v"), 10).as("kth"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 9.0))
+  }
+
+  test("NULLs are skipped; an all-NULL group yields NULL") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(5.0)), (1L, None), (1L, Some(7.0)),
+      (2L, None), (2L, None)
+    ).toDF("qid", "v").repartition(3)
+    val rows = df.groupBy("qid").agg(kthLargest(col("v"), 2).as("kth"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows === Map(1L -> Some(5.0), 2L -> None))
+  }
+}

@@ -131,6 +131,10 @@ class PlanAuditSpec extends AnyFunSuite {
       s"semantic side lost a query-vector broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Scan ExistingRDD"), "t17 re-parallelizes driver data")
+    // the semantic list's top-C prefilter threshold is the constant-state
+    // KthLargest aggregate with map-side partials, not a corpus-wide window
+    assert(p.contains("partial_kthlargest"),
+      s"semantic prefilter lost its map-side partial aggregation:\n$p")
   }
 
   test("e14: threshold dim broadcasts back; labels are the compact fitAssign checkpoint") {
@@ -224,6 +228,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // cartesian against it
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // candidate generation: the per-qid C-th-best threshold comes from the
+    // constant-state KthLargest aggregate with a MAP-SIDE partial (each
+    // task combines its corpus slice to a C-slot heap before the shuffle),
+    // broadcast back as the prefilter — NOT from a row_number window whose
+    // per-qid partition holds the whole corpus (the r7 shape)
+    assert(p.contains("partial_kthlargest"),
+      s"candidate threshold lost its map-side partial aggregation:\n$p")
+    // every surviving rank window must be WindowGroupLimit-bounded: Spark
+    // pre-limits each partition to the top-k BEFORE the exchange, so no
+    // window's input partition ever exceeds k rows per upstream partition
+    val windows = "Window \\[row_number".r.findAllIn(p).size
+    val limits = "WindowGroupLimit \\[[^\\]]*\\][^\\n]*Partial".r.findAllIn(p).size
+    assert(windows <= limits,
+      s"a rank window without a partial WindowGroupLimit bound ($windows windows, $limits partial limits):\n$p")
   }
 
   test("t19: the curation chain stays distributed — md5-keyed shuffles, broadcast dims, label checkpoint only") {
