@@ -202,7 +202,32 @@ object BenchScale {
         s""""$name":{$ts,"exp":$exp,"worst_vs_model":${Bench.jnum(worst)}}"""
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale","factors":[${factors.mkString(",")}],"queries":$json}""")
+    // e16 qid-growth probe: grow |qids| at the LARGEST built corpus factor
+    // and report warm seconds per set size — per-qid cost must stay ~flat
+    // (candidate threshold is one grouped aggregate whatever |qids| is;
+    // the greedy is one constant-size mapGroups group per qid).
+    // SPARK_GRAFT_SCALE_E16_QIDS="3,12,48" enables it.
+    val e16Probe = sys.env
+      .get("SPARK_GRAFT_SCALE_E16_QIDS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .filter(_.nonEmpty)
+      .map { sizes =>
+        val dir = s"$workDir/x${factors.max}"
+        val cells = sizes.map { n =>
+          def exec(): Unit = graft.queries.LlmOps
+            .mmrGroupedFor(spark, dir, (0L until n.toLong).toSeq)
+            .queryExecution.toRdd.count()
+          def once(): Double = {
+            val t0 = System.nanoTime(); exec(); (System.nanoTime() - t0) / 1e9
+          }
+          val t = math.min(once(), once())
+          Hygiene.release(spark)
+          s""""qids$n":${Bench.jnum(t)}"""
+        }
+        s""","e16_qid_growth":{"factor":${factors.max},${cells.mkString(",")}}"""
+      }
+      .getOrElse("")
+    println(s"""{"metric":"scale","factors":[${factors.mkString(",")}],"queries":$json$e16Probe}""")
     spark.stop()
   }
 }

@@ -39,31 +39,42 @@ import org.apache.spark.sql.functions._
 object StreamBench {
   private case class B(rows: Long, sec: Double, stateRows: Long)
 
-  /** Feed `slices` one file at a time into `landing`, draining the query
-    * between files; return per-micro-batch (rows, seconds, stateRows)
-    * from the query's progress log. */
+  /** Land one slice into the landing dir as ONE atomic-enough move-in:
+    * write aside, then rename the part files in flat (the file source
+    * lists the dir per trigger; a half-written file set would split one
+    * intended batch, and a nested directory would hide from both the
+    * stream lister and the schema peek). */
+  private def land(spark: SparkSession, df: DataFrame, landing: String, i: Int): Unit = {
+    val aside = s"$landing-aside$i"
+    df.coalesce(4).write.mode("overwrite").parquet(aside)
+    val fs = new org.apache.hadoop.fs.Path(landing)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(aside))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(landing, s"slice$i-${st.getPath.getName}")): Unit
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(aside), true): Unit
+  }
+
+  /** Feed `slices` one at a time into `landing` (the first lands BEFORE
+    * the query starts — the stream source needs schema-bearing files to
+    * negotiate against), draining the query between slices; return
+    * per-micro-batch (rows, seconds, stateRows) from the query's own
+    * progress log. */
   private def drive(
       spark: SparkSession,
       slices: Seq[DataFrame],
       landing: String,
       start: String => org.apache.spark.sql.streaming.StreamingQuery
   ): Seq[B] = {
+    land(spark, slices.head, landing, 0)
     val q = start(landing)
     try {
-      slices.zipWithIndex.foreach { case (df, i) =>
-        // land the slice as ONE directory move-in: write aside, then move
-        // the part files in (the file source lists per trigger; a
-        // half-written file set would split one intended batch)
-        val aside = s"$landing/../slice$i"
-        df.coalesce(4).write.mode("overwrite").parquet(aside)
-        val fs = new org.apache.hadoop.fs.Path(landing)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(new org.apache.hadoop.fs.Path(aside))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { st =>
-            fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(landing, s"slice$i-${st.getPath.getName}")): Unit
-          }
+      q.processAllAvailable()
+      slices.tail.zipWithIndex.foreach { case (df, i) =>
+        land(spark, df, landing, i + 1)
         q.processAllAvailable()
       }
       q.recentProgress.toSeq
@@ -107,8 +118,6 @@ object StreamBench {
     val docSlices = (0 until k).map(i => arrivals.filter(col("__s") === i).drop("__s"))
     val ingestLanding = s"$base/ingest-landing"
     new java.io.File(ingestLanding).mkdirs()
-    // schema-matched empty seed so readDocuments can peek the schema
-    docSlices.head.limit(0).write.parquet(s"$ingestLanding/seed.parquet")
     val ingest = drive(spark, docSlices, ingestLanding, landing =>
       EventStream.ingestGuard(
         EventStream.readDocuments(spark, landing),
@@ -127,7 +136,6 @@ object StreamBench {
     }
     val hourlyLanding = s"$base/hourly-landing"
     new java.io.File(hourlyLanding).mkdirs()
-    evSlices.head.limit(0).write.parquet(s"$hourlyLanding/seed.parquet")
     val hourly = drive(spark, evSlices, hourlyLanding, landing =>
       EventStream.hourlyStats(EventStream.readEvents(spark, landing))
         .writeStream

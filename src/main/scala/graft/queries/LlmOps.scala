@@ -4162,8 +4162,13 @@ object LlmOps {
       SELECT CAST(qid AS BIGINT) AS qid, CAST(step AS INTEGER) AS step,
              CAST(vid AS BIGINT) AS vid, CAST(mmr AS DOUBLE) AS mmr
       FROM sel ORDER BY qid, step""")
-  ) { (s, d) =>
-    val cand = groupedCosineTopC(s, d, mmrQids, mmrCandidates).cacheOnce()
+  ) { (s, d) => mmrGroupedFor(s, d, mmrQids) }
+
+  /** The e16 plan for an arbitrary qid set — factored out so the scale
+    * harness can grow |qids| independently of the corpus factor (the
+    * per-qid-cost-flat claim is measurable, not asserted). */
+  private[graft] def mmrGroupedFor(s: SparkSession, d: String, qids: Seq[Long]): DataFrame = {
+    val cand = groupedCosineTopC(s, d, qids, mmrCandidates).cacheOnce()
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // per-qid candidate embeddings: C rows per qid, both sides of the
     // qid-keyed pairwise self-join
