@@ -540,6 +540,74 @@ class EventStreamSpec extends AnyFunSuite {
       "a committed batch's replay must not recompute against the appended index")
     val (h3, _) = LlmOps.loadDedupIndex(spark, idx)
     assert(h3.count() === h1Count + admitted2, "no double append on committed replay")
+
+    // COMPACTION between micro-batches must carry the last_batch marker
+    // forward — a compaction that dropped it would turn the next
+    // committed-replay into a recompute against the appended index (the
+    // self-flagging hazard all over again)
+    LlmOps.compactDedupIndex(spark, idx)
+    val (hc, _) = LlmOps.loadDedupIndex(spark, idx)
+    val compacted = hc.count() // distinct() may retire duplicate hash rows
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    assert(asTuples(spark.read.parquet(out).filter(col("batch_id") === 1)) === want2,
+      "compaction must not erase the stream's replay-skip evidence")
+    val (h4, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h4.count() === compacted, "no append on committed replay after compaction")
+  }
+
+  test("ingestGuard restart from checkpoint: batch ids continue, index and verdicts stay consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val corpus = docs.filter(!isBatch)
+    val arriving = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("ingest-restart").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"; val ck = s"$base/ck"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    // batch 1's twin against pristine-plus-batch-0's-admits, computed
+    // eagerly before any stream runs (as in the main ingestGuard spec)
+    val (hash0, bands0) = LlmOps.loadDedupIndex(spark, idx)
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dup_exact", "dup_near", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val want1 = asTuples(LlmOps.incrementalDedupAgainst(b1.toDF("doc_id", "text"), hash0, bands0))
+    val admitted1 = b1.filter(d => want1.find(_._1 == d._1).exists(_._4))
+    val (ha, ba) = LlmOps.dedupIndexOf(admitted1.toDF("doc_id", "text"))
+    val want2 = asTuples(LlmOps.incrementalDedupAgainst(
+      b2.toDF("doc_id", "text"), hash0.union(ha), bands0.union(ba)))
+
+    // query 1 processes batch 0, then STOPS (clean shutdown = the benign
+    // end of the crash spectrum; the chaos spec covers the torn middle);
+    // batch 1's data arrives while NO query is running
+    val src = MemoryStream[(Long, String)]
+    src.addData(b1: _*)
+    val q1 = EventStream.ingestGuard(src.toDF().toDF("doc_id", "text"), idx, out, ck)
+    try q1.processAllAvailable()
+    finally q1.stop()
+    src.addData(b2: _*)
+
+    // a SECOND query on the SAME checkpoint resumes numbering at batch 1
+    // — the index append and per-batch verdict partitions line up with
+    // the checkpoint's batch ids across the restart
+    val q2 = EventStream.ingestGuard(src.toDF().toDF("doc_id", "text"), idx, out, ck)
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val verdicts = spark.read.parquet(out)
+    assert(asTuples(verdicts.filter(col("batch_id") === 0)) === want1)
+    assert(asTuples(verdicts.filter(col("batch_id") === 1)) === want2,
+      "the restarted query must see batch 0's admits in the index and commit as batch 1")
+    val d1 = admitted1.map(_._2).distinct.size
+    val admitted2Ids = want2.filter(_._4).map(_._1).toSet
+    val d2 = b2.filter(d => admitted2Ids(d._1)).map(_._2).distinct.size
+    val (hEnd, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(hEnd.count() === h0.count() + d1 + d2, "exactly one append per batch across the restart")
   }
 
   test("parquet sink restart from checkpoint: no loss, no duplicates") {
