@@ -40,6 +40,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEvents' int64-nanos branch floor-divides exactly (synthetic nanos file)") {
+    import spark.implicits._
+    // a physically-int64 ts column (what TIMESTAMP(NANOS) reads as under
+    // nanosAsLong) must take the nanos branch: exact floor division to µs,
+    // including the pre-1970 boundary where truncation would round UP
+    val dir = java.nio.file.Files.createTempDirectory("events-nanos")
+    Seq(
+      (1L, 3_600_000_000_000L, 7L, "view", 1.0, "{}"), // 1970-01-01T01:00:00
+      (2L, -500L, 8L, "view", 1.0, "{}"), // -500 ns -> floors to -1 µs
+      (3L, 999L, 9L, "view", 1.0, "{}") // 999 ns -> floors to 0 µs
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = EventStream.readEvents(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("events_nanos").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("events_nanos")
+        .select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime) // ms since epoch
+        .toMap
+      assert(got(1L) === 3_600_000L) // 3.6e12 ns = 3600 s = 3.6e6 ms
+      assert(got(2L) === -1L, "Timestamp.getTime floors -1µs into the -1ms bucket")
+      // the decisive check is at µs precision, where truncation-vs-floor differs
+      val micros = spark.table("events_nanos")
+        .select(col("event_id"), expr("unix_micros(ts)"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(micros(1L) === 3_600_000_000L)
+      assert(micros(2L) === -1L, "div-toward-zero would give 0 here")
+      assert(micros(3L) === 0L)
+    } finally q.stop()
+  }
+
   test("readDocuments / readEmbeddings stream the batch schema and rows") {
     for ((name, reader, idCol) <- Seq(
         ("documents", EventStream.readDocuments _, "doc_id"),
