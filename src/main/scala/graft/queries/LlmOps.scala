@@ -3616,6 +3616,177 @@ object LlmOps {
       )
       .orderBy("doc_id")
 
+  // ---- exact substring dedup (duplicated-span removal) ----
+
+  /** Token k-grams WITH POSITIONS for the substring-dedup family:
+    * (doc_id, pos, h) — one row per k-gram OCCURRENCE, pos 1-based, h the
+    * space-joined k tokens. Same codegen discipline as explodedShingles
+    * (exploded index sequence + element_at chain; the lambda-free shape
+    * that benched 2-6x faster), with the tokens materialized once per doc
+    * before the explode. Docs shorter than k emit nothing — sequence()
+    * would otherwise run DESCENDING from 1 and fabricate grams. */
+  private def positionedGrams(docs: DataFrame, k: Int): DataFrame = {
+    val t = col("t")
+    val i = col("i")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(t) >= k)
+      .select(col("doc_id"), t, explode(sequence(lit(1), size(t) - (k - 1))).as("i"))
+      .select(
+        col("doc_id"),
+        i.as("pos"),
+        concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*).as("h")
+      )
+  }
+
+  /** Substring-dedup gram width, in tokens. Published exact-substring
+    * recipes (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better" — the ExactSubstr dedup the reference's
+    * users run upstream of training) use 50 BPE tokens against web-scale
+    * corpora; 8 word-tokens plays the same role against the synthetic
+    * corpus's ~40-word docs. */
+  private[graft] val substrK = 8
+
+  /** d19: EXACT SUBSTRING DEDUP — remove every duplicated token span of
+    * length >= k, keeping one canonical copy corpus-wide (Lee et al.
+    * 2021's ExactSubstr semantic, re-expressed relationally; reference
+    * workload: the dedup pass of `README.md:48-52`'s "process a dataset"
+    * pitch). Where the paper builds one giant suffix array, the
+    * shuffle-native formulation is k-gram occurrences → duplicated-gram
+    * index → per-doc span merge:
+    *
+    *   1. (doc_id, pos, gram) for every k-gram occurrence — map-only.
+    *   2. groupBy(gram): occurrence count + lexicographic-min (doc_id,
+    *      pos) as the CANONICAL occurrence. One shuffle; constant state
+    *      per key (count + min pair), map-side partial combine. Any run
+    *      of duplicated text of length L >= k is covered gram-by-gram:
+    *      its L-k+1 constituent k-grams are each duplicated, so the
+    *      marked spans tile it and the merge below reconstitutes the
+    *      full run — the suffix array's maximal-match output, recovered
+    *      relationally.
+    *   3. Join back (gram-key equi-join), drop the canonical occurrence
+    *      of each duplicated gram, keep (doc_id, [pos, pos+k-1]) spans.
+    *   4. Merge overlapping spans per doc — classic islands: running
+    *      max-end window, island id = running count of gap-starts. The
+    *      ONLY windows in the plan partition by doc_id, so partition
+    *      size is bounded by document length, never corpus size.
+    *   5. Report per affected doc: merged-span count, tokens removed,
+    *      md5 of the surviving tokens in order (position explode,
+    *      anti-join against covered positions, d18's sort-rejoin md5).
+    *
+    * Scale: the gram shuffle is the cost — ~k words per occurrence, the
+    * price of not having a cluster-wide suffix array; at 100 TB the gram
+    * key would be a 128-bit hash (md5/xxhash128) to cut shuffle width,
+    * kept as raw text here so the oracle comparison stays collision-free
+    * by construction. Canonical-pick via min(struct) keeps step 2's
+    * state constant per key — no window over gram occurrences, so a
+    * pathological stop-gram (boilerplate repeated millions of times)
+    * costs a skewed-but-partial-aggregated key, not a hot reducer.
+    * Everything after step 3 is proportional to the DUPLICATED text
+    * volume, not the corpus. */
+  val d19 = Q(
+    "d19_dedup_substring_exact",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      g AS (SELECT doc_id, UNNEST(range(1, len(t) - ${substrK - 2})) AS pos, t
+            FROM t WHERE len(t) >= $substrK),
+      gr AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${substrK - 1}], ' ') AS h FROM g),
+      dup AS (SELECT h, COUNT(*) AS c, MIN((doc_id, pos)) AS canon
+              FROM gr GROUP BY h HAVING COUNT(*) > 1),
+      marked AS (SELECT gr.doc_id, gr.pos AS s, gr.pos + ${substrK - 1} AS e
+                 FROM gr JOIN dup ON gr.h = dup.h
+                 WHERE (gr.doc_id, gr.pos) <> dup.canon),
+      isl0 AS (SELECT doc_id, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM marked),
+      isl1 AS (SELECT doc_id, s, e,
+                 SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS gid
+               FROM isl0),
+      isl AS (SELECT doc_id, gid, MIN(s) AS s, MAX(e) AS e
+              FROM isl1 GROUP BY doc_id, gid),
+      st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS tokens_removed
+             FROM isl GROUP BY doc_id),
+      cov AS (SELECT doc_id, UNNEST(range(s, e + 1)) AS p FROM isl),
+      tok AS (SELECT doc_id, UNNEST(t) AS tk, UNNEST(range(1, len(t) + 1)) AS p FROM t),
+      keepres AS (SELECT tok.doc_id, tok.p, tok.tk
+                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                  WHERE cov.doc_id IS NULL),
+      cl AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
+             FROM keepres GROUP BY doc_id)
+      SELECT st.doc_id, n_spans, tokens_removed,
+             md5(COALESCE(cl.txt, '')) AS clean_md5
+      FROM st LEFT JOIN cl ON st.doc_id = cl.doc_id ORDER BY st.doc_id""")
+  ) { (s, d) => substringDedupOf(Tables.documents(s, d)) }
+
+  /** Frame-parameterized body of d19 — package-visible so the edge-case
+    * spec (adjacent-vs-overlapping spans, whole-doc removal, canonical
+    * survival) can feed a constructed corpus without parquet. */
+  private[graft] def substringDedupOf(documents: DataFrame): DataFrame = {
+    val grams = positionedGrams(documents, substrK).cacheOnce()
+    val dup = grams
+      .groupBy("h")
+      .agg(
+        count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("canon")
+      )
+      .filter(col("c") > 1)
+      .select("h", "canon")
+    val marked = grams
+      .join(dup, "h")
+      .filter(
+        col("doc_id") =!= col("canon.doc_id") || col("pos") =!= col("canon.pos")
+      )
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (substrK - 1)).as("e"))
+    // islands over doc-sized partitions: a span starts a new island iff it
+    // begins past the running max end of everything before it
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val isl = marked
+      .withColumn(
+        "pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn(
+        "gid",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0)).over(byDoc)
+      )
+      .groupBy("doc_id", "gid")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .cacheOnce()
+    val st = isl
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("tokens_removed")
+      )
+    val cov = isl.select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
+    val tok = documents
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tk"))
+    val cl = tok
+      .join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("tk")))),
+            x => x.getField("tk")
+          ),
+          " "
+        ).as("txt")
+      )
+    st.join(cl, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("tokens_removed"),
+        md5(coalesce(col("txt"), lit(""))).as("clean_md5")
+      )
+      .orderBy("doc_id")
+  }
+
   // ---- hybrid retrieval (lexical + semantic rank fusion) ----
 
   /** Hybrid retrieval: fuse a BM25 term-query ranking (t13's scorer,
@@ -4263,7 +4434,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

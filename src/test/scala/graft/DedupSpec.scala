@@ -68,6 +68,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((3L, 2L, 32L, md5Hex(s"$dd $ee"))))
   }
 
+  test("d19 substring dedup: canonical survives, runs merge, islands split on gaps") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    def run(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val a12 = run("a", 12) // the canonical 12-token run (docs 1, 2, 3)
+    val b8 = run("b", 8)
+    val p8 = run("p", 8)
+    val q8 = run("q", 8)
+    val docs = Seq(
+      (1L, a12),                      // canonical holder: NOT in the output
+      (2L, s"$a12 x1 x2 x3 x4"),      // 12-token dup run -> ONE merged island
+      (3L, a12),                      // exact copy -> whole-doc removal
+      (4L, s"$b8 c1 c2 c3 c4 $b8"),   // internal repeat: second occurrence goes
+      (10L, p8),                      // canonical for p8
+      (11L, q8),                      // canonical for q8
+      (12L, s"$p8 z1 $q8")            // two dup spans split by the z1 gap
+    ).toDF("doc_id", "text")
+    val out = LlmOps
+      .substringDedupOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // docs whose every duplicated gram is ITS OWN canonical keep all text
+    // and are absent from the removal report
+    assert(out.keySet == Set(2L, 3L, 4L, 12L))
+    // the 5 overlapping 8-gram spans tiling the 12-token run merge to one
+    assert(out(2L) == ((1L, 12L, md5Hex("x1 x2 x3 x4"))))
+    assert(out(3L) == ((1L, 12L, md5Hex(""))))
+    // within one doc the FIRST occurrence is canonical; the repeat goes
+    assert(out(4L) == ((1L, 8L, md5Hex(s"$b8 c1 c2 c3 c4"))))
+    // two islands separated by one surviving token do not merge
+    assert(out(12L) == ((2L, 16L, md5Hex("z1"))))
+  }
+
   test("capShingles drops hot shingles and bounds self-join fan-out") {
     import spark.implicits._
     // 50 docs all share the stop shingle "S"; each also has one unique
