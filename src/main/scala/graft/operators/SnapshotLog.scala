@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Versioned snapshot log for MUTABLE index artifacts — the table-format
+  * commit discipline (Iceberg/Delta's, scaled down to a properties file)
+  * that [[graft.queries.LlmOps.ingestBatch]]'s scaladoc promised for
+  * object stores: readers resolve data through a manifest, never through
+  * a directory listing, so a commit is ONE small-file PUT and the
+  * protocol needs no atomic rename anywhere.
+  *
+  * Layout under an artifact root:
+  * {{{
+  *   <root>/manifest.v<N>        — immutable, checksummed; highest valid wins
+  *   <root>/data/<table>/<tag>/  — immutable parquet directories
+  * }}}
+  *
+  * Invariants:
+  *   - Data directories are written FIRST (mode overwrite — a replayed
+  *     writer rewrites the same tag idempotently) and become visible only
+  *     when a manifest referencing them commits. A crash mid-write leaves
+  *     orphan directories no reader ever sees.
+  *   - The manifest is written once, never edited. A torn manifest write
+  *     fails its own checksum and readers fall back to the previous valid
+  *     version — the failure mode of a non-atomic object-store PUT is
+  *     "commit didn't happen", never "half a commit".
+  *   - Single writer per artifact (the same assumption the rename-based
+  *     r7 protocol documented); [[gc]] runs inside that writer, on the
+  *     compaction cadence, and retires unreferenced data directories,
+  *     superseded manifests, and torn manifest files.
+  *
+  * Versus the rename protocol this replaces: renames were metadata ops on
+  * HDFS but full copies on raw object stores, and a torn multi-file
+  * publish needed an enumerate-and-undo pass before every replay
+  * (`batch<id>-` prefixes existed only to make torn state enumerable).
+  * Here torn state is structurally invisible, so recovery logic shrinks
+  * to "retry the write"; the reference's analogous contract is the
+  * exactly-once input-steal/ACK semantics its scenario tests pin
+  * (reference: tests/scenarios/test_input_steal_semantics.py).
+  */
+object SnapshotLog {
+  private val Prefix = "manifest.v"
+
+  /** One committed version: which data directories each table comprises
+    * (tags relative to `<root>/data/<table>/`) plus writer properties. */
+  final case class Snapshot(version: Int, tables: Map[String, Seq[String]], props: Map[String, String]) {
+    def dirs(root: String, table: String): Seq[String] =
+      tables.getOrElse(table, Nil).map(tag => dataDir(root, table, tag))
+  }
+
+  /** Absolute path of one table data directory. */
+  def dataDir(root: String, table: String, tag: String): String =
+    s"$root/data/$table/$tag"
+
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def listManifests(s: SparkSession, root: String): Seq[(Int, Path)] = {
+    val rootP = new Path(root)
+    val fs = fsOf(s, rootP)
+    if (!fs.exists(rootP)) Nil
+    else
+      fs.listStatus(rootP)
+        .iterator
+        .map(_.getPath)
+        .filter(_.getName.startsWith(Prefix))
+        .flatMap(p => scala.util.Try(p.getName.stripPrefix(Prefix).toInt).toOption.map(_ -> p))
+        .toSeq
+        .sortBy(_._1)
+  }
+
+  /** Version the next commit should use: one past the highest manifest
+    * file PRESENT (valid or torn — a torn v6 must not be overwritten by a
+    * later writer reusing 6, or a reader that cached "v6 is invalid"
+    * would skip the real commit). */
+  def nextVersion(s: SparkSession, root: String): Int =
+    listManifests(s, root).lastOption.map(_._1).getOrElse(0) + 1
+
+  private def md5Hex(body: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(body.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  /** Commit `version`: serialize deterministically, self-checksum, write
+    * the one manifest file. This call IS the commit point — everything
+    * before it is invisible, everything after it is durable. */
+  def commit(
+      s: SparkSession,
+      root: String,
+      kind: String,
+      version: Int,
+      tables: Map[String, Seq[String]],
+      props: Map[String, String]
+  ): Snapshot = {
+    require(
+      tables.forall { case (t, tags) => !t.contains('=') && tags.forall(g => !g.contains(',') && !g.contains('=')) },
+      "table names and dir tags must not contain '=' or ','"
+    )
+    val fields =
+      props ++ Map("kind" -> kind, "snapshot_version" -> version.toString) ++
+        tables.map { case (t, tags) => s"table.$t" -> tags.mkString(",") }
+    val body = fields.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val all = body + s"checksum=${md5Hex(body)}\n"
+    val p = new Path(root, s"$Prefix$version")
+    val fs = fsOf(s, p)
+    val out = fs.create(p, true)
+    try out.write(all.getBytes("UTF-8"))
+    finally out.close()
+    Snapshot(version, tables, props)
+  }
+
+  private def parse(s: SparkSession, p: Path): Option[(Map[String, String])] = {
+    val fs = fsOf(s, p)
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    val lines = text.linesIterator.toSeq
+    val (bodyLines, sumLines) = lines.partition(!_.startsWith("checksum="))
+    val body = bodyLines.mkString("", "\n", "\n")
+    val ok = sumLines.lastOption.map(_.stripPrefix("checksum=")).contains(md5Hex(body))
+    if (!ok) None
+    else
+      Some(
+        bodyLines.iterator
+          .map(_.trim)
+          .filter(l => l.nonEmpty && l.contains('='))
+          .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+          .toMap
+      )
+  }
+
+  private def toSnapshot(version: Int, fields: Map[String, String]): Snapshot = {
+    val tables = fields.collect {
+      case (k, v) if k.startsWith("table.") =>
+        k.stripPrefix("table.") -> (if (v.isEmpty) Nil else v.split(',').toSeq)
+    }
+    val props = fields.view
+      .filterKeys(k => !k.startsWith("table.") && k != "snapshot_version")
+      .toMap
+    Snapshot(version, tables, props)
+  }
+
+  /** Resolve the current snapshot: the highest checksum-valid manifest.
+    * Torn files are skipped (a crashed commit never happened); no valid
+    * manifest at all throws [[ArtifactManifest.Missing]] and a valid
+    * manifest of another artifact family throws on `kind` — the same
+    * typed errors the write-once artifact families raise. */
+  def current(s: SparkSession, root: String, kind: String): Snapshot = {
+    val found = listManifests(s, root).reverseIterator
+      .flatMap { case (v, p) => parse(s, p).map(v -> _) }
+      .nextOption()
+    found match {
+      case None => throw ArtifactManifest.Missing(root)
+      case Some((v, fields)) =>
+        ArtifactManifest.check(root, "kind", kind, fields.getOrElse("kind", "?"))
+        toSnapshot(v, fields)
+    }
+  }
+
+  /** Retire everything `keep` does not reference: data directories of no
+    * current table, manifests below `keep.version`, and torn manifest
+    * files. Runs inside the single writer (compaction cadence) — like the
+    * r7 swap's immediate `.old` delete, a reader holding a pre-GC
+    * DataFrame across a compaction must re-resolve; longer retention is a
+    * policy knob a multi-reader deployment would raise. */
+  def gc(s: SparkSession, root: String, kind: String): Unit = {
+    val keep = current(s, root, kind)
+    listManifests(s, root).foreach { case (v, p) =>
+      val stale = v < keep.version || (v > keep.version && parse(s, p).isEmpty)
+      if (stale) fsOf(s, p).delete(p, false): Unit
+    }
+    val dataP = new Path(root, "data")
+    val fs = fsOf(s, dataP)
+    if (fs.exists(dataP)) {
+      fs.listStatus(dataP).foreach { tdir =>
+        val table = tdir.getPath.getName
+        val live = keep.tables.getOrElse(table, Nil).toSet
+        fs.listStatus(tdir.getPath)
+          .filter(st => !live.contains(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+    }
+  }
+}

@@ -863,58 +863,85 @@ object LlmOps {
     (hash, simhashBandsDf(fps, bBits, hammingRadius + 1))
   }
 
-  /** Write the dedup index artifact pair under `path` ({hash,bands}).
-    * The manifest (written LAST — the commit marker) records both tables'
-    * physical row counts and the banding geometry; every mutator
-    * (appendDedupIndex, compactDedupIndex) rewrites it after its own data
-    * mutation commits. */
+  /** The dedup index is the one MUTABLE artifact family (per-batch
+    * appends, periodic compaction), so it commits through
+    * [[graft.operators.SnapshotLog]] rather than ArtifactManifest's
+    * write-once manifest: readers resolve data directories through the
+    * highest valid snapshot manifest, a commit is one small-file PUT, and
+    * no step of any mutator renames anything — the protocol runs
+    * unchanged on a raw object store (the r8 residue item the rename
+    * publish left open). */
+  private val DedupKind = "dedup-index"
+
+  /** Write a fresh dedup index artifact pair under `path` as snapshot
+    * data directories plus the first (or next) manifest version. */
   private[graft] def saveDedupIndex(hash: DataFrame, bands: DataFrame, path: String): Unit = {
-    hash.write.mode("overwrite").parquet(s"$path/hash")
-    bands.write.mode("overwrite").parquet(s"$path/bands")
-    writeDedupManifest(hash.sparkSession, path)
+    val s = hash.sparkSession
+    val L = graft.operators.SnapshotLog
+    val v = L.nextVersion(s, path)
+    val tag = s"base-v$v"
+    hash.write.mode("overwrite").parquet(L.dataDir(path, "hash", tag))
+    bands.write.mode("overwrite").parquet(L.dataDir(path, "bands", tag))
+    commitDedupSnapshot(s, path, v, Map("hash" -> Seq(tag), "bands" -> Seq(tag)))
   }
 
-  /** `extra` lets the streaming ingest commit its batch marker atomically
-    * with the row counts; an existing `last_batch` marker is carried
-    * forward by every OTHER mutator (append/compact between micro-batches
-    * must not erase the stream's replay-skip evidence). */
-  private def writeDedupManifest(
+  /** Commit one dedup-index snapshot: recount both tables' physical rows
+    * over exactly the directories this version references (parquet-footer
+    * aggregates — the same truncation guard the r7 manifest carried),
+    * then write the manifest. `extra` lets the streaming ingest land its
+    * batch marker atomically with the data it describes; an existing
+    * `last_batch` is carried forward by every OTHER mutator
+    * (append/compact between micro-batches must not erase the stream's
+    * replay-skip evidence). */
+  private def commitDedupSnapshot(
       s: SparkSession,
       path: String,
+      version: Int,
+      tables: Map[String, Seq[String]],
       extra: Map[String, String] = Map.empty
   ): Unit = {
+    val L = graft.operators.SnapshotLog
     val carried =
-      try graft.operators.ArtifactManifest
-        .readAndCheck(s, path, "dedup-index")
-        .view.filterKeys(_ == "last_batch").toMap
+      try L.current(s, path, DedupKind).props.view.filterKeys(_ == "last_batch").toMap
       catch { case _: Throwable => Map.empty[String, String] }
-    graft.operators.ArtifactManifest.write(
+    def rows(table: String) =
+      s.read.parquet(tables(table).map(L.dataDir(path, table, _)): _*).count()
+    L.commit(
       s,
       path,
-      "dedup-index",
+      DedupKind,
+      version,
+      tables,
       carried ++ Map(
         "simhash_bits" -> simhashBits.toString,
         "bands" -> (simhashBits / (hammingRadius + 1)).toString,
-        "hash_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/hash").toString,
-        "band_rows" -> graft.operators.ArtifactManifest.tableRows(s, s"$path/bands").toString
+        "hash_rows" -> rows("hash").toString,
+        "band_rows" -> rows("bands").toString
       ) ++ extra
-    )
+    ): Unit
   }
 
-  /** Reload a dedup index written by saveDedupIndex. Manifest-validated:
-    * kind/version, banding geometry (an index banded for a different
-    * Hamming radius would silently change the near-dup recall), and both
-    * tables' physical row counts (a truncated or half-appended table —
-    * band rows missing for appended hash rows — fails here with a typed
-    * error instead of admitting near-duplicates). */
+  /** Current snapshot of a dedup index at `path`, kind-checked. */
+  private def dedupSnapshot(s: SparkSession, path: String): graft.operators.SnapshotLog.Snapshot =
+    graft.operators.SnapshotLog.current(s, path, DedupKind)
+
+  /** Reload a dedup index written by saveDedupIndex. Snapshot-validated:
+    * kind, banding geometry (an index banded for a different Hamming
+    * radius would silently change the near-dup recall), and both tables'
+    * physical row counts over the referenced directories (an out-of-band
+    * mutation of a committed directory fails here with a typed error
+    * instead of admitting near-duplicates; a TORN append never even gets
+    * this far — its directories are unreferenced and invisible). */
   private[graft] def loadDedupIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
     val M = graft.operators.ArtifactManifest
-    val mf = M.readAndCheck(s, path, "dedup-index")
+    val snap = dedupSnapshot(s, path)
+    val mf = snap.props
+    def read(table: String) = s.read.parquet(snap.dirs(path, table): _*)
     M.check(path, "simhash_bits", mf.getOrElse("simhash_bits", "?"), simhashBits.toString)
     M.check(path, "bands", mf.getOrElse("bands", "?"), (simhashBits / (hammingRadius + 1)).toString)
-    M.check(path, "hash_rows", mf.getOrElse("hash_rows", "?"), M.tableRows(s, s"$path/hash").toString)
-    M.check(path, "band_rows", mf.getOrElse("band_rows", "?"), M.tableRows(s, s"$path/bands").toString)
-    (s.read.parquet(s"$path/hash"), s.read.parquet(s"$path/bands"))
+    M.check(path, "hash_rows", mf.getOrElse("hash_rows", "?"), read("hash").count().toString)
+    M.check(path, "band_rows", mf.getOrElse("band_rows", "?"), read("bands").count().toString)
+    (read("hash"), read("bands"))
   }
 
   /** Append an ADMITTED batch's rows to a persisted dedup index — the
@@ -939,72 +966,62 @@ object LlmOps {
     * corpus write it performs anyway — pays nothing extra here beyond a
     * re-read of the landed files.)
     *
-    * CRASH WINDOW between the two table appends: each parquet append is
-    * job-atomic (uncommitted task files are invisible to readers), but the
-    * two appends are separate jobs. Bands are written FIRST because a
-    * bands-present/hash-missing index stays SAFE for admission — an exact
-    * recrawl of an appended doc has an identical minhash signature, so the
-    * band join surfaces it and the similarity verdict rejects it at
-    * estimated Jaccard 1.0; the reverse order (hash first) would leave
-    * near-dup variants of the batch silently admitted, which no later
-    * append repairs. Recovery after any suspected partial append is to
-    * RE-APPEND the same batch: both tables tolerate duplicate rows by
-    * construction (admission dedups the hash side at join time; duplicate
-    * band rows only repeat a candidate pair), so the operation is
-    * idempotent for admission, and compactDedupIndex's distinct() retires
-    * the extra rows on the normal maintenance cadence. */
+    * CRASH SAFETY is the snapshot log's: the batch's hash/band rows land
+    * in fresh `append-v<N>` data directories that no reader resolves
+    * until the version-N manifest commits — the r7 protocol's careful
+    * bands-before-hash ordering and detect-then-re-append recovery both
+    * dissolve, because torn state is structurally invisible; recovery is
+    * simply "call append again". Duplicate rows from a retried append
+    * stay harmless by construction (admission dedups the hash side at
+    * join time; duplicate band rows only repeat a candidate pair), and
+    * compactDedupIndex's distinct() retires them on the normal
+    * maintenance cadence. */
   private[graft] def appendDedupIndex(admitted: DataFrame, path: String): Unit = {
+    val s = admitted.sparkSession
+    val L = graft.operators.SnapshotLog
+    val snap = dedupSnapshot(s, path)
     val materialized = admitted.localCheckpoint(true)
     val (h, b) = dedupIndexOf(materialized)
-    b.write.mode("append").parquet(s"$path/bands")
-    h.write.mode("append").parquet(s"$path/hash")
-    // re-commit the manifest with the post-append counts — a crash before
-    // this line leaves the OLD manifest contradicting the appended tables,
-    // so the next load fails typed and the operator re-appends (see the
-    // recovery note above)
-    writeDedupManifest(admitted.sparkSession, path)
+    val v = L.nextVersion(s, path)
+    val tag = s"append-v$v"
+    b.write.mode("overwrite").parquet(L.dataDir(path, "bands", tag))
+    h.write.mode("overwrite").parquet(L.dataDir(path, "hash", tag))
+    commitDedupSnapshot(
+      s, path, v,
+      Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
+          "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
+    )
   }
 
   /** One micro-batch of the streaming ingest-admission loop, as a
     * CRASH-SAFE commit protocol — the foreachBatch body of
     * [[graft.streaming.EventStream.ingestGuard]], factored here beside the
-    * index it mutates. The r7 version appended in place and relied on
-    * manifest row counts to DETECT a torn batch at the next load; this is
-    * the RECOVERY: every on-disk effect of a batch is either undoable or
-    * idempotent, so a kill anywhere inside the batch replays to the exact
-    * same verdicts and exactly one logical append.
+    * index it mutates. The r7 version enumerated and UNDID a torn
+    * publish's renamed files before every replay; on the snapshot log the
+    * hazard that undo existed for — a replayed batch recomputing verdicts
+    * against an index already holding its own partial append, flagging
+    * its documents as duplicates OF THEMSELVES — cannot arise, because a
+    * partial append is unreferenced by any committed manifest and
+    * therefore invisible to the verdict read. The protocol is three
+    * steps:
     *
-    * The subtle hazard recovery must handle: a replayed batch that
-    * recomputes verdicts against an index already holding its own partial
-    * append would flag its documents as duplicates OF THEMSELVES —
-    * silently dropping everything the crashed attempt had admitted. So the
-    * batch's published files must be identifiable and removable, which
-    * drives the whole protocol:
-    *
-    *   1. SKIP if committed: the manifest's `last_batch` field (written
-    *      atomically with the post-append row counts — one properties
-    *      file) equals this batchId ⇒ the previous attempt fully
-    *      committed and only the stream's own checkpoint advance was
+    *   1. SKIP if committed: the current snapshot's `last_batch` property
+    *      (committed atomically with the data directories it describes —
+    *      one manifest file) equals this batchId ⇒ the previous attempt
+    *      fully committed and only the stream's checkpoint advance was
     *      lost; every on-disk effect is already in place, do nothing.
-    *   2. UNDO any torn append: delete live files carrying this batch's
-    *      `batch<id>-` name prefix (publish renames staged parts to that
-    *      prefix precisely so a torn publish is enumerable); the index is
-    *      now byte-identical to its pre-batch state and its manifest row
-    *      counts validate again.
-    *   3. Verdicts against the CLEAN index, landed by per-batch
-    *      OVERWRITE into `verdictDir/batch_id=<id>` (a partition
-    *      directory: replay rewrites the same files — exactly-once
-    *      verdicts for downstream readers, not at-least-once).
-    *   4. Stage the admitted rows' hash+band parts under
-    *      `.stage-<id>` (overwrite — idempotent), then publish by
-    *      RENAMING each part into the live tables under the batch prefix
-    *      (metadata ops on HDFS-like stores; an object store without
-    *      atomic rename would run this loop against a table format
-    *      instead — the discipline, not the syscall, is the point).
-    *   5. COMMIT: rewrite the manifest with the post-append counts and
-    *      `last_batch=<id>`, then drop the stage dir. A crash before 5
-    *      replays into the undo at 2; a crash after 5 replays into the
-    *      skip at 1.
+    *   2. Verdicts against the current snapshot (always clean by
+    *      construction), landed by per-batch OVERWRITE into
+    *      `verdictDir/batch_id=<id>` (a partition directory: replay
+    *      rewrites the same files — exactly-once verdicts for downstream
+    *      readers, not at-least-once).
+    *   3. Write the admitted rows' hash/band parts into `batch-<id>` data
+    *      directories (mode overwrite — a replay rewrites the same tag
+    *      idempotently), then COMMIT one manifest referencing them with
+    *      `last_batch=<id>`. A crash before the commit replays into 2
+    *      against the unchanged previous snapshot; a crash after it
+    *      replays into the skip at 1. An EMPTY admitted set still commits
+    *      the marker — the batch happened, its replay must skip.
     *
     * One writer per index: batch ids are scoped to the stream's own
     * checkpoint (same assumption the r7 loop made; a second concurrent
@@ -1017,11 +1034,10 @@ object LlmOps {
       maintainIndex: Boolean
   ): Unit = {
     val s = batch.sparkSession
-    val M = graft.operators.ArtifactManifest
-    val committed = M.readAndCheck(s, indexPath, "dedup-index")
-      .get("last_batch").contains(batchId.toString)
+    val L = graft.operators.SnapshotLog
+    val snap = dedupSnapshot(s, indexPath)
+    val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
-      undoBatchFiles(s, indexPath, batchId)
       val (hash, bands) = loadDedupIndex(s, indexPath)
       val verdicts = incrementalDedupAgainst(batch, hash, bands)
         .localCheckpoint(true) // pin the pre-append view; consumed twice below
@@ -1029,65 +1045,22 @@ object LlmOps {
       if (maintainIndex) {
         val admitted =
           batch.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
-        publishBatchAppend(s, admitted, indexPath, batchId)
-      }
-    }
-  }
-
-  /** Step 2 of [[ingestBatch]]: remove a torn publish's live files (the
-    * `batch<id>-` prefix enumerates them). Idempotent. */
-  private def undoBatchFiles(s: SparkSession, path: String, batchId: Long): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    Seq("hash", "bands").foreach { name =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val fs = dir.getFileSystem(conf)
-      if (fs.exists(dir)) {
-        fs.listStatus(dir)
-          .filter(_.getPath.getName.startsWith(s"batch$batchId-"))
-          .foreach(st => fs.delete(st.getPath, false))
-      }
-    }
-  }
-
-  /** Steps 4-5 of [[ingestBatch]]: stage the admitted rows' index parts,
-    * publish them into the live tables under the batch prefix, commit the
-    * manifest (counts + `last_batch`), drop the stage. An EMPTY admitted
-    * set still commits the marker — the batch happened, its replay must
-    * skip. */
-  private def publishBatchAppend(
-      s: SparkSession,
-      admitted: DataFrame,
-      path: String,
-      batchId: Long
-  ): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val stage = s"$path/.stage-$batchId"
-    if (!admitted.isEmpty) {
-      val materialized = admitted.localCheckpoint(true) // appendDedupIndex's lineage cut
-      val (h, b) = dedupIndexOf(materialized)
-      // bands before hash, appendDedupIndex's crash-order argument: a
-      // bands-present/hash-missing state stays safe for admission even if
-      // the undo itself were lost
-      b.write.mode("overwrite").parquet(s"$stage/bands")
-      h.write.mode("overwrite").parquet(s"$stage/hash")
-      Seq("bands", "hash").foreach { name =>
-        val src = new org.apache.hadoop.fs.Path(s"$stage/$name")
-        val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
-        val fs = src.getFileSystem(conf)
-        fs.listStatus(src)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { st =>
-            val target = new org.apache.hadoop.fs.Path(dst, s"batch$batchId-${st.getPath.getName}")
-            if (fs.exists(target)) fs.delete(target, false)
-            if (!fs.rename(st.getPath, target))
-              throw new java.io.IOException(s"ingest publish: cannot rename ${st.getPath} to $target")
+        val tag = s"batch-$batchId"
+        val tables =
+          if (admitted.isEmpty) snap.tables
+          else {
+            val materialized = admitted.localCheckpoint(true) // appendDedupIndex's lineage cut
+            val (h, b) = dedupIndexOf(materialized)
+            b.write.mode("overwrite").parquet(L.dataDir(indexPath, "bands", tag))
+            h.write.mode("overwrite").parquet(L.dataDir(indexPath, "hash", tag))
+            Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
+                "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
           }
+        commitDedupSnapshot(
+          s, indexPath, L.nextVersion(s, indexPath), tables,
+          Map("last_batch" -> batchId.toString))
       }
     }
-    writeDedupManifest(s, path, Map("last_batch" -> batchId.toString))
-    val st = new org.apache.hadoop.fs.Path(stage)
-    val fs = st.getFileSystem(conf)
-    if (fs.exists(st)) fs.delete(st, true): Unit
   }
 
   /** Compact an appended dedup index: distinct the hash table (appends
@@ -1098,36 +1071,24 @@ object LlmOps {
     * never needs it (incrementalDedupAgainst dedups the hash side at
     * join time), it only bounds file counts and join input size.
     *
-    * The rewrite STAGES beside the live tables and swaps by rename —
-    * never mode-overwrite in place: in-place overwrite deletes the only
-    * durable copy before the new files commit, with the survivors held
-    * solely in volatile localCheckpoint executor blocks, so an executor
-    * loss mid-write would destroy the index permanently. The staged
-    * write needs no lineage cut at all (the files it reads are not
-    * mutated), and the swap is two metadata renames on any Hadoop FS; a
-    * crash between them leaves the previous table intact under .old for
-    * manual recovery, never a deleted index. */
+    * The rewrite is staged BY CONSTRUCTION on the snapshot log: the
+    * compacted tables land in fresh `compact-v<N>` directories while
+    * every file the rewrite reads stays untouched (no lineage cut
+    * needed, no window where the only durable copy is deleted), the
+    * version-N manifest referencing only the new directories is the
+    * commit point, and [[graft.operators.SnapshotLog.gc]] then retires
+    * the superseded directories and manifests — a crash anywhere leaves
+    * either the old snapshot fully live or the new one fully live, never
+    * a deleted index. */
   private[graft] def compactDedupIndex(s: SparkSession, path: String): Unit = {
+    val L = graft.operators.SnapshotLog
     val (h, b) = loadDedupIndex(s, path)
-    h.distinct().write.mode("overwrite").parquet(s"$path/hash.next")
-    b.write.mode("overwrite").parquet(s"$path/bands.next")
-    val conf = s.sparkContext.hadoopConfiguration
-    Seq("hash", "bands").foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$path/$name.next")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$name.old")
-      val fs = live.getFileSystem(conf)
-      if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(s"compactDedupIndex: cannot stage $live aside")
-      if (!fs.rename(next, live))
-        throw new java.io.IOException(
-          s"compactDedupIndex: swap failed; previous table preserved at $old")
-      fs.delete(old, true): Unit
-    }
-    // the distinct() changed hash_rows — re-commit the manifest against
-    // the swapped-in tables (manifest-last, as everywhere)
-    writeDedupManifest(s, path)
+    val v = L.nextVersion(s, path)
+    val tag = s"compact-v$v"
+    h.distinct().write.mode("overwrite").parquet(L.dataDir(path, "hash", tag))
+    b.write.mode("overwrite").parquet(L.dataDir(path, "bands", tag))
+    commitDedupSnapshot(s, path, v, Map("hash" -> Seq(tag), "bands" -> Seq(tag)))
+    L.gc(s, path, DedupKind)
   }
 
   /** d08's admission verdict for a batch, against a PREBUILT corpus index

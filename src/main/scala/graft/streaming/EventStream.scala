@@ -41,10 +41,11 @@ object EventStream {
   private def readTable(
       spark: SparkSession,
       path: String,
-      tsCol: Option[String]
+      tsCol: Option[String],
+      options: Map[String, String] = Map.empty
   ): DataFrame = {
     val physical = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(physical).parquet(path)
+    val raw = spark.readStream.schema(physical).options(options).parquet(path)
     tsCol match {
       case Some(c) => physical(c).dataType match {
         case LongType =>
@@ -58,15 +59,20 @@ object EventStream {
   }
 
   /** File-source stream over an events parquet directory, `ts` normalized
-    * to TimestampType(µs) whatever the file physically stored. */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    readTable(spark, path, tsCol = Some("ts"))
+    * to TimestampType(µs) whatever the file physically stored. `options`
+    * pass through to the file source — `maxFilesPerTrigger` is the
+    * backpressure knob a sustained feed needs (bound each micro-batch's
+    * file count so one listing burst cannot become one giant batch). */
+  def readEvents(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readTable(spark, path, tsCol = Some("ts"), options)
 
   /** File-source stream over a documents parquet directory (doc_id, text,
     * lang, source, n_chars) — feeds [[ingestGuard]]/[[nllStream]] straight
     * from a landing directory instead of a hand-built typed frame. */
-  def readDocuments(spark: SparkSession, path: String): DataFrame =
-    readTable(spark, path, tsCol = None)
+  def readDocuments(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readTable(spark, path, tsCol = None, options)
 
   /** File-source stream over an embeddings parquet directory (vec_id,
     * embedding, label) — feeds [[clusterStream]] from a landing dir. */
@@ -327,11 +333,13 @@ object EventStream {
     *     reference's incremental shape): dedupe within the pipe upstream
     *     via [[dedupStream]] if arrivals can repeat inside one horizon;
     *   - CRASH SAFETY is [[graft.queries.LlmOps.ingestBatch]]'s commit
-    *     protocol: a kill anywhere inside a batch — mid-append, between
-    *     append and manifest rewrite, after commit but before the
+    *     protocol on the [[graft.operators.SnapshotLog]] versioned
+    *     manifest: a kill anywhere inside a batch — mid-data-write,
+    *     between data and manifest commit, after commit but before the
     *     checkpoint advances — replays to the SAME verdicts and exactly
-    *     one logical index append (chaos-spec-pinned). Verdicts land by
-    *     per-batch overwrite into `verdictDir/batch_id=<id>`, so the
+    *     one logical index append (chaos-spec-pinned), with no rename
+    *     anywhere (runs unchanged on a raw object store). Verdicts land
+    *     by per-batch overwrite into `verdictDir/batch_id=<id>`, so the
     *     verdict table is exactly-once, readable as one partitioned
     *     parquet table;
     *   - batch-local checkpoint blocks are freed by the ContextCleaner

@@ -75,8 +75,12 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("readDocuments / readEmbeddings stream the batch schema and rows") {
     for ((name, reader, idCol) <- Seq(
-        ("documents", EventStream.readDocuments _, "doc_id"),
-        ("embeddings", EventStream.readEmbeddings _, "vec_id"))) {
+        ("documents",
+          (s: org.apache.spark.sql.SparkSession, p: String) => EventStream.readDocuments(s, p),
+          "doc_id"),
+        ("embeddings",
+          (s: org.apache.spark.sql.SparkSession, p: String) => EventStream.readEmbeddings(s, p),
+          "vec_id"))) {
       val dir = java.nio.file.Files.createTempDirectory(s"$name-parity")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"${TestSpark.sf0001}/$name.parquet"),
@@ -539,29 +543,32 @@ class EventStreamSpec extends AnyFunSuite {
     val want2 = asTuples(LlmOps.incrementalDedupAgainst(b2.toDF("doc_id", "text"), hashPre, bandsPre))
     assert(want2.exists(_._4) && want2.exists(!_._4), "batch 1 must mix admits and rejects")
 
-    // CHAOS: fabricate the exact state a kill between publish and manifest
-    // rewrite leaves — batch-1-prefixed index parts live, no last_batch=1
-    // marker. (The prefix naming exists precisely so this state is
-    // enumerable; without the undo, batch 1's docs would flag as
-    // duplicates OF THEMSELVES on replay.)
+    // CHAOS: fabricate the exact state a kill between the batch data
+    // write and the manifest commit leaves on the snapshot log — batch-1
+    // data directories fully written but referenced by NO committed
+    // manifest, plus the crashed commit's own TORN manifest file (garbage
+    // bytes whose checksum cannot validate). Without snapshot isolation,
+    // batch 1's docs would flag as duplicates OF THEMSELVES on replay.
     val (oh, ob) = LlmOps.dedupIndexOf(b2.toDF("doc_id", "text"))
-    val orphans = s"$base/orphans"
-    ob.write.parquet(s"$orphans/bands"); oh.write.parquet(s"$orphans/hash")
+    ob.write.parquet(s"$idx/data/bands/batch-1")
+    oh.write.parquet(s"$idx/data/hash/batch-1")
     val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (name <- Seq("bands", "hash"))
-      fs.listStatus(new Path(s"$orphans/$name"))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (st, i) =>
-          fs.rename(st.getPath, new Path(s"$idx/$name", s"batch1-chaos$i.parquet"))
-        }
-    // detection still works: the torn state refuses a plain load
-    intercept[graft.operators.ArtifactManifest.Mismatch] { LlmOps.loadDedupIndex(spark, idx) }
+    val torn = fs.create(new Path(idx, "manifest.v99"), true)
+    torn.write("kind=dedup-index\nthis-commit-never-finished\n".getBytes("UTF-8"))
+    torn.close()
+    // the torn state is INVISIBLE, not merely detected: a plain load
+    // serves the last committed snapshot unchanged (the r7 rename
+    // protocol threw Mismatch here and needed an enumerate-and-undo pass
+    // before the replay was safe)
+    val (hChaos, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(hChaos.count() === h1Count,
+      "unreferenced batch dirs / torn manifests must not leak into a load")
 
-    // REPLAY batch 1: undo the torn files, verdicts against the clean
-    // index — byte-identical to the pre-chaos twin, nothing self-flagged
+    // REPLAY batch 1: verdicts against the committed snapshot —
+    // byte-identical to the pre-chaos twin, nothing self-flagged
     LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
     assert(asTuples(spark.read.parquet(out).filter(col("batch_id") === 1)) === want2,
-      "recovered batch must score against the undone (pre-batch) index")
+      "recovered batch must score against the committed (pre-batch) snapshot")
     val (h2, _) = LlmOps.loadDedupIndex(spark, idx) // consistent again
     val admitted2 = b2.filter(d => want2.find(_._1 == d._1).exists(_._4)).map(_._2).distinct.size
     assert(h2.count() === h1Count + admitted2, "exactly one logical append")

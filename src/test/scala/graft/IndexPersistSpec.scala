@@ -194,7 +194,7 @@ class IndexPersistSpec extends AnyFunSuite {
       "append from the unlanded frame lost entries — in-API materialization broken")
 
     // compaction: same verdicts, fewer-or-equal hash rows, deduped ths
-    val before = spark.read.parquet(s"$dir/hash").count()
+    val before = h2.count()
     LlmOps.compactDedupIndex(spark, dir)
     val (h3, b3) = LlmOps.loadDedupIndex(spark, dir)
     val after = h3.count()
@@ -203,11 +203,16 @@ class IndexPersistSpec extends AnyFunSuite {
     val vc = LlmOps.incrementalDedupAgainst(recrawl, h3, b3).collect()
     assert(vc.map(_.toString).sorted.toSeq == v.map(_.toString).sorted.toSeq,
       "compaction changed admission verdicts")
-    // the staged-swap rewrite must clean up after itself: no .next/.old
-    // leftovers beside the live tables
-    val leftovers = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(n => n.endsWith(".next") || n.endsWith(".old"))
-    assert(leftovers.isEmpty, s"compaction left staging dirs: ${leftovers.mkString(", ")}")
+    // compaction's GC must retire the superseded snapshot: exactly one
+    // manifest left at the root, exactly one compact-v* dir per table
+    val manifests = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("manifest.v"))
+    assert(manifests.length == 1, s"GC left stale manifests: ${manifests.mkString(", ")}")
+    for (t <- Seq("hash", "bands")) {
+      val dirs = new java.io.File(s"$dir/data/$t").listFiles().map(_.getName)
+      assert(dirs.length == 1 && dirs.head.startsWith("compact-v"),
+        s"GC left retired $t dirs: ${dirs.mkString(", ")}")
+    }
   }
 
   // ---- manifest validation: stale / foreign / mutated artifacts are ----
@@ -242,9 +247,13 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(manifestFile(pqDir).delete())
     intercept[ArtifactManifest.Missing] { AnnPq.load(spark, pqDir) }
 
+    // the dedup index versions through the snapshot log — "unversioned"
+    // there means NO checksum-valid manifest file at all
     val (h, b) = LlmOps.dedupIndexOf(Tables.documents(spark, TestSpark.sf001))
     val ddDir = tmp("mf-missing-dd"); LlmOps.saveDedupIndex(h, b, ddDir)
-    assert(manifestFile(ddDir).delete())
+    new java.io.File(ddDir).listFiles()
+      .filter(_.getName.startsWith("manifest.v"))
+      .foreach(f => assert(f.delete()))
     intercept[ArtifactManifest.Missing] { LlmOps.loadDedupIndex(spark, ddDir) }
   }
 
@@ -307,20 +316,43 @@ class IndexPersistSpec extends AnyFunSuite {
     }.field == "kind")
   }
 
-  test("a dedup index whose tables contradict the manifest (half-written append) is rejected") {
+  test("a dedup index whose tables contradict the manifest (mutated committed dir) is rejected") {
     val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
     val (h, b) = LlmOps.dedupIndexOf(docs.filter(col("doc_id") % 2 === 0))
     val dir = tmp("mf-halfappend")
     LlmOps.saveDedupIndex(h, b, dir)
-    // simulate the crash window: hash rows land, manifest (and here the
-    // band rows) never re-commit — physical count contradicts the manifest
-    h.limit(5).write.mode("append").parquet(s"$dir/hash")
+    // a torn APPEND can't produce this state anymore (its dirs are
+    // unreferenced and invisible) — what this guards now is out-of-band
+    // mutation of a COMMITTED directory: rows injected into the base
+    // data dir after its manifest committed contradict the recorded count
+    h.limit(5).write.mode("append").parquet(s"$dir/data/hash/base-v1")
     val e = intercept[ArtifactManifest.Mismatch] { LlmOps.loadDedupIndex(spark, dir) }
     assert(e.field == "hash_rows")
-    // recovery is a re-append (idempotent for admission) — which
-    // re-commits the manifest and the index loads again
+    // recovery is any re-commit over the polluted dir (here an append):
+    // the new snapshot recounts the referenced directories as they ARE,
+    // and admission tolerates the duplicate rows by construction
     LlmOps.appendDedupIndex(docs.filter(col("doc_id") % 2 =!= 0).localCheckpoint(true), dir)
     val (h2, b2) = LlmOps.loadDedupIndex(spark, dir)
     assert(h2.count() > 0 && b2.count() > 0)
+  }
+
+  test("snapshot log: orphan data dirs are invisible at load and retired by compaction's GC") {
+    val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
+    val (h, b) = LlmOps.dedupIndexOf(docs.filter(col("doc_id") % 4 === 0))
+    val dir = tmp("snap-orphan")
+    LlmOps.saveDedupIndex(h, b, dir)
+    val (h1, _) = LlmOps.loadDedupIndex(spark, dir)
+    val n1 = h1.count()
+    // a crashed writer's leftovers: fully-written but never-committed dirs
+    h.limit(3).write.parquet(s"$dir/data/hash/batch-7")
+    b.limit(3).write.parquet(s"$dir/data/bands/batch-7")
+    val (h2, b2) = LlmOps.loadDedupIndex(spark, dir)
+    assert(h2.count() == n1, "orphan dir rows leaked into the loaded hash table")
+    assert(b2.count() == b.count(), "orphan dir rows leaked into the loaded band table")
+    LlmOps.compactDedupIndex(spark, dir)
+    val hashDirs = new java.io.File(s"$dir/data/hash").listFiles().map(_.getName)
+    assert(!hashDirs.contains("batch-7"), "GC left the orphan dir behind")
+    val (h3, _) = LlmOps.loadDedupIndex(spark, dir)
+    assert(h3.count() == n1)
   }
 }
