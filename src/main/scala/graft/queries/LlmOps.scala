@@ -3748,6 +3748,57 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** d20's cap: documents kept per source domain. */
+  private val domainCapK = 25
+
+  /** Per-domain document cap (d20 body): keep at most `cap` documents per
+    * source, priority (n_chars DESC, doc_id ASC) — the C4/Gopher-style
+    * "bound any one domain's share of the corpus" curation step
+    * (reference workload: the corpus-prep UDF sweeps of README.md:101-117
+    * run exactly such per-site caps before training).
+    *
+    * Scale shape: exact top-K per key WITHOUT a per-key hot reducer. A
+    * plain `row_number() OVER (PARTITION BY source)` funnels every
+    * document of a domain through one task — at 100 TB one mega-domain
+    * is the straggler that stalls the stage. Instead each source is
+    * salted into `salts` sub-groups (deterministic doc_id hash), each
+    * sub-group takes a LOCAL top-`cap` (window partitions of
+    * |domain|/salts rows), and only the ≤ salts·cap local winners per
+    * source reach the final per-source window — a constant-bounded group
+    * regardless of domain size. Salting cannot change the answer: the
+    * global top-cap of a source is contained in the union of its
+    * sub-groups' top-caps whatever the row-to-salt assignment. Same
+    * discipline as the KthLargest candidate kernels — never let one
+    * key's full row set collapse onto one task. */
+  private[graft] def domainCapOf(documents: DataFrame, cap: Int, salts: Int): DataFrame = {
+    val local = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(salts)))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val fin = Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= cap)
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= cap)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val d20 = Q(
+    "d20_domain_cap",
+    Some(s"""
+      WITH r AS (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+        FROM documents)
+      SELECT source, rank, doc_id, n_chars FROM r
+      WHERE rank <= $domainCapK ORDER BY source, rank""")
+  ) { (s, d) => domainCapOf(Tables.documents(s, d), domainCapK, 8) }
+
   // ---- hybrid retrieval (lexical + semantic rank fusion) ----
 
   /** Hybrid retrieval: fuse a BM25 term-query ranking (t13's scorer,
@@ -4395,7 +4446,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

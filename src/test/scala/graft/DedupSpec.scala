@@ -310,4 +310,30 @@ class DedupSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         Array.empty[org.apache.spark.unsafe.types.UTF8String])) == null)
   }
+
+  test("d20 salted domain cap: exact on a skewed corpus, for any salt count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one mega-domain (the hot-reducer case the salting exists for),
+    // one small domain, one domain under the cap, plus n_chars ties
+    // broken by doc_id
+    val rows =
+      (1L to 500L).map(i => (i, "big", (i % 7) * 10)) ++
+        (501L to 520L).map(i => (i, "mid", 100L)) ++
+        (521L to 523L).map(i => (i, "tiny", 5L))
+    val docs = rows.toDF("doc_id", "source", "n_chars")
+    val naive = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 25)
+      .select("source", "rank", "doc_id", "n_chars")
+      .collect().map(_.toSeq).toSet
+    for (salts <- Seq(1, 3, 8, 64)) {
+      val got = LlmOps.domainCapOf(docs, cap = 25, salts = salts)
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"salted cap diverged from the naive window at salts=$salts")
+    }
+    // under-cap domain keeps everything
+    assert(naive.count(_.head == "tiny") == 3)
+  }
 }

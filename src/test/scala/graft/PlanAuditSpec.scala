@@ -323,4 +323,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // (corpus buckets + rescore re-attach); probes add none
     assert(p.contains("cosine_similarity"), p)
   }
+
+  test("d20: the corpus-facing window is salt-partitioned — no whole-domain reducer") {
+    val p = plan("d20_domain_cap")
+    // first (full-corpus) pass partitions by (source, pmod(xxhash64(doc_id))):
+    // one mega-domain spreads over `salts` tasks instead of one
+    assert(p.contains("pmod") && p.contains("xxhash64"),
+      s"d20's corpus window lost its salt:\n$p")
+    // the final per-source window exists, but only over the <= salts*cap
+    // local winners — both windows are present in the plan
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Scan ExistingRDD"), "d20 re-parallelizes driver data")
+  }
 }
