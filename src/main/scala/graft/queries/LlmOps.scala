@@ -1038,13 +1038,21 @@ object LlmOps {
     val snap = dedupSnapshot(s, indexPath)
     val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
+      // pin the arrivals ONCE: the verdict plan reads the batch three
+      // times (fingerprint + exact-hash join + final attach) and the
+      // admitted path twice more (existence probe + materialization) —
+      // against a file-source batch each consumer re-executes the source
+      // read, a measured 5x input amplification per micro-batch before
+      // this pin. Batch-sized, freed by the ContextCleaner when the
+      // foreachBatch closure returns (the Hygiene release path).
+      val arrivals = batch.localCheckpoint(true)
       val (hash, bands) = loadDedupIndex(s, indexPath)
-      val verdicts = incrementalDedupAgainst(batch, hash, bands)
+      val verdicts = incrementalDedupAgainst(arrivals, hash, bands)
         .localCheckpoint(true) // pin the pre-append view; consumed twice below
       verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
       if (maintainIndex) {
         val admitted =
-          batch.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
+          arrivals.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
         val tag = s"batch-$batchId"
         val tables =
           if (admitted.isEmpty) snap.tables
