@@ -3795,6 +3795,89 @@ object LlmOps {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** d21 fixed iteration count and fixed-point unit (1e-9 rank
+    * resolution). Fixed iterations, not convergence-tested: the operator
+    * is a bounded number of shuffles whatever the graph, and the oracle
+    * twin unrolls the same count. */
+  private val prIters = 5
+  private val prUnit = 1000000000L
+
+  /** PageRank over the near-dup pair graph (d21 body) — the
+    * webgraph-centrality quality signal (Common Crawl publishes harmonic
+    * centrality / PageRank per domain to weight crawl and corpus
+    * inclusion; here the same operator runs on the corpus's own
+    * similarity structure, ranking documents by how central they are in
+    * the duplication graph). Integer-exact fixed-point arithmetic end to
+    * end — ranks are BIGINT units of 1e-9, every division an explicit
+    * floor — so the unrolled DuckDB twin reproduces the values
+    * bit-for-bit (float PageRank would diverge across engines on sum
+    * order alone).
+    *
+    * Scale shape: each iteration is one join of the edge list against
+    * the current rank vector plus one grouped sum — Pregel's
+    * message-passing round as two shuffles on doc_id, no driver state
+    * but two scalar constants (node count, initial mass). The edge list
+    * is localCheckpoint-pinned ONCE (pair-graph-sized, the e15 pair-frame
+    * discipline): without the pin every iteration would recompute the
+    * full MinHash pipeline upstream of it. Iteration count is fixed, so
+    * plan depth and shuffle count are bounded at any corpus size; at
+    * 100 TB the edge list shards by `s` and the rank vector co-shuffles
+    * with it, exactly like d06's Hash-Min rounds. */
+  private[graft] def dupGraphRankOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint(true)
+    val empty = edges.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("rank_units")).limit(0)
+    if (edges.isEmpty) empty
+    else {
+      val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("s").as("doc_id")).distinct()
+      val n = nodes.count() // one scalar, the graph's node count
+      val init = prUnit / n
+      val base = 15L * init / 100L
+      var rank = nodes.withColumn("r", lit(init))
+      for (_ <- 1 to prIters) {
+        // every node has degree >= 1 in the undirected graph, so the
+        // grouped sum covers the full node set each round
+        rank = edges
+          .join(rank.withColumnRenamed("doc_id", "s"), "s")
+          .join(deg, "s")
+          .select(col("t"), expr("r div deg").as("c"))
+          .groupBy("t")
+          .agg(sum(col("c")).as("sc"))
+          .select(col("t").as("doc_id"),
+            (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      }
+      rank.select(col("doc_id"), col("r").as("rank_units")).orderBy("doc_id")
+    }
+  }
+
+  val d21 = Q(
+    "d21_dup_graph_pagerank", {
+      val nSql = "(SELECT n FROM nn)"
+      val baseSql = s"(15 * ($prUnit // $nSql) // 100)"
+      val steps = (1 to prIters).map { i =>
+        s"""pr$i AS (SELECT e.t AS doc_id,
+             CAST($baseSql + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+           FROM pr${i - 1} p JOIN edges e ON p.doc_id = e.s
+           JOIN deg d ON d.s = p.doc_id
+           GROUP BY e.t)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $minhashPairCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM mh_pairs
+                UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+      deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+      nn AS (SELECT COUNT(DISTINCT s) AS n FROM edges),
+      pr0 AS (SELECT DISTINCT s AS doc_id,
+                CAST($prUnit // $nSql AS BIGINT) AS r FROM edges),
+      $steps
+      SELECT doc_id, r AS rank_units FROM pr$prIters ORDER BY doc_id""")
+    }
+  ) { (s, d) => dupGraphRankOf(minhashPairs(s, d)) }
+
   val d20 = Q(
     "d20_domain_cap",
     Some(s"""
@@ -3841,6 +3924,13 @@ object LlmOps {
     * re-rank downstream sees a superset of the true top-C, exactly as
     * before. Emits (qid, vid), ~C rows per qid. */
   private def topCCandidates(dbl: DataFrame, c: Int): DataFrame = {
+    // MEASURED, NOT cached (the r8 ADVICE item): `.cacheOnce()` on `dbl`
+    // here clocks e15/e16/t17 at 3.52s warm / 13.6s cold vs 4.09 / 18.9
+    // recomputed (sf0.1) — a real but small win bought by pinning a
+    // CORPUS-SIZED relation, the exact storage-pressure shape the d09
+    // rewrite removed. At 100 TB the two map-only passes stay two linear
+    // scans; the cache becomes an executor-storage tax on every query
+    // that composes this kernel. Recompute is the scale-correct default.
     val kth = dbl
       .groupBy("qid")
       .agg(graft.functions.KthLargest.kthLargest(col("dbl"), c).as("kth"))
@@ -4454,7 +4544,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

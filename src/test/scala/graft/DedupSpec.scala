@@ -336,4 +336,25 @@ class DedupSpec extends AnyFunSuite {
     // under-cap domain keeps everything
     assert(naive.count(_.head == "tiny") == 3)
   }
+
+  test("d21 pagerank: hub outranks leaves, mass bounded, empty graph yields empty frame") {
+    import spark.implicits._
+    // star: 1 is the hub of 2,3,4; 5-6 an isolated pair
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = LlmOps.dupGraphRankOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // the hub absorbs its three leaves' full mass each round
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L))
+    // the isolated pair is symmetric
+    assert(got(5L) == got(6L))
+    // fixed-point mass stays bounded by the initial unit (floors only lose)
+    assert(got.values.sum <= 1000000000L)
+    assert(got.values.forall(_ > 0L))
+    // empty graph: typed empty frame, no divide-by-zero
+    val none = LlmOps.dupGraphRankOf(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("doc_id", "rank_units"))
+  }
 }
