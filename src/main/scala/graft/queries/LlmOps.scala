@@ -3795,6 +3795,57 @@ object LlmOps {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** d22: n-gram-overlap contamination audit — for every TEST document,
+    * how many of its distinct 8-grams appear anywhere in the TRAIN split
+    * (the published GPT/PaLM-family decontamination rule: an eval doc
+    * with >= 70% of its 8-grams seen in training is contaminated). The
+    * complement of d07/d09: those find near-dup PAIRS across splits; this
+    * scores every eval doc's aggregate overlap even when no single train
+    * doc is a near-dup — the "stitched from training fragments" case a
+    * pair audit misses.
+    *
+    * Integer-exact by construction: counts are BIGINTs and the 70% rule
+    * is `10*n_hit >= 7*n_grams` — no division anywhere, so the DuckDB
+    * twin matches bit-for-bit. Scale shape: one gram explode per split,
+    * one distinct per side, one equi-join on the gram key. The train side
+    * is a distinct SET, so each test gram matches at most one row — a
+    * hot boilerplate gram cannot fan out (unlike pair generation, which
+    * needs d03's df cap); everything shuffles linearly on the gram hash. */
+  private[graft] def contaminationOf(docs: DataFrame): DataFrame = {
+    val g = positionedGrams(docs.select("doc_id", "text"), substrK)
+      .select(col("doc_id"), col("h"), splitOf(col("doc_id")).as("split"))
+    val trainGrams = g.filter(col("split") === "train").select("h").distinct()
+    val testGrams = g.filter(col("split") === "test").select("doc_id", "h").distinct()
+    testGrams
+      .join(trainGrams.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_hit"),
+        (lit(10) * col("n_hit") >= lit(7) * col("n_grams")).as("contaminated")
+      )
+      .orderBy("doc_id")
+  }
+
+  val d22 = Q(
+    "d22_contamination_ngram",
+    Some(s"""
+      WITH t0 AS (SELECT doc_id, $toksSql AS t, $splitTagSql AS split FROM documents),
+      g AS (SELECT doc_id, split, UNNEST(range(1, len(t) - ${substrK - 2})) AS pos, t
+            FROM t0 WHERE len(t) >= $substrK),
+      gr AS (SELECT doc_id, split, array_to_string(t[pos:pos+${substrK - 1}], ' ') AS h FROM g),
+      trg AS (SELECT DISTINCT h FROM gr WHERE split = 'train'),
+      te AS (SELECT DISTINCT doc_id, h FROM gr WHERE split = 'test'),
+      hit AS (SELECT te.doc_id, COUNT(*) AS n_grams, COUNT(trg.h) AS n_hit
+              FROM te LEFT JOIN trg ON te.h = trg.h GROUP BY te.doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             (10 * n_hit >= 7 * n_grams) AS contaminated
+      FROM hit ORDER BY doc_id""")
+  ) { (s, d) => contaminationOf(Tables.documents(s, d)) }
+
   /** d21 fixed iteration count and fixed-point unit (1e-9 rank
     * resolution). Fixed iterations, not convergence-tested: the operator
     * is a bounded number of shuffles whatever the graph, and the oracle
@@ -4544,7 +4595,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

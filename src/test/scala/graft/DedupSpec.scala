@@ -337,6 +337,38 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.count(_.head == "tiny") == 3)
   }
 
+  test("d22 contamination: copied-from-train eval doc flags; fresh doc does not") {
+    import spark.implicits._
+    // split is md5(doc_id)-nibble-derived; pick ids by computing it here
+    def nib(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val ids = (1L to 400L)
+    val trainIds = ids.filter(i => !"cdef".contains(nib(i))).take(2)
+    val testIds = ids.filter(i => "ef".contains(nib(i))).take(2)
+    val trainA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val trainB = "one two three four five six seven eight nine ten"
+    // decisive poles of the 70% rule: a verbatim train copy (all 3 of its
+    // 8-grams hit) and a fully novel doc (zero hits)
+    val copied = trainA
+    val fresh = "red orange yellow green blue indigo violet umber sienna ochre"
+    val docs = Seq(
+      (trainIds(0), trainA), (trainIds(1), trainB),
+      (testIds(0), copied), (testIds(1), fresh)
+    ).toDF("doc_id", "text")
+    val out = LlmOps.contaminationOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1).toSet == testIds.toSet, "only test-split docs are scored")
+    val (_, ng0, nh0, c0) = byId(testIds(0))
+    assert(ng0 == 3 && nh0 == 3 && c0, "verbatim copy must flag with all grams hit")
+    val (_, ng1, nh1, c1) = byId(testIds(1))
+    assert(ng1 == 3 && nh1 == 0 && !c1, "novel doc must not flag")
+  }
+
   test("d21 pagerank: hub outranks leaves, mass bounded, empty graph yields empty frame") {
     import spark.implicits._
     // star: 1 is the hub of 2,3,4; 5-6 an isolated pair
