@@ -138,7 +138,12 @@ object BenchScale {
       "e16" -> 1,
       // t23's DSIR selection: one grouped pass for the LM pair, t18's
       // occurrence join to score, t21's metadata-light rank to cut
-      "t23" -> 1
+      "t23" -> 1,
+      // r8 additions: d19 (positioned-gram index + island merge — grams
+      // linear in tokens), d20 (salted per-domain top-K, two bounded
+      // windows), d21 (MinHash pair graph + 5 fixed join-agg rounds),
+      // d22 (gram explode per split + one set join)
+      "d19" -> 1, "d20" -> 1, "d21" -> 1, "d22" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

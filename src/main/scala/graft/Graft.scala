@@ -270,6 +270,30 @@ object Graft {
   def boilerplateStrip(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.boilerplateStripOf(documents, cache = false)
 
+  /** d19's transform as a frame API: per doc, duplicated k-gram spans
+    * (length >= 8 tokens, shared with any other doc) merged into islands
+    * and removed, one canonical copy kept corpus-wide; returns span
+    * counts, tokens removed, and the cleaned-text md5. */
+  def substringDedup(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.substringDedupOf(documents)
+
+  /** d20's transform: keep at most `cap` docs per `source` by
+    * (n_chars DESC, doc_id) — exact salted top-K, no whole-domain
+    * reducer (C4/Gopher-style domain-share bound). */
+  def domainCap(documents: DataFrame, cap: Int, salts: Int = 8): DataFrame =
+    graft.queries.LlmOps.domainCapOf(documents, cap, salts)
+
+  /** d21's transform: integer fixed-point PageRank over an undirected
+    * (doc_a, doc_b) pair graph — rank docs by centrality in the
+    * similarity structure (the webgraph quality signal). */
+  def dupGraphRank(pairs: DataFrame): DataFrame =
+    graft.queries.LlmOps.dupGraphRankOf(pairs)
+
+  /** d22's transform: per TEST-split doc, distinct 8-grams seen anywhere
+    * in TRAIN and the integer-exact 70% contamination flag. */
+  def contaminationAudit(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.contaminationOf(documents)
+
   /** e14's tail: downsample every cluster of a (vec_id, cluster) label
     * frame to the smallest cluster's size with deterministic
     * hash-threshold membership (t14's exact integer arithmetic). */

@@ -446,4 +446,47 @@ object EventStream {
         closed.iterator.map(s => UserSession(uid, s.n, s.last - s.first))
       }
   }
+
+  case class DocArrival(doc_id: Long, source: String)
+  case class QuotaState(admitted: Long)
+  case class QuotaVerdict(doc_id: Long, source: String, admitted: Boolean)
+
+  /** Streaming per-domain admission quota — the live-crawl twin of the
+    * batch domain cap (d20): admit the FIRST `quota` documents per
+    * source, reject the rest, the frontier-budget semantic a crawler
+    * applies while fetching (the batch cap ranks retrospectively; a live
+    * feed must decide at arrival). State per source is ONE long (the
+    * admitted count) — bounded by domain cardinality, independent of
+    * stream length or corpus size; compare sessionize, whose state the
+    * watermark bounds instead.
+    *
+    * Determinism: a micro-batch's group iterator carries no ordering
+    * guarantee, so arrivals are ordered by doc_id within (source, batch)
+    * before the quota is applied — replaying a batch admits the same
+    * docs. The per-group sort buffers one source's arrivals WITHIN one
+    * micro-batch (batch-bounded, not stream-bounded). Across batches the
+    * verdict is arrival-order by construction, exactly the crawl
+    * semantic. */
+  def domainQuotaStream(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.Dataset[DocArrival],
+      quota: Int
+  ): org.apache.spark.sql.Dataset[QuotaVerdict] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (src: String, batch: Iterator[DocArrival], state: GroupState[QuotaState]) =>
+        var n = state.getOption.map(_.admitted).getOrElse(0L)
+        val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+          val ok = n < quota
+          if (ok) n += 1
+          QuotaVerdict(d.doc_id, src, ok)
+        }
+        state.update(QuotaState(n))
+        out.iterator
+      }
+  }
 }

@@ -99,6 +99,19 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(byMin.getLong(2) >= byMin.getLong(1) - 1)
   }
 
+  test("dedup/audit surface: substring dedup, domain cap, graph rank, contamination") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val sd = Graft.substringDedup(docs)
+    assert(sd.columns.toSeq == Seq("doc_id", "n_spans", "tokens_removed", "clean_md5"))
+    val cap = Graft.domainCap(docs, cap = 5)
+    assert(cap.groupBy("source").count().agg(max("count")).head().getLong(0) <= 5)
+    val pr = Graft.dupGraphRank(
+      Graft.queries("d02_dedup_minhash_lsh")(spark, TestSpark.sf0001))
+    assert(pr.columns.toSeq == Seq("doc_id", "rank_units"))
+    val ca = Graft.contaminationAudit(docs)
+    assert(ca.columns.toSeq == Seq("doc_id", "n_grams", "n_hit", "contaminated"))
+  }
+
   test("storage surface: parquet round trip via the facade") {
     val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
     val df = Tables.nation(spark, TestSpark.sf0001)
