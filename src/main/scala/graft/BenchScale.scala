@@ -143,7 +143,9 @@ object BenchScale {
       // linear in tokens), d20 (salted per-domain top-K, two bounded
       // windows), d21 (MinHash pair graph + 5 fixed join-agg rounds),
       // d22 (gram explode per split + one set join)
-      "d19" -> 1, "d20" -> 1, "d21" -> 1, "d22" -> 1
+      "d19" -> 1, "d20" -> 1, "d21" -> 1, "d22" -> 1,
+      // e17 runs the exact AND the IVF-backed grouped-MMR paths in one gate
+      "e17" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

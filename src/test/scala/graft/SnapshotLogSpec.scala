@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ArtifactManifest, SnapshotLog => L}
+
+/** Unit pins for the generic versioned-manifest layer itself — the dedup
+  * index specs cover it end-to-end through one artifact family; these pin
+  * the commit/visibility/GC contract any future mutable artifact family
+  * inherits.
+  */
+class SnapshotLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"snaplog-$tag").toString
+
+  private def writeDir(root: String, table: String, tag: String, n: Int): Unit = {
+    import spark.implicits._
+    (1 to n).toDF("v").write.mode("overwrite").parquet(L.dataDir(root, table, tag))
+  }
+
+  private def readRows(snap: L.Snapshot, root: String, table: String): Long =
+    spark.read.parquet(snap.dirs(root, table): _*).count()
+
+  test("commit/current round trip: tables, props, and version advance") {
+    val root = tmp("roundtrip")
+    writeDir(root, "a", "base-v1", 3)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map("p" -> "x"))
+    val s1 = L.current(spark, root, "k1")
+    assert(s1.version == 1 && s1.props("p") == "x")
+    assert(readRows(s1, root, "a") == 3)
+    // append a second dir under version 2; version 1 stays readable until GC
+    writeDir(root, "a", "app-v2", 2)
+    assert(L.nextVersion(spark, root) == 2)
+    L.commit(spark, root, "k1", 2, Map("a" -> Seq("base-v1", "app-v2")), Map("p" -> "y"))
+    val s2 = L.current(spark, root, "k1")
+    assert(s2.version == 2 && readRows(s2, root, "a") == 5)
+  }
+
+  test("a torn manifest is invisible; the highest VALID version serves") {
+    val root = tmp("torn")
+    writeDir(root, "a", "base-v1", 4)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map.empty)
+    // a crashed commit's leftovers: garbage bytes at a higher version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.v7"),
+      "kind=k1\nnever-finished".getBytes("UTF-8"))
+    val s = L.current(spark, root, "k1")
+    assert(s.version == 1, "torn v7 must not serve")
+    // and the next writer must NOT reuse the torn number
+    assert(L.nextVersion(spark, root) == 8)
+  }
+
+  test("no valid manifest throws Missing; wrong family throws on kind") {
+    val root = tmp("missing")
+    intercept[ArtifactManifest.Missing] { L.current(spark, root, "k1") }
+    writeDir(root, "a", "base-v1", 1)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map.empty)
+    assert(intercept[ArtifactManifest.Mismatch] {
+      L.current(spark, root, "other-kind")
+    }.field == "kind")
+  }
+
+  test("gc retires unreferenced dirs, superseded manifests, and torn files") {
+    val root = tmp("gc")
+    writeDir(root, "a", "base-v1", 3)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map.empty)
+    writeDir(root, "a", "compact-v2", 3)
+    // orphan from a crashed writer + torn higher manifest
+    writeDir(root, "a", "batch-9", 2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.v9"), "junk".getBytes("UTF-8"))
+    L.commit(spark, root, "k1", L.nextVersion(spark, root), Map("a" -> Seq("compact-v2")), Map.empty)
+    L.gc(spark, root, "k1")
+    val dirs = new java.io.File(s"$root/data/a").listFiles().map(_.getName).toSet
+    assert(dirs == Set("compact-v2"), s"gc left $dirs")
+    val manifests = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("manifest.v")).toSet
+    assert(manifests.size == 1, s"gc left $manifests")
+    assert(readRows(L.current(spark, root, "k1"), root, "a") == 3)
+  }
+
+  test("tags that would corrupt the serialization are rejected at commit") {
+    val root = tmp("badtag")
+    intercept[IllegalArgumentException] {
+      L.commit(spark, root, "k1", 1, Map("a" -> Seq("x,y")), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      L.commit(spark, root, "k1", 1, Map("a=b" -> Seq("x")), Map.empty)
+    }
+  }
+}
