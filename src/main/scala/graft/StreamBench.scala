@@ -147,6 +147,11 @@ object StreamBench {
     val k = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
     val spark = GraftSession.builder("graft-stream-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recentProgress is a ring buffer (default 100 entries); a sustained
+    // run at maxFilesPerTrigger=4 can exceed that, silently evicting the
+    // oldest batches and biasing rows/s low while wall_s still covers
+    // them — size it to any batch count this harness can produce
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     import graft.queries.LlmOps
     import graft.streaming.EventStream
 

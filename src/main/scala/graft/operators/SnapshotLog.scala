@@ -99,6 +99,18 @@ object SnapshotLog {
       tables.forall { case (t, tags) => !t.contains('=') && tags.forall(g => !g.contains(',') && !g.contains('=')) },
       "table names and dir tags must not contain '=' or ','"
     )
+    // props share the line-oriented serialization: a key of "checksum"
+    // would be partitioned out as the integrity line (the committed
+    // version then reads as TORN), a "table." prefix round-trips as a
+    // phantom table whose dirs GC would treat as the live set, and a
+    // newline anywhere splits one field into two
+    require(
+      props.forall { case (k, v) =>
+        k != "checksum" && k != "snapshot_version" && !k.startsWith("table.") &&
+          !k.contains('=') && !k.contains('\n') && !v.contains('\n')
+      },
+      "prop keys must not be 'checksum'/'snapshot_version', start with 'table.', or contain '=' / newlines"
+    )
     val fields =
       props ++ Map("kind" -> kind, "snapshot_version" -> version.toString) ++
         tables.map { case (t, tags) => s"table.$t" -> tags.mkString(",") }

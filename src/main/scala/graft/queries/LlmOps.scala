@@ -3838,8 +3838,12 @@ object LlmOps {
     * hot boilerplate gram cannot fan out (unlike pair generation, which
     * needs d03's df cap); everything shuffles linearly on the gram hash. */
   private[graft] def contaminationOf(docs: DataFrame): DataFrame = {
+    // cacheOnce, the d19 discipline: the gram frame is filtered twice
+    // (train set / test side) and would otherwise re-run the corpus
+    // tokenize + 8-gram explode for each
     val g = positionedGrams(docs.select("doc_id", "text"), substrK)
       .select(col("doc_id"), col("h"), splitOf(col("doc_id")).as("split"))
+      .cacheOnce()
     val trainGrams = g.filter(col("split") === "train").select("h").distinct()
     val testGrams = g.filter(col("split") === "test").select("doc_id", "h").distinct()
     testGrams

@@ -347,7 +347,12 @@ object EventStream {
     *     documented on [[graft.Hygiene]]); run `compactDedupIndex` on the
     *     small-file cadence, as any long-lived ingest would (it retires
     *     the per-batch published files and carries the stream's
-    *     `last_batch` marker forward).
+    *     `last_batch` marker forward). Compaction is part of the SAME
+    *     single-writer role as the stream: run it between micro-batches
+    *     or with the stream stopped, never from a second process racing
+    *     the loop — its GC deletes directories the current snapshot does
+    *     not reference, which is exactly the state of an in-flight
+    *     batch's data between write and manifest commit.
     */
   def ingestGuard(
       docs: DataFrame,
@@ -355,7 +360,14 @@ object EventStream {
       verdictDir: String,
       checkpointDir: String,
       maintainIndex: Boolean = true
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // full validation ONCE, at stream start: per-batch reads inside the
+    // loop go through the trusted load (this single writer commits every
+    // manifest from here on), so this is the one place an out-of-band
+    // mutation of the index — rows injected or lost while the stream was
+    // down — fails typed instead of silently scoring every batch against
+    // a corrupted table
+    graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -363,6 +375,7 @@ object EventStream {
         graft.queries.LlmOps.ingestBatch(batch, indexPath, verdictDir, batchId, maintainIndex)
       }
       .start()
+  }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

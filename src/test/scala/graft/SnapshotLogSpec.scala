@@ -88,5 +88,15 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       L.commit(spark, root, "k1", 1, Map("a=b" -> Seq("x")), Map.empty)
     }
+    // props share the line format: a "checksum" key would mark the
+    // committed version torn, a "table." key round-trips as a phantom
+    // table, newlines split fields
+    for (bad <- Seq(
+        Map("checksum" -> "x"), Map("snapshot_version" -> "9"),
+        Map("table.a" -> "x"), Map("k=v" -> "x"), Map("k" -> "a\nb"))) {
+      intercept[IllegalArgumentException] {
+        L.commit(spark, root, "k1", 1, Map("a" -> Seq("x")), bad)
+      }
+    }
   }
 }
