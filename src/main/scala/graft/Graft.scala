@@ -294,6 +294,17 @@ object Graft {
   def contaminationAudit(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.contaminationOf(documents)
 
+  /** The distinct 8-gram set of a corpus — build once, persist, and feed
+    * [[graft.streaming.EventStream.contaminationStream]] or
+    * [[contaminationScore]] on every arriving batch. */
+  def gramSet(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.gramSetOf(documents)
+
+  /** Score a batch of documents against a prebuilt gram set (d22's
+    * scoring half): (doc_id, n_grams, n_hit, contaminated). */
+  def contaminationScore(batch: DataFrame, gramSet: DataFrame): DataFrame =
+    graft.queries.LlmOps.contaminationAgainst(batch, gramSet)
+
   /** e14's tail: downsample every cluster of a (vec_id, cluster) label
     * frame to the smallest cluster's size with deterministic
     * hash-threshold membership (t14's exact integer arithmetic). */

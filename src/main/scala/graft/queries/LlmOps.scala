@@ -3846,8 +3846,33 @@ object LlmOps {
       .cacheOnce()
     val trainGrams = g.filter(col("split") === "train").select("h").distinct()
     val testGrams = g.filter(col("split") === "test").select("doc_id", "h").distinct()
-    testGrams
-      .join(trainGrams.withColumn("hit", lit(1)), Seq("h"), "left")
+    gramOverlapScore(testGrams, trainGrams)
+  }
+
+  /** d22's scoring half against a PREBUILT train gram set — the
+    * artifact-consuming split the streaming gate
+    * ([[graft.streaming.EventStream.contaminationStream]]) runs per
+    * batch: gram the arrivals, score against the set. Cost linear in the
+    * batch, independent of train size past the set join. */
+  private[graft] def contaminationAgainst(batch: DataFrame, trainGrams: DataFrame): DataFrame =
+    gramOverlapScore(
+      positionedGrams(batch.select("doc_id", "text"), substrK)
+        .select("doc_id", "h").distinct(),
+      trainGrams
+    )
+
+  /** The distinct 8-gram set of a corpus — the artifact the streaming
+    * contamination gate joins against (persist it; rebuild on the train
+    * corpus's own update cadence). */
+  private[graft] def gramSetOf(docs: DataFrame): DataFrame =
+    positionedGrams(docs.select("doc_id", "text"), substrK).select("h").distinct()
+
+  /** The integer-exact 70% rule over (doc_id, h) distinct grams vs a
+    * distinct train gram set — one copy of the arithmetic for the batch
+    * audit and the streaming gate. */
+  private def gramOverlapScore(docGrams: DataFrame, trainGrams: DataFrame): DataFrame =
+    docGrams
+      .join(trainGrams.select("h").withColumn("hit", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(
@@ -3857,7 +3882,6 @@ object LlmOps {
         (lit(10) * col("n_hit") >= lit(7) * col("n_grams")).as("contaminated")
       )
       .orderBy("doc_id")
-  }
 
   val d22 = Q(
     "d22_contamination_ngram",

@@ -460,6 +460,33 @@ object EventStream {
       }
   }
 
+  /** Streaming n-gram contamination gate — d22's live twin: score every
+    * arriving document's distinct 8-grams against the TRAIN split's gram
+    * set and land (doc_id, n_grams, n_hit, contaminated) per batch. The
+    * shape is ingestGuard's: a foreachBatch stream-static join against a
+    * static frame, so the streaming side holds ZERO state at any train
+    * size, verdicts land by per-batch overwrite (exactly-once for
+    * downstream readers), and the scoring body IS the batch operator —
+    * a streamed verdict is byte-identical to batch-scoring the same rows
+    * (spec-pinned). `trainGrams` is d22's distinct train-side gram set
+    * (one column `h`), built once and typically persisted; pass a loaded
+    * frame, not a live recompute, on a long-lived stream. */
+  def contaminationStream(
+      docs: DataFrame,
+      trainGrams: DataFrame,
+      verdictDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.LlmOps
+          .contaminationAgainst(batch.localCheckpoint(true), trainGrams)
+          .write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+      }
+      .start()
+
   case class DocArrival(doc_id: Long, source: String)
   case class QuotaState(admitted: Long)
   case class QuotaVerdict(doc_id: Long, source: String, admitted: Boolean)

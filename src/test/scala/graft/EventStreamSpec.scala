@@ -454,6 +454,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contamination stream: streamed verdicts byte-identical to the batch scorer, zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val train = docs.filter(!isBatch)
+    val gramSet = LlmOps.gramSetOf(train).localCheckpoint(true)
+    val arriving = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("contam-stream").toString
+    val out = s"$base/verdicts"; val ck = s"$base/ck"
+    def want(b: Seq[(Long, String)]) =
+      LlmOps.contaminationAgainst(b.toDF("doc_id", "text"), gramSet)
+        .collect().map(_.toSeq).toSeq
+    val (w1, w2) = (want(b1), want(b2))
+    assert(w1.nonEmpty && w2.nonEmpty)
+    val src = MemoryStream[(Long, String)]
+    val q = EventStream.contaminationStream(src.toDF().toDF("doc_id", "text"), gramSet, out, ck)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // no stateful operators anywhere in the stream
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+    val verdicts = spark.read.parquet(out)
+    def got(id: Long) = verdicts.filter(col("batch_id") === id)
+      .drop("batch_id").collect().map(_.toSeq).toSeq
+    assert(got(0).sortBy(_.head.toString.toLong) === w1.sortBy(_.head.toString.toLong))
+    assert(got(1).sortBy(_.head.toString.toLong) === w2.sortBy(_.head.toString.toLong))
+  }
+
   test("domain quota stream: first-K admission carries across batches, bounded one-long state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
