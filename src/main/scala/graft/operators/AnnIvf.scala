@@ -22,6 +22,11 @@ import graft.functions.VectorFunctions
   * Query: each query probes its `nprobe` nearest clusters; candidates are
   * an equi-join on cluster id (shuffles ~nprobe/nlist of the corpus, not
   * all of it); exact cosine rescoring + top-k window over candidates only.
+  * The per-qid window ranks probed-cluster MEMBERS, so its partition size
+  * is ~nprobe·N/nlist — size `nlist` with the corpus (the standard ~√N
+  * rule) to keep that bounded; at fixed nlist a 100× corpus would hand
+  * each qid a 100× candidate partition, the hot-reducer shape the
+  * exact-kernel paths (topCCandidates) exist to avoid.
   *
   * Centroids are metadata-sized (nlist x dim doubles) — collected to the
   * driver and shipped into the compiled scorer as ONE nested-array

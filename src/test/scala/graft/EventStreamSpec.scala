@@ -529,6 +529,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("domain quota stream: admitted counts survive a checkpoint restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("quota-restart").toString
+    val ck = s"$base/ck"; val out = s"$base/out"
+    // file sink, not memory: the memory sink refuses checkpoint recovery
+    def run(src: MemoryStream[EventStream.DocArrival]) = {
+      val q = EventStream.domainQuotaStream(spark, src.toDS(), quota = 3)
+        .writeStream.option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val src = MemoryStream[EventStream.DocArrival]
+    src.addData(
+      EventStream.DocArrival(1, "a"), EventStream.DocArrival(2, "a"))
+    run(src)
+    // more arrivals land while the query is down; the restarted query
+    // must resume source a's count at 2, not 0 — admitting only one more
+    src.addData(
+      EventStream.DocArrival(3, "a"), EventStream.DocArrival(4, "a"),
+      EventStream.DocArrival(5, "a"))
+    run(src)
+    val got = spark.read.parquet(out).as[EventStream.QuotaVerdict]
+      .collect().map(v => v.doc_id -> v.admitted).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false),
+      s"restart must carry the admitted count across the checkpoint: $got")
+  }
+
   test("ingestGuard: streamed verdicts byte-identical to batch, index maintained across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
