@@ -196,6 +196,18 @@ object StreamBench {
 
     Hygiene.release(spark)
 
+    // ---- contamination gate: arrivals vs the persisted train gram set ----
+    val gramSet = graft.queries.LlmOps
+      .gramSetOf(docs.filter(!isBatch))
+      .localCheckpoint(true) // the persisted-artifact stand-in
+    val contamLanding = s"$base/contam-landing"
+    new java.io.File(contamLanding).mkdirs()
+    val contam = drive(spark, docSlices, contamLanding, landing =>
+      EventStream.contaminationStream(
+        EventStream.readDocuments(spark, landing),
+        gramSet, s"$base/contam-verdicts", s"$base/contam-ck"))
+    Hygiene.release(spark)
+
     // ---- sustained: continuous arrival, maxFilesPerTrigger backpressure ----
     // fresh index (the cadence run appended its arrivals into idx; scoring
     // the same docs against the mutated index would measure a different,
@@ -224,7 +236,7 @@ object StreamBench {
           .option("path", s"$base/sus-hourly-out")
           .start())
 
-    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)}}""")
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)}}""")
     spark.stop()
   }
 }

@@ -3852,14 +3852,38 @@ object LlmOps {
   /** d22's scoring half against a PREBUILT train gram set — the
     * artifact-consuming split the streaming gate
     * ([[graft.streaming.EventStream.contaminationStream]]) runs per
-    * batch: gram the arrivals, score against the set. Cost linear in the
-    * batch, independent of train size past the set join. */
-  private[graft] def contaminationAgainst(batch: DataFrame, trainGrams: DataFrame): DataFrame =
-    gramOverlapScore(
-      positionedGrams(batch.select("doc_id", "text"), substrK)
-        .select("doc_id", "h").distinct(),
-      trainGrams
-    )
+    * batch. The join is shaped for batch-vs-artifact asymmetry: the
+    * ARRIVALS' grams broadcast and the train set streams past them
+    * map-only (the d12 eval-side-broadcast discipline) — a plain equi-
+    * join would shuffle AND sort the corpus-sized gram set on every
+    * micro-batch, which measured ~8-12 s/batch at the ×30 tier vs ~2 s
+    * for this shape. Bounded micro-batches keep the broadcast small;
+    * for batch-vs-batch symmetry (both sides corpus-scale) use the d22
+    * audit (contaminationOf), whose shuffle join is the right plan. */
+  private[graft] def contaminationAgainst(batch: DataFrame, trainGrams: DataFrame): DataFrame = {
+    // localCheckpoint, not cache: consumed twice (totals + hit probe),
+    // and inside a foreachBatch a cache() entry would LEAK one per batch
+    // (never auto-evicted); checkpoint blocks free via the ContextCleaner
+    // when the batch closure returns — the ingestBatch pattern
+    val bg = positionedGrams(batch.select("doc_id", "text"), substrK)
+      .select("doc_id", "h").distinct()
+      .localCheckpoint(true)
+    val hits = trainGrams
+      .select("h")
+      .join(broadcast(bg), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    bg.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (lit(10) * coalesce(col("n_hit"), lit(0L)) >= lit(7) * col("n_grams")).as("contaminated")
+      )
+      .orderBy("doc_id")
+  }
 
   /** The distinct 8-gram set of a corpus — the artifact the streaming
     * contamination gate joins against (persist it; rebuild on the train
