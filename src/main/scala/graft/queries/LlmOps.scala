@@ -416,6 +416,54 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection (d23): for every near-dup cluster
+    * (d06's components), which member SURVIVES — the decision a dedup
+    * pass actually ships. d01/d06 canonicalize by min doc_id (stable,
+    * arbitrary); published pipelines keep the BEST copy instead (longest
+    * / highest-quality — the fullest version of a boilerplate-wrapped
+    * article rather than whichever crawled first). Priority here is
+    * (n_chars DESC, doc_id ASC), packed into one BIGINT
+    * (`n_chars·2^32 − doc_id`, exact while doc_id < 2^32 — true for
+    * every test tier; a deployment past that widens to the struct
+    * ordering Spark's max_by also takes) so Spark's `max_by` and
+    * DuckDB's `arg_max` compare the identical scalar.
+    *
+    * Scale shape: one combinable grouped aggregate over the component
+    * frame — max_by partial-aggregates map-side like any min/max, so a
+    * giant cluster costs its size in inputs but constant state, with no
+    * per-cluster window and no hot reducer. Composes two oracle-gated
+    * subplans (pair graph, CC) plus one join to the documents table. */
+  val d23 = Q(
+    "d23_dedup_best_keep",
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM mh_pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(arg_max(comp.doc_id, d.n_chars * 4294967296 - comp.doc_id) AS BIGINT) AS kept_id,
+             MAX(d.n_chars) AS kept_n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+      GROUP BY cluster_id ORDER BY cluster_id""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+    graft.operators.ConnectedComponents
+      .components(minhashPairs(s, d), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .join(docs, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), col("n_chars") * lit(4294967296L) - col("doc_id")).as("kept_id"),
+        max(col("n_chars")).as("kept_n_chars")
+      )
+      .orderBy("cluster_id")
+  }
+
   /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
     * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
     * i.e. eval documents with a near-duplicate in training data. This is
@@ -4720,7 +4768,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

@@ -335,4 +335,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("Scan ExistingRDD"), "d20 re-parallelizes driver data")
   }
+
+  test("d23: survivor pick is a combinable max_by — no per-cluster window, no collect") {
+    val p = plan("d23_dedup_best_keep")
+    // a giant cluster must cost its size in INPUTS, not in reducer state:
+    // max_by partial-aggregates map-side; a Window/row_number rewrite
+    // would serialize each cluster through one task
+    assert(p.contains("partial_max_by"), s"d23 lost map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"), "d23 ranks with a window instead of max_by")
+    // (Scan ExistingRDD IS expected here: the CC subplan's checkpointed
+    // lineage cuts are distributed RDD blocks, not driver-collected rows —
+    // same provenance d06 has. LocalTableScan would be the collect smell.)
+    assert(!p.contains("LocalTableScan"), "d23 embeds driver-collected rows")
+  }
 }
