@@ -178,24 +178,41 @@ object SnapshotLog {
     }
   }
 
-  /** Retire everything `keep` does not reference: data directories of no
-    * current table, manifests below `keep.version`, and torn manifest
-    * files. Runs inside the single writer (compaction cadence) — like the
-    * r7 swap's immediate `.old` delete, a reader holding a pre-GC
-    * DataFrame across a compaction must re-resolve; longer retention is a
-    * policy knob a multi-reader deployment would raise. */
-  def gc(s: SparkSession, root: String, kind: String): Unit = {
-    val keep = current(s, root, kind)
-    listManifests(s, root).foreach { case (v, p) =>
-      val stale = v < keep.version || (v > keep.version && parse(s, p).isEmpty)
-      if (stale) fsOf(s, p).delete(p, false): Unit
+  /** Retire everything the newest `retain` valid snapshots do not
+    * reference: data directories no retained table lists, manifests below
+    * the oldest retained version, and torn manifest files anywhere. Runs
+    * inside the single writer (compaction cadence).
+    *
+    * `retain = 1` (the default) keeps only the current snapshot — a
+    * reader holding a pre-GC DataFrame across a compaction must
+    * re-resolve, same semantics as the r7 swap's immediate `.old` delete.
+    * A multi-reader deployment raises `retain` so a reader that resolved
+    * up to `retain - 1` commits ago still finds its directories on disk;
+    * the retention window is then "`retain - 1` compactions of grace",
+    * which the deployment sizes against its longest query. Data dirs
+    * shared across retained snapshots (the append-only common prefix) are
+    * kept once — liveness is the UNION of the retained snapshots' dir
+    * sets, so retention costs only the per-compaction delta, not a full
+    * copy per version. */
+  def gc(s: SparkSession, root: String, kind: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val cur = current(s, root, kind) // validates kind; throws if nothing valid serves
+    val parsed = listManifests(s, root).map { case (v, p) => (v, p, parse(s, p)) }
+    // `current` is the highest valid version, so every retained version is <= cur
+    val retained = parsed
+      .collect { case (v, _, Some(fields)) => toSnapshot(v, fields) }
+      .takeRight(retain)
+    val retainedVersions = retained.map(_.version).toSet
+    parsed.foreach { case (v, p, fields) =>
+      val torn = fields.isEmpty
+      if (torn || !retainedVersions.contains(v)) fsOf(s, p).delete(p, false): Unit
     }
     val dataP = new Path(root, "data")
     val fs = fsOf(s, dataP)
     if (fs.exists(dataP)) {
       fs.listStatus(dataP).foreach { tdir =>
         val table = tdir.getPath.getName
-        val live = keep.tables.getOrElse(table, Nil).toSet
+        val live = retained.flatMap(_.tables.getOrElse(table, Nil)).toSet
         fs.listStatus(tdir.getPath)
           .filter(st => !live.contains(st.getPath.getName))
           .foreach(st => fs.delete(st.getPath, true))

@@ -80,6 +80,38 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(readRows(L.current(spark, root, "k1"), root, "a") == 3)
   }
 
+  test("gc retain=N: a reader up to N-1 compactions behind stays resolvable") {
+    val root = tmp("retain")
+    writeDir(root, "a", "base-v1", 3)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map.empty)
+    val reader = L.current(spark, root, "k1") // a concurrent reader resolves v1...
+    writeDir(root, "a", "delta-v2", 2)
+    // v2 appends: base-v1 is SHARED between the retained snapshots
+    L.commit(spark, root, "k1", 2, Map("a" -> Seq("base-v1", "delta-v2")), Map.empty)
+    L.gc(spark, root, "k1", retain = 2)
+    // ...and one compaction later its directories are still on disk
+    assert(readRows(reader, root, "a") == 3, "retained reader lost its dirs")
+    assert(L.current(spark, root, "k1").version == 2)
+    // v3 compacts everything into one dir; retain=2 now drops v1 and,
+    // with it, base-v1/delta-v2 (still referenced by retained v2 — kept),
+    // then a fourth commit pushes v2 out and its dirs go too
+    writeDir(root, "a", "compact-v3", 5)
+    L.commit(spark, root, "k1", 3, Map("a" -> Seq("compact-v3")), Map.empty)
+    L.gc(spark, root, "k1", retain = 2)
+    val dirs3 = new java.io.File(s"$root/data/a").listFiles().map(_.getName).toSet
+    assert(dirs3 == Set("base-v1", "delta-v2", "compact-v3"),
+      s"union liveness across the window broken: $dirs3")
+    writeDir(root, "a", "compact-v4", 6)
+    L.commit(spark, root, "k1", 4, Map("a" -> Seq("compact-v4")), Map.empty)
+    L.gc(spark, root, "k1", retain = 2)
+    val dirs4 = new java.io.File(s"$root/data/a").listFiles().map(_.getName).toSet
+    assert(dirs4 == Set("compact-v3", "compact-v4"), s"eviction broken: $dirs4")
+    val manifests = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("manifest.v")).toSet
+    assert(manifests == Set("manifest.v3", "manifest.v4"), s"gc left $manifests")
+    intercept[IllegalArgumentException] { L.gc(spark, root, "k1", retain = 0) }
+  }
+
   test("tags that would corrupt the serialization are rejected at commit") {
     val root = tmp("badtag")
     intercept[IllegalArgumentException] {
