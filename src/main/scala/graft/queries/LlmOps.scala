@@ -3261,6 +3261,204 @@ object LlmOps {
     dsirSelect(s, f, dsirRatios(loadDsirLmPair(s, s"$dir/lm")))
   }
 
+  // ---- interpolated bigram LM (t25/t26): the next rung of the CCNet
+  // quality-filter ladder above t18's unigram ----
+
+  /** (doc_id, prev, tok) bigram-OCCURRENCE rows over a (doc_id, t)
+    * tokenized frame — index-sequence explode + element_at, the
+    * explodedShingles codegen discipline (a transform() lambda would run
+    * interpreted per element). Docs under 2 tokens produce no rows; the
+    * size guard also keeps sequence() ascending (Spark's sequence(1, 0)
+    * would DESCEND, not return empty). */
+  private def bigramPairsOf(tk: DataFrame): DataFrame = {
+    val t = col("t")
+    val i = col("i")
+    tk.filter(size(t) >= 2)
+      .select(col("doc_id"), t, explode(sequence(lit(1), size(t) - 1)).as("i"))
+      .select(col("doc_id"), element_at(t, i).as("prev"), element_at(t, i + 1).as("tok"))
+  }
+
+  /** The bigram LM's COUNT table over a tokenized corpus, one frame for
+    * both orders: `prev IS NULL` rows carry unigram counts (tok, cnt),
+    * the rest bigram counts (prev, tok, cnt). Counts, not probabilities,
+    * are the artifact (the DSIR-pair discipline): exact integers
+    * round-trip parquet bit-identically and every probability re-derives
+    * deterministically at load, so a persisted model scores byte-equal
+    * to the fused plan. Vocabulary + bigram-vocabulary sized — ≪ corpus
+    * at any scale (bounded by distinct adjacent-token pairs). */
+  private[graft] def bigramLmCountsOf(tk: DataFrame): DataFrame = {
+    val oc = tk.select(col("doc_id"), explode(col("t")).as("tok"))
+    oc.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(null).cast("string").as("prev"), col("tok"), col("cnt"))
+      .unionByName(
+        bigramPairsOf(tk).groupBy("prev", "tok").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Per-doc NLL under an interpolated bigram LM (the KenLM/CCNet filter
+    * shape one order up from t18): each document's first token scores
+    * against the unigram −ln(c/T), every later token against
+    * −ln(0.75·c(prev,tok)/c(prev,·) + 0.25·c(tok)/T) — fixed-weight
+    * Jelinek–Mercer interpolation, so the model also yields a finite
+    * score on unseen bigrams of known tokens when frozen and applied to
+    * NEW text (pure MLE would be −ln 0). Token count = 1 + (bigrams) =
+    * exactly t18's n_tokens.
+    *
+    * Cross-engine parity, term by term: c/T and c(prev,tok)/c(prev,·)
+    * are correctly-rounded double divisions of exact integers; the 0.75/
+    * 0.25 weights are dyadic rationals (exact doubles), each product and
+    * the sum one correctly-rounded op with no FMA contraction in either
+    * engine; ln carries t13's 1-ulp acceptance absorbed by the
+    * DECIMAL(28,9) quantization; per-doc sums are exact decimal adds
+    * (t18's scale-9 headroom analysis applies unchanged — bigram |ln p|
+    * stays in the same ~3–15 band); the mean is ONE double division.
+    *
+    * Scale: two grouped counts (token- and pair-vocabulary outputs,
+    * map-side partial), broadcastable dims while they fit with AQE skew
+    * fallback, one equi-join per scoring term, one per-doc aggregate —
+    * no window, no collect, nothing corpus-sized on any single node. */
+  private[graft] def bigramNllFrom(tk: DataFrame, counts: DataFrame): DataFrame = {
+    val ug = counts.filter(col("prev").isNull).select(col("tok"), col("cnt"))
+    val bgc = counts.filter(col("prev").isNotNull)
+      .select(col("prev"), col("tok"), col("cnt").as("cb"))
+    val g = ug.agg(sum(col("cnt")).as("tt"))
+    val lppu = ug
+      .crossJoin(broadcast(g))
+      .select(
+        col("tok"),
+        (-log(col("cnt").cast("double") / col("tt").cast("double")))
+          .cast(DecimalType(28, 9))
+          .as("nlp")
+      )
+    val cp = bgc.groupBy("prev").agg(sum(col("cb")).as("cp"))
+    val lppb = bgc
+      .join(cp, "prev")
+      .join(ug, "tok")
+      .crossJoin(broadcast(g))
+      .select(
+        col("prev"),
+        col("tok"),
+        (-log(
+          lit(0.75) * (col("cb").cast("double") / col("cp").cast("double")) +
+            lit(0.25) * (col("cnt").cast("double") / col("tt").cast("double"))
+        )).cast(DecimalType(28, 9)).as("nlp")
+      )
+    val ft = tk
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+    ft.join(lppu, "tok")
+      .select("doc_id", "nlp")
+      .unionByName(
+        bigramPairsOf(tk).join(lppb, Seq("prev", "tok")).select("doc_id", "nlp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("nlp")).cast("double") / count(lit(1))).as("nll")
+      )
+  }
+
+  /** The t25/t26 oracle: the Spark chain above, restated over DuckDB's
+    * list kernels — bigrams via range(1, len(t)) + 1-based t[i]. */
+  private val bigramNllOracle = s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      oc AS (SELECT doc_id, UNNEST(t) AS tok FROM tk),
+      ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
+      gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
+      bgf AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+                i -> struct_pack(prev := t[i], tok := t[i+1])), recursive := true)
+              FROM tk),
+      bgc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cb FROM bgf GROUP BY prev, tok),
+      c1 AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cp FROM bgc GROUP BY prev),
+      lppb AS (SELECT prev, tok,
+          CAST(-ln(CAST(0.75 AS DOUBLE) * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+                 + CAST(0.25 AS DOUBLE) * (CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)))
+            AS DECIMAL(28,9)) AS nlp
+        FROM bgc JOIN c1 USING (prev) JOIN ug USING (tok) CROSS JOIN gg),
+      lppu AS (SELECT tok, CAST(-ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE))
+                 AS DECIMAL(28,9)) AS nlp FROM ug CROSS JOIN gg),
+      ft AS (SELECT doc_id, t[1] AS tok FROM tk WHERE len(t) >= 1),
+      contrib AS (SELECT doc_id, nlp FROM ft JOIN lppu USING (tok)
+                  UNION ALL SELECT doc_id, nlp FROM bgf JOIN lppb USING (prev, tok)),
+      sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
+             FROM contrib GROUP BY doc_id)
+      SELECT doc_id, n_tokens, nll FROM sc ORDER BY doc_id"""
+
+  val t25 = Q("t25_bigram_nll", Some(bigramNllOracle)) { (s, d) =>
+    // one tokenize, shared by the two count aggregates and both scoring
+    // reads — same cache discipline (and 100 TB drop-the-hint caveat) as
+    // t18's occurrence cache
+    val tk = Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .cacheOnce()
+    bigramNllFrom(tk, bigramLmCountsOf(tk))
+      .select("doc_id", "n_tokens", "nll")
+      .orderBy("doc_id")
+  }
+
+  /** Persist a bigram LM count table + manifest: vocabulary rows, bigram
+    * rows, and the corpus token total, all re-aggregated from the WRITTEN
+    * file (saveDsirLmPair's discipline — the manifest describes the
+    * physical artifact, and load fails loudly on any lost/extra row). */
+  private[graft] def saveBigramLm(counts: DataFrame, path: String): Unit = {
+    counts.write.mode("overwrite").parquet(path)
+    val s = counts.sparkSession
+    val t = s.read.parquet(path)
+      .agg(
+        sum(when(col("prev").isNull, col("cnt"))).as("tt"),
+        count(when(col("prev").isNull, lit(1))).as("v"),
+        count(when(col("prev").isNotNull, lit(1))).as("b")
+      )
+      .head()
+    graft.operators.ArtifactManifest.write(
+      s,
+      path,
+      "bigram-lm",
+      Map(
+        "total_tokens" -> t.getLong(0).toString,
+        "vocab_rows" -> t.getLong(1).toString,
+        "bigram_rows" -> t.getLong(2).toString
+      )
+    )
+  }
+
+  /** Reload a bigram LM written by [[saveBigramLm]]; manifest-validated on
+    * kind/version plus all three counts recomputed from the loaded table
+    * (pair-vocabulary-sized aggregate — cheap at any corpus scale). */
+  private[graft] def loadBigramLm(s: SparkSession, path: String): DataFrame = {
+    val M = graft.operators.ArtifactManifest
+    val mf = M.readAndCheck(s, path, "bigram-lm")
+    val df = s.read.parquet(path)
+    val t = df
+      .agg(
+        sum(when(col("prev").isNull, col("cnt"))).as("tt"),
+        count(when(col("prev").isNull, lit(1))).as("v"),
+        count(when(col("prev").isNotNull, lit(1))).as("b")
+      )
+      .head()
+    M.check(path, "total_tokens", mf.getOrElse("total_tokens", "?"), t.getLong(0).toString)
+    M.check(path, "vocab_rows", mf.getOrElse("vocab_rows", "?"), t.getLong(1).toString)
+    M.check(path, "bigram_rows", mf.getOrElse("bigram_rows", "?"), t.getLong(2).toString)
+    df
+  }
+
+  /** t25 THROUGH THE PERSISTED LM: train the bigram count table, save it,
+    * reload it, and score the corpus from the LOADED artifact under t25's
+    * own oracle — the d17/e13/t20/t22/t24 train-once/score-from-artifact
+    * proof for the bigram family. */
+  val t26 = Q("t26_bigram_nll_persisted", t25.oracle) { (s, d) =>
+    val dir = scratchDir("t26", d)
+    val tk = Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .cacheOnce()
+    saveBigramLm(bigramLmCountsOf(tk), s"$dir/lm")
+    bigramNllFrom(tk, loadBigramLm(s, s"$dir/lm"))
+      .select("doc_id", "n_tokens", "nll")
+      .orderBy("doc_id")
+  }
+
   /** Source-balanced data mixing: downsample every source to the size of
     * the smallest one with deterministic content-hash sampling — the
     * data-mixture rebalancing step of a pretraining corpus build, with
@@ -4779,5 +4977,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

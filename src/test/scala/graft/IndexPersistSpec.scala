@@ -316,6 +316,34 @@ class IndexPersistSpec extends AnyFunSuite {
     }.field == "kind")
   }
 
+  test("bigram LM round-trips byte-identically; a mutated count table is rejected") {
+    // the loaded count table reproduces the in-plan scores exactly (the
+    // t26 contract at the smoke tier)
+    val s25 = SparkEntry.queries("t25_bigram_nll")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val s26 = SparkEntry.queries("t26_bigram_nll_persisted")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(s26 === s25, "scores from the loaded bigram LM must equal the in-plan scores")
+
+    import org.apache.spark.sql.functions.col
+    val tk = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))
+    val dir = tmp("mf-bigram")
+    LlmOps.saveBigramLm(LlmOps.bigramLmCountsOf(tk), dir)
+    LlmOps.loadBigramLm(spark, dir) // pristine artifact loads
+    // count rows mutated after the manifest committed contradict the
+    // recomputed totals and refuse to load
+    spark.read.parquet(dir).limit(7).write.mode("append").parquet(dir)
+    val e = intercept[ArtifactManifest.Mismatch] { LlmOps.loadBigramLm(spark, dir) }
+    assert(Set("total_tokens", "vocab_rows", "bigram_rows").contains(e.field))
+    // its own family: the unigram-LM loader fails on kind
+    val dir2 = tmp("mf-bigram-kind")
+    LlmOps.saveBigramLm(LlmOps.bigramLmCountsOf(tk), dir2)
+    assert(intercept[ArtifactManifest.Mismatch] {
+      LlmOps.loadUnigramLm(spark, dir2)
+    }.field == "kind")
+  }
+
   test("a dedup index whose tables contradict the manifest (mutated committed dir) is rejected") {
     val docs = Tables.documents(spark, TestSpark.sf001).select("doc_id", "text")
     val (h, b) = LlmOps.dedupIndexOf(docs.filter(col("doc_id") % 2 === 0))

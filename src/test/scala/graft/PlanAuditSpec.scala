@@ -336,6 +336,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Scan ExistingRDD"), "d20 re-parallelizes driver data")
   }
 
+  test("t25: bigram LM is grouped counts + equi-joins — no window, no collect") {
+    val p = plan("t25_bigram_nll")
+    assert(p.contains("partial_count"), s"t25 lost map-side partial counting:\n$p")
+    assert(!p.contains("Window"), "t25 ranks/scores via a window — should be joins + one agg")
+    assert(!p.contains("Scan ExistingRDD"), "t25 re-parallelizes driver data")
+    assert(!p.contains("LocalTableScan"), "t25 embeds driver-collected rows")
+  }
+
   test("d23: survivor pick is a combinable max_by — no per-cluster window, no collect") {
     val p = plan("d23_dedup_best_keep")
     // a giant cluster must cost its size in INPUTS, not in reducer state:
