@@ -145,7 +145,11 @@ object BenchScale {
       // d22 (gram explode per split + one set join)
       "d19" -> 1, "d20" -> 1, "d21" -> 1, "d22" -> 1,
       // e17 runs the exact AND the IVF-backed grouped-MMR paths in one gate
-      "e17" -> 1
+      "e17" -> 1,
+      // third-leg additions: d23 (the d02+CC subplan shared with d06, plus
+      // one combinable max_by agg), t25 (two vocabulary-output grouped
+      // counts + equi-join scoring — t18's shape one order up)
+      "d23" -> 1, "t25" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
