@@ -3270,12 +3270,12 @@ object LlmOps {
     * interpreted per element). Docs under 2 tokens produce no rows; the
     * size guard also keeps sequence() ascending (Spark's sequence(1, 0)
     * would DESCEND, not return empty). */
-  private def bigramPairsOf(tk: DataFrame): DataFrame = {
+  private def bigramPairsOf(tk: DataFrame, carry: Seq[String] = Seq("doc_id")): DataFrame = {
     val t = col("t")
     val i = col("i")
     tk.filter(size(t) >= 2)
-      .select(col("doc_id"), t, explode(sequence(lit(1), size(t) - 1)).as("i"))
-      .select(col("doc_id"), element_at(t, i).as("prev"), element_at(t, i + 1).as("tok"))
+      .select(carry.map(col) ++ Seq(t, explode(sequence(lit(1), size(t) - 1)).as("i")): _*)
+      .select(carry.map(col) ++ Seq(element_at(t, i).as("prev"), element_at(t, i + 1).as("tok")): _*)
   }
 
   /** The bigram LM's COUNT table over a tokenized corpus, one frame for
@@ -3316,8 +3316,17 @@ object LlmOps {
     * Scale: two grouped counts (token- and pair-vocabulary outputs,
     * map-side partial), broadcastable dims while they fit with AQE skew
     * fallback, one equi-join per scoring term, one per-doc aggregate —
-    * no window, no collect, nothing corpus-sized on any single node. */
-  private[graft] def bigramNllFrom(tk: DataFrame, counts: DataFrame): DataFrame = {
+    * no window, no collect, nothing corpus-sized on any single node.
+    *
+    * `keys` is the scoreAgainstLm discipline: the streaming scorer
+    * ([[graft.streaming.EventStream.bigramNllStream]]) groups by
+    * (event-time, doc_id) so watermark-append semantics hold, with the
+    * IDENTICAL aggregate expressions (parity spec-pinned). */
+  private[graft] def bigramNllFrom(
+      tk: DataFrame,
+      counts: DataFrame,
+      keys: Seq[String] = Seq("doc_id")
+  ): DataFrame = {
     val ug = counts.filter(col("prev").isNull).select(col("tok"), col("cnt"))
     val bgc = counts.filter(col("prev").isNotNull)
       .select(col("prev"), col("tok"), col("cnt").as("cb"))
@@ -3343,14 +3352,15 @@ object LlmOps {
             lit(0.25) * (col("cnt").cast("double") / col("tt").cast("double"))
         )).cast(DecimalType(28, 9)).as("nlp")
       )
+    val keyCols = keys.map(col)
     val ft = tk
       .filter(size(col("t")) >= 1)
-      .select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+      .select(keyCols :+ element_at(col("t"), 1).as("tok"): _*)
     ft.join(lppu, "tok")
-      .select("doc_id", "nlp")
+      .select(keyCols :+ col("nlp"): _*)
       .unionByName(
-        bigramPairsOf(tk).join(lppb, Seq("prev", "tok")).select("doc_id", "nlp"))
-      .groupBy("doc_id")
+        bigramPairsOf(tk, keys).join(lppb, Seq("prev", "tok")).select(keyCols :+ col("nlp"): _*))
+      .groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_tokens"),
         (sum(col("nlp")).cast("double") / count(lit(1))).as("nll")

@@ -222,6 +222,33 @@ object EventStream {
     LlmOps.scoreAgainstLm(oc, lm, groupKeys = Seq(col("ts"), col("doc_id")))
   }
 
+  /** [[nllStream]] one order up: score arrivals against a persisted
+    * INTERPOLATED BIGRAM LM (t26's count artifact — loadBigramLm). Same
+    * state bound (group by (ts, doc_id) under the watermark, append
+    * emission at watermark passage), two stream-static equi-joins instead
+    * of one (first token vs the unigram dim, later tokens vs the bigram
+    * dim — the union carries the shared watermark through both branches).
+    * The scoring math is LlmOps.bigramNllFrom — the ONE copy — so a
+    * streamed score is byte-identical to batch-scoring the same row
+    * against the same artifact (spec-pinned). The interpolation is why
+    * this works on a live feed at all: unseen bigrams of known tokens
+    * back off to 0.25·unigram instead of −ln 0; tokens entirely outside
+    * the frozen vocabulary drop from the score (inner-join semantics,
+    * same as the batch scorer and nllStream).
+    *
+    * Output: (ts, doc_id, n_tokens, nll). */
+  def bigramNllStream(
+      docs: DataFrame,
+      counts: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    import graft.queries.LlmOps
+    val tk = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))
+    LlmOps.bigramNllFrom(tk, counts, keys = Seq("ts", "doc_id"))
+  }
+
   /** Stream-stream event-time interval join: correlate each left event
     * with the right-stream events of the SAME user that happen within
     * `withinSeconds` AFTER it ("purchase within 30 min of a click").

@@ -454,6 +454,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram-NLL gate scores arrivals byte-identically to batch, from the persisted counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val tk = docs.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("bigram_lm").toString
+    LlmOps.saveBigramLm(LlmOps.bigramLmCountsOf(tk), dir)
+    val counts = LlmOps.loadBigramLm(spark, dir)
+    // arrivals include docs the LM trained on AND novel text whose
+    // bigrams are unseen-but-known-token (the interpolation's backoff
+    // path) — batch and stream must agree on both
+    val trained = docs.limit(12).collect().map { r =>
+      (r.getLong(0), new java.sql.Timestamp(1000_000L + r.getLong(0)), r.getString(1))
+    }
+    val novelText = trained.map(_._3).head.split(" ").reverse.mkString(" ")
+    val arrivals = trained :+ ((888888L, new java.sql.Timestamp(1100_000L), novelText))
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = EventStream.bigramNllStream(src.toDF().toDF("doc_id", "ts", "text"), counts)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bigram_nll_out").start()
+    try {
+      src.addData(arrivals.take(6): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(6): _*)
+      q.processAllAvailable()
+      src.addData((999999L, new java.sql.Timestamp(9_000_000_000L), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("bigram_nll_out")
+        .filter(col("doc_id") < 999999L)
+        .select("doc_id", "n_tokens", "nll")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val arrivalsDf = arrivals.toSeq.toDF("doc_id", "ts", "text")
+        .select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))
+      val want = LlmOps.bigramNllFrom(arrivalsDf, counts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.map(_._1).contains(888888L), "the novel-bigram doc must still score (backoff path)")
+      assert(got === want, "streamed bigram scores must be byte-identical to the batch scorer")
+    } finally q.stop()
+  }
+
   test("contamination stream: streamed verdicts byte-identical to the batch scorer, zero state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
