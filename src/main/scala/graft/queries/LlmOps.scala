@@ -1145,6 +1145,101 @@ object LlmOps {
     }
   }
 
+  /** One micro-batch of the FULL crawl-admission pipeline — ingestBatch's
+    * commit protocol with the admission decision widened from "not a
+    * duplicate" to the three gates a pretraining crawl actually applies
+    * before a document lands in the corpus:
+    *
+    *   1. dedup against the persisted index (d08/d16's verdict),
+    *   2. eval-contamination against the frozen train gram set (d22's
+    *      70% rule),
+    *   3. quality under the persisted bigram LM (t25's NLL, admit iff
+    *      nll ≤ nllMax — a doc with NO in-vocabulary token has no score
+    *      and FAILS the gate; published pipelines drop what they cannot
+    *      score, and admitting on NULL would wave garbage through).
+    *
+    * One verdict row per arrival carries all three gates' evidence plus
+    * the final `admit`, landed by per-batch overwrite (exactly-once).
+    * Only docs passing ALL gates extend the dedup index: the index is
+    * CORPUS membership, and a rejected doc never entered the corpus. (A
+    * crawler that instead wants "seen, don't refetch" semantics tracks
+    * that in its frontier, not in the corpus index — d20/domainQuota
+    * territory.) Crash safety is ingestBatch's protocol verbatim: the
+    * verdict read is pinned before any append mutates index files, data
+    * directories land before the one-manifest commit carrying
+    * `last_batch`, and a replay either recomputes against the unchanged
+    * snapshot or skips on the marker.
+    *
+    * Scale: the three scorers are each stream-static joins/aggregates
+    * linear in the batch and independent of corpus size (their gated
+    * batch twins' property); the pipeline adds two doc_id equi-joins of
+    * batch-sized verdict frames. Nothing here holds state that grows
+    * with the stream. */
+  private[graft] def pipelineBatch(
+      batch: DataFrame,
+      indexPath: String,
+      trainGrams: DataFrame,
+      lmCounts: DataFrame,
+      nllMax: Double,
+      verdictDir: String,
+      batchId: Long,
+      maintainIndex: Boolean
+  ): Unit = {
+    val s = batch.sparkSession
+    val L = graft.operators.SnapshotLog
+    val snap = dedupSnapshot(s, indexPath)
+    val committed = snap.props.get("last_batch").contains(batchId.toString)
+    if (!committed) {
+      val arrivals = batch.localCheckpoint(true) // ingestBatch's source-amplification pin
+      val (hash, bands) = loadDedupIndexTrusted(s, indexPath)
+      val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
+      val contamV = contaminationAgainst(arrivals, trainGrams)
+        .select("doc_id", "n_grams", "n_hit", "contaminated")
+      val nllV = bigramNllFrom(
+        arrivals.select(col("doc_id"), toks(col("text")).as("t")),
+        lmCounts)
+      // left joins: a doc under the gram width has no contamination row
+      // (not contaminated), a doc with no in-vocab token has no score row
+      // (fails the quality gate)
+      val verdicts = dedupV
+        .join(contamV, Seq("doc_id"), "left")
+        .join(nllV, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("dup_exact"),
+          col("dup_near"),
+          col("keep"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          col("n_tokens"),
+          col("nll"),
+          (col("keep") && !coalesce(col("contaminated"), lit(false)) &&
+            col("nll").isNotNull && col("nll") <= nllMax).as("admit")
+        )
+        .localCheckpoint(true) // pin the pre-append view; consumed twice below
+      verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+      if (maintainIndex) {
+        val admitted =
+          arrivals.join(verdicts.filter(col("admit")), Seq("doc_id"), "left_semi")
+        val tag = s"batch-$batchId"
+        val tables =
+          if (admitted.isEmpty) snap.tables
+          else {
+            val materialized = admitted.localCheckpoint(true)
+            val (h, b) = dedupIndexOf(materialized)
+            b.write.mode("overwrite").parquet(L.dataDir(indexPath, "bands", tag))
+            h.write.mode("overwrite").parquet(L.dataDir(indexPath, "hash", tag))
+            Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
+                "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
+          }
+        commitDedupSnapshot(
+          s, indexPath, L.nextVersion(s, indexPath), tables,
+          Map("last_batch" -> batchId.toString))
+      }
+    }
+  }
+
   /** Compact an appended dedup index: distinct the hash table (appends
     * legitimately re-add a content hash the corpus already carries —
     * admission only needs membership) and rewrite both tables as fresh

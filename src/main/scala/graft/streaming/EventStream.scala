@@ -514,6 +514,46 @@ object EventStream {
       }
       .start()
 
+  /** The COMPOSED live-crawl admission pipeline — [[ingestGuard]],
+    * [[contaminationStream]], and the bigram quality gate fused into one
+    * foreachBatch loop over one verdict table: every arriving document is
+    * (1) deduped against the persisted index, (2) contamination-scored
+    * against the frozen train gram set, (3) quality-scored under the
+    * persisted bigram LM, and admitted only past all three; admitted
+    * docs' fingerprints extend the index so the next batch (or the
+    * nightly batch ingest — same artifact) already sees them. This is
+    * the composition the standalone gates document ("arrivals deduped
+    * against each other needs ingestGuard in front" — here it IS in
+    * front, inside the same commit protocol, so the three verdicts are
+    * mutually consistent per batch and exactly-once as one table).
+    *
+    * Static inputs are ARTIFACTS, not live recomputes: pass
+    * loadDedupIndex's path, a loaded gram set, loadBigramLm's counts.
+    * Streaming state: zero (three stream-static joins); crash safety:
+    * ingestBatch's snapshot-log protocol (chaos-spec-pinned there),
+    * applied to the widened verdict. */
+  def crawlPipeline(
+      docs: DataFrame,
+      indexPath: String,
+      trainGrams: DataFrame,
+      lmCounts: DataFrame,
+      nllMax: Double,
+      verdictDir: String,
+      checkpointDir: String,
+      maintainIndex: Boolean = true
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // full index validation once, at stream start (ingestGuard's rule)
+    graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.LlmOps.pipelineBatch(
+          batch, indexPath, trainGrams, lmCounts, nllMax, verdictDir, batchId, maintainIndex)
+      }
+      .start()
+  }
+
   case class DocArrival(doc_id: Long, source: String)
   case class QuotaState(admitted: Long)
   case class QuotaVerdict(doc_id: Long, source: String, admitted: Boolean)

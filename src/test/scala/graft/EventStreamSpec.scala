@@ -666,6 +666,100 @@ class EventStreamSpec extends AnyFunSuite {
     assert(hEnd.count() == h0.count() + d1 + d2)
   }
 
+  test("crawlPipeline: three gates, one verdict table; only fully-admitted docs extend the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val firstChar = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val corpus = docs.filter(firstChar.isin("0", "1", "2", "3"))
+    val train = docs.filter(firstChar.isin("4", "5", "6", "7"))
+    val fresh = docs
+      .filter(!firstChar.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .as[(Long, String)].collect().sortBy(_._1).take(8).toSeq
+    val base = java.nio.file.Files.createTempDirectory("crawl-pipe").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"; val ck = s"$base/ck"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    val grams = LlmOps.gramSetOf(train).localCheckpoint(true)
+    val lmDir = s"$base/lm"
+    LlmOps.saveBigramLm(
+      LlmOps.bigramLmCountsOf(train.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))),
+      lmDir)
+    val counts = LlmOps.loadBigramLm(spark, lmDir)
+    // generous quality bar: only UNSCORABLE docs fail the third gate here
+    // (threshold behavior itself is t25's domain)
+    val nllMax = 1e9
+
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val dupDoc = (maxId + 1, corpus.select("text").head().getString(0)) // gate 1 reject
+    val contamDoc = (maxId + 2, train.select("text").head().getString(0)) // gate 2 reject
+    val oovDoc = (maxId + 3, "zzzzz qqqqq wwwww") // gate 3 reject (no in-vocab token)
+    val b1 = fresh ++ Seq(dupDoc, contamDoc, oovDoc)
+
+    // the composed batch twin, per the documented semantics — computed
+    // EAGERLY against the given index tables before the stream mutates
+    def want(batch: Seq[(Long, String)], hash: org.apache.spark.sql.DataFrame,
+        bands: org.apache.spark.sql.DataFrame) = {
+      val bdf = batch.toDF("doc_id", "text")
+      val dv = LlmOps.incrementalDedupAgainst(bdf, hash, bands)
+      val cv = LlmOps.contaminationAgainst(bdf, grams).select("doc_id", "contaminated")
+      val nv = LlmOps
+        .bigramNllFrom(bdf.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t")), counts)
+        .select("doc_id", "nll")
+      dv.join(cv, Seq("doc_id"), "left")
+        .join(nv, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("dup_exact"), col("keep"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"), col("nll"),
+          (col("keep") && !coalesce(col("contaminated"), lit(false)) &&
+            col("nll").isNotNull && col("nll") <= nllMax).as("admit"))
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+    }
+    val (hash0, bands0) = LlmOps.loadDedupIndex(spark, idx)
+    val want1 = want(b1, hash0, bands0)
+    val admitted1 = b1.filter(d => want1.find(_._1 == d._1).exists(_._6))
+    assert(admitted1.nonEmpty, "some fresh doc must pass all three gates")
+    // batch 2: an admitted batch-1 text under a fresh id — the maintained
+    // index must now flag it as an exact dup (the feedback loop)
+    val replay = (maxId + 4, admitted1.head._2)
+    val (ha, ba) = LlmOps.dedupIndexOf(admitted1.toDF("doc_id", "text"))
+    val want2 = want(Seq(replay), hash0.union(ha), bands0.union(ba))
+
+    val src = MemoryStream[(Long, String)]
+    val q = EventStream.crawlPipeline(
+      src.toDF().toDF("doc_id", "text"), idx, grams, counts, nllMax, out, ck)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(replay); q.processAllAvailable()
+    } finally q.stop()
+
+    def got(batchId: Int) = spark.read.parquet(out)
+      .filter(col("batch_id") === batchId)
+      .select("doc_id", "dup_exact", "keep", "contaminated", "nll", "admit")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .sortBy(_._1).toSeq
+    assert(got(0) === want1, "batch 1 verdicts must equal the composed batch twins")
+    assert(got(1) === want2, "batch 2 must see batch 1's admitted rows in the index")
+    // each crafted arrival rejected by exactly its own gate
+    val byId = got(0).map(t => t._1 -> t).toMap
+    assert(byId(dupDoc._1)._2 && !byId(dupDoc._1)._6, "corpus copy: dup_exact, rejected")
+    assert(byId(contamDoc._1)._4 && byId(contamDoc._1)._3 && !byId(contamDoc._1)._6,
+      "train copy: kept by dedup but contaminated, rejected")
+    assert(byId(oovDoc._1)._5.isEmpty && byId(oovDoc._1)._3 && !byId(oovDoc._1)._6,
+      "unscorable doc: no NLL, rejected by the quality gate")
+    assert(want2.head._2 && !want2.head._6, "replayed admitted text: exact dup now")
+    // the index grew by exactly the admitted docs' distinct texts
+    val (hEnd, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(hEnd.count() == h0.count() + admitted1.map(_._2).distinct.size)
+  }
+
   test("ingestGuard chaos: a batch killed mid-commit replays to the same verdicts and one logical append") {
     import spark.implicits._
     import graft.queries.LlmOps
