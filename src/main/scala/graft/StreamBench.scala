@@ -208,6 +208,31 @@ object StreamBench {
         gramSet, s"$base/contam-verdicts", s"$base/contam-ck"))
     Hygiene.release(spark)
 
+    // ---- composed crawl pipeline: all three gates per batch ----
+    // fresh index (the ingest run mutated idx); gram set + bigram LM from
+    // the same untagged half, both as loaded artifacts; generous quality
+    // bar so the measured work is the full three-gate scoring, not an
+    // empty-append short-circuit
+    val idx3 = s"$base/idx3"
+    LlmOps.saveDedupIndex(h0, b0, idx3)
+    val lmDir = s"$base/lm"
+    LlmOps.saveBigramLm(
+      LlmOps.bigramLmCountsOf(
+        docs.filter(!isBatch).select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))),
+      lmDir)
+    val lmCounts = LlmOps.loadBigramLm(spark, lmDir)
+    // fresh gram set: the contam stage's localCheckpoint blocks were
+    // released by the Hygiene pass above — a dead checkpoint frame fails
+    // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, it does not recompute
+    val pipeGrams = LlmOps.gramSetOf(docs.filter(!isBatch)).localCheckpoint(true)
+    val pipeLanding = s"$base/pipe-landing"
+    new java.io.File(pipeLanding).mkdirs()
+    val pipe = drive(spark, docSlices, pipeLanding, landing =>
+      EventStream.crawlPipeline(
+        EventStream.readDocuments(spark, landing),
+        idx3, pipeGrams, lmCounts, 1e9, s"$base/pipe-verdicts", s"$base/pipe-ck"))
+    Hygiene.release(spark)
+
     // ---- sustained: continuous arrival, maxFilesPerTrigger backpressure ----
     // fresh index (the cadence run appended its arrivals into idx; scoring
     // the same docs against the mutated index would measure a different,
@@ -236,7 +261,7 @@ object StreamBench {
           .option("path", s"$base/sus-hourly-out")
           .start())
 
-    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)}}""")
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)}}""")
     spark.stop()
   }
 }
