@@ -839,6 +839,73 @@ class EventStreamSpec extends AnyFunSuite {
     assert(h4.count() === compacted, "no append on committed replay after compaction")
   }
 
+  test("crawlPipeline chaos: a kill between verdict write and manifest commit replays clean") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val corpus = docs.filter(!isBatch)
+    val arriving = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("pipe-chaos").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    val grams = LlmOps.gramSetOf(corpus).localCheckpoint(true)
+    val counts = LlmOps
+      .bigramLmCountsOf(corpus.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t")))
+      .localCheckpoint(true)
+    val nllMax = 1e9
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      LlmOps.pipelineBatch(batch.toDF("doc_id", "text"), idx, grams, counts, nllMax,
+        out, id, maintainIndex = true)
+    def got(id: Long) = spark.read.parquet(out).filter(col("batch_id") === id)
+      .select("doc_id", "dup_exact", "keep", "contaminated", "nll", "admit")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .sortBy(_._1).toSeq
+
+    run(b1, 0L) // batch 0 commits normally
+    val (h1, _) = LlmOps.loadDedupIndex(spark, idx)
+    val h1Count = h1.count()
+
+    // CHAOS: the on-disk state of a kill between the batch-1 verdict/data
+    // writes and the manifest commit — fully-written data dirs referenced
+    // by no manifest, plus the crashed commit's torn manifest file
+    val (oh, ob) = LlmOps.dedupIndexOf(b2.toDF("doc_id", "text"))
+    ob.write.parquet(s"$idx/data/bands/batch-1")
+    oh.write.parquet(s"$idx/data/hash/batch-1")
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = fs.create(new Path(idx, "manifest.v99"), true)
+    torn.write("kind=dedup-index\nthis-commit-never-finished\n".getBytes("UTF-8"))
+    torn.close()
+    val (hChaos, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(hChaos.count() === h1Count, "torn state must be invisible to a load")
+
+    // REPLAY batch 1: scored against the committed snapshot — none of its
+    // docs flagged as duplicates of their own torn append
+    run(b2, 1L)
+    val v1 = got(1L)
+    val freshTexts = b2.map(_._2).toSet -- b1.map(_._2).toSet -- corpus.as[(Long, String)]
+      .collect().map(_._2).toSet
+    val freshIds = b2.filter(d => freshTexts(d._2)).map(_._1).toSet
+    assert(v1.filter(t => freshIds(t._1)).forall(!_._2),
+      "replayed batch self-flagged against its own torn append")
+    val admitted = v1.filter(_._6).map(_._1).toSet
+    assert(admitted.nonEmpty, "batch 1 must admit something for the append check to bite")
+    val admittedTexts = b2.filter(d => admitted(d._1)).map(_._2).distinct.size
+    val (h2, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h2.count() === h1Count + admittedTexts, "exactly one logical append")
+
+    // REPLAY after full commit: skip on the marker — same verdicts, no growth
+    run(b2, 1L)
+    assert(got(1L) === v1, "committed replay must not recompute")
+    val (h3, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h3.count() === h1Count + admittedTexts, "no double append on committed replay")
+  }
+
   test("ingestGuard restart from checkpoint: batch ids continue, index and verdicts stay consistent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
