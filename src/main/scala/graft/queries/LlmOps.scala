@@ -1547,10 +1547,11 @@ object LlmOps {
     // orders of magnitude above double-vs-exact drift for 64-dim unit-ish
     // vectors, so the exact top-k cannot be excluded: bit-identical
     // results, ~k instead of |corpus| interpreted rescored rows per query.
-    // rank on SCALARS only — carrying both embedding arrays through the
-    // per-qid window shuffles would inflate shuffle volume ~10x for rows
-    // that are then discarded; the ~k survivors re-attach embeddings via
-    // a corpus equi-join + a broadcast of the query side
+    // The prefilter ranks on SCALARS only (the ~k survivors re-attach
+    // embeddings via a corpus equi-join + a broadcast of the query side),
+    // and the per-qid boundary comes from topCCandidates' constant-state
+    // KthLargest aggregate — the final rank window below runs over the ~5
+    // surviving rows per qid, never the corpus.
     val dbl = emb
       .as("e")
       .join(broadcast(q).as("q"), col("q.vec_id") =!= col("e.vec_id"))
@@ -1559,13 +1560,9 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("dbl")
       )
-    val wq = Window.partitionBy("qid")
-    val candidates = dbl
-      .withColumn("rnk0", row_number().over(wq.orderBy(col("dbl").desc, col("vid"))))
-      .withColumn("kth", min(when(col("rnk0") <= 5, col("dbl"))).over(wq))
-      .filter(col("dbl") >= col("kth") - 1e-9)
-      .select("qid", "vid")
-    val cos = candidates
+    // candidate stage: constant-state KthLargest boundary + broadcast
+    // re-filter (topCCandidates) — never a per-qid window over the corpus
+    val cos = topCCandidates(dbl, 5)
       .join(emb.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
       .join(
         broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
@@ -1916,11 +1913,9 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("c")
       )
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vid"))
-    val approx = dbl
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select("qid", "vid")
+    // rank via the KthLargest boundary + bounded window (topKRankedSameCol)
+    // — the int8 corpus never flows through a per-qid window partition
+    val approx = topKRankedSameCol(dbl, "c", 5, asc = false)
     // cached: exact feeds both the hit join and the per-query k counts
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     recallGate(exact, approx, 0.7)
@@ -2382,12 +2377,10 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("int_sqdist(q.x, e.x)").as("d2")
       )
-    val wEx = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
-    val exact = exactL2
-      .withColumn("rnk", row_number().over(wEx))
-      .filter(col("rnk") <= 5)
-      .select("qid", "vid")
-      .cacheOnce()
+    // smallest-distance top-k through the same constant-state boundary
+    // (negated scores); the monotone-rounding argument in
+    // topKRankedSameCol covers the long→double cast of d2
+    val exact = topKRankedSameCol(exactL2, "d2", 5, asc = true).cacheOnce()
     recallGate(exact, approx, 0.4)
   }
 
@@ -4417,6 +4410,39 @@ object LlmOps {
     dbl
       .join(broadcast(kth), "qid")
       .filter(col("dbl") >= col("kth") - 1e-9)
+      .select("qid", "vid")
+  }
+
+  /** Exact top-k (qid, vid) per qid ranked on the SAME column the
+    * prefilter bounds — the no-margin sibling of [[topCCandidates]] for
+    * the gates that rank directly on their prefiltered score (e11's
+    * dequantized double cosine, e12's integer L2). The k-th best value
+    * per qid rides the constant-state [[graft.functions.KthLargest]]
+    * aggregate (ascending scores through negation), broadcasts back, and
+    * only boundary survivors (~k per qid plus exact ties) reach the
+    * row_number window — whose rnk<=k filter Spark rewrites into a
+    * partial WindowGroupLimit, so no per-qid partition ever holds the
+    * corpus. No epsilon margin is needed even for integral scores wider
+    * than a double's 53-bit mantissa: long→double rounding is MONOTONE,
+    * so the k-th order statistic of the rounded multiset is exactly the
+    * rounded true boundary, and every true top-k row's rounded score
+    * passes the >= comparison; rounding can only ADMIT extra boundary
+    * ties, which the window (ordering on the original exact-typed
+    * column) then ranks away. */
+  private def topKRankedSameCol(df: DataFrame, score: String, k: Int, asc: Boolean): DataFrame = {
+    val signed =
+      if (asc) -col(score).cast("double") else col(score).cast("double")
+    val kth = df
+      .groupBy("qid")
+      .agg(graft.functions.KthLargest.kthLargest(signed, k).as("kth"))
+    val ord = if (asc) col(score).asc else col(score).desc
+    df.join(broadcast(kth), "qid")
+      .filter(signed >= col("kth"))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(ord, col("vid")))
+      )
+      .filter(col("rnk") <= k)
       .select("qid", "vid")
   }
 

@@ -566,25 +566,36 @@ object Relational {
     // Distributed exact interpolated percentile with BOUNDED state. The
     // percentile() UDAF buffers every group value in one aggregation
     // buffer (near-unique doubles -> the whole group on one reducer at
-    // scale); this form ranks within the group via a streaming
-    // row_number window (external sort, spills, O(1) frame state) and
-    // aggregates only the <=2 rank-selected rows per target quantile.
-    // Interpolation is the form both engines share — lo*(ceil(h)-h) +
-    // hi*(h-floor(h)) with h = (n-1)*p in doubles — so the result stays
-    // hash-identical to DuckDB's quantile_cont.
+    // scale); a per-priority row_number window would be no better — 5
+    // groups of corpus/5 rows, one reducer each (the shape
+    // WindowBoundSpec bans). The in-group rank rides Ranks.groupedRank
+    // instead: one range exchange on (priority, price), local
+    // row_number per range slice, per-group prefix offsets broadcast
+    // back — every task's work is corpus/numParts, whatever the group
+    // sizes. Only the <=2 rank-selected rows per target quantile reach
+    // the final agg. Interpolation is the form both engines share —
+    // lo*(ceil(h)-h) + hi*(h-floor(h)) with h = (n-1)*p in doubles — so
+    // the result stays hash-identical to DuckDB's quantile_cont.
     val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
     // n (the output count) is COUNT(*) over ALL rows, but the quantile
     // machinery must see only NON-NULL values — both percentile() and
-    // quantile_cont ignore NULLs, while row_number would rank a NULL row
-    // first and shift every selection. `np` is the quantile population;
+    // quantile_cont ignore NULLs, while ranking would count a NULL row
+    // and shift every selection. `np` is the quantile population;
     // identical to n when the column is null-free (it is in this data).
     val counts = o
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), count(col("o_totalprice")).as("np"))
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    val ranked = o
-      .filter(col("o_totalprice").isNotNull)
-      .withColumn("rn", row_number().over(w).cast("bigint"))
+    // no unique tiebreaker: rank ASSIGNMENT among equal prices varies
+    // with partition boundaries, but the VALUE at every rank — all the
+    // interpolation reads — is deterministic (ties share the value)
+    val ranked = graft.operators.Ranks
+      .groupedRank(
+        o.filter(col("o_totalprice").isNotNull),
+        "o_orderpriority",
+        s.sparkContext.defaultParallelism,
+        col("o_totalprice")
+      )
+      .withColumn("rn", col("grank"))
       .join(broadcast(counts), "o_orderpriority")
     def h(p: Double): Column = (col("np").cast("double") - 1) * lit(p)
     def lo(p: Double): Column = min(when(col("rn") === floor(h(p)) + 1, col("o_totalprice")))
@@ -1005,12 +1016,20 @@ object Relational {
       FROM t GROUP BY o_orderpriority, quartile
       ORDER BY o_orderpriority, quartile""")
   ) { (s, d) =>
-    val w = Window
-      .partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables
-      .orders(s, d)
-      .withColumn("quartile", ntile(4).over(w))
+    // ntile over a per-priority window = 5 partitions of corpus/5 rows,
+    // one reducer each (the WindowBoundSpec-banned shape). The tile is a
+    // CLOSED FORM of the in-group rank and group size — compute those
+    // with the distributed grouped-rank kernel (range exchange + offset
+    // broadcast, every task corpus/numParts) and project the tile.
+    graft.operators.Ranks
+      .groupedRank(
+        Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+        "o_orderpriority",
+        s.sparkContext.defaultParallelism,
+        col("o_totalprice"),
+        col("o_orderkey")
+      )
+      .withColumn("quartile", graft.operators.Ranks.ntileFromRank(col("grank"), col("gn"), 4))
       .groupBy("o_orderpriority", "quartile")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
       .orderBy("o_orderpriority", "quartile")

@@ -297,17 +297,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ap.toLowerCase.contains("int_argmin_sqdist"), s"assignment lost the compiled kernel:\n$ap")
   }
 
-  test("q22: percentiles carry NO per-group value buffer — rank window + tiny agg") {
+  test("q22: percentiles carry NO per-group value buffer — groupedRank + tiny agg") {
     val p = plan("q22_price_percentiles")
     // the old formulation's unbounded-state aggregate: the Percentile UDAF
     // (an ObjectHashAggregate buffering every group value)
     assert(!p.contains("percentile("), s"q22 regressed to the buffering UDAF:\n$p")
     assert(!p.contains("ObjectHashAggregate"), s"q22 has an object-buffer aggregate:\n$p")
-    // the bounded-state shape: a partitioned streaming window (row_number),
-    // a broadcast of the 5-row counts dim, and a plain hash aggregate over
-    // the <=4 rank-selected rows per group
-    assert(p.contains("Window"), p)
-    assert(p.contains("row_number"), p)
+    // the bounded shape: Ranks.groupedRank's checkpointed (priority,
+    // price, orderkey, pid, rn) frame — the per-group row_number window
+    // partitioned by (pid, grp) lives BEHIND the checkpoint and is pinned
+    // by WindowBoundSpec's data-path test — then per-group offsets and
+    // the 5-row counts dim broadcast back, and a plain hash aggregate
+    // runs over the <=2 rank-selected rows per target quantile
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rddScans.nonEmpty, s"expected the checkpointed rank frame:\n$p")
+    for (cols <- rddScans) {
+      val names = cols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+      assert(
+        Set("text", "tok", "embedding").intersect(names).isEmpty,
+        s"q22 checkpoints corpus data, not just rank columns: [$cols]"
+      )
+    }
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
