@@ -95,9 +95,17 @@ object SnapshotLog {
       tables: Map[String, Seq[String]],
       props: Map[String, String]
   ): Snapshot = {
+    // newline anywhere in the line-oriented body would corrupt it — and
+    // because the checksum is computed over the CORRUPTED text, the
+    // manifest would still validate and round-trip as wrong tables:
+    // silent corruption, not a typed error. Reject at the source.
+    require(!kind.contains('\n'), "kind must not contain newlines")
     require(
-      tables.forall { case (t, tags) => !t.contains('=') && tags.forall(g => !g.contains(',') && !g.contains('=')) },
-      "table names and dir tags must not contain '=' or ','"
+      tables.forall { case (t, tags) =>
+        !t.contains('=') && !t.contains('\n') &&
+        tags.forall(g => !g.contains(',') && !g.contains('=') && !g.contains('\n'))
+      },
+      "table names and dir tags must not contain '=' / ',' / newlines"
     )
     // props share the line-oriented serialization: a key of "checksum"
     // would be partitioned out as the integrity line (the committed
@@ -180,8 +188,13 @@ object SnapshotLog {
 
   /** Retire everything the newest `retain` valid snapshots do not
     * reference: data directories no retained table lists, manifests below
-    * the oldest retained version, and torn manifest files anywhere. Runs
-    * inside the single writer (compaction cadence).
+    * the oldest retained version, and torn manifest files BELOW that
+    * version only — a torn file at or above it (a crashed in-flight
+    * commit) must survive GC, or [[nextVersion]] would hand the next
+    * commit the same number the torn file burned and reintroduce exactly
+    * the reuse hazard its scaladoc documents (plus object-store negative
+    * caching on the reused key). Runs inside the single writer
+    * (compaction cadence).
     *
     * `retain = 1` (the default) keeps only the current snapshot — a
     * reader holding a pre-GC DataFrame across a compaction must
@@ -203,9 +216,13 @@ object SnapshotLog {
       .collect { case (v, _, Some(fields)) => toSnapshot(v, fields) }
       .takeRight(retain)
     val retainedVersions = retained.map(_.version).toSet
+    val oldestRetained = retainedVersions.min
     parsed.foreach { case (v, p, fields) =>
       val torn = fields.isEmpty
-      if (torn || !retainedVersions.contains(v)) fsOf(s, p).delete(p, false): Unit
+      val retire =
+        if (torn) v < oldestRetained // keep higher torn files: version burned
+        else !retainedVersions.contains(v)
+      if (retire) fsOf(s, p).delete(p, false): Unit
     }
     val dataP = new Path(root, "data")
     val fs = fsOf(s, dataP)

@@ -422,11 +422,15 @@ object LlmOps {
     * arbitrary); published pipelines keep the BEST copy instead (longest
     * / highest-quality — the fullest version of a boilerplate-wrapped
     * article rather than whichever crawled first). Priority here is
-    * (n_chars DESC, doc_id ASC), packed into one BIGINT
-    * (`n_chars·2^32 − doc_id`, exact while doc_id < 2^32 — true for
-    * every test tier; a deployment past that widens to the struct
-    * ordering Spark's max_by also takes) so Spark's `max_by` and
-    * DuckDB's `arg_max` compare the identical scalar.
+    * (n_chars DESC, doc_id ASC), packed into one WIDE integer
+    * (`n_chars·2^32 − doc_id`: DECIMAL(38,0) on Spark, HUGEINT in the
+    * oracle — the one ordering-key type family both engines' arg-max
+    * accept, DuckDB's arg_max takes no struct) so Spark's `max_by` and
+    * DuckDB's `arg_max` compare the identical exact scalar. The 128-bit
+    * widening is what retires the r8 ADVICE overflow: the old BIGINT
+    * packing wrapped silently at n_chars ≥ 2^31 (ANSI off), selecting a
+    * wrong survivor; the wide form is exact while doc_id < 2^32 and
+    * n_chars·2^32 < 10^38 — both beyond any physical corpus.
     *
     * Scale shape: one combinable grouped aggregate over the component
     * frame — max_by partial-aggregates map-side like any min/max, so a
@@ -445,7 +449,7 @@ object LlmOps {
         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
       comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
       SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-             CAST(arg_max(comp.doc_id, d.n_chars * 4294967296 - comp.doc_id) AS BIGINT) AS kept_id,
+             CAST(arg_max(comp.doc_id, CAST(d.n_chars AS HUGEINT) * 4294967296 - comp.doc_id) AS BIGINT) AS kept_id,
              MAX(d.n_chars) AS kept_n_chars
       FROM comp JOIN documents d ON d.doc_id = comp.doc_id
       GROUP BY cluster_id ORDER BY cluster_id""")
@@ -458,7 +462,10 @@ object LlmOps {
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_members"),
-        max_by(col("doc_id"), col("n_chars") * lit(4294967296L) - col("doc_id")).as("kept_id"),
+        max_by(
+          col("doc_id"),
+          col("n_chars").cast("decimal(28,0)") * lit(4294967296L) - col("doc_id")
+        ).as("kept_id"),
         max(col("n_chars")).as("kept_n_chars")
       )
       .orderBy("cluster_id")
@@ -1112,6 +1119,10 @@ object LlmOps {
     val snap = dedupSnapshot(s, indexPath)
     val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
+      val tag = s"batch-$batchId"
+      // BEFORE the verdict write: the doomed batch must not stomp the
+      // original incarnation's verdict partition on its way to the refusal
+      if (maintainIndex) requireFreshBatchTag(snap, tag, indexPath)
       // pin the arrivals ONCE: the verdict plan reads the batch three
       // times (fingerprint + exact-hash join + final attach) and the
       // admitted path twice more (existence probe + materialization) —
@@ -1127,7 +1138,6 @@ object LlmOps {
       if (maintainIndex) {
         val admitted =
           arrivals.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi")
-        val tag = s"batch-$batchId"
         val tables =
           if (admitted.isEmpty) snap.tables
           else {
@@ -1190,6 +1200,9 @@ object LlmOps {
     val snap = dedupSnapshot(s, indexPath)
     val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
+      val tag = s"batch-$batchId"
+      // BEFORE the verdict write — the ingestBatch discipline
+      if (maintainIndex) requireFreshBatchTag(snap, tag, indexPath)
       val arrivals = batch.localCheckpoint(true) // ingestBatch's source-amplification pin
       val (hash, bands) = loadDedupIndexTrusted(s, indexPath)
       val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
@@ -1222,7 +1235,6 @@ object LlmOps {
       if (maintainIndex) {
         val admitted =
           arrivals.join(verdicts.filter(col("admit")), Seq("doc_id"), "left_semi")
-        val tag = s"batch-$batchId"
         val tables =
           if (admitted.isEmpty) snap.tables
           else {
@@ -1239,6 +1251,31 @@ object LlmOps {
       }
     }
   }
+
+  /** Batch ids are scoped to ONE stream checkpoint (the single-writer
+    * assumption both batch protocols document) — but the failure mode of
+    * violating it was silent: a new stream incarnation (fresh checkpoint
+    * dir) against an existing index restarts ids at 0, its
+    * `mode(overwrite)` then destroys the already-committed `batch-0`
+    * directory's fingerprints, and the `:+ tag` append lists the same tag
+    * twice (rows double-counted consistently — no reader ever notices).
+    * A genuine crash-replay never trips this: before the commit the tag
+    * is not yet in any committed manifest (overwrite is the idempotent
+    * retry), after it the `last_batch` marker short-circuits the whole
+    * batch. A committed tag reached with a DIFFERENT last_batch can only
+    * be a second writer or a checkpoint reset — refuse loudly. */
+  private def requireFreshBatchTag(
+      snap: graft.operators.SnapshotLog.Snapshot,
+      tag: String,
+      indexPath: String
+  ): Unit =
+    require(
+      !snap.tables.valuesIterator.exists(_.contains(tag)),
+      s"batch tag '$tag' is already committed in snapshot v${snap.version} of " +
+        s"$indexPath: a new stream incarnation (fresh checkpoint) is replaying " +
+        "batch ids against an existing index — resume from the original " +
+        "checkpoint, or point the stream at a fresh index"
+    )
 
   /** Compact an appended dedup index: distinct the hash table (appends
     * legitimately re-add a content hash the corpus already carries —
@@ -4201,10 +4238,22 @@ object LlmOps {
     * map-only (the d12 eval-side-broadcast discipline) — a plain equi-
     * join would shuffle AND sort the corpus-sized gram set on every
     * micro-batch, which measured ~8-12 s/batch at the ×30 tier vs ~2 s
-    * for this shape. Bounded micro-batches keep the broadcast small;
-    * for batch-vs-batch symmetry (both sides corpus-scale) use the d22
-    * audit (contaminationOf), whose shuffle join is the right plan. */
-  private[graft] def contaminationAgainst(batch: DataFrame, trainGrams: DataFrame): DataFrame = {
+    * for this shape. Bounded micro-batches keep the broadcast small —
+    * and the bound is now ENFORCED, not assumed: a recovery micro-batch
+    * after downtime (or a source without maxFilesPerTrigger) can be
+    * arbitrarily large, and an unconditional hint would push its whole
+    * gram set through driver/executor broadcast memory and kill the
+    * stream. The gram count is measured off the already-materialized
+    * checkpoint (one cheap count job) and a batch over
+    * `broadcastMaxGrams` falls back to the shuffle join — the d22 shape,
+    * slower but linear, which is the right price for a catch-up batch.
+    * For batch-vs-batch symmetry (both sides corpus-scale) use the d22
+    * audit (contaminationOf) directly. */
+  private[graft] def contaminationAgainst(
+      batch: DataFrame,
+      trainGrams: DataFrame,
+      broadcastMaxGrams: Long = 4L * 1000 * 1000 // ~100 MB hashed: (long, long) rows
+  ): DataFrame = {
     // localCheckpoint, not cache: consumed twice (totals + hit probe),
     // and inside a foreachBatch a cache() entry would LEAK one per batch
     // (never auto-evicted); checkpoint blocks free via the ContextCleaner
@@ -4212,9 +4261,10 @@ object LlmOps {
     val bg = positionedGrams(batch.select("doc_id", "text"), substrK)
       .select("doc_id", "h").distinct()
       .localCheckpoint(true)
+    val probe = if (bg.count() <= broadcastMaxGrams) broadcast(bg) else bg
     val hits = trainGrams
       .select("h")
-      .join(broadcast(bg), "h")
+      .join(probe, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"))
     bg.groupBy("doc_id")

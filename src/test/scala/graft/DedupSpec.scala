@@ -389,4 +389,25 @@ class DedupSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
     assert(none.columns.toSeq == Seq("doc_id", "rank_units"))
   }
+
+  test("d23 survivor packing survives n_chars beyond 2^31 (the r8 BIGINT wrap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max_by}
+    // the old `n_chars * 2^32 - doc_id` BIGINT packing wrapped at
+    // n_chars >= 2^31 and (ANSI off) silently selected a wrong survivor;
+    // the DECIMAL(28,0) widening d23 now ships must rank correctly there.
+    // 3e9 chars: the wrap region. Ties on n_chars -> smaller doc_id wins.
+    val rows = Seq(
+      (1L, 10L, 3000000000L), (1L, 3L, 3000000000L), (1L, 7L, 4L),
+      (2L, 99L, 5L), (2L, 98L, 2147483648L)
+    ).toDF("cluster_id", "doc_id", "n_chars")
+    val got = rows
+      .groupBy("cluster_id")
+      .agg(max_by(
+        col("doc_id"),
+        col("n_chars").cast("decimal(28,0)") * lit(4294967296L) - col("doc_id")
+      ).as("kept_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 98L), s"wide packing mis-ranked: $got")
+  }
 }

@@ -533,6 +533,39 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(1).sortBy(_.head.toString.toLong) === w2.sortBy(_.head.toString.toLong))
   }
 
+  test("contamination gate: an oversized batch drops the broadcast hint, same verdicts") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val train = docs.filter(!isBatch)
+    val gramSet = LlmOps.gramSetOf(train).localCheckpoint(true)
+    val batch = docs.filter(isBatch).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val bdf = batch.toDF("doc_id", "text")
+    // isolate the HINT from Catalyst's size-based auto-broadcast (which
+    // would legitimately broadcast this test-sized gram frame either
+    // way, and at scale is itself threshold-guarded — the hazard was
+    // only ever the unconditional hint overriding that guard)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // in-bound batch: the hint forces the broadcast probe (fast shape)
+      val small = LlmOps.contaminationAgainst(bdf, gramSet)
+      assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "in-bound batch lost the broadcast probe")
+      // recovery-sized batch (threshold forced to 1 gram): the hint must
+      // drop — an unbounded gram set through driver broadcast memory is
+      // how a catch-up batch kills the stream — and verdicts stay equal
+      val big = LlmOps.contaminationAgainst(bdf, gramSet, broadcastMaxGrams = 1L)
+      val hitJoinPlan = big.queryExecution.executedPlan.toString
+      assert(!hitJoinPlan.contains("BroadcastHashJoin"),
+        s"oversized batch still broadcasts:\n$hitJoinPlan")
+      assert(small.collect().map(_.toSeq).toSeq === big.collect().map(_.toSeq).toSeq,
+        "join-strategy fallback changed the verdicts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Hygiene.release(spark)
+  }
+
   test("domain quota stream: first-K admission carries across batches, bounded one-long state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -837,6 +870,43 @@ class EventStreamSpec extends AnyFunSuite {
       "compaction must not erase the stream's replay-skip evidence")
     val (h4, _) = LlmOps.loadDedupIndex(spark, idx)
     assert(h4.count() === compacted, "no append on committed replay after compaction")
+  }
+
+  test("a fresh stream incarnation replaying batch ids against an existing index is refused") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(12).as[(Long, String)].collect().toSeq
+    val (corpus, rest) = docs.splitAt(4)
+    val (b1, b2) = rest.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("ingest-stale").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus.toDF("doc_id", "text"))
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    // one stream incarnation commits batches 0 and 1
+    LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    val verdicts0 = spark.read.parquet(out).filter(col("batch_id") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val (h2, _) = LlmOps.loadDedupIndex(spark, idx)
+    val rows2 = h2.count()
+    // a NEW incarnation (fresh checkpoint) restarts ids at 0: before the
+    // guard this silently destroyed the committed batch-0 directory
+    // (mode overwrite) and double-listed its tag; now it must refuse —
+    // and refuse BEFORE stomping batch 0's committed verdict partition
+    val ex = intercept[IllegalArgumentException] {
+      LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
+    }
+    assert(ex.getMessage.contains("batch-0"), ex.getMessage)
+    assert(spark.read.parquet(out).filter(col("batch_id") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == verdicts0,
+      "the refused batch stomped the original verdict partition")
+    val (h3, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h3.count() == rows2, "the refused batch mutated the index")
+    // a genuine committed replay (same incarnation, checkpoint lost the
+    // advance) still skips silently — last_batch short-circuits first
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    Hygiene.release(spark)
   }
 
   test("crawlPipeline chaos: a kill between verdict write and manifest commit replays clean") {

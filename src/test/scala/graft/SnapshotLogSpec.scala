@@ -112,6 +112,40 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { L.gc(spark, root, "k1", retain = 0) }
   }
 
+  test("gc keeps a torn manifest above the retained window; its version stays burned") {
+    val root = tmp("tornhigh")
+    writeDir(root, "a", "base-v1", 2)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("base-v1")), Map.empty)
+    // a crashed IN-FLIGHT commit one version above current: gc must not
+    // delete it — nextVersion counts torn files precisely so a burned
+    // number is never reused (a reader that cached "v2 is invalid" would
+    // skip the real commit; object stores negative-cache the key)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.v2"), "junk".getBytes("UTF-8"))
+    L.gc(spark, root, "k1")
+    val manifests = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("manifest.v")).toSet
+    assert(manifests == Set("manifest.v1", "manifest.v2"), s"gc broke monotonicity: $manifests")
+    assert(L.nextVersion(spark, root) == 3, "torn version number was un-burned")
+    // the torn file is still invisible to readers
+    assert(L.current(spark, root, "k1").version == 1)
+  }
+
+  test("newlines in kind, table names, and tags are rejected at commit") {
+    val root = tmp("badnl")
+    // each would split the line-oriented body — and the checksum, computed
+    // over the corrupted text, would still validate: silent wrong tables
+    intercept[IllegalArgumentException] {
+      L.commit(spark, root, "k\n1", 1, Map("a" -> Seq("x")), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      L.commit(spark, root, "k1", 1, Map("a\nb" -> Seq("x")), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      L.commit(spark, root, "k1", 1, Map("a" -> Seq("x\ny")), Map.empty)
+    }
+  }
+
   test("tags that would corrupt the serialization are rejected at commit") {
     val root = tmp("badtag")
     intercept[IllegalArgumentException] {
