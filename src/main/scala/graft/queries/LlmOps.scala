@@ -1155,6 +1155,17 @@ object LlmOps {
     }
   }
 
+  /** Routing for documents the quality LM cannot score (no in-vocabulary
+    * token ⇒ NULL NLL) — see [[pipelineBatch]]. */
+  sealed trait UnscorablePolicy
+  object UnscorablePolicy {
+    /** Drop what you cannot score (the published-pipeline default). */
+    case object Reject extends UnscorablePolicy
+    /** Park for a later pass: verdict `quarantine`, never admitted,
+      * never extends the index. */
+    case object Quarantine extends UnscorablePolicy
+  }
+
   /** One micro-batch of the FULL crawl-admission pipeline — ingestBatch's
     * commit protocol with the admission decision widened from "not a
     * duplicate" to the three gates a pretraining crawl actually applies
@@ -1167,6 +1178,16 @@ object LlmOps {
     *      nll ≤ nllMax — a doc with NO in-vocabulary token has no score
     *      and FAILS the gate; published pipelines drop what they cannot
     *      score, and admitting on NULL would wave garbage through).
+    *
+    * UNSCORABLE docs (NULL NLL) route by the `unscorable` knob: `Reject`
+    * (the default — the published-pipeline drop policy) or `Quarantine`,
+    * which marks the verdict `quarantine` instead of `reject` so a
+    * deployment can park can't-score-yet docs for a later pass (vocab
+    * refresh, different LM) WITHOUT post-processing the verdict table.
+    * Quarantine changes routing only — a quarantined doc is still not
+    * admitted and never extends the index (the index is corpus
+    * membership; a parked doc hasn't entered the corpus). The `verdict`
+    * column carries the route: admit / reject / quarantine.
     *
     * One verdict row per arrival carries all three gates' evidence plus
     * the final `admit`, landed by per-batch overwrite (exactly-once).
@@ -1193,7 +1214,8 @@ object LlmOps {
       nllMax: Double,
       verdictDir: String,
       batchId: Long,
-      maintainIndex: Boolean
+      maintainIndex: Boolean,
+      unscorable: UnscorablePolicy = UnscorablePolicy.Reject
   ): Unit = {
     val s = batch.sparkSession
     val L = graft.operators.SnapshotLog
@@ -1229,6 +1251,19 @@ object LlmOps {
           col("nll"),
           (col("keep") && !coalesce(col("contaminated"), lit(false)) &&
             col("nll").isNotNull && col("nll") <= nllMax).as("admit")
+        )
+        // the routing column: quarantine applies only to docs whose SOLE
+        // failure is the missing score — a dup or contaminated doc is a
+        // reject under either policy
+        .withColumn(
+          "verdict",
+          when(col("admit"), lit("admit"))
+            .when(
+              lit(unscorable == UnscorablePolicy.Quarantine) &&
+                col("keep") && !col("contaminated") && col("nll").isNull,
+              lit("quarantine")
+            )
+            .otherwise(lit("reject"))
         )
         .localCheckpoint(true) // pin the pre-append view; consumed twice below
       verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")

@@ -531,7 +531,10 @@ object EventStream {
     * loadDedupIndex's path, a loaded gram set, loadBigramLm's counts.
     * Streaming state: zero (three stream-static joins); crash safety:
     * ingestBatch's snapshot-log protocol (chaos-spec-pinned there),
-    * applied to the widened verdict. */
+    * applied to the widened verdict. Docs the LM cannot score route by
+    * the `unscorable` knob — reject (default) or park as `quarantine`
+    * in the verdict column (LlmOps.UnscorablePolicy; never admitted
+    * either way). */
   def crawlPipeline(
       docs: DataFrame,
       indexPath: String,
@@ -540,7 +543,9 @@ object EventStream {
       nllMax: Double,
       verdictDir: String,
       checkpointDir: String,
-      maintainIndex: Boolean = true
+      maintainIndex: Boolean = true,
+      unscorable: graft.queries.LlmOps.UnscorablePolicy =
+        graft.queries.LlmOps.UnscorablePolicy.Reject
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     // full index validation once, at stream start (ingestGuard's rule)
     graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
@@ -549,7 +554,8 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.LlmOps.pipelineBatch(
-          batch, indexPath, trainGrams, lmCounts, nllMax, verdictDir, batchId, maintainIndex)
+          batch, indexPath, trainGrams, lmCounts, nllMax, verdictDir, batchId,
+          maintainIndex, unscorable)
       }
       .start()
   }

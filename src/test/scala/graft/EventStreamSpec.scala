@@ -872,6 +872,56 @@ class EventStreamSpec extends AnyFunSuite {
     assert(h4.count() === compacted, "no append on committed replay after compaction")
   }
 
+  test("unscorable docs: reject vs quarantine routing on the same batch; neither admits") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    import graft.queries.LlmOps.UnscorablePolicy
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val firstChar = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val corpus = docs.filter(firstChar.isin("0", "1", "2", "3"))
+    val train = docs.filter(firstChar.isin("4", "5", "6", "7"))
+    val fresh = docs
+      .filter(!firstChar.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .as[(Long, String)].collect().sortBy(_._1).take(4).toSeq
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val dupDoc = (maxId + 1, corpus.select("text").head().getString(0))
+    val oovDoc = (maxId + 2, "zzzzz qqqqq wwwww") // no in-vocab token: unscorable
+    val batch = fresh ++ Seq(dupDoc, oovDoc)
+    val grams = LlmOps.gramSetOf(train).localCheckpoint(true)
+    val counts = LlmOps
+      .bigramLmCountsOf(train.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t")))
+      .localCheckpoint(true)
+    def run(policy: LlmOps.UnscorablePolicy, tag: String) = {
+      val base = java.nio.file.Files.createTempDirectory(s"quarantine-$tag").toString
+      val idx = s"$base/idx"; val out = s"$base/verdicts"
+      val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+      LlmOps.saveDedupIndex(h0, bd0, idx)
+      LlmOps.pipelineBatch(batch.toDF("doc_id", "text"), idx, grams, counts,
+        1e9, out, 0L, maintainIndex = true, unscorable = policy)
+      val v = spark.read.parquet(out)
+        .select("doc_id", "admit", "verdict").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      val (h1, _) = LlmOps.loadDedupIndex(spark, idx)
+      (v, h1.count())
+    }
+    val (rej, idxRowsRej) = run(UnscorablePolicy.Reject, "rej")
+    val (qua, idxRowsQua) = run(UnscorablePolicy.Quarantine, "qua")
+    // the routing column is the ONLY divergence between the policies
+    assert(rej.view.mapValues(_._1).toMap == qua.view.mapValues(_._1).toMap,
+      "admit bits must not depend on the routing policy")
+    assert(idxRowsRej == idxRowsQua, "a quarantined doc must not extend the index")
+    // the unscorable doc: reject under Reject, quarantine under Quarantine
+    assert(rej(oovDoc._1) == ((false, "reject")), rej(oovDoc._1).toString)
+    assert(qua(oovDoc._1) == ((false, "quarantine")), qua(oovDoc._1).toString)
+    // a dup is a reject under EITHER policy (its failure is not the score)
+    assert(rej(dupDoc._1)._2 == "reject" && qua(dupDoc._1)._2 == "reject")
+    // admitted docs route as admit under both
+    val admitted = rej.filter(_._2._1).keySet
+    assert(admitted.nonEmpty)
+    assert(admitted.forall(id => rej(id)._2 == "admit" && qua(id)._2 == "admit"))
+    Hygiene.release(spark)
+  }
+
   test("a fresh stream incarnation replaying batch ids against an existing index is refused") {
     import spark.implicits._
     import graft.queries.LlmOps
