@@ -75,7 +75,45 @@ object SnapshotLog {
     * later writer reusing 6, or a reader that cached "v6 is invalid"
     * would skip the real commit). */
   def nextVersion(s: SparkSession, root: String): Int =
-    listManifests(s, root).lastOption.map(_._1).getOrElse(0) + 1
+    latestVersion(s, root) + 1
+
+  /** Highest manifest version PRESENT (valid or torn); 0 when none. One
+    * directory listing — the cheap staleness probe [[Cached]] runs per
+    * call. */
+  def latestVersion(s: SparkSession, root: String): Int =
+    listManifests(s, root).lastOption.map(_._1).getOrElse(0)
+
+  /** Version-keyed cached resolution for an artifact a LONG-LIVED reader
+    * (a streaming foreachBatch loop) consults on every batch: each `get`
+    * costs one directory listing ([[latestVersion]]); the full manifest
+    * parse + `build` (frame construction, validation) re-runs ONLY when a
+    * new manifest file has appeared — so an in-flight stream picks up a
+    * concurrently-committed snapshot at its next batch without a restart,
+    * while a quiet artifact costs no re-validation per batch. The cache
+    * key is the highest PRESENT version, not the resolved one: if the
+    * newest file is torn, `current` resolves below it and the next `get`
+    * probes again (rare, cheap, and self-healing — the writer's retry
+    * lands at a higher number and re-keys the cache). Thread-safe; one
+    * instance per (stream, artifact). */
+  final class Cached[T](root: String, kind: String, build: (SparkSession, Snapshot) => T) {
+    @volatile private var state: Option[(Int, T)] = None
+    def get(s: SparkSession): T = {
+      val present = latestVersion(s, root)
+      state match {
+        case Some((v, t)) if v == present => t
+        case _ =>
+          synchronized {
+            state match {
+              case Some((v, t)) if v == present => t
+              case _ =>
+                val t = build(s, current(s, root, kind))
+                state = Some((present, t))
+                t
+            }
+          }
+      }
+    }
+  }
 
   private def md5Hex(body: String): String =
     java.security.MessageDigest

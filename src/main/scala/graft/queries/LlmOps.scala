@@ -4316,9 +4316,61 @@ object LlmOps {
 
   /** The distinct 8-gram set of a corpus — the artifact the streaming
     * contamination gate joins against (persist it; rebuild on the train
-    * corpus's own update cadence). */
+    * corpus's own update cadence — [[refreshGrams]] IS that cadence). */
   private[graft] def gramSetOf(docs: DataFrame): DataFrame =
     positionedGrams(docs.select("doc_id", "text"), substrK).select("h").distinct()
+
+  private val GramKind = "gram-set"
+
+  /** (Re)build the persisted train gram set from the CURRENT train corpus
+    * through the same snapshot commit every index mutation uses: a fresh
+    * immutable `grams-v<N>` directory, one manifest PUT as the commit
+    * point, GC retiring superseded versions outside the retention window
+    * (concurrent readers' grace — SnapshotLog.gc's contract). First build
+    * and refresh are the SAME operation; an in-flight stream consuming
+    * the artifact through [[gramSetReader]] picks the new set up at its
+    * next micro-batch with no restart — the live-signal propagation the
+    * reference's head pushes to its workers (node_service/__init__.py:
+    * 241-303), re-expressed as snapshot resolution. */
+  private[graft] def refreshGrams(trainDocs: DataFrame, path: String, retain: Int = 2): Unit = {
+    val s = trainDocs.sparkSession
+    val L = graft.operators.SnapshotLog
+    val v = L.nextVersion(s, path)
+    val tag = s"grams-v$v"
+    gramSetOf(trainDocs).write.mode("overwrite").parquet(L.dataDir(path, "grams", tag))
+    val rows = s.read.parquet(L.dataDir(path, "grams", tag)).count()
+    L.commit(s, path, GramKind, v, Map("grams" -> Seq(tag)),
+      Map("k" -> substrK.toString, "gram_rows" -> rows.toString)): Unit
+    if (v > 1) L.gc(s, path, GramKind, retain)
+  }
+
+  /** Cold-open load of the current gram set; manifest-validated (kind,
+    * gram width, physical row count over the referenced directory). */
+  private[graft] def loadGramSet(s: SparkSession, path: String): DataFrame = {
+    val M = graft.operators.ArtifactManifest
+    val snap = graft.operators.SnapshotLog.current(s, path, GramKind)
+    val df = s.read.parquet(snap.dirs(path, "grams"): _*)
+    M.check(path, "k", snap.props.getOrElse("k", "?"), substrK.toString)
+    M.check(path, "gram_rows", snap.props.getOrElse("gram_rows", "?"), df.count().toString)
+    df
+  }
+
+  /** The streaming gates' per-batch view of the gram artifact: one
+    * directory listing per batch (SnapshotLog.Cached's staleness probe);
+    * the frame rebuilds — and the gram-width check re-runs — only when
+    * [[refreshGrams]] committed a new version. Row-count validation (a
+    * full footer scan) stays on the cold-open path (loadGramSet), the
+    * loadDedupIndexTrusted discipline. */
+  private[graft] def gramSetReader(path: String): graft.operators.SnapshotLog.Cached[DataFrame] =
+    new graft.operators.SnapshotLog.Cached[DataFrame](
+      path,
+      GramKind,
+      (s, snap) => {
+        graft.operators.ArtifactManifest
+          .check(path, "k", snap.props.getOrElse("k", "?"), substrK.toString)
+        s.read.parquet(snap.dirs(path, "grams"): _*)
+      }
+    )
 
   /** The integer-exact 70% rule over (doc_id, h) distinct grams vs a
     * distinct train gram set — one copy of the arithmetic for the batch

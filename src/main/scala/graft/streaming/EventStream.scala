@@ -514,6 +514,31 @@ object EventStream {
       }
       .start()
 
+  /** [[contaminationStream]] against the PERSISTED gram artifact instead
+    * of a frozen frame: each micro-batch resolves the artifact's current
+    * snapshot (one directory listing when nothing changed — the
+    * SnapshotLog.Cached probe), so a concurrent
+    * [[graft.queries.LlmOps.refreshGrams]] — the train corpus's rebuild
+    * cadence — takes effect at the NEXT batch with no stream restart. */
+  def contaminationStream(
+      docs: DataFrame,
+      gramsPath: String,
+      verdictDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val grams = graft.queries.LlmOps.gramSetReader(gramsPath)
+    grams.get(docs.sparkSession): Unit // validate the artifact at stream start
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.LlmOps
+          .contaminationAgainst(batch.localCheckpoint(true), grams.get(batch.sparkSession))
+          .write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+      }
+      .start()
+  }
+
   /** The COMPOSED live-crawl admission pipeline — [[ingestGuard]],
     * [[contaminationStream]], and the bigram quality gate fused into one
     * foreachBatch loop over one verdict table: every arriving document is
@@ -556,6 +581,40 @@ object EventStream {
         graft.queries.LlmOps.pipelineBatch(
           batch, indexPath, trainGrams, lmCounts, nllMax, verdictDir, batchId,
           maintainIndex, unscorable)
+      }
+      .start()
+  }
+
+  /** [[crawlPipeline]] with the contamination gate wired to the PERSISTED
+    * gram artifact (`gramsPath`) instead of a frozen frame: the gram set
+    * re-resolves per batch through SnapshotLog.Cached — one directory
+    * listing when unchanged, a reload when
+    * [[graft.queries.LlmOps.refreshGrams]] committed — so the admission
+    * bar follows the train corpus without restarting the stream (spec:
+    * a doc admitted before a refresh is rejected after it, same stream).
+    * No defaults here (Scala allows them on one overload only): pass
+    * maintainIndex/unscorable explicitly. */
+  def crawlPipeline(
+      docs: DataFrame,
+      indexPath: String,
+      gramsPath: String,
+      lmCounts: DataFrame,
+      nllMax: Double,
+      verdictDir: String,
+      checkpointDir: String,
+      maintainIndex: Boolean,
+      unscorable: graft.queries.LlmOps.UnscorablePolicy
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
+    val grams = graft.queries.LlmOps.gramSetReader(gramsPath)
+    grams.get(docs.sparkSession): Unit // validate the artifact at stream start
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.LlmOps.pipelineBatch(
+          batch, indexPath, grams.get(batch.sparkSession), lmCounts, nllMax,
+          verdictDir, batchId, maintainIndex, unscorable)
       }
       .start()
   }

@@ -872,6 +872,64 @@ class EventStreamSpec extends AnyFunSuite {
     assert(h4.count() === compacted, "no append on committed replay after compaction")
   }
 
+  test("gram refresh: an in-flight crawlPipeline picks up the rebuilt artifact at the next batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.LlmOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val firstChar = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val corpus = docs.filter(firstChar.isin("0", "1")) // gate-1 index, static here
+    val train1 = docs.filter(firstChar.isin("4", "5", "6", "7"))
+    // the arriving doc: text NOT in corpus (no dup) and NOT in train1 (no
+    // contamination against the v1 gram set)
+    val freshDoc = docs.filter(firstChar === "a").as[(Long, String)].head()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("gram-refresh").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"; val ck = s"$base/ck"
+    val gramsPath = s"$base/grams"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    // LM over train1 + the fresh doc so both arrivals are scoreable
+    val counts = LlmOps
+      .bigramLmCountsOf(train1.unionByName(docs.filter(firstChar === "a"))
+        .select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t")))
+      .localCheckpoint(true)
+    // v1 artifact from train1; round-trip sanity on the cold-open path
+    LlmOps.refreshGrams(train1, gramsPath)
+    assert(LlmOps.loadGramSet(spark, gramsPath).count() > 0)
+
+    val src = MemoryStream[(Long, String)]
+    // maintainIndex=false isolates the contamination flip (with it on,
+    // the second arrival would also be an exact dup of the first)
+    val q = EventStream.crawlPipeline(
+      src.toDF().toDF("doc_id", "text"), idx, gramsPath, counts, 1e9, out, ck,
+      false, LlmOps.UnscorablePolicy.Reject)
+    try {
+      // batch 0: the doc clears all three gates against the v1 gram set
+      src.addData((maxId + 1, freshDoc._2)); q.processAllAvailable()
+      // the doc is ADMITTED into the training corpus; rebuild the gram
+      // artifact from the grown corpus — the refresh cadence — while the
+      // stream is live
+      LlmOps.refreshGrams(train1.unionByName(Seq((maxId + 1, freshDoc._2)).toDF("doc_id", "text")), gramsPath)
+      // batch 1: the SAME text under a new id must now flag as
+      // contamination — the stream resolved the new snapshot, no restart
+      src.addData((maxId + 2, freshDoc._2)); q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out)
+      .select("doc_id", "contaminated", "admit", "verdict").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(v(maxId + 1) == ((false, true, "admit")),
+      s"pre-refresh arrival should clear every gate: ${v(maxId + 1)}")
+    assert(v(maxId + 2) == ((true, false, "reject")),
+      s"post-refresh copy must be contamination-rejected: ${v(maxId + 2)}")
+    // the superseded v1 snapshot is retired on the refresh cadence
+    // (retain=2 default keeps it for concurrent readers' grace; a third
+    // refresh would evict it — SnapshotLogSpec territory)
+    assert(graft.operators.SnapshotLog.latestVersion(spark, gramsPath) == 2)
+    Hygiene.release(spark)
+  }
+
   test("unscorable docs: reject vs quarantine routing on the same batch; neither admits") {
     import spark.implicits._
     import graft.queries.LlmOps
