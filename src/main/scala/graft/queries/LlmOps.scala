@@ -962,14 +962,31 @@ object LlmOps {
       path: String,
       version: Int,
       tables: Map[String, Seq[String]],
-      extra: Map[String, String] = Map.empty
-  ): Unit = {
+      extra: Map[String, String] = Map.empty,
+      resolved: Option[graft.operators.SnapshotLog.Snapshot] = None
+  ): graft.operators.SnapshotLog.Snapshot = {
     val L = graft.operators.SnapshotLog
-    val carried =
-      try L.current(s, path, DedupKind).props.view.filterKeys(_ == "last_batch").toMap
-      catch { case _: Throwable => Map.empty[String, String] }
+    // the per-batch paths hand in the snapshot they already resolved;
+    // only cold mutators (saveDedupIndex on a fresh root) re-read
+    val carried = resolved
+      .map(_.props.view.filterKeys(_ == "last_batch").toMap)
+      .getOrElse(
+        try L.current(s, path, DedupKind).props.view.filterKeys(_ == "last_batch").toMap
+        catch { case _: Throwable => Map.empty[String, String] }
+      )
     def rows(table: String) =
       s.read.parquet(tables(table).map(L.dataDir(path, table, _)): _*).count()
+    // the two footer-count jobs are independent and tiny — run them
+    // CONCURRENTLY (Spark schedules jobs from multiple threads fine), so
+    // the commit pays one job latency, not two (the r8 floor item)
+    val (hashRows, bandRows) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fh = Future(rows("hash"))
+      val fb = Future(rows("bands"))
+      (Await.result(fh, Duration.Inf), Await.result(fb, Duration.Inf))
+    }
     L.commit(
       s,
       path,
@@ -979,15 +996,83 @@ object LlmOps {
       carried ++ Map(
         "simhash_bits" -> simhashBits.toString,
         "bands" -> (simhashBits / (hammingRadius + 1)).toString,
-        "hash_rows" -> rows("hash").toString,
-        "band_rows" -> rows("bands").toString
+        "hash_rows" -> hashRows.toString,
+        "band_rows" -> bandRows.toString
       ) ++ extra
-    ): Unit
+    )
   }
 
   /** Current snapshot of a dedup index at `path`, kind-checked. */
   private def dedupSnapshot(s: SparkSession, path: String): graft.operators.SnapshotLog.Snapshot =
     graft.operators.SnapshotLog.current(s, path, DedupKind)
+
+  /** Geometry-checked table frames off an ALREADY-RESOLVED snapshot — the
+    * trusted-read body shared by the per-batch paths, so one resolution
+    * serves the committed-check, the frames, and the commit's carried
+    * props instead of three separate manifest reads. */
+  private def trustedFrames(
+      s: SparkSession,
+      path: String,
+      snap: graft.operators.SnapshotLog.Snapshot
+  ): (DataFrame, DataFrame) = {
+    val M = graft.operators.ArtifactManifest
+    val mf = snap.props
+    M.check(path, "simhash_bits", mf.getOrElse("simhash_bits", "?"), simhashBits.toString)
+    M.check(path, "bands", mf.getOrElse("bands", "?"), (simhashBits / (hammingRadius + 1)).toString)
+    (s.read.parquet(snap.dirs(path, "hash"): _*), s.read.parquet(snap.dirs(path, "bands"): _*))
+  }
+
+  /** Writer-side cross-batch snapshot cache for the streaming ingest
+    * loop — the r8 per-batch-floor trim: the stream is the index's
+    * SINGLE WRITER, so after its own commit the just-committed snapshot
+    * IS current. Per batch the handle spends ONE directory listing
+    * (SnapshotLog.latestVersion) to detect the only sanctioned
+    * out-of-loop mutation — a maintenance compaction between
+    * micro-batches — and otherwise serves the cached snapshot + table
+    * frames with no manifest read, no parse, and no data-dir re-listing;
+    * the probe's version also prices the next commit
+    * ([[nextVersionFromProbe]]), folding away the second listing
+    * `nextVersion` would spend. Geometry is re-checked on every true
+    * (re)load; full row-count validation stays at stream start
+    * (loadDedupIndex), the trusted-read discipline. NOT crash state: a
+    * handle lives and dies with its stream incarnation — recovery
+    * re-resolves from disk, which is the whole point of the snapshot
+    * log. */
+  private[graft] final class DedupIndexHandle(path: String) {
+    import graft.operators.SnapshotLog.Snapshot
+    private val L = graft.operators.SnapshotLog
+    private var cached: Option[(Int, Snapshot, DataFrame, DataFrame)] = None
+    private var probed: Int = 0
+
+    /** (snapshot, hash frame, bands frame) at this batch's start. */
+    def resolve(s: SparkSession): (Snapshot, DataFrame, DataFrame) = synchronized {
+      probed = L.latestVersion(s, path)
+      cached match {
+        case Some((v, sn, h, b)) if v == probed => (sn, h, b)
+        case _ =>
+          val sn = L.current(s, path, DedupKind)
+          val (h, b) = trustedFrames(s, path, sn)
+          cached = Some((probed, sn, h, b))
+          (sn, h, b)
+      }
+    }
+
+    /** The version this batch's commit must use: one past the highest
+      * manifest PRESENT at the resolve probe (torn files count — their
+      * numbers are burned). Call only after [[resolve]] in the same
+      * batch; nothing else writes between them (single-writer). */
+    def nextVersionFromProbe: Int = synchronized { probed + 1 }
+
+    /** Install the snapshot this writer just committed: it is current by
+      * the single-writer argument, no disk round-trip needed. */
+    def committed(s: SparkSession, sn: Snapshot): Unit = synchronized {
+      cached = Some(
+        (sn.version, sn,
+          s.read.parquet(sn.dirs(path, "hash"): _*),
+          s.read.parquet(sn.dirs(path, "bands"): _*))
+      )
+    }
+  }
 
   /** Reload a dedup index written by saveDedupIndex. Snapshot-validated:
     * kind, banding geometry (an index banded for a different Hamming
@@ -1008,22 +1093,11 @@ object LlmOps {
     (read("hash"), read("bands"))
   }
 
-  /** loadDedupIndex minus the row-count validation — for the streaming
-    * ingest loop's PER-BATCH read, where the single writer validated the
-    * index when the stream started and has itself committed every
-    * manifest since: re-counting both tables' parquet footers every
-    * micro-batch buys nothing there and sits on the admission hot path.
-    * Geometry and kind are still checked (cheap, manifest-only). Every
-    * cold open (query start, external consumer) goes through the full
-    * loadDedupIndex. */
-  private def loadDedupIndexTrusted(s: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val M = graft.operators.ArtifactManifest
-    val snap = dedupSnapshot(s, path)
-    val mf = snap.props
-    M.check(path, "simhash_bits", mf.getOrElse("simhash_bits", "?"), simhashBits.toString)
-    M.check(path, "bands", mf.getOrElse("bands", "?"), (simhashBits / (hammingRadius + 1)).toString)
-    (s.read.parquet(snap.dirs(path, "hash"): _*), s.read.parquet(snap.dirs(path, "bands"): _*))
-  }
+  // (the former loadDedupIndexTrusted — trusted read minus row-count
+  // revalidation — lives on as trustedFrames over a caller-resolved
+  // snapshot: the per-batch paths resolve ONCE and feed every consumer.
+  // Cold opens — query start, external consumers — still take the fully
+  // validated loadDedupIndex.)
 
   /** Append an ADMITTED batch's rows to a persisted dedup index — the
     * maintenance half of the ingest loop ("maintained incrementally at
@@ -1070,8 +1144,9 @@ object LlmOps {
     commitDedupSnapshot(
       s, path, v,
       Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
-          "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
-    )
+          "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag)),
+      resolved = Some(snap)
+    ): Unit
   }
 
   /** One micro-batch of the streaming ingest-admission loop, as a
@@ -1112,11 +1187,21 @@ object LlmOps {
       indexPath: String,
       verdictDir: String,
       batchId: Long,
-      maintainIndex: Boolean
+      maintainIndex: Boolean,
+      handle: Option[DedupIndexHandle] = None
   ): Unit = {
     val s = batch.sparkSession
     val L = graft.operators.SnapshotLog
-    val snap = dedupSnapshot(s, indexPath)
+    // ONE resolution serves the whole batch (committed-check, trusted
+    // frames, commit's carried props); through a handle it is one cached
+    // directory listing instead of a manifest read (the r8 floor trim)
+    val (snap, hash, bands) = handle match {
+      case Some(h) => h.resolve(s)
+      case None =>
+        val sn = dedupSnapshot(s, indexPath)
+        val (h, b) = trustedFrames(s, indexPath, sn)
+        (sn, h, b)
+    }
     val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
       val tag = s"batch-$batchId"
@@ -1131,7 +1216,6 @@ object LlmOps {
       // this pin. Batch-sized, freed by the ContextCleaner when the
       // foreachBatch closure returns (the Hygiene release path).
       val arrivals = batch.localCheckpoint(true)
-      val (hash, bands) = loadDedupIndexTrusted(s, indexPath)
       val verdicts = incrementalDedupAgainst(arrivals, hash, bands)
         .localCheckpoint(true) // pin the pre-append view; consumed twice below
       verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
@@ -1148,9 +1232,11 @@ object LlmOps {
             Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
                 "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
           }
-        commitDedupSnapshot(
-          s, indexPath, L.nextVersion(s, indexPath), tables,
-          Map("last_batch" -> batchId.toString))
+        val newSnap = commitDedupSnapshot(
+          s, indexPath,
+          handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(s, indexPath)),
+          tables, Map("last_batch" -> batchId.toString), resolved = Some(snap))
+        handle.foreach(_.committed(s, newSnap))
       }
     }
   }
@@ -1215,18 +1301,26 @@ object LlmOps {
       verdictDir: String,
       batchId: Long,
       maintainIndex: Boolean,
-      unscorable: UnscorablePolicy = UnscorablePolicy.Reject
+      unscorable: UnscorablePolicy = UnscorablePolicy.Reject,
+      handle: Option[DedupIndexHandle] = None
   ): Unit = {
     val s = batch.sparkSession
     val L = graft.operators.SnapshotLog
-    val snap = dedupSnapshot(s, indexPath)
+    // one resolution per batch (ingestBatch's discipline; a handle makes
+    // it one cached directory listing)
+    val (snap, hash, bands) = handle match {
+      case Some(h) => h.resolve(s)
+      case None =>
+        val sn = dedupSnapshot(s, indexPath)
+        val (h, b) = trustedFrames(s, indexPath, sn)
+        (sn, h, b)
+    }
     val committed = snap.props.get("last_batch").contains(batchId.toString)
     if (!committed) {
       val tag = s"batch-$batchId"
       // BEFORE the verdict write — the ingestBatch discipline
       if (maintainIndex) requireFreshBatchTag(snap, tag, indexPath)
       val arrivals = batch.localCheckpoint(true) // ingestBatch's source-amplification pin
-      val (hash, bands) = loadDedupIndexTrusted(s, indexPath)
       val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
       val contamV = contaminationAgainst(arrivals, trainGrams)
         .select("doc_id", "n_grams", "n_hit", "contaminated")
@@ -1280,9 +1374,11 @@ object LlmOps {
             Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
                 "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
           }
-        commitDedupSnapshot(
-          s, indexPath, L.nextVersion(s, indexPath), tables,
-          Map("last_batch" -> batchId.toString))
+        val newSnap = commitDedupSnapshot(
+          s, indexPath,
+          handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(s, indexPath)),
+          tables, Map("last_batch" -> batchId.toString), resolved = Some(snap))
+        handle.foreach(_.committed(s, newSnap))
       }
     }
   }

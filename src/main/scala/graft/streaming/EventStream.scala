@@ -395,11 +395,14 @@ object EventStream {
     // down — fails typed instead of silently scoring every batch against
     // a corrupted table
     graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
+    // cross-batch snapshot reuse: the loop is the single writer, so each
+    // batch costs one staleness listing, not a manifest re-resolution
+    val handle = Some(new graft.queries.LlmOps.DedupIndexHandle(indexPath))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.queries.LlmOps.ingestBatch(batch, indexPath, verdictDir, batchId, maintainIndex)
+        graft.queries.LlmOps.ingestBatch(batch, indexPath, verdictDir, batchId, maintainIndex, handle)
       }
       .start()
   }
@@ -574,13 +577,14 @@ object EventStream {
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     // full index validation once, at stream start (ingestGuard's rule)
     graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
+    val handle = Some(new graft.queries.LlmOps.DedupIndexHandle(indexPath))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.LlmOps.pipelineBatch(
           batch, indexPath, trainGrams, lmCounts, nllMax, verdictDir, batchId,
-          maintainIndex, unscorable)
+          maintainIndex, unscorable, handle)
       }
       .start()
   }
@@ -608,13 +612,14 @@ object EventStream {
     graft.queries.LlmOps.loadDedupIndex(docs.sparkSession, indexPath): Unit
     val grams = graft.queries.LlmOps.gramSetReader(gramsPath)
     grams.get(docs.sparkSession): Unit // validate the artifact at stream start
+    val handle = Some(new graft.queries.LlmOps.DedupIndexHandle(indexPath))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.queries.LlmOps.pipelineBatch(
           batch, indexPath, grams.get(batch.sparkSession), lmCounts, nllMax,
-          verdictDir, batchId, maintainIndex, unscorable)
+          verdictDir, batchId, maintainIndex, unscorable, handle)
       }
       .start()
   }
