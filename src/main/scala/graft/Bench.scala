@@ -26,13 +26,14 @@ import org.apache.spark.sql.SparkSession
   * the cold number.
   *
   * DRIFT FLAGS: per query the live storage bytes after each run are
-  * recorded (the accumulation signal), and the warm time is compared
-  * against the committed BASELINE.md reference table (the LAST
-  * `| name | warm | cold |` row per query wins — later rounds override
-  * earlier ones). warm > 2x the reference row flags the query in
-  * bench_full.json ("drift": true) and increments "drift_flags" on the
-  * stdout line — a full-suite capture that degrades its own recorded
-  * numbers can no longer pass silently.
+  * recorded (the accumulation signal), and BOTH the warm and the cold
+  * time are compared against the committed BASELINE.md reference table
+  * (the LAST `| name | warm | cold |` row per query wins — later rounds
+  * override earlier ones). warm > 2x its reference flags the query in
+  * bench_full.json ("drift": true); cold > 2x its reference flags it as
+  * "cold_drift" — both counted on the stdout line — so a full-suite
+  * capture that degrades its own recorded numbers, in either column,
+  * can no longer pass silently.
   *
   * CONTENTION DEFENSE (r7 lesson: a shared-host load burst turned a
   * faster-than-r6 suite into a 16-flag capture): the bench now (1)
@@ -64,26 +65,31 @@ object Bench {
   private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** Reference warm seconds per query from BASELINE.md's recorded tables.
-    * Tolerant parse: any `| <query_id> | <num> | <num> |` row anywhere in
-    * the file; the last occurrence of a query wins. Missing file or
-    * unparseable rows → no reference → no flag (new queries are unflagged
-    * until their first committed row). */
-  private[graft] def baselineWarm(path: String = "BASELINE.md"): Map[String, Double] = {
+  /** Reference (warm, cold) seconds per query from BASELINE.md's recorded
+    * tables. Tolerant parse: any `| <query_id> | <num> | <num> |` row
+    * anywhere in the file; the last occurrence of a query wins. Missing
+    * file or unparseable rows → no reference → no flag (new queries are
+    * unflagged until their first committed row). */
+  private[graft] def baselineRows(path: String = "BASELINE.md"): Map[String, (Double, Double)] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
-      val row = """\|\s*([a-z]\d{2}_[a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|\s*[0-9]+\.[0-9]+\s*\|""".r
+      val row = """\|\s*([a-z]\d{2}_[a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
       val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      row.findAllMatchIn(src).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      row.findAllMatchIn(src).map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
     }
   }
+
+  private[graft] def baselineWarm(path: String = "BASELINE.md"): Map[String, Double] =
+    baselineRows(path).view.mapValues(_._1).toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ref = baselineWarm()
+    val refRows = baselineRows()
+    val ref = refRows.view.mapValues(_._1).toMap
+    val refCold = refRows.view.mapValues(_._2).toMap
     // Warm the session once on the smallest tier (classloading, first-job
     // scheduler setup) so even "cold" numbers measure the engine.
     try SparkEntry.entry(spark).count()
@@ -125,6 +131,7 @@ object Bench {
         stCold: Long,
         stWarm: Long,
         drift: Boolean,
+        coldDrift: Boolean,
         cpuWarm: Double,
         load: Double
     )
@@ -140,24 +147,36 @@ object Bench {
       if (okC && okW) {
         val best = math.min(cold, warm)
         R(name, best, cold, ok = true, stCold, stWarm,
-          ref.get(name).exists(best > 2 * _), cpuWarm, load1())
-      } else R(name, -1.0, -1.0, ok = false, stCold, stWarm, drift = false, cpuWarm, load1())
+          ref.get(name).exists(best > 2 * _),
+          refCold.get(name).exists(cold > 2 * _), cpuWarm, load1())
+      } else R(name, -1.0, -1.0, ok = false, stCold, stWarm,
+        drift = false, coldDrift = false, cpuWarm, load1())
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) => measure(name, fn) }
-    // End-of-suite recheck: every first-pass drift flag is measured once
-    // more after the whole suite ran. A genuine regression reproduces; a
-    // competing-load burst during the original window does not. Both
-    // numbers ship; only a REPRODUCED flag counts as drift.
+    // End-of-suite recheck: every first-pass drift flag — WARM OR COLD —
+    // is measured once more after the whole suite ran. A genuine
+    // regression reproduces; a competing-load burst during the original
+    // window does not. Both numbers ship; only a REPRODUCED flag counts.
+    // The r8 lesson for cold rows: warm flags had this defense, cold rows
+    // rode the first pass only, and one contaminated cold (d10 24.6s vs
+    // 3.1s clean) froze into the regression table. The recheck's "cold"
+    // (first exec of the re-measure, all caches released in between) can
+    // benefit from the JVM's codegen cache, so it is a LOWER-BOUND cold —
+    // which is the right bar for adjudication: a contention burst
+    // collapses on it, while a data-path regression (an extra shuffle,
+    // a lost pushdown) dominates compile time and still reproduces.
     val recheck: Map[String, R] = firstPass
-      .filter(r => r.drift && r.ok)
+      .filter(r => (r.drift || r.coldDrift) && r.ok)
       .map(r => r.name -> measure(r.name, SparkEntry.queries(r.name)))
       .toMap
     val results = firstPass.map { r =>
       recheck.get(r.name) match {
         case Some(r2) => r.copy(
           drift = r.drift && (!r2.ok || r2.drift),
+          coldDrift = r.coldDrift && (!r2.ok || r2.coldDrift),
           // the steady-state number is the best honest measurement we have
-          warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm)
+          warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
+          cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold)
         case None => r
       }
     }
@@ -172,6 +191,8 @@ object Bench {
     // flagged on the first pass but NOT reproduced at end of suite —
     // the signature of a competing-load burst, not a regression
     val driftUnconfirmed = firstPass.count(_.drift) - driftFlags
+    val coldDriftFlags = results.count(_.coldDrift)
+    val coldDriftUnconfirmed = firstPass.count(_.coldDrift) - coldDriftFlags
     // Full-name detail artifact (not size-constrained): warm + cold +
     // end-of-run storage bytes + drift flag per query. ONLY full-suite
     // runs may write it — a subset run (`Bench d13 d14`) would otherwise
@@ -180,22 +201,27 @@ object Bench {
     if (args.isEmpty) {
       val detail = results
         .map { r =>
-          val refPart = ref.get(r.name).map(v => s""", "ref_warm": ${jnum(v)}""").getOrElse("")
-          val recheckPart = recheck.get(r.name)
-            .map(r2 => s""", "first_pass_warm": ${jnum(firstPass.find(_.name == r.name).get.warm)}, "recheck_warm": ${jnum(r2.warm)}""")
+          val refPart = refRows.get(r.name)
+            .map { case (w, c) => s""", "ref_warm": ${jnum(w)}, "ref_cold": ${jnum(c)}""" }
             .getOrElse("")
-          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}$refPart$recheckPart}"""
+          val recheckPart = recheck.get(r.name)
+            .map { r2 =>
+              val fp = firstPass.find(_.name == r.name).get
+              s""", "first_pass_warm": ${jnum(fp.warm)}, "recheck_warm": ${jnum(r2.warm)}, "first_pass_cold": ${jnum(fp.cold)}, "recheck_cold": ${jnum(r2.cold)}"""
+            }
+            .getOrElse("")
+          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}$refPart$recheckPart}"""
         }
         .mkString("{\n", ",\n", "\n}")
       val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
-        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "load1_max": ${jnum(results.map(_.load).max)}, "queries": $detail}"""
+        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "load1_max": ${jnum(results.map(_.load).max)}, "queries": $detail}"""
           .getBytes("UTF-8")
       )
     }
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -97,3 +97,103 @@ object KthLargest {
   def kthLargest(c: Column, k: Int): Column =
     udaf(new KthLargest(k), Encoders.DOUBLE)(c)
 }
+
+/** [[TopKVids]]'s buffer: parallel k-slot arrays, a min-heap on the
+  * (score asc, vid desc) priority — the root is the WORST retained pair. */
+final case class TopKVidsBuf(var n: Int, var scores: Array[Double], var vids: Array[Long])
+final case class TopVids(vids: Seq[Long])
+
+/** Exact top-k (score, vid) pairs per group in ONE pass — the
+  * whole-answer sibling of [[KthLargest]]: where the kth-boundary
+  * aggregate needs a second scan (broadcast the boundary back, re-filter,
+  * rank the survivors), this keeps the k best PAIRS in the constant-size
+  * buffer itself, so a per-key top-k costs one linear scan with map-side
+  * partial combine and no window anywhere. Use it when the ranking score
+  * IS the scanned column (e11's dequantized cosine, e12's integer L2);
+  * the two-pass kth form remains the right kernel when survivors must be
+  * re-scored by a more exact kernel (e01's exact-decimal rescore needs
+  * the margin superset, which a fixed-k heap cannot hold).
+  *
+  * Ordering: highest score first, ties broken by SMALLEST vid — total,
+  * so the result is deterministic. Ascending (distance) rankings ride
+  * score negation, like the kth kernel. NULL scores are skipped. For
+  * integral scores cast to double the ranking is exact while |score| <
+  * 2^53 (beyond it, sub-ulp ties fall to the vid tiebreak — document the
+  * bound at the call site, as e12 does).
+  *
+  * finish() emits the vids best-first (rank order = position). */
+class TopKVids(k: Int)
+    extends Aggregator[(java.lang.Double, java.lang.Long), TopKVidsBuf, TopVids] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def zero: TopKVidsBuf = TopKVidsBuf(0, new Array[Double](k), new Array[Long](k))
+
+  /** Is pair 1 WORSE than pair 2 (lower score, or equal score with a
+    * larger vid)? The heap keeps the k best, so the root is the worst. */
+  private def worse(s1: Double, v1: Long, s2: Double, v2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && v1 > v2)
+
+  private def swap(b: TopKVidsBuf, i: Int, j: Int): Unit = {
+    val ts = b.scores(i); b.scores(i) = b.scores(j); b.scores(j) = ts
+    val tv = b.vids(i); b.vids(i) = b.vids(j); b.vids(j) = tv
+  }
+
+  private def siftUp(b: TopKVidsBuf, i0: Int): Unit = {
+    var i = i0
+    while (i > 0 && worse(b.scores(i), b.vids(i), b.scores((i - 1) / 2), b.vids((i - 1) / 2))) {
+      swap(b, i, (i - 1) / 2)
+      i = (i - 1) / 2
+    }
+  }
+
+  private def siftDown(b: TopKVidsBuf): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < b.n && worse(b.scores(l), b.vids(l), b.scores(m), b.vids(m))) m = l
+      if (r < b.n && worse(b.scores(r), b.vids(r), b.scores(m), b.vids(m))) m = r
+      if (m == i) done = true
+      else { swap(b, i, m); i = m }
+    }
+  }
+
+  private def add(b: TopKVidsBuf, s: Double, v: Long): TopKVidsBuf = {
+    if (b.n < k) {
+      b.scores(b.n) = s; b.vids(b.n) = v
+      b.n += 1
+      siftUp(b, b.n - 1)
+    } else if (worse(b.scores(0), b.vids(0), s, v)) {
+      b.scores(0) = s; b.vids(0) = v
+      siftDown(b)
+    }
+    b
+  }
+
+  override def reduce(b: TopKVidsBuf, a: (java.lang.Double, java.lang.Long)): TopKVidsBuf =
+    if (a._1 == null || a._2 == null) b else add(b, a._1.doubleValue, a._2.longValue)
+
+  override def merge(x: TopKVidsBuf, y: TopKVidsBuf): TopKVidsBuf = {
+    var i = 0
+    while (i < y.n) { add(x, y.scores(i), y.vids(i)); i += 1 }
+    x
+  }
+
+  override def finish(b: TopKVidsBuf): TopVids = {
+    val pairs = (0 until b.n).map(i => (b.scores(i), b.vids(i)))
+      .sortBy { case (s, v) => (-s, v) }
+    TopVids(pairs.map(_._2))
+  }
+
+  override def bufferEncoder: Encoder[TopKVidsBuf] = Encoders.product[TopKVidsBuf]
+  override def outputEncoder: Encoder[TopVids] = Encoders.product[TopVids]
+}
+
+object TopKVids {
+  /** Column form: the top-k vids of the group by (score DESC, vid ASC),
+    * best first. */
+  def topKVids(score: Column, vid: Column, k: Int): Column =
+    udaf(new TopKVids(k), Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))(score, vid)
+}

@@ -2081,8 +2081,9 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("cosine_similarity(q.embedding, e.embedding)").as("c")
       )
-    // rank via the KthLargest boundary + bounded window (topKRankedSameCol)
-    // — the int8 corpus never flows through a per-qid window partition
+    // one-pass constant-state top-k (topKRankedSameCol / TopKVids) — the
+    // int8 corpus never flows through a per-qid window partition, and the
+    // dequantize+cosine scan runs exactly once
     val approx = topKRankedSameCol(dbl, "c", 5, asc = false)
     // cached: exact feeds both the hit join and the per-query k counts
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
@@ -2545,9 +2546,8 @@ object LlmOps {
         col("e.vec_id").as("vid"),
         expr("int_sqdist(q.x, e.x)").as("d2")
       )
-    // smallest-distance top-k through the same constant-state boundary
-    // (negated scores); the monotone-rounding argument in
-    // topKRankedSameCol covers the long→double cast of d2
+    // smallest-distance one-pass top-k (negated scores); int_sqdist
+    // values sit far below topKRankedSameCol's 2^53 exactness bound
     val exact = topKRankedSameCol(exactL2, "d2", 5, asc = true).cacheOnce()
     recallGate(exact, approx, 0.4)
   }
@@ -4646,37 +4646,26 @@ object LlmOps {
       .select("qid", "vid")
   }
 
-  /** Exact top-k (qid, vid) per qid ranked on the SAME column the
-    * prefilter bounds — the no-margin sibling of [[topCCandidates]] for
-    * the gates that rank directly on their prefiltered score (e11's
-    * dequantized double cosine, e12's integer L2). The k-th best value
-    * per qid rides the constant-state [[graft.functions.KthLargest]]
-    * aggregate (ascending scores through negation), broadcasts back, and
-    * only boundary survivors (~k per qid plus exact ties) reach the
-    * row_number window — whose rnk<=k filter Spark rewrites into a
-    * partial WindowGroupLimit, so no per-qid partition ever holds the
-    * corpus. No epsilon margin is needed even for integral scores wider
-    * than a double's 53-bit mantissa: long→double rounding is MONOTONE,
-    * so the k-th order statistic of the rounded multiset is exactly the
-    * rounded true boundary, and every true top-k row's rounded score
-    * passes the >= comparison; rounding can only ADMIT extra boundary
-    * ties, which the window (ordering on the original exact-typed
-    * column) then ranks away. */
+  /** Exact top-k (qid, vid) per qid ranked on the SAME column the scan
+    * produces — for the gates that rank directly on their score (e11's
+    * dequantized double cosine, e12's integer L2), where no second-stage
+    * exact rescore needs a margin superset. ONE linear pass: the
+    * constant-state [[graft.functions.TopKVids]] aggregate keeps each
+    * qid's k best (score, vid) pairs in a k-slot heap with map-side
+    * partial combine — no second scan of the score relation (the cost
+    * the two-pass kth-boundary form pays, which doubled e11's
+    * dequantize+cosine work), no broadcast-back, and no window anywhere.
+    * Ascending (distance) rankings ride score negation; ties break by
+    * smallest vid, total and deterministic. For integral scores the
+    * double cast is exact while |score| < 2^53 (e12's documented bound);
+    * [[topCCandidates]] remains the kernel when survivors must be
+    * re-scored exactly (e01's margin superset). */
   private def topKRankedSameCol(df: DataFrame, score: String, k: Int, asc: Boolean): DataFrame = {
     val signed =
       if (asc) -col(score).cast("double") else col(score).cast("double")
-    val kth = df
-      .groupBy("qid")
-      .agg(graft.functions.KthLargest.kthLargest(signed, k).as("kth"))
-    val ord = if (asc) col(score).asc else col(score).desc
-    df.join(broadcast(kth), "qid")
-      .filter(signed >= col("kth"))
-      .withColumn(
-        "rnk",
-        row_number().over(Window.partitionBy("qid").orderBy(ord, col("vid")))
-      )
-      .filter(col("rnk") <= k)
-      .select("qid", "vid")
+    df.groupBy("qid")
+      .agg(graft.functions.TopKVids.topKVids(signed, col("vid"), k).as("top"))
+      .select(col("qid"), explode(col("top.vids")).as("vid"))
   }
 
   /** Exact-cosine top-C list for the single example query (vec_id 0),

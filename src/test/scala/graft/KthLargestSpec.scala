@@ -46,4 +46,34 @@ class KthLargestSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(rows === Map(1L -> Some(5.0), 2L -> None))
   }
+
+  test("topKVids matches the window-based top-k across partials, ties, and short groups") {
+    import spark.implicits._
+    import graft.functions.TopKVids.topKVids
+    val rnd = new scala.util.Random(7)
+    // heavy ties (scores quantized to tenths) so the vid tiebreak decides
+    // often; group 9 has fewer rows than any k
+    val rows = (for {
+      key <- 0 to 4
+      i <- 0 until 400
+    } yield (key.toLong, rnd.nextInt(100000).toLong, math.floor(rnd.nextDouble() * 100) / 10.0)) ++
+      Seq((9L, 3L, 1.0), (9L, 1L, 1.0))
+    val df = rows.toDF("qid", "vid", "v").repartition(16)
+    for (k <- Seq(1, 5, 23)) {
+      val got = df.groupBy("qid").agg(topKVids(col("v"), col("vid"), k).as("top"))
+        .select(col("qid"), col("top.vids").as("vids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (q, vs) =>
+        q -> vs.map(t => (t._3, t._2)).sortBy { case (s, v) => (-s, v) }.take(k).map(_._2).toList
+      }
+      assert(got === want, s"k=$k")
+    }
+    // NULL scores are skipped, not ranked
+    val withNull = Seq[(Long, Long, Option[Double])](
+      (1L, 10L, Some(2.0)), (1L, 11L, None), (1L, 12L, Some(3.0))
+    ).toDF("qid", "vid", "v")
+    val g = withNull.groupBy("qid").agg(topKVids(col("v"), col("vid"), 5).as("top"))
+      .select(col("top.vids")).head().getSeq[Long](0).toList
+    assert(g === List(12L, 10L))
+  }
 }
