@@ -3623,10 +3623,12 @@ object LlmOps {
       )
   }
 
-  /** The t25/t26 oracle: the Spark chain above, restated over DuckDB's
-    * list kernels — bigrams via range(1, len(t)) + 1-based t[i]. */
-  private val bigramNllOracle = s"""
-      WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** The t25/t26 oracle's CTE chain (through the per-doc score table
+    * `sc`): the Spark chain above, restated over DuckDB's list kernels —
+    * bigrams via range(1, len(t)) + 1-based t[i]. Shared by the scoring
+    * oracles (t25/t26) and the per-source bucket oracle (t27). */
+  private lazy val bigramNllCtesSql = s"""
+      tk AS (SELECT doc_id, $toksSql AS t FROM documents),
       oc AS (SELECT doc_id, UNNEST(t) AS tok FROM tk),
       ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
       gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
@@ -3647,7 +3649,10 @@ object LlmOps {
                   UNION ALL SELECT doc_id, nlp FROM bgf JOIN lppb USING (prev, tok)),
       sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                     CAST(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
-             FROM contrib GROUP BY doc_id)
+             FROM contrib GROUP BY doc_id)"""
+
+  private val bigramNllOracle = s"""
+      WITH $bigramNllCtesSql
       SELECT doc_id, n_tokens, nll FROM sc ORDER BY doc_id"""
 
   val t25 = Q("t25_bigram_nll", Some(bigramNllOracle)) { (s, d) =>
@@ -3725,6 +3730,59 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** PER-SOURCE quality buckets — the CCNet recipe (Wenzek et al. 2020):
+    * bucket documents into head/middle/tail BY LM score WITHIN each
+    * source (CCNet does it per language snapshot), because a global
+    * threshold (t21's terciles) lets a verbose source's easy text crowd
+    * out another source's best — the published fix is per-group
+    * percentile cuts, and the mixture then samples per (source, bucket).
+    * Scores are t25's interpolated bigram NLL; the in-group rank rides
+    * operators.Ranks.groupedRank (range exchange + offset broadcast —
+    * WindowBoundSpec bans the per-source window this would naively be;
+    * at 100 TB a source is corpus-scale, exactly q22/q37's hazard), and
+    * the tercile is integer arithmetic on (grank, gn) — exact in both
+    * engines. Unscorable docs (no in-vocab token) have no score row and
+    * no bucket, the t25 contract. Output: per (source, bucket) the doc
+    * count, token sum, and the NLL range the cut landed on. */
+  val t27 = Q(
+    "t27_source_quality_buckets",
+    Some(s"""
+      WITH $bigramNllCtesSql,
+      r AS (SELECT d.source, sc.n_tokens, sc.nll,
+              ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY sc.nll, sc.doc_id) AS rnk,
+              COUNT(*) OVER (PARTITION BY d.source) AS gn
+            FROM sc JOIN documents d USING (doc_id))
+      SELECT source, CAST(((rnk - 1) * 3) // gn AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
+      FROM r GROUP BY source, bucket ORDER BY source, bucket""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val tk = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .cacheOnce() // t25's one-tokenize discipline (counts + two scoring reads)
+    val scored = bigramNllFrom(tk, bigramLmCountsOf(tk))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    graft.operators.Ranks
+      .groupedRank(
+        scored.select("source", "doc_id", "n_tokens", "nll"),
+        "source",
+        s.sparkContext.defaultParallelism,
+        col("nll"),
+        col("doc_id")
+      )
+      .withColumn("bucket", expr("((grank - 1) * 3) div gn").cast("int"))
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("nll")).as("nll_lo"),
+        max(col("nll")).as("nll_hi")
+      )
+      .orderBy("source", "bucket")
+  }
+
   /** Source-balanced data mixing: downsample every source to the size of
     * the smallest one with deterministic content-hash sampling — the
     * data-mixture rebalancing step of a pretraining corpus build, with
@@ -3790,6 +3848,93 @@ object LlmOps {
       .select(
         col("source"),
         col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
+      )
+      .orderBy("source")
+  }
+
+  /** TEMPERATURE-weighted source mixing — the multilingual /
+    * mixture-reweighting recipe (sampling probability ∝ n_s^α with
+    * α = 1/2, the exponent published multilingual pretraining uses to
+    * lift low-resource sources): where t14 flattens every source to the
+    * smallest, this allocates a target mixture of M = total/2 documents
+    * across sources by √n_s weights, so big sources are tempered rather
+    * than truncated and small sources keep more than their raw share.
+    *
+    * EXACT cross-engine, no float mixture math: the weight is
+    * w_s = floor(sqrt(n_s · 2^40)) — the ·2^40 scaling keeps ~20
+    * significant bits of the square root in an integer; the double
+    * product is EXACT (n_s < 2^53 converts exactly, ·2^40 is an exponent
+    * shift) and IEEE sqrt/floor are correctly rounded in both engines —
+    * then every downstream step is integer arithmetic: the target
+    * n_target = (M·w_s) div Σw, the keep count capped at n_s (a source
+    * upweighted past its size shows its REPETITION need as
+    * n_target − n_kept — published mixtures repeat such sources across
+    * epochs; membership sampling cannot repeat rows), and t14's
+    * hex-threshold membership predicate over md5("mix2|"|text). The
+    * M·w product needs DECIMAL(38,0)/int128 once corpus rows exceed
+    * ~2^27 (M·w ≈ n·2^36) — the t14 widening note, one cast when needed.
+    *
+    * Scale: identical shape to t14 — per-source counts are a broadcast
+    * dim, membership is a scan-stage predicate, one summary shuffle. */
+  val t28 = Q(
+    "t28_temperature_mixing",
+    Some("""
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1099511627776)) AS BIGINT) AS w
+            FROM c),
+      g AS (SELECT CAST(SUM(w) AS BIGINT) AS ww,
+                   CAST(SUM(n_docs) // 2 AS BIGINT) AS m FROM w),
+      th AS (SELECT source, n_docs, w,
+               CAST((g.m * w.w) // g.ww AS BIGINT) AS n_target,
+               least((g.m * w.w) // g.ww, n_docs) AS n_keep
+             FROM w CROSS JOIN g),
+      t2 AS (SELECT source, n_docs, w, n_target,
+               printf('%09x', (n_keep * 4294967296) // n_docs) AS th
+             FROM th),
+      kept AS (SELECT d.source, d.doc_id
+               FROM documents d JOIN t2 USING (source)
+               WHERE '0' || substr(md5('mix2|' || d.text), 1, 8) < t2.th),
+      s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+            FROM kept GROUP BY source)
+      SELECT t2.source, t2.n_docs, t2.w, t2.n_target,
+             COALESCE(s.n_kept, 0) AS n_kept,
+             COALESCE(s.kept_id_sum, 0) AS kept_id_sum
+      FROM t2 LEFT JOIN s USING (source) ORDER BY source""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val w = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "w",
+        floor(sqrt(col("n_docs").cast("double") * lit(1099511627776.0))).cast("long")
+      )
+    val g = w.agg(sum(col("w")).as("ww"), expr("sum(n_docs) div 2").as("m"))
+    val th = w
+      .crossJoin(broadcast(g))
+      .withColumn("n_target", expr("(m * w) div ww"))
+      .withColumn("n_keep", least(col("n_target"), col("n_docs")))
+      .withColumn("th", format_string("%09x", expr("(n_keep * 4294967296) div n_docs")))
+    val kept = docs
+      .join(broadcast(th.select("source", "th")), "source")
+      .filter(
+        concat(lit("0"), substring(md5(concat(lit("mix2|"), col("text"))), 1, 8)) < col("th")
+      )
+    val summary = kept
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    th.select("source", "n_docs", "w", "n_target")
+      .join(summary, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("w"),
+        col("n_target"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
       )
@@ -5353,5 +5498,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

@@ -354,6 +354,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("LocalTableScan"), "t25 embeds driver-collected rows")
   }
 
+  test("t27: per-source buckets rank via groupedRank — no per-source corpus window") {
+    val p = plan("t27_source_quality_buckets")
+    // the in-group rank lives behind groupedRank's checkpoint; the final
+    // plan sees the compact rank frame (no text/tok columns), the offsets
+    // window over the (pid, source) metadata aggregate, and broadcasts
+    val rddScans = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rddScans.nonEmpty, s"expected groupedRank's checkpointed rank frame:\n$p")
+    for (cols <- rddScans) {
+      val names = cols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+      assert(
+        Set("text", "tok", "t", "embedding").intersect(names).isEmpty,
+        s"t27 checkpoints corpus data, not just rank columns: [$cols]"
+      )
+    }
+    assert(p.contains("BroadcastHashJoin"), p)
+    val naive = "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+    assert(naive.findFirstIn(p).isEmpty, s"corpus-wide window detected:\n$p")
+  }
+
+  test("t28: membership is a scan-stage predicate; mixture dims broadcast") {
+    val p = plan("t28_temperature_mixing")
+    // the per-source threshold dim rides broadcasts into the corpus scan;
+    // the only data-path shuffles are the per-source aggregations
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Scan ExistingRDD"), "t28 re-parallelizes driver data")
+    assert(!p.contains("Window"), "t28 should have no window at all")
+  }
+
   test("d23: survivor pick is a combinable max_by — no per-cluster window, no collect") {
     val p = plan("d23_dedup_best_keep")
     // a giant cluster must cost its size in INPUTS, not in reducer state:
