@@ -260,8 +260,23 @@ object StreamBench {
           .format("parquet")
           .option("path", s"$base/sus-hourly-out")
           .start())
+    Hygiene.release(spark)
 
-    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)}}""")
+    // sustained composed pipeline — the r8 SCALE table's missing cell:
+    // continuous arrival against all three gates + the per-batch commit,
+    // fresh index for the same reason as idx2
+    val idx4 = s"$base/idx4"
+    LlmOps.saveDedupIndex(h0, b0, idx4)
+    val pipeGrams2 = LlmOps.gramSetOf(docs.filter(!isBatch)).localCheckpoint(true)
+    val susPipeLanding = s"$base/sus-pipe-landing"
+    new java.io.File(susPipeLanding).mkdirs()
+    val (susPipe, susPipeWall) = driveSustained(spark, docSlices, susPipeLanding,
+      landing =>
+        EventStream.crawlPipeline(
+          EventStream.readDocuments(spark, landing, Map("maxFilesPerTrigger" -> "4")),
+          idx4, pipeGrams2, lmCounts, 1e9, s"$base/sus-pipe-verdicts", s"$base/sus-pipe-ck"))
+
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)},"sustained_pipeline":${fmtSustained(susPipe, susPipeWall)}}""")
     spark.stop()
   }
 }

@@ -3854,6 +3854,94 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** GOPHER QUALITY RULES — the published hard-filter battery (Rae et
+    * al. 2021, appendix A1.1; reused by MassiveText descendants): unlike
+    * t02's soft score, each document gets a keep/drop VERDICT from seven
+    * deterministic rules — word count in [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio ('#' and '...') ≤ 0.1, ≥ 80% of words
+    * containing an alphabetic character, ≤ 90% of lines starting with a
+    * bullet, ≤ 30% of lines ending in an ellipsis, and ≥ 2 stop words.
+    * Every rule is INTEGER arithmetic (ratios as cross-multiplications:
+    * 10·symbols ≤ words, 5·alpha ≥ 4·words, …), so the verdict table is
+    * hash-gated bit-for-bit — no float thresholds to reconcile across
+    * engines. Per-rule booleans ship beside the final keep so a corpus
+    * report can attribute drops to rules (the way the paper tables do).
+    *
+    * Scale: one pure projection pass — every count is a per-row
+    * expression over the token/line arrays, no shuffle except the output
+    * ORDER BY. */
+  val t29 = Q(
+    "t29_gopher_rules",
+    Some(s"""
+      WITH t0 AS (SELECT doc_id, text, $toksSql AS t,
+                         string_split(text, chr(10)) AS ls FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS n_words,
+              CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS tot_chars,
+              CAST(len(list_filter(t, x -> x IN ($stopwordsSql))) AS BIGINT) AS n_stop,
+              CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_sym,
+              CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                                          OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS n_ell_ln
+            FROM t0)
+      SELECT doc_id, n_words,
+        (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words) AS ok_wordlen,
+        (10 * (n_sym + n_ell) <= n_words) AS ok_symbols,
+        (5 * n_alpha >= 4 * n_words) AS ok_alpha,
+        (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+        (10 * n_ell_ln <= 3 * n_lines) AS ok_ellipsis,
+        (n_stop >= 2) AS ok_stop,
+        (n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= tot_chars AND tot_chars <= 10 * n_words
+          AND 10 * (n_sym + n_ell) <= n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND 10 * n_bullet <= 9 * n_lines
+          AND 10 * n_ell_ln <= 3 * n_lines
+          AND n_stop >= 2) AS keep
+      FROM m ORDER BY doc_id""")
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    val lines = split(col("text"), "\n", -1)
+    val nWords = size(t).cast("long")
+    val totChars = aggregate(t, lit(0), (a, x) => a + length(x)).cast("long")
+    val nStop = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+    val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("long")
+    val nSym = (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long")
+    val nEll = ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+      .cast("long") // exact: the diff is a multiple of 3, far below 2^53
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val nEllLn = size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val okWords = nWords >= 50L && nWords <= 100000L
+    val okWordlen = lit(3L) * nWords <= totChars && totChars <= lit(10L) * nWords
+    val okSymbols = lit(10L) * (nSym + nEll) <= nWords
+    val okAlpha = lit(5L) * nAlpha >= lit(4L) * nWords
+    val okBullets = lit(10L) * nBullet <= lit(9L) * nLines
+    val okEllipsis = lit(10L) * nEllLn <= lit(3L) * nLines
+    val okStop = nStop >= 2L
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        okWords.as("ok_words"),
+        okWordlen.as("ok_wordlen"),
+        okSymbols.as("ok_symbols"),
+        okAlpha.as("ok_alpha"),
+        okBullets.as("ok_bullets"),
+        okEllipsis.as("ok_ellipsis"),
+        okStop.as("ok_stop"),
+        (okWords && okWordlen && okSymbols && okAlpha && okBullets && okEllipsis && okStop)
+          .as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
   /** TEMPERATURE-weighted source mixing — the multilingual /
     * mixture-reweighting recipe (sampling probability ∝ n_s^α with
     * α = 1/2, the exponent published multilingual pretraining uses to
@@ -5498,5 +5586,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29)
 }

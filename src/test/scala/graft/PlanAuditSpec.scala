@@ -373,6 +373,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(naive.findFirstIn(p).isEmpty, s"corpus-wide window detected:\n$p")
   }
 
+  test("t29: the Gopher rule battery is a pure projection — no shuffle but the output sort") {
+    val p = plan("t29_gopher_rules")
+    // all seven rules are per-row expressions over the token/line arrays;
+    // a hash exchange would mean a grouped reformulation crept in
+    assert(!p.contains("Exchange hashpartitioning"), s"t29 shuffles:\n$p")
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("Scan ExistingRDD"), "t29 re-parallelizes driver data")
+  }
+
   test("t28: membership is a scan-stage predicate; mixture dims broadcast") {
     val p = plan("t28_temperature_mixing")
     // the per-source threshold dim rides broadcasts into the corpus scan;
