@@ -149,7 +149,12 @@ object BenchScale {
       // third-leg additions: d23 (the d02+CC subplan shared with d06, plus
       // one combinable max_by agg), t25 (two vocabulary-output grouped
       // counts + equi-join scoring — t18's shape one order up)
-      "d23" -> 1, "t25" -> 1
+      "d23" -> 1, "t25" -> 1,
+      // r9 additions: t27 (t25's scoring + groupedRank — one range
+      // exchange of 4-column rows + metadata offsets), t28 (per-source
+      // counts + scan-stage membership, t14's shape), t29 (pure
+      // projection rule battery)
+      "t27" -> 1, "t28" -> 1, "t29" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
