@@ -311,6 +311,74 @@ object Graft {
   def clusterBalancedSample(labels: DataFrame, salt: String = "cbal1"): DataFrame =
     graft.queries.LlmOps.balanceByCluster(labels, salt, nName = "n_vecs")
 
+  /** t29's battery: the published Gopher hard-filter rules as one
+    * projection pass — per-rule booleans + the final keep, all integer
+    * arithmetic. Input needs (doc_id, text). */
+  def gopherRules(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.gopherRulesOf(documents)
+
+  /** t28's mixture: temperature-weighted (α = 1/2) per-source target
+    * allocation + deterministic membership — per source the √n weight,
+    * target, kept count, and membership checksum. Input needs
+    * (doc_id, source, text). */
+  def temperatureMixing(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.temperatureMixingOf(documents)
+
+  /** t27's report: CCNet-style head/middle/tail buckets BY bigram-LM NLL
+    * WITHIN each source (per-group percentile cuts, ranked by the
+    * distributed groupedRank kernel — no per-source hot reducer).
+    * `numParts` is the range-exchange width (defaultParallelism is the
+    * right call on a live session). */
+  def sourceQualityBuckets(documents: DataFrame, numParts: Int): DataFrame =
+    graft.queries.LlmOps.sourceQualityBucketsOf(documents, numParts)
+
+  /** Exact in-group rank without a per-group window partition (the
+    * operators.Ranks kernel behind q22/q37/t27): input columns + grank
+    * (1-based within `grp` by `orderKeys`) + gn (group size). Include a
+    * unique tiebreaker in orderKeys for a deterministic rank. */
+  def groupedRank(df: DataFrame, grp: String, numParts: Int,
+      orderKeys: org.apache.spark.sql.Column*): DataFrame =
+    graft.operators.Ranks.groupedRank(df, grp, numParts, orderKeys: _*)
+
+  /** Spark/DuckDB ntile(k) as a closed form of (grank, gn) — pair with
+    * [[groupedRank]] for exact distributed ntile. */
+  def ntileFromRank(grank: org.apache.spark.sql.Column,
+      gn: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    graft.operators.Ranks.ntileFromRank(grank, gn, k)
+
+  // ---- bigram LM + gram-set artifacts (the streaming gates' statics) ----
+
+  /** t25's interpolated bigram LM count table from (doc_id, text) docs —
+    * persist with [[bigramLmSave]], score with [[bigramNll]]. */
+  def bigramLmCounts(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.bigramLmCountsOf(
+      documents.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.queries.LlmOps.tokensCol(org.apache.spark.sql.functions.col("text")).as("t")))
+
+  def bigramLmSave(counts: DataFrame, path: String): Unit =
+    graft.queries.LlmOps.saveBigramLm(counts, path)
+  def bigramLmLoad(spark: SparkSession, path: String): DataFrame =
+    graft.queries.LlmOps.loadBigramLm(spark, path)
+
+  /** Per-doc interpolated bigram NLL under a count table (t25's scoring
+    * half): (doc_id, n_tokens, nll); docs with no in-vocabulary token
+    * emit no row. */
+  def bigramNll(documents: DataFrame, counts: DataFrame): DataFrame =
+    graft.queries.LlmOps.bigramNllFrom(
+      documents.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.queries.LlmOps.tokensCol(org.apache.spark.sql.functions.col("text")).as("t")),
+      counts)
+
+  /** (Re)build the persisted train gram set from the CURRENT train corpus
+    * through a snapshot commit — an in-flight stream consuming the
+    * artifact picks the new set up at its next micro-batch. */
+  def gramSetRefresh(trainDocs: DataFrame, path: String, retain: Int = 2): Unit =
+    graft.queries.LlmOps.refreshGrams(trainDocs, path, retain)
+
+  /** Cold-open load of the current persisted gram set (validated). */
+  def gramSetLoad(spark: SparkSession, path: String): DataFrame =
+    graft.queries.LlmOps.loadGramSet(spark, path)
+
   // ---- persisted dedup-index artifacts (the incremental-ingest loop) ----
 
   /** d01's artifact: every document with its exact-dup class id
@@ -390,6 +458,37 @@ object Graft {
   def sinkParquet(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.EventStream.sinkParquet(df, path, checkpoint)
+
+  /** Crash-safe streaming ingest admission against a persisted dedup
+    * index: exactly-once per-batch verdicts, snapshot-log index appends
+    * (see EventStream.ingestGuard for the full protocol contract). */
+  def ingestGuard(docs: DataFrame, indexPath: String, verdictDir: String,
+      checkpointDir: String, maintainIndex: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.ingestGuard(docs, indexPath, verdictDir,
+      checkpointDir, maintainIndex)
+
+  /** The composed live-crawl admission pipeline: dedup + contamination +
+    * LM-quality gates in one exactly-once commit loop; `unscorable`
+    * routes docs the LM cannot score (Reject / Quarantine). */
+  def crawlPipeline(docs: DataFrame, indexPath: String, trainGrams: DataFrame,
+      lmCounts: DataFrame, nllMax: Double, verdictDir: String, checkpointDir: String,
+      maintainIndex: Boolean = true,
+      unscorable: graft.queries.LlmOps.UnscorablePolicy =
+        graft.queries.LlmOps.UnscorablePolicy.Reject)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.crawlPipeline(docs, indexPath, trainGrams,
+      lmCounts, nllMax, verdictDir, checkpointDir, maintainIndex, unscorable)
+
+  /** crawlPipeline wired to the PERSISTED gram artifact: the
+    * contamination gate re-resolves the snapshot per batch, so
+    * [[gramSetRefresh]] takes effect at the next batch, no restart. */
+  def crawlPipelineLive(docs: DataFrame, indexPath: String, gramsPath: String,
+      lmCounts: DataFrame, nllMax: Double, verdictDir: String, checkpointDir: String,
+      maintainIndex: Boolean, unscorable: graft.queries.LlmOps.UnscorablePolicy)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.crawlPipeline(docs, indexPath, gramsPath,
+      lmCounts, nllMax, verdictDir, checkpointDir, maintainIndex, unscorable)
 
   /** The named query library (oracle-checked operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries

@@ -3758,7 +3758,14 @@ object LlmOps {
              MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
       FROM r GROUP BY source, bucket ORDER BY source, bucket""")
   ) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    sourceQualityBucketsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      s.sparkContext.defaultParallelism)
+  }
+
+  /** t27's frame-parameterized body — (doc_id, source, text) in, one
+    * (source, bucket) summary row out. Facade: Graft.sourceQualityBuckets. */
+  private[graft] def sourceQualityBucketsOf(docs: DataFrame, numParts: Int): DataFrame = {
     val tk = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .cacheOnce() // t25's one-tokenize discipline (counts + two scoring reads)
@@ -3768,7 +3775,7 @@ object LlmOps {
       .groupedRank(
         scored.select("source", "doc_id", "n_tokens", "nll"),
         "source",
-        s.sparkContext.defaultParallelism,
+        numParts,
         col("nll"),
         col("doc_id")
       )
@@ -3903,7 +3910,11 @@ object LlmOps {
           AND 10 * n_ell_ln <= 3 * n_lines
           AND n_stop >= 2) AS keep
       FROM m ORDER BY doc_id""")
-  ) { (s, d) =>
+  ) { (s, d) => gopherRulesOf(Tables.documents(s, d)) }
+
+  /** t29's frame-parameterized body — (doc_id, text) in, the per-rule
+    * verdict row out. Facade: Graft.gopherRules. */
+  private[graft] def gopherRulesOf(documents: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val lines = split(col("text"), "\n", -1)
     val nWords = size(t).cast("long")
@@ -3924,8 +3935,7 @@ object LlmOps {
     val okBullets = lit(10L) * nBullet <= lit(9L) * nLines
     val okEllipsis = lit(10L) * nEllLn <= lit(3L) * nLines
     val okStop = nStop >= 2L
-    Tables
-      .documents(s, d)
+    documents
       .select(
         col("doc_id"),
         nWords.as("n_words"),
@@ -3994,7 +4004,13 @@ object LlmOps {
              COALESCE(s.kept_id_sum, 0) AS kept_id_sum
       FROM t2 LEFT JOIN s USING (source) ORDER BY source""")
   ) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    temperatureMixingOf(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** t28's frame-parameterized body — (doc_id, source, text) in, the
+    * per-source mixture row out. Facade: Graft.temperatureMixing. */
+  private[graft] def temperatureMixingOf(docs: DataFrame): DataFrame = {
     val w = docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"))

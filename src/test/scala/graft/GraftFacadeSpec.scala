@@ -112,6 +112,66 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(ca.columns.toSeq == Seq("doc_id", "n_grams", "n_hit", "contaminated"))
   }
 
+  test("mixture/quality surface: gopher rules, temperature mixing, source buckets, grouped rank") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rules = Graft.gopherRules(docs)
+    assert(rules.columns.toSeq ==
+      Seq("doc_id", "n_words", "ok_words", "ok_wordlen", "ok_symbols", "ok_alpha",
+        "ok_bullets", "ok_ellipsis", "ok_stop", "keep"))
+    assert(rules.count() == docs.count())
+    val mix = Graft.temperatureMixing(docs.select("doc_id", "source", "text")).collect()
+    assert(mix.nonEmpty && mix.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+    val buckets = Graft.sourceQualityBuckets(docs.select("doc_id", "source", "text"), 4)
+    assert(buckets.select("bucket").distinct().count() <= 3)
+    val ranked = Graft.groupedRank(
+      docs.select("doc_id", "source", "n_chars"), "source", 4, col("n_chars"), col("doc_id"))
+      .withColumn("tile", Graft.ntileFromRank(col("grank"), col("gn"), 4))
+    assert(ranked.filter(col("grank") > col("gn")).count() == 0)
+    assert(ranked.filter(col("tile") < 1 || col("tile") > 4).count() == 0)
+    Hygiene.release(spark)
+  }
+
+  test("LM + gram artifact surface: counts round-trip, scoring, live refresh") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "source", "text")
+    val base = java.nio.file.Files.createTempDirectory("facade-lm").toString
+    val counts = Graft.bigramLmCounts(docs)
+    Graft.bigramLmSave(counts, s"$base/lm")
+    val loaded = Graft.bigramLmLoad(spark, s"$base/lm")
+    val scored = Graft.bigramNll(docs, loaded)
+    assert(scored.columns.toSeq == Seq("doc_id", "n_tokens", "nll"))
+    assert(scored.count() > 0)
+    Graft.gramSetRefresh(docs, s"$base/grams")
+    assert(Graft.gramSetLoad(spark, s"$base/grams").count() > 0)
+    val verdicts = Graft.contaminationScore(docs.limit(20), Graft.gramSetLoad(spark, s"$base/grams"))
+    assert(verdicts.filter(col("contaminated")).count() == 20) // scored against themselves
+    Hygiene.release(spark)
+  }
+
+  test("admission stream surface: ingestGuard and crawlPipelineLive build and run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(8).as[(Long, String)].collect().toSeq
+    val (corpus, batch) = docs.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("facade-stream").toString
+    val (h, b) = Graft.dedupIndex(corpus.toDF("doc_id", "text"))
+    Graft.dedupIndexSave(h, b, s"$base/idx")
+    Graft.gramSetRefresh(corpus.toDF("doc_id", "text"), s"$base/grams")
+    val counts = Graft.bigramLmCounts(
+      corpus.toDF("doc_id", "text").withColumn("source", lit("s"))
+        .select("doc_id", "source", "text")).localCheckpoint(true)
+    val src = MemoryStream[(Long, String)]
+    val q = Graft.crawlPipelineLive(
+      src.toDF().toDF("doc_id", "text"), s"$base/idx", s"$base/grams", counts,
+      1e9, s"$base/verdicts", s"$base/ck", true,
+      graft.queries.LlmOps.UnscorablePolicy.Quarantine)
+    try { src.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+    val v = spark.read.parquet(s"$base/verdicts")
+    assert(v.count() == batch.size && v.columns.contains("verdict"))
+    Hygiene.release(spark)
+  }
+
   test("storage surface: parquet round trip via the facade") {
     val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
     val df = Tables.nation(spark, TestSpark.sf0001)
