@@ -90,10 +90,12 @@ object SnapshotLog {
     * new manifest file has appeared — so an in-flight stream picks up a
     * concurrently-committed snapshot at its next batch without a restart,
     * while a quiet artifact costs no re-validation per batch. The cache
-    * key is the highest PRESENT version, not the resolved one: if the
-    * newest file is torn, `current` resolves below it and the next `get`
-    * probes again (rare, cheap, and self-healing — the writer's retry
-    * lands at a higher number and re-keys the cache). Thread-safe; one
+    * key is the highest PRESENT version, not the resolved one: a torn
+    * newest file re-keys the cache ONCE (resolution falls back to the
+    * valid snapshot below it and is then served from cache), and the
+    * crashed writer's retry at a higher number re-keys it again —
+    * torn state never turns into per-call rebuilds or errors
+    * (SnapshotLogSpec pins all three transitions). Thread-safe; one
     * instance per (stream, artifact). */
   final class Cached[T](root: String, kind: String, build: (SparkSession, Snapshot) => T) {
     @volatile private var state: Option[(Int, T)] = None

@@ -388,4 +388,47 @@ class PropertySpec extends AnyFunSuite {
       assert(ours.toSeq == ref.toSeq, s"rows=$rows")
     }
   }
+
+  test("property: t28 temperature allocation matches the integer model, is monotone, and fits the budget") {
+    import spark.implicits._
+    // random per-source sizes; the engine's per-source n_target must equal
+    // the independent Scala restatement of the published allocation
+    // (w = floor(sqrt(n·2^40)), target = (M·w) div ΣW, M = total div 2),
+    // stay monotone in source size, and sum (capped) within the budget
+    val gen = for {
+      k <- Gen.chooseNum(2, 6)
+      ns <- Gen.listOfN(k, Gen.chooseNum(1, 60))
+    } yield ns
+    forAllN(gen, n = 8) { ns =>
+      var id = 0L
+      val rows = ns.zipWithIndex.flatMap { case (n, si) =>
+        (0 until n).map { _ =>
+          id += 1
+          (id, f"s$si%02d", s"doc $id body ${"x" * (id % 7).toInt}")
+        }
+      }
+      val out = graft.queries.LlmOps
+        .temperatureMixingOf(rows.toDF("doc_id", "source", "text"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap // source -> (n_docs, w, n_target, n_kept)
+      val w = ns.map(n => math.sqrt(n.toDouble * 1099511627776.0).toLong)
+      val bigW = w.sum
+      val m = ns.map(_.toLong).sum / 2
+      ns.zipWithIndex.foreach { case (n, si) =>
+        val (nd, gw, tgt, kept) = out(f"s$si%02d")
+        assert(nd == n && gw == w(si), s"counts/weights diverged for s$si")
+        assert(tgt == m * w(si) / bigW, s"target model diverged for s$si: $tgt")
+        assert(kept <= nd, "kept beyond the source size")
+      }
+      // monotone: a bigger source never gets a smaller target
+      val bySize = ns.zipWithIndex.sortBy(_._1).map { case (_, si) => out(f"s$si%02d")._3 }
+      assert(bySize == bySize.sorted, s"allocation not monotone: $bySize")
+      // capped targets fit the budget (sum of floors <= M)
+      val capped = ns.zipWithIndex.map { case (n, si) => math.min(out(f"s$si%02d")._3, n.toLong) }
+      assert(capped.sum <= m, s"over budget: ${capped.sum} > $m")
+    }
+    Hygiene.release(spark)
+  }
 }

@@ -131,6 +131,32 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(L.current(spark, root, "k1").version == 1)
   }
 
+  test("Cached reader: one-listing staleness probe, reload on commit, torn-above re-probe") {
+    val root = tmp("cached")
+    writeDir(root, "a", "v1", 2)
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("v1")), Map.empty)
+    var builds = 0
+    val reader = new L.Cached[Long](root, "k1", (s, snap) => {
+      builds += 1
+      s.read.parquet(snap.dirs(root, "a"): _*).count()
+    })
+    assert(reader.get(spark) == 2 && builds == 1)
+    // unchanged artifact: served from cache, no rebuild
+    assert(reader.get(spark) == 2 && builds == 1)
+    // a new commit re-keys the cache at the next get — no restart needed
+    writeDir(root, "a", "v2", 3)
+    L.commit(spark, root, "k1", 2, Map("a" -> Seq("v2")), Map.empty)
+    assert(reader.get(spark) == 3 && builds == 2)
+    // a torn file ABOVE the valid version: the reader re-probes (the cache
+    // key is the highest PRESENT version) but still resolves the valid
+    // snapshot — torn commits are invisible, never an error, and the
+    // writer's retry at a higher number re-keys the cache normally
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.v5"), "junk".getBytes("UTF-8"))
+    assert(reader.get(spark) == 3 && builds == 3)
+    assert(reader.get(spark) == 3 && builds == 3, "torn key must cache, not re-build per call")
+  }
+
   test("newlines in kind, table names, and tags are rejected at commit") {
     val root = tmp("badnl")
     // each would split the line-oriented body — and the checksum, computed
