@@ -222,6 +222,22 @@ object Graft {
     * and search any batch against the loaded artifact (topKWith). */
   def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =
     graft.operators.AnnIvf.fit(spark, corpus, nlist)
+  /** Build + persist the cluster-PARTITIONED IVF index (centroids + the
+    * assigned corpus under a snapshot log) — probes then read
+    * nprobe/nlist of the stored bytes via partition pruning. */
+  def annIvfBuildIndex(spark: SparkSession, emb: DataFrame, path: String, nlist: Int = 16): Unit =
+    graft.operators.AnnIvf.buildIndex(spark, emb, path, nlist)
+
+  /** FAISS add-after-train: append a batch against the frozen coarse
+    * quantizer — one immutable partitioned dir + one manifest PUT. */
+  def annIvfAppendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    graft.operators.AnnIvf.appendIndex(spark, batch, path)
+
+  /** Partition-pruned search of the persisted IVF index. */
+  def annIvfSearchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4): DataFrame =
+    graft.operators.AnnIvf.searchIndex(spark, path, queries, k, nprobe)
+
   def annIvfSaveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit =
     graft.operators.AnnIvf.saveCentroids(spark, cs, path)
   def annIvfLoadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =

@@ -173,6 +173,121 @@ object AnnIvf {
     } finally cached.unpersist()
   }
 
+  // ---- persisted cluster-partitioned index (incremental FAISS-add path) ----
+
+  private val IndexKind = "ivf-index"
+  private val L = SnapshotLog
+
+  /** Build + persist the FULL IVF index — not just centroids but the
+    * assigned corpus, written PARTITIONED BY cluster under a snapshot
+    * log. This is what makes IVF an index at 100 TB rather than a
+    * query-time projection: a probe becomes a PARTITION-PRUNED scan of
+    * `nprobe/nlist` of the stored bytes (the scan's PartitionFilters —
+    * spec-pinned), where [[topKWith]] must scan and assign the whole
+    * corpus per search. Layout: `<path>/centroids` (the frozen coarse
+    * quantizer, ArtifactManifest-validated) + snapshot-versioned
+    * `vectors` data dirs, each internally partitioned by `cluster=N`
+    * subdirectories. The manifest carries the physical row count — a
+    * lost partition directory fails the search-time load loudly. */
+  def buildIndex(spark: SparkSession, emb: DataFrame, path: String, nlist: Int = 16): Unit = {
+    val cs = centroids(spark, emb, nlist)
+    saveCentroids(spark, cs, s"$path/centroids")
+    val v = L.nextVersion(spark, path)
+    val tag = s"base-v$v"
+    emb
+      .withColumn("cluster", nearestCentroidCol(cs))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(L.dataDir(path, "vectors", tag))
+    commitIndex(spark, path, v, Seq(tag))
+    // a REBUILD (re-train on drifted data) supersedes every prior
+    // generation; retire it on the spot (raise `retain` via a manual gc
+    // call when concurrent readers need a grace window)
+    L.gc(spark, path, IndexKind)
+  }
+
+  /** Append a batch against the FROZEN coarse quantizer — the standard
+    * IVF add semantics (train once, add forever; FAISS's `add` after
+    * `train`): new vectors are assigned to the EXISTING centroids and
+    * land as a fresh immutable partitioned directory, one manifest PUT
+    * as the commit point. No rebuild, no rewrite, cost linear in the
+    * batch; recall degrades only as the data distribution drifts from
+    * the trained quantizer (re-train + buildIndex is the compaction
+    * analog, on the deployment's drift cadence). A torn append is
+    * unreferenced and invisible — the ingestBatch crash discipline. */
+  def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val cs = loadCentroids(spark, s"$path/centroids")
+    val snap = L.current(spark, path, IndexKind)
+    val v = L.nextVersion(spark, path)
+    val tag = s"append-v$v"
+    batch
+      .withColumn("cluster", nearestCentroidCol(cs))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(L.dataDir(path, "vectors", tag))
+    commitIndex(spark, path, v, snap.tables.getOrElse("vectors", Nil) :+ tag)
+  }
+
+  /** One frame over the referenced vector directories. Each generation
+    * is read as its OWN root and unioned: Spark's partition discovery
+    * rejects multiple roots whose partitioning starts at different
+    * depths ("conflicting directory structures"), and a shared basePath
+    * would try to parse the `base-v1`/`append-v2` tag level as a
+    * partition. Per-root reads keep `cluster=` discovery AND pruning —
+    * a partition filter pushes into every scan of the union. */
+  private def readVectors(spark: SparkSession, path: String, tags: Seq[String]): DataFrame =
+    tags.map(t => spark.read.parquet(L.dataDir(path, "vectors", t))).reduce(_ unionByName _)
+
+  private def commitIndex(spark: SparkSession, path: String, v: Int, tags: Seq[String]): Unit = {
+    val rows = readVectors(spark, path, tags).count()
+    L.commit(spark, path, IndexKind, v,
+      Map("vectors" -> tags), Map("rows" -> rows.toString)): Unit
+  }
+
+  /** Search the persisted index: resolve the snapshot, validate the
+    * physical row count, probe — and read ONLY the probed clusters'
+    * partitions. The probed-cluster union is queries×nprobe ints
+    * (metadata; the documented driver-side collect), pushed as a
+    * partition filter so the scan prunes `cluster=` directories instead
+    * of reading the corpus. Candidate join + exact rescore + bounded
+    * top-k are [[topKWith]]'s stages unchanged. */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 4
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val cs = loadCentroids(spark, s"$path/centroids")
+    val snap = L.current(spark, path, IndexKind)
+    val tags = snap.tables.getOrElse("vectors", Nil)
+    require(tags.nonEmpty, s"IVF index at $path references no vector directories")
+    val vectors = readVectors(spark, path, tags)
+    ArtifactManifest.check(path, "rows", snap.props.getOrElse("rows", "?"),
+      vectors.count().toString)
+    val queryProbes = queries
+      .select(
+        col("vec_id").as("qid"),
+        explode(probeClustersCol(cs, math.min(nprobe, cs.length))).as("cluster")
+      )
+    val probed = queryProbes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // metadata: <= queries x nprobe ints
+    val pruned = vectors.filter(col("cluster").isin(probed: _*))
+    val scored = pruned
+      .join(broadcast(queryProbes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))),
+        Seq("qid")
+      )
+      .withColumn("cosine", expr("cosine_similarity(q_embedding, embedding)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("vid"), col("cosine"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Search against a PREBUILT centroid set (fit or loadCentroids) — the
     * artifact-consuming half of the IVF index split. */
   def topKWith(

@@ -5565,6 +5565,39 @@ object LlmOps {
       .orderBy("qid", "step")
   }
 
+  /** IVF INDEX LIFECYCLE GATE (e18): build the cluster-PARTITIONED
+    * persisted index on ~half the corpus, APPEND the other half against
+    * the frozen coarse quantizer (the FAISS train-once/add-forever
+    * semantics — operators/AnnIvf.appendIndex), search the merged
+    * artifact partition-pruned, and gate recall against the
+    * oracle-verified exact top-k over the FULL corpus (e01). This is the
+    * lifecycle a 100 TB embedding store actually runs: the index is
+    * stored bytes probed at nprobe/nlist cost, not a query-time
+    * assignment of the whole corpus, and every batch lands as one
+    * immutable partitioned directory + one manifest PUT. Approximate by
+    * construction (centroid means are float-order-dependent), so gated
+    * like e05/e07: the oracle pins n_queries and the recall verdict
+    * whose exact side is e01's oracle-green path. nprobe=8 of nlist=16
+    * measures ~0.9+ recall at the oracle tier; gate at 0.6. */
+  val e18 = Q(
+    "e18_ann_ivf_incremental",
+    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+  ) { (s, d) =>
+    val dir = scratchDir("e18", d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val idx = s"$dir/ivf"
+    graft.operators.AnnIvf.buildIndex(s, emb.filter(half), idx, nlist = 16)
+    graft.operators.AnnIvf.appendIndex(s, emb.filter(!half), idx)
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = graft.operators.AnnIvf
+      .searchIndex(s, idx, queries, k = 5, nprobe = 8)
+      .select("qid", "vid")
+    // cached: feeds the hit join and the per-query k counts (e05's note)
+    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
+    recallGate(exact, approx, 0.6)
+  }
+
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid
     * exact top-C with the double-prefilter + exact-decimal re-rank
     * discipline ([[topCCandidates]] — constant-state kth aggregate +
@@ -5601,6 +5634,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29)
 }

@@ -121,4 +121,47 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
     assert(c1.forall(_.length == 64))
   }
+
+  test("persisted index: append-after-train search equals in-plan search over the merged corpus") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(half), path, nlist = 16)
+    AnnIvf.appendIndex(spark, emb.filter(!half), path)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIndex = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    // ground truth: the same centroids (the persisted ones ARE the
+    // frozen quantizer) driving topKWith over the merged frame — the
+    // persisted partitioned layout must change the PLAN, not one row
+    val cs = AnnIvf.loadCentroids(spark, s"$path/centroids")
+    val inPlan = AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == inPlan, "partitioned-artifact search diverged from the in-plan search")
+    Hygiene.release(spark)
+  }
+
+  test("persisted index: probes prune partitions; torn appends are invisible") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf-prune").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb, path, nlist = 16)
+    val queries = emb.filter(col("vec_id") < 3)
+    val plan = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the probed-cluster filter must land as PartitionFilters on the
+    // vector scan — the scan reads nprobe/nlist of the stored bytes
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      s"probe filter did not prune partitions:\n$plan")
+    val committedRows = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 2).count()
+    // CHAOS: a crashed append — data dir fully written, manifest torn —
+    // must not leak into a search (the snapshot-log invisibility rule)
+    emb.limit(50).withColumn("cluster", lit(1))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/data/vectors/append-v99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "manifest.v99"), "junk".getBytes("UTF-8"))
+    assert(AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 2).count() == committedRows,
+      "an uncommitted append leaked into search results")
+    Hygiene.release(spark)
+  }
 }
