@@ -506,6 +506,12 @@ object Graft {
     graft.streaming.EventStream.crawlPipeline(docs, indexPath, gramsPath,
       lmCounts, nllMax, verdictDir, checkpointDir, maintainIndex, unscorable)
 
+  /** Streaming vector ingest into a persisted partitioned IVF index —
+    * crash-safe exactly-once appends against the frozen quantizer. */
+  def ivfIngest(emb: DataFrame, indexPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.ivfIngest(emb, indexPath, checkpointDir)
+
   /** The named query library (oracle-checked operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

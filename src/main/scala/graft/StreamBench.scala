@@ -262,6 +262,20 @@ object StreamBench {
           .start())
     Hygiene.release(spark)
 
+    // ---- IVF vector ingest: streamed appends against the frozen quantizer ----
+    val embAll = Tables.embeddings(spark, docsDir).select("vec_id", "embedding")
+    val embIsBatch = substring(md5(col("vec_id").cast("string")), 1, 1).isin("0", "1")
+    val ivfIdx = s"$base/ivf-idx"
+    graft.operators.AnnIvf.buildIndex(spark, embAll.filter(!embIsBatch), ivfIdx, nlist = 64)
+    val embArrivals = embAll.filter(embIsBatch).withColumn("__s", pmod(col("vec_id"), lit(k)))
+    val embSlices = (0 until k).map(i => embArrivals.filter(col("__s") === i).drop("__s"))
+    val ivfLanding = s"$base/ivf-landing"
+    new java.io.File(ivfLanding).mkdirs()
+    val ivf = drive(spark, embSlices, ivfLanding, landing =>
+      EventStream.ivfIngest(
+        EventStream.readEmbeddings(spark, landing), ivfIdx, s"$base/ivf-ck"))
+    Hygiene.release(spark)
+
     // sustained composed pipeline — the r8 SCALE table's missing cell:
     // continuous arrival against all three gates + the per-batch commit,
     // fresh index for the same reason as idx2
@@ -276,7 +290,7 @@ object StreamBench {
           EventStream.readDocuments(spark, landing, Map("maxFilesPerTrigger" -> "4")),
           idx4, pipeGrams2, lmCounts, 1e9, s"$base/sus-pipe-verdicts", s"$base/sus-pipe-ck"))
 
-    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)},"sustained_pipeline":${fmtSustained(susPipe, susPipeWall)}}""")
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"ivf_ingest":${fmt(ivf, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)},"sustained_pipeline":${fmtSustained(susPipe, susPipeWall)}}""")
     spark.stop()
   }
 }

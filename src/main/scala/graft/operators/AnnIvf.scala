@@ -226,6 +226,41 @@ object AnnIvf {
     commitIndex(spark, path, v, snap.tables.getOrElse("vectors", Nil) :+ tag)
   }
 
+  /** [[appendIndex]] as one micro-batch of a STREAMING vector ingest —
+    * the embedding twin of the dedup loop's ingestBatch protocol, same
+    * three steps: skip if this batchId's `last_batch` marker is already
+    * committed (the previous attempt fully landed; only the stream's
+    * checkpoint advance was lost); otherwise assign against the frozen
+    * quantizer into the idempotent `batch-<id>` directory (a replay
+    * rewrites the same tag) and commit one manifest referencing it with
+    * the marker. A crash before the commit leaves the directory
+    * unreferenced and invisible; after it, the replay skips. Batch ids
+    * are scoped to one stream checkpoint (single-writer), and a fresh
+    * incarnation replaying ids against an existing index is REFUSED
+    * before any write — the requireFreshBatchTag discipline. */
+  def appendIndexBatch(spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
+    val cs = loadCentroids(spark, s"$path/centroids")
+    val snap = L.current(spark, path, IndexKind)
+    if (!snap.props.get("last_batch").contains(batchId.toString)) {
+      val tag = s"batch-$batchId"
+      require(
+        !snap.tables.valuesIterator.exists(_.contains(tag)),
+        s"batch tag '$tag' is already committed in snapshot v${snap.version} of $path: " +
+          "a new stream incarnation (fresh checkpoint) is replaying batch ids " +
+          "against an existing index — resume from the original checkpoint, or " +
+          "point the stream at a fresh index"
+      )
+      batch
+        .localCheckpoint(true) // one source read per batch (the ingestBatch pin)
+        .withColumn("cluster", nearestCentroidCol(cs))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(L.dataDir(path, "vectors", tag))
+      commitIndex(spark, path, L.nextVersion(spark, path),
+        snap.tables.getOrElse("vectors", Nil) :+ tag,
+        Map("last_batch" -> batchId.toString))
+    }
+  }
+
   /** One frame over the referenced vector directories. Each generation
     * is read as its OWN root and unioned: Spark's partition discovery
     * rejects multiple roots whose partitioning starts at different
@@ -236,10 +271,35 @@ object AnnIvf {
   private def readVectors(spark: SparkSession, path: String, tags: Seq[String]): DataFrame =
     tags.map(t => spark.read.parquet(L.dataDir(path, "vectors", t))).reduce(_ unionByName _)
 
-  private def commitIndex(spark: SparkSession, path: String, v: Int, tags: Seq[String]): Unit = {
+  private def commitIndex(
+      spark: SparkSession,
+      path: String,
+      v: Int,
+      tags: Seq[String],
+      extra: Map[String, String] = Map.empty
+  ): Unit = {
     val rows = readVectors(spark, path, tags).count()
+    // carry the stream's replay-skip marker across non-stream commits
+    // (a manual appendIndex/rebuild between micro-batches must not erase
+    // it — the compactDedupIndex carry-forward discipline)
+    val carried =
+      try L.current(spark, path, IndexKind).props.view.filterKeys(_ == "last_batch").toMap
+      catch { case _: Throwable => Map.empty[String, String] }
     L.commit(spark, path, IndexKind, v,
-      Map("vectors" -> tags), Map("rows" -> rows.toString)): Unit
+      Map("vectors" -> tags), carried ++ Map("rows" -> rows.toString) ++ extra): Unit
+  }
+
+  /** Cold-open validation of a persisted index: quantizer artifact,
+    * snapshot resolution, physical row count vs the manifest — the
+    * loadDedupIndex discipline. Stream constructors call this once at
+    * start; per-batch appends trust their own commits. */
+  def validateIndex(spark: SparkSession, path: String): Unit = {
+    loadCentroids(spark, s"$path/centroids"): Unit
+    val snap = L.current(spark, path, IndexKind)
+    val tags = snap.tables.getOrElse("vectors", Nil)
+    require(tags.nonEmpty, s"IVF index at $path references no vector directories")
+    ArtifactManifest.check(path, "rows", snap.props.getOrElse("rows", "?"),
+      readVectors(spark, path, tags).count().toString)
   }
 
   /** Search the persisted index: resolve the snapshot, validate the

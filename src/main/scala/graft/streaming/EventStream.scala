@@ -624,6 +624,33 @@ object EventStream {
       .start()
   }
 
+  /** Streaming vector ingest into a persisted partitioned IVF index —
+    * the embedding twin of [[ingestGuard]]: every arriving
+    * (vec_id, embedding) batch is assigned against the FROZEN coarse
+    * quantizer and appended as one immutable `batch-<id>` partitioned
+    * directory + one manifest commit carrying the replay-skip marker
+    * (AnnIvf.appendIndexBatch — crash-safe under the same snapshot-log
+    * protocol as the dedup loop: a torn append is unreferenced and
+    * invisible, a committed replay is a no-op, a fresh incarnation
+    * replaying ids is refused). Searches against the index pick up each
+    * batch as soon as its manifest commits — a live embedding store
+    * growing under queries. Zero streaming state. */
+  def ivfIngest(
+      emb: DataFrame,
+      indexPath: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // full validation once, at stream start (the ingestGuard rule)
+    graft.operators.AnnIvf.validateIndex(emb.sparkSession, indexPath)
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId)
+      }
+      .start()
+  }
+
   case class DocArrival(doc_id: Long, source: String)
   case class QuotaState(admitted: Long)
   case class QuotaVerdict(doc_id: Long, source: String, admitted: Boolean)

@@ -872,6 +872,51 @@ class EventStreamSpec extends AnyFunSuite {
     assert(h4.count() === compacted, "no append on committed replay after compaction")
   }
 
+  test("ivfIngest: streamed appends land exactly-once; search equals the in-plan merged search") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.AnnIvf
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val base = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    val idx = s"$base/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(half), idx, nlist = 16)
+    val arriving = emb.filter(!half)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.ivfIngest(src.toDF().toDF("vec_id", "embedding"), idx, s"$base/ck")
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      // mid-stream search already sees batch 0 (commit = visibility)
+      val qs = emb.filter(col("vec_id") < 3)
+      assert(AnnIvf.searchIndex(spark, idx, qs, k = 3, nprobe = 4).count() > 0)
+      src.addData(b2: _*); q.processAllAvailable()
+      q.processAllAvailable() // idle drain: no spurious re-append
+    } finally q.stop()
+    // the index now holds every vector exactly once (validateIndex
+    // recounts physical rows against the manifest)
+    AnnIvf.validateIndex(spark, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIndex = AnnIvf.searchIndex(spark, idx, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val cs = AnnIvf.loadCentroids(spark, s"$idx/centroids")
+    val inPlan = AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == inPlan, "streamed index diverged from the in-plan merged search")
+    // a committed replay is a no-op (direct protocol call, same batch id)
+    val before = spark.read.parquet(s"$idx/data/vectors/batch-1").count()
+    AnnIvf.appendIndexBatch(spark, b2.toDF("vec_id", "embedding"), idx, 1L)
+    assert(spark.read.parquet(s"$idx/data/vectors/batch-1").count() == before)
+    // a fresh incarnation replaying ids is refused
+    val ex = intercept[IllegalArgumentException] {
+      AnnIvf.appendIndexBatch(spark, b1.toDF("vec_id", "embedding"), idx, 0L)
+    }
+    assert(ex.getMessage.contains("batch-0"))
+    Hygiene.release(spark)
+  }
+
   test("gram refresh: an in-flight crawlPipeline picks up the rebuilt artifact at the next batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
