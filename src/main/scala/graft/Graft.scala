@@ -238,6 +238,12 @@ object Graft {
       k: Int = 5, nprobe: Int = 4): DataFrame =
     graft.operators.AnnIvf.searchIndex(spark, path, queries, k, nprobe)
 
+  /** Re-train + rewrite the index over its current stored vectors — the
+    * drift-cadence compaction analog; quantizer and assignments flip in
+    * one commit, the replay-skip marker carries through. */
+  def annIvfRebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit =
+    graft.operators.AnnIvf.rebuildIndex(spark, path, nlist)
+
   def annIvfSaveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit =
     graft.operators.AnnIvf.saveCentroids(spark, cs, path)
   def annIvfLoadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =

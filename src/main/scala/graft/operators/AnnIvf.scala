@@ -184,25 +184,41 @@ object AnnIvf {
     * query-time projection: a probe becomes a PARTITION-PRUNED scan of
     * `nprobe/nlist` of the stored bytes (the scan's PartitionFilters —
     * spec-pinned), where [[topKWith]] must scan and assign the whole
-    * corpus per search. Layout: `<path>/centroids` (the frozen coarse
-    * quantizer, ArtifactManifest-validated) + snapshot-versioned
-    * `vectors` data dirs, each internally partitioned by `cluster=N`
-    * subdirectories. The manifest carries the physical row count — a
-    * lost partition directory fails the search-time load loudly. */
+    * corpus per search. Layout: snapshot-versioned `centroids` and
+    * `vectors` data dirs, the latter internally partitioned by
+    * `cluster=N` subdirectories. The quantizer is INSIDE the snapshot —
+    * one manifest references the centroid generation AND the vector
+    * directories assigned under it, so a crash mid-rebuild can never
+    * publish a new quantizer beside old assignments (cluster ids that
+    * mean different things would silently mis-probe; with the shared
+    * commit point either both flip or neither). The manifest carries
+    * the physical row count — a lost partition directory fails the
+    * search-time load loudly. */
   def buildIndex(spark: SparkSession, emb: DataFrame, path: String, nlist: Int = 16): Unit = {
     val cs = centroids(spark, emb, nlist)
-    saveCentroids(spark, cs, s"$path/centroids")
     val v = L.nextVersion(spark, path)
-    val tag = s"base-v$v"
+    val ctag = s"centroids-v$v"
+    val vtag = s"base-v$v"
+    saveCentroids(spark, cs, L.dataDir(path, "centroids", ctag))
     emb
       .withColumn("cluster", nearestCentroidCol(cs))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(L.dataDir(path, "vectors", tag))
-    commitIndex(spark, path, v, Seq(tag))
+      .parquet(L.dataDir(path, "vectors", vtag))
+    commitIndex(spark, path, v, Map("vectors" -> Seq(vtag), "centroids" -> Seq(ctag)))
     // a REBUILD (re-train on drifted data) supersedes every prior
     // generation; retire it on the spot (raise `retain` via a manual gc
     // call when concurrent readers need a grace window)
     L.gc(spark, path, IndexKind)
+  }
+
+  /** The index's frozen coarse quantizer, resolved THROUGH the current
+    * snapshot (the centroid generation the stored assignments were made
+    * under — never a free-floating artifact). */
+  def indexCentroids(spark: SparkSession, path: String): Seq[Array[Double]] = {
+    val snap = L.current(spark, path, IndexKind)
+    val dirs = snap.dirs(path, "centroids")
+    require(dirs.nonEmpty, s"IVF index at $path references no centroid generation")
+    loadCentroids(spark, dirs.head)
   }
 
   /** Append a batch against the FROZEN coarse quantizer — the standard
@@ -215,15 +231,36 @@ object AnnIvf {
     * analog, on the deployment's drift cadence). A torn append is
     * unreferenced and invisible — the ingestBatch crash discipline. */
   def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    val cs = loadCentroids(spark, s"$path/centroids")
     val snap = L.current(spark, path, IndexKind)
+    val cs = loadCentroids(spark, snap.dirs(path, "centroids").head)
     val v = L.nextVersion(spark, path)
     val tag = s"append-v$v"
     batch
       .withColumn("cluster", nearestCentroidCol(cs))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(L.dataDir(path, "vectors", tag))
-    commitIndex(spark, path, v, snap.tables.getOrElse("vectors", Nil) :+ tag)
+    commitIndex(spark, path, v,
+      snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)))
+  }
+
+  /** Re-train + rewrite the index over its CURRENT stored vectors — the
+    * compaction analog for IVF (run on the deployment's drift cadence:
+    * appends against a frozen quantizer degrade recall as the data
+    * distribution walks away from the trained centroids; FAISS re-trains
+    * for the same reason). Collapses N append directories into one fresh
+    * generation under new centroids and retires the old through GC. Safe
+    * without a lineage cut: the rewrite READS the old directories and
+    * WRITES a new one — disjoint paths — and deletion (gc) is ordered
+    * after the commit, so no read ever races a delete. The `last_batch`
+    * marker rides through (commitIndex's carry), so a rebuild BETWEEN
+    * micro-batches cannot turn a stream's committed replay into a
+    * double-append — the compactDedupIndex lesson applied here. */
+  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit = {
+    val snap = L.current(spark, path, IndexKind)
+    val tags = snap.tables.getOrElse("vectors", Nil)
+    require(tags.nonEmpty, s"IVF index at $path references no vector directories")
+    val vectors = readVectors(spark, path, tags).select("vec_id", "embedding")
+    buildIndex(spark, vectors, path, nlist)
   }
 
   /** [[appendIndex]] as one micro-batch of a STREAMING vector ingest —
@@ -239,8 +276,8 @@ object AnnIvf {
     * incarnation replaying ids against an existing index is REFUSED
     * before any write — the requireFreshBatchTag discipline. */
   def appendIndexBatch(spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
-    val cs = loadCentroids(spark, s"$path/centroids")
     val snap = L.current(spark, path, IndexKind)
+    val cs = loadCentroids(spark, snap.dirs(path, "centroids").head)
     if (!snap.props.get("last_batch").contains(batchId.toString)) {
       val tag = s"batch-$batchId"
       require(
@@ -256,7 +293,7 @@ object AnnIvf {
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
       commitIndex(spark, path, L.nextVersion(spark, path),
-        snap.tables.getOrElse("vectors", Nil) :+ tag,
+        snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
         Map("last_batch" -> batchId.toString))
     }
   }
@@ -275,10 +312,10 @@ object AnnIvf {
       spark: SparkSession,
       path: String,
       v: Int,
-      tags: Seq[String],
+      tables: Map[String, Seq[String]],
       extra: Map[String, String] = Map.empty
   ): Unit = {
-    val rows = readVectors(spark, path, tags).count()
+    val rows = readVectors(spark, path, tables.getOrElse("vectors", Nil)).count()
     // carry the stream's replay-skip marker across non-stream commits
     // (a manual appendIndex/rebuild between micro-batches must not erase
     // it — the compactDedupIndex carry-forward discipline)
@@ -286,7 +323,7 @@ object AnnIvf {
       try L.current(spark, path, IndexKind).props.view.filterKeys(_ == "last_batch").toMap
       catch { case _: Throwable => Map.empty[String, String] }
     L.commit(spark, path, IndexKind, v,
-      Map("vectors" -> tags), carried ++ Map("rows" -> rows.toString) ++ extra): Unit
+      tables, carried ++ Map("rows" -> rows.toString) ++ extra): Unit
   }
 
   /** Cold-open validation of a persisted index: quantizer artifact,
@@ -294,8 +331,10 @@ object AnnIvf {
     * loadDedupIndex discipline. Stream constructors call this once at
     * start; per-batch appends trust their own commits. */
   def validateIndex(spark: SparkSession, path: String): Unit = {
-    loadCentroids(spark, s"$path/centroids"): Unit
     val snap = L.current(spark, path, IndexKind)
+    val cdirs = snap.dirs(path, "centroids")
+    require(cdirs.nonEmpty, s"IVF index at $path references no centroid generation")
+    loadCentroids(spark, cdirs.head): Unit
     val tags = snap.tables.getOrElse("vectors", Nil)
     require(tags.nonEmpty, s"IVF index at $path references no vector directories")
     ArtifactManifest.check(path, "rows", snap.props.getOrElse("rows", "?"),
@@ -317,8 +356,10 @@ object AnnIvf {
       nprobe: Int = 4
   ): DataFrame = {
     VectorFunctions.register(spark)
-    val cs = loadCentroids(spark, s"$path/centroids")
     val snap = L.current(spark, path, IndexKind)
+    val cdirs = snap.dirs(path, "centroids")
+    require(cdirs.nonEmpty, s"IVF index at $path references no centroid generation")
+    val cs = loadCentroids(spark, cdirs.head)
     val tags = snap.tables.getOrElse("vectors", Nil)
     require(tags.nonEmpty, s"IVF index at $path references no vector directories")
     val vectors = readVectors(spark, path, tags)

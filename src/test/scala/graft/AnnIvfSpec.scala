@@ -134,7 +134,7 @@ class AnnIvfSpec extends AnyFunSuite {
     // ground truth: the same centroids (the persisted ones ARE the
     // frozen quantizer) driving topKWith over the merged frame — the
     // persisted partitioned layout must change the PLAN, not one row
-    val cs = AnnIvf.loadCentroids(spark, s"$path/centroids")
+    val cs = AnnIvf.indexCentroids(spark, path)
     val inPlan = AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
       .collect().map(_.toSeq).toSeq
     assert(fromIndex == inPlan, "partitioned-artifact search diverged from the in-plan search")
@@ -162,6 +162,49 @@ class AnnIvfSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path, "manifest.v99"), "junk".getBytes("UTF-8"))
     assert(AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 2).count() == committedRows,
       "an uncommitted append leaked into search results")
+    Hygiene.release(spark)
+  }
+
+  test("rebuild re-trains atomically: quantizer and assignments flip together or not at all") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val path = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(half), path, nlist = 16)
+    AnnIvf.appendIndex(spark, emb.filter(!half), path)
+    val queries = emb.filter(col("vec_id") < 5)
+    val before = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    // CHAOS: a crashed rebuild — NEW centroid generation and NEW vector
+    // directory fully written, manifest torn. The quantizer lives inside
+    // the snapshot, so the search must keep serving the OLD consistent
+    // (centroids, assignments) pair — a free-floating centroid artifact
+    // would already have flipped here and silently mis-probed
+    val csNew = AnnIvf.fit(spark, emb, nlist = 8)
+    AnnIvf.saveCentroids(spark, csNew,
+      s"$path/data/centroids/centroids-v99")
+    emb.limit(40).withColumn("cluster", lit(0))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/data/vectors/base-v99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "manifest.v99"), "junk".getBytes("UTF-8"))
+    val served = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(served == before, "a torn rebuild changed search results")
+    // the real rebuild: re-train at nlist=8 over the stored vectors,
+    // retire the old generation, stay row-identical to the in-plan
+    // search under the NEW quantizer
+    AnnIvf.rebuildIndex(spark, path, nlist = 8)
+    AnnIvf.validateIndex(spark, path)
+    val cs = AnnIvf.indexCentroids(spark, path)
+    assert(cs.size == 8, "rebuild did not re-train the quantizer")
+    val after = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val inPlan = AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(after == inPlan, "rebuilt index diverged from the in-plan search")
+    val vdirs = new java.io.File(s"$path/data/vectors").listFiles().map(_.getName).toSet
+    assert(vdirs.size == 1 && vdirs.head.startsWith("base-v"),
+      s"rebuild left stale vector generations: $vdirs")
     Hygiene.release(spark)
   }
 }

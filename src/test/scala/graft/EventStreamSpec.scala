@@ -901,7 +901,7 @@ class EventStreamSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val fromIndex = AnnIvf.searchIndex(spark, idx, queries, k = 5, nprobe = 4)
       .collect().map(_.toSeq).toSeq
-    val cs = AnnIvf.loadCentroids(spark, s"$idx/centroids")
+    val cs = AnnIvf.indexCentroids(spark, idx)
     val inPlan = AnnIvf.topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
       .collect().map(_.toSeq).toSeq
     assert(fromIndex == inPlan, "streamed index diverged from the in-plan merged search")
@@ -914,6 +914,16 @@ class EventStreamSpec extends AnyFunSuite {
       AnnIvf.appendIndexBatch(spark, b1.toDF("vec_id", "embedding"), idx, 0L)
     }
     assert(ex.getMessage.contains("batch-0"))
+    // a REBUILD between micro-batches carries the replay-skip marker —
+    // a committed batch's replay after the rebuild is still a no-op
+    // (the compactDedupIndex carry-forward lesson, IVF edition)
+    AnnIvf.rebuildIndex(spark, idx, nlist = 16)
+    def vectorDirs() = new java.io.File(s"$idx/data/vectors").listFiles().map(_.getName).toSet
+    val rebuilt = vectorDirs()
+    assert(rebuilt.size == 1, s"rebuild left stale generations: $rebuilt")
+    AnnIvf.appendIndexBatch(spark, b2.toDF("vec_id", "embedding"), idx, 1L)
+    assert(vectorDirs() == rebuilt,
+      "rebuild erased the stream's replay-skip evidence (batch re-appended)")
     Hygiene.release(spark)
   }
 
