@@ -263,6 +263,38 @@ object AnnIvf {
     buildIndex(spark, vectors, path, nlist)
   }
 
+  /** Writer-side cross-batch cache for the streaming vector ingest —
+    * the LlmOps.DedupIndexHandle discipline applied to the IVF loop:
+    * one directory listing per batch as the staleness probe (catching a
+    * between-batches [[rebuildIndex]], whose new quantizer MUST be
+    * picked up), otherwise the cached snapshot and — crucially — the
+    * already-collected centroid matrix are reused: an append never
+    * changes the quantizer, so the post-commit update keeps the loaded
+    * centroids and only advances the snapshot. Dies with its stream
+    * incarnation; recovery re-resolves from disk. */
+  final class IngestHandle(path: String) {
+    import SnapshotLog.Snapshot
+    private var cached: Option[(Int, Snapshot, Seq[Array[Double]])] = None
+    private var probed: Int = 0
+    def resolve(spark: SparkSession): (Snapshot, Seq[Array[Double]]) = synchronized {
+      probed = L.latestVersion(spark, path)
+      cached match {
+        case Some((v, sn, cs)) if v == probed => (sn, cs)
+        case _ =>
+          val sn = L.current(spark, path, IndexKind)
+          val cdirs = sn.dirs(path, "centroids")
+          require(cdirs.nonEmpty, s"IVF index at $path references no centroid generation")
+          val cs = loadCentroids(spark, cdirs.head)
+          cached = Some((probed, sn, cs))
+          (sn, cs)
+      }
+    }
+    def nextVersionFromProbe: Int = synchronized { probed + 1 }
+    def committed(sn: Snapshot): Unit = synchronized {
+      cached = cached.map { case (_, _, cs) => (sn.version, sn, cs) }
+    }
+  }
+
   /** [[appendIndex]] as one micro-batch of a STREAMING vector ingest —
     * the embedding twin of the dedup loop's ingestBatch protocol, same
     * three steps: skip if this batchId's `last_batch` marker is already
@@ -274,10 +306,22 @@ object AnnIvf {
     * unreferenced and invisible; after it, the replay skips. Batch ids
     * are scoped to one stream checkpoint (single-writer), and a fresh
     * incarnation replaying ids against an existing index is REFUSED
-    * before any write — the requireFreshBatchTag discipline. */
-  def appendIndexBatch(spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
-    val snap = L.current(spark, path, IndexKind)
-    val cs = loadCentroids(spark, snap.dirs(path, "centroids").head)
+    * before any write — the requireFreshBatchTag discipline. Through a
+    * `handle` the per-batch manifest reads and the centroid re-collect
+    * collapse to one directory listing (the r9 floor-trim discipline). */
+  def appendIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      handle: Option[IngestHandle] = None
+  ): Unit = {
+    val (snap, cs) = handle match {
+      case Some(h) => h.resolve(spark)
+      case None =>
+        val sn = L.current(spark, path, IndexKind)
+        (sn, loadCentroids(spark, sn.dirs(path, "centroids").head))
+    }
     if (!snap.props.get("last_batch").contains(batchId.toString)) {
       val tag = s"batch-$batchId"
       require(
@@ -292,9 +336,11 @@ object AnnIvf {
         .withColumn("cluster", nearestCentroidCol(cs))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
-      commitIndex(spark, path, L.nextVersion(spark, path),
+      val newSnap = commitIndex(spark, path,
+        handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(spark, path)),
         snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
-        Map("last_batch" -> batchId.toString))
+        Map("last_batch" -> batchId.toString), resolved = Some(snap))
+      handle.foreach(_.committed(newSnap))
     }
   }
 
@@ -313,17 +359,22 @@ object AnnIvf {
       path: String,
       v: Int,
       tables: Map[String, Seq[String]],
-      extra: Map[String, String] = Map.empty
-  ): Unit = {
+      extra: Map[String, String] = Map.empty,
+      resolved: Option[SnapshotLog.Snapshot] = None
+  ): SnapshotLog.Snapshot = {
     val rows = readVectors(spark, path, tables.getOrElse("vectors", Nil)).count()
     // carry the stream's replay-skip marker across non-stream commits
     // (a manual appendIndex/rebuild between micro-batches must not erase
-    // it — the compactDedupIndex carry-forward discipline)
-    val carried =
-      try L.current(spark, path, IndexKind).props.view.filterKeys(_ == "last_batch").toMap
-      catch { case _: Throwable => Map.empty[String, String] }
+    // it — the compactDedupIndex carry-forward discipline); the per-batch
+    // path hands in its already-resolved snapshot
+    val carried = resolved
+      .map(_.props.view.filterKeys(_ == "last_batch").toMap)
+      .getOrElse(
+        try L.current(spark, path, IndexKind).props.view.filterKeys(_ == "last_batch").toMap
+        catch { case _: Throwable => Map.empty[String, String] }
+      )
     L.commit(spark, path, IndexKind, v,
-      tables, carried ++ Map("rows" -> rows.toString) ++ extra): Unit
+      tables, carried ++ Map("rows" -> rows.toString) ++ extra)
   }
 
   /** Cold-open validation of a persisted index: quantizer artifact,

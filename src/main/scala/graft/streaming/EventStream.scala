@@ -642,11 +642,13 @@ object EventStream {
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     // full validation once, at stream start (the ingestGuard rule)
     graft.operators.AnnIvf.validateIndex(emb.sparkSession, indexPath)
+    // cross-batch snapshot + centroid reuse (the r9 floor-trim discipline)
+    val handle = Some(new graft.operators.AnnIvf.IngestHandle(indexPath))
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId)
+        graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId, handle)
       }
       .start()
   }
