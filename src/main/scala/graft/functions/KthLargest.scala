@@ -30,7 +30,15 @@ import org.apache.spark.sql.functions.udaf
 final case class KthBuf(var n: Int, var heap: Array[Double])
 
 /** Boxed input so a NULL aborts nothing: NULLs are skipped, the verdict
-  * aggregates (min/max/percentile) all do the same. */
+  * aggregates (min/max/percentile) all do the same. NaN scores are
+  * skipped too: the heap's raw `<`/`>` comparisons are undefined under
+  * NaN (every comparison is false, so a NaN admitted while the heap is
+  * under-full would corrupt the sift invariants and could displace valid
+  * values). Spark's window ordering ranks NaN greater than every double;
+  * here a NaN cosine can only come from a degenerate (NaN-poisoned)
+  * embedding, and "a meaningless score outranks every real one" is the
+  * wrong semantic for a top-k prefilter — exclusion is deliberate, and
+  * [[TopKVids]] documents the same choice. */
 class KthLargest(k: Int)
     extends Aggregator[java.lang.Double, KthBuf, java.lang.Double] {
   require(k > 0, s"k must be positive, got $k")
@@ -76,7 +84,7 @@ class KthLargest(k: Int)
   }
 
   override def reduce(b: KthBuf, a: java.lang.Double): KthBuf =
-    if (a == null) b else add(b, a.doubleValue)
+    if (a == null || a.isNaN) b else add(b, a.doubleValue)
 
   override def merge(x: KthBuf, y: KthBuf): KthBuf = {
     var i = 0
@@ -116,7 +124,13 @@ final case class TopVids(vids: Seq[Long])
   *
   * Ordering: highest score first, ties broken by SMALLEST vid — total,
   * so the result is deterministic. Ascending (distance) rankings ride
-  * score negation, like the kth kernel. NULL scores are skipped. For
+  * score negation, like the kth kernel. NULL and NaN scores are skipped:
+  * `worse`'s raw `<`/`==` is undefined under NaN (a NaN admitted while
+  * the heap is under-full breaks the sift invariants and can displace
+  * valid pairs). This deliberately diverges from the row_number window
+  * it replaces — Spark ranks NaN greater than every double — because a
+  * NaN score only arises from a NaN-poisoned embedding and must not
+  * outrank real neighbors; [[KthLargest]] makes the same choice. For
   * integral scores cast to double the ranking is exact while |score| <
   * 2^53 (beyond it, sub-ulp ties fall to the vid tiebreak — document the
   * bound at the call site, as e12 does).
@@ -173,7 +187,8 @@ class TopKVids(k: Int)
   }
 
   override def reduce(b: TopKVidsBuf, a: (java.lang.Double, java.lang.Long)): TopKVidsBuf =
-    if (a._1 == null || a._2 == null) b else add(b, a._1.doubleValue, a._2.longValue)
+    if (a._1 == null || a._2 == null || a._1.isNaN) b
+    else add(b, a._1.doubleValue, a._2.longValue)
 
   override def merge(x: TopKVidsBuf, y: TopKVidsBuf): TopKVidsBuf = {
     var i = 0

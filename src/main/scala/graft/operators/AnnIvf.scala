@@ -193,8 +193,24 @@ object AnnIvf {
     * mean different things would silently mis-probe; with the shared
     * commit point either both flip or neither). The manifest carries
     * the physical row count — a lost partition directory fails the
-    * search-time load loudly. */
-  def buildIndex(spark: SparkSession, emb: DataFrame, path: String, nlist: Int = 16): Unit = {
+    * search-time load loudly.
+    *
+    * `retain` is the GC grace window for concurrent readers: a rebuild
+    * supersedes every prior generation, and `retain = 1` (single-reader
+    * default) deletes the superseded directories at the commit — a
+    * search that resolved the pre-rebuild snapshot (the live-store shape
+    * [[graft.streaming.EventStream.ivfIngest]] advertises) would then
+    * fail mid-read. A multi-reader deployment passes `retain > 1` so the
+    * previous `retain - 1` generations stay on disk until the NEXT
+    * rebuilds retire them — the refreshGrams discipline; sizing guidance
+    * lives on [[SnapshotLog.gc]]. */
+  def buildIndex(
+      spark: SparkSession,
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      retain: Int = 1
+  ): Unit = {
     val cs = centroids(spark, emb, nlist)
     val v = L.nextVersion(spark, path)
     val ctag = s"centroids-v$v"
@@ -206,9 +222,9 @@ object AnnIvf {
       .parquet(L.dataDir(path, "vectors", vtag))
     commitIndex(spark, path, v, Map("vectors" -> Seq(vtag), "centroids" -> Seq(ctag)))
     // a REBUILD (re-train on drifted data) supersedes every prior
-    // generation; retire it on the spot (raise `retain` via a manual gc
-    // call when concurrent readers need a grace window)
-    L.gc(spark, path, IndexKind)
+    // generation; retire all but the newest `retain` snapshots' dirs on
+    // the spot — the caller-supplied grace window, never after the fact
+    L.gc(spark, path, IndexKind, retain)
   }
 
   /** The index's frozen coarse quantizer, resolved THROUGH the current
@@ -239,8 +255,11 @@ object AnnIvf {
       .withColumn("cluster", nearestCentroidCol(cs))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(L.dataDir(path, "vectors", tag))
+    // count ONLY the new directory's footers — the commit carries the total
+    val added = spark.read.parquet(L.dataDir(path, "vectors", tag)).count()
     commitIndex(spark, path, v,
-      snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)))
+      snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
+      resolved = Some(snap), addedRows = Some(added))
   }
 
   /** Re-train + rewrite the index over its CURRENT stored vectors — the
@@ -254,13 +273,54 @@ object AnnIvf {
     * after the commit, so no read ever races a delete. The `last_batch`
     * marker rides through (commitIndex's carry), so a rebuild BETWEEN
     * micro-batches cannot turn a stream's committed replay into a
-    * double-append — the compactDedupIndex lesson applied here. */
-  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit = {
+    * double-append — the compactDedupIndex lesson applied here.
+    * `retain` is [[buildIndex]]'s reader grace window, threaded through. */
+  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 16, retain: Int = 1): Unit = {
     val snap = L.current(spark, path, IndexKind)
     val tags = snap.tables.getOrElse("vectors", Nil)
     require(tags.nonEmpty, s"IVF index at $path references no vector directories")
     val vectors = readVectors(spark, path, tags).select("vec_id", "embedding")
-    buildIndex(spark, vectors, path, nlist)
+    buildIndex(spark, vectors, path, nlist, retain)
+  }
+
+  /** Collapse the appended vector generations into ONE fresh directory
+    * under the UNCHANGED quantizer — the small-file bound between
+    * rebuilds. Every streamed batch lands as its own `cluster=`-
+    * partitioned directory, so after B batches the store holds B × nlist
+    * files and every reader (and [[searchIndex]]'s footer validation)
+    * pays O(B): batch-constant per commit, but unbounded until a
+    * rebuild. A rebuild re-trains — the wrong (and far more expensive)
+    * tool when the data distribution has NOT drifted; this is the
+    * compactDedupIndex twin: rewrite the union of the referenced vector
+    * directories into one `compact-v<N>` dir (assignments preserved
+    * verbatim — the quantizer, and therefore every cluster id, is
+    * untouched, so search results are byte-identical across the commit),
+    * point the new manifest at it, GC the superseded dirs. Staged by
+    * construction on the snapshot log: the rewrite reads old paths and
+    * writes a new one, the manifest is the atomic flip, and deletion is
+    * ordered after it. The `last_batch` marker rides through commitIndex's
+    * carry, so compaction between micro-batches cannot un-commit a
+    * stream's replay skip. The commit takes the FULL physical recount
+    * (`addedRows = None`) — compaction is the reconciliation point the
+    * incremental counters are audited against, and it already pays an
+    * O(store) rewrite. Run on a cadence knob (see
+    * [[graft.streaming.EventStream.ivfIngest]]'s `compactEvery`), not per
+    * batch. `retain` is the concurrent-reader grace window, as on
+    * [[buildIndex]]. No-op when the store already holds one generation. */
+  def compactIndex(spark: SparkSession, path: String, retain: Int = 1): Unit = {
+    val snap = L.current(spark, path, IndexKind)
+    val tags = snap.tables.getOrElse("vectors", Nil)
+    require(tags.nonEmpty, s"IVF index at $path references no vector directories")
+    if (tags.length > 1) {
+      val v = L.nextVersion(spark, path)
+      val tag = s"compact-v$v"
+      readVectors(spark, path, tags)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(L.dataDir(path, "vectors", tag))
+      commitIndex(spark, path, v,
+        snap.tables + ("vectors" -> Seq(tag)), resolved = Some(snap))
+      L.gc(spark, path, IndexKind, retain)
+    }
   }
 
   /** Writer-side cross-batch cache for the streaming vector ingest —
@@ -324,6 +384,19 @@ object AnnIvf {
     }
     if (!snap.props.get("last_batch").contains(batchId.toString)) {
       val tag = s"batch-$batchId"
+      // ids within one checkpoint are monotonic and every batch commit
+      // advances the marker, so an id below it is a fresh incarnation
+      // even when its tag has since been compacted away — the
+      // requireMonotonicBatchId discipline from the dedup loop
+      snap.props.get("last_batch").map(_.toLong).foreach { hw =>
+        require(
+          batchId > hw,
+          s"batch id $batchId is below the committed high-water mark $hw of $path: " +
+            "a new stream incarnation (fresh checkpoint) is replaying batch ids " +
+            "against an existing index — resume from the original checkpoint, or " +
+            "point the stream at a fresh index"
+        )
+      }
       require(
         !snap.tables.valuesIterator.exists(_.contains(tag)),
         s"batch tag '$tag' is already committed in snapshot v${snap.version} of $path: " +
@@ -331,15 +404,18 @@ object AnnIvf {
           "against an existing index — resume from the original checkpoint, or " +
           "point the stream at a fresh index"
       )
-      batch
-        .localCheckpoint(true) // one source read per batch (the ingestBatch pin)
+      val pinned = batch.localCheckpoint(true) // one source read per batch (the ingestBatch pin)
+      pinned
         .withColumn("cluster", nearestCentroidCol(cs))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
       val newSnap = commitIndex(spark, path,
         handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(spark, path)),
         snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
-        Map("last_batch" -> batchId.toString), resolved = Some(snap))
+        Map("last_batch" -> batchId.toString), resolved = Some(snap),
+        // the pinned batch's count IS the written dir's count (deterministic
+        // write), and counting the checkpoint blocks costs no file reads
+        addedRows = Some(pinned.count()))
       handle.foreach(_.committed(newSnap))
     }
   }
@@ -354,25 +430,40 @@ object AnnIvf {
   private def readVectors(spark: SparkSession, path: String, tags: Seq[String]): DataFrame =
     tags.map(t => spark.read.parquet(L.dataDir(path, "vectors", t))).reduce(_ unionByName _)
 
+  /** One manifest PUT. The `rows` prop is maintained INCREMENTALLY when
+    * the caller knows its delta (`addedRows`): an append's commit then
+    * costs `prior + added` — two longs — where the old form re-counted
+    * parquet footers across EVERY referenced vector directory, an
+    * O(generations-since-rebuild) walk that made the per-batch ingest
+    * floor creep one generation per batch (the measured ~3.0→3.9 s drift
+    * the r9 soak recorded). Full physical recounts remain exactly where
+    * reconciliation belongs: bootstrap/rebuild (fresh single-generation
+    * store, `addedRows = None`) and [[validateIndex]]'s cold open —
+    * the dedup loop's carried-props discipline applied to counts. */
   private def commitIndex(
       spark: SparkSession,
       path: String,
       v: Int,
       tables: Map[String, Seq[String]],
       extra: Map[String, String] = Map.empty,
-      resolved: Option[SnapshotLog.Snapshot] = None
+      resolved: Option[SnapshotLog.Snapshot] = None,
+      addedRows: Option[Long] = None
   ): SnapshotLog.Snapshot = {
-    val rows = readVectors(spark, path, tables.getOrElse("vectors", Nil)).count()
     // carry the stream's replay-skip marker across non-stream commits
     // (a manual appendIndex/rebuild between micro-batches must not erase
     // it — the compactDedupIndex carry-forward discipline); the per-batch
     // path hands in its already-resolved snapshot
-    val carried = resolved
-      .map(_.props.view.filterKeys(_ == "last_batch").toMap)
+    val priorProps = resolved
+      .map(_.props)
       .getOrElse(
-        try L.current(spark, path, IndexKind).props.view.filterKeys(_ == "last_batch").toMap
+        try L.current(spark, path, IndexKind).props
         catch { case _: Throwable => Map.empty[String, String] }
       )
+    val carried = priorProps.view.filterKeys(_ == "last_batch").toMap
+    val rows = addedRows match {
+      case Some(a) if priorProps.contains("rows") => priorProps("rows").toLong + a
+      case _ => readVectors(spark, path, tables.getOrElse("vectors", Nil)).count()
+    }
     L.commit(spark, path, IndexKind, v,
       tables, carried ++ Map("rows" -> rows.toString) ++ extra)
   }

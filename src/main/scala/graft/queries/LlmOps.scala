@@ -1202,12 +1202,17 @@ object LlmOps {
         val (h, b) = trustedFrames(s, indexPath, sn)
         (sn, h, b)
     }
-    val committed = snap.props.get("last_batch").contains(batchId.toString)
+    val committed =
+      if (maintainIndex) snap.props.get("last_batch").contains(batchId.toString)
+      else !ledgerAdmits(s, verdictDir, batchId) // verdict-only: the _ledger governs
     if (!committed) {
       val tag = s"batch-$batchId"
       // BEFORE the verdict write: the doomed batch must not stomp the
       // original incarnation's verdict partition on its way to the refusal
-      if (maintainIndex) requireFreshBatchTag(snap, tag, indexPath)
+      if (maintainIndex) {
+        requireMonotonicBatchId(snap, batchId, indexPath)
+        requireFreshBatchTag(snap, tag, indexPath)
+      }
       // pin the arrivals ONCE: the verdict plan reads the batch three
       // times (fingerprint + exact-hash join + final attach) and the
       // admitted path twice more (existence probe + materialization) —
@@ -1237,7 +1242,7 @@ object LlmOps {
           handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(s, indexPath)),
           tables, Map("last_batch" -> batchId.toString), resolved = Some(snap))
         handle.foreach(_.committed(s, newSnap))
-      }
+      } else ledgerCommit(s, verdictDir, batchId)
     }
   }
 
@@ -1315,11 +1320,16 @@ object LlmOps {
         val (h, b) = trustedFrames(s, indexPath, sn)
         (sn, h, b)
     }
-    val committed = snap.props.get("last_batch").contains(batchId.toString)
+    val committed =
+      if (maintainIndex) snap.props.get("last_batch").contains(batchId.toString)
+      else !ledgerAdmits(s, verdictDir, batchId) // verdict-only: the _ledger governs
     if (!committed) {
       val tag = s"batch-$batchId"
       // BEFORE the verdict write — the ingestBatch discipline
-      if (maintainIndex) requireFreshBatchTag(snap, tag, indexPath)
+      if (maintainIndex) {
+        requireMonotonicBatchId(snap, batchId, indexPath)
+        requireFreshBatchTag(snap, tag, indexPath)
+      }
       val arrivals = batch.localCheckpoint(true) // ingestBatch's source-amplification pin
       val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
       val contamV = contaminationAgainst(arrivals, trainGrams)
@@ -1379,7 +1389,7 @@ object LlmOps {
           handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(s, indexPath)),
           tables, Map("last_batch" -> batchId.toString), resolved = Some(snap))
         handle.foreach(_.committed(s, newSnap))
-      }
+      } else ledgerCommit(s, verdictDir, batchId)
     }
   }
 
@@ -1407,6 +1417,81 @@ object LlmOps {
         "batch ids against an existing index — resume from the original " +
         "checkpoint, or point the stream at a fresh index"
     )
+
+  /** The tag refusal's blind spot: a committed batch that admitted ZERO
+    * rows leaves no `batch-<id>` tag in any manifest (ingestBatch commits
+    * only the marker), so [[requireFreshBatchTag]] waves a fresh
+    * incarnation's replay of that id through and its `mode(overwrite)`
+    * silently stomps the original incarnation's verdict partition. But
+    * batch ids within one checkpoint are MONOTONIC, and every committed
+    * batch — empty or not — advances the manifest's `last_batch`
+    * high-water mark; so an incoming id BELOW the mark can only be a
+    * second writer or a checkpoint reset (a genuine replay is always of
+    * the marker batch itself, which the committed-skip already caught).
+    * Refuse before any write — the same discipline, id-shaped. */
+  private def requireMonotonicBatchId(
+      snap: graft.operators.SnapshotLog.Snapshot,
+      batchId: Long,
+      indexPath: String
+  ): Unit =
+    snap.props.get("last_batch").map(_.toLong).foreach { hw =>
+      require(
+        batchId > hw,
+        s"batch id $batchId is below the committed high-water mark $hw of " +
+          s"$indexPath: a new stream incarnation (fresh checkpoint) is replaying " +
+          "batch ids against an existing index — resume from the original " +
+          "checkpoint, or point the stream at a fresh index"
+      )
+    }
+
+  private val VerdictLedgerKind = "verdict-ledger"
+
+  /** A `maintainIndex = false` stream commits NO manifest anywhere — the
+    * index is read-only under it (possibly another writer's), so neither
+    * the marker skip nor either refusal above can see its history, and a
+    * fresh incarnation silently overwrites the original's verdict
+    * partitions. This ledger is the missing durable state, kept where
+    * the verdict-only stream IS the single writer: a snapshot log under
+    * `<verdictDir>/_ledger` (underscore-hidden, so the verdict table's
+    * partition discovery never sees it) holding only the `last_batch`
+    * high-water mark. Commit ordering mirrors ingestBatch: verdicts
+    * land first, then the one-manifest ledger commit — a crash between
+    * them replays into an idempotent partition rewrite; after it, the
+    * skip. GC keeps the ledger at one live manifest per batch. */
+  private def ledgerRoot(verdictDir: String): String = s"$verdictDir/_ledger"
+
+  private def ledgerLastBatch(s: SparkSession, verdictDir: String): Option[Long] =
+    try {
+      graft.operators.SnapshotLog
+        .current(s, ledgerRoot(verdictDir), VerdictLedgerKind)
+        .props.get("last_batch").map(_.toLong)
+    } catch { case _: graft.operators.ArtifactManifest.Missing => None }
+
+  private def ledgerCommit(s: SparkSession, verdictDir: String, batchId: Long): Unit = {
+    val L = graft.operators.SnapshotLog
+    val root = ledgerRoot(verdictDir)
+    L.commit(s, root, VerdictLedgerKind, L.nextVersion(s, root),
+      Map.empty, Map("last_batch" -> batchId.toString)): Unit
+    L.gc(s, root, VerdictLedgerKind)
+  }
+
+  /** The verdict-only twin of the committed-skip + monotonic refusal:
+    * returns true when the batch should RUN (not yet committed), throws
+    * on an id below the ledger's high-water mark. */
+  private def ledgerAdmits(s: SparkSession, verdictDir: String, batchId: Long): Boolean =
+    ledgerLastBatch(s, verdictDir) match {
+      case Some(hw) if hw == batchId => false // committed; only the checkpoint advance was lost
+      case Some(hw) =>
+        require(
+          batchId > hw,
+          s"batch id $batchId is below the verdict ledger's high-water mark $hw of " +
+            s"$verdictDir: a new stream incarnation (fresh checkpoint) is replaying " +
+            "batch ids over an existing verdict table — resume from the original " +
+            "checkpoint, or point the stream at a fresh verdict directory"
+        )
+        true
+      case None => true
+    }
 
   /** Compact an appended dedup index: distinct the hash table (appends
     * legitimately re-add a content hash the corpus already carries —

@@ -634,12 +634,29 @@ object EventStream {
     * invisible, a committed replay is a no-op, a fresh incarnation
     * replaying ids is refused). Searches against the index pick up each
     * batch as soon as its manifest commits — a live embedding store
-    * growing under queries. Zero streaming state. */
+    * growing under queries. Zero streaming state.
+    *
+    * `compactEvery` bounds the store's file count between rebuilds: each
+    * batch lands nlist `cluster=` files, so an uncompacted store grows
+    * B × nlist files; every `compactEvery`-th committed batch is followed
+    * by [[graft.operators.AnnIvf.compactIndex]] (assignments verbatim,
+    * quantizer untouched, search results identical across the flip) so
+    * the dir count saw-tooths under the cadence bound instead — the
+    * crawlPipeline compaction discipline. `0` disables (rebuilds then
+    * own file-count hygiene). Compaction runs INSIDE foreachBatch, after
+    * the batch's own commit: the stream is the index's single writer, so
+    * no second writer races it; a crash mid-compaction leaves the old
+    * snapshot fully live and the replay skips the batch (already
+    * committed) — the compaction simply re-runs at the next cadence
+    * hit. */
   def ivfIngest(
       emb: DataFrame,
       indexPath: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      retain: Int = 1
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     // full validation once, at stream start (the ingestGuard rule)
     graft.operators.AnnIvf.validateIndex(emb.sparkSession, indexPath)
     // cross-batch snapshot + centroid reuse (the r9 floor-trim discipline)
@@ -649,6 +666,8 @@ object EventStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId, handle)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.AnnIvf.compactIndex(batch.sparkSession, indexPath, retain)
       }
       .start()
   }

@@ -207,4 +207,79 @@ class AnnIvfSpec extends AnyFunSuite {
       s"rebuild left stale vector generations: $vdirs")
     Hygiene.release(spark)
   }
+
+  private def vectorDirs(path: String): Set[String] =
+    new java.io.File(s"$path/data/vectors").listFiles().map(_.getName).toSet
+
+  test("compaction collapses appended generations byte-identically; counters stay honest") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val third = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf-compact").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(third < "6"), path, nlist = 16)
+    val handle = Some(new AnnIvf.IngestHandle(path))
+    AnnIvf.appendIndexBatch(spark, emb.filter(third >= "6" && third < "a"), path, 0L, handle)
+    AnnIvf.appendIndexBatch(spark, emb.filter(third >= "a"), path, 1L, handle)
+    assert(vectorDirs(path).size == 3, s"expected base + 2 batch dirs: ${vectorDirs(path)}")
+    val queries = emb.filter(col("vec_id") < 8)
+    val before = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    AnnIvf.compactIndex(spark, path)
+    // one compact-v generation; superseded dirs retired by the default gc
+    val dirs = vectorDirs(path)
+    assert(dirs.size == 1 && dirs.head.startsWith("compact-v"),
+      s"compaction left stale vector generations: $dirs")
+    // the quantizer is untouched, so results are row-identical
+    val after = AnnIvf.searchIndex(spark, path, queries, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction changed search results")
+    // the compaction commit's full physical recount reconciled the
+    // incrementally-carried totals — cold-open validation must agree
+    AnnIvf.validateIndex(spark, path)
+    // the last_batch marker rode through: a committed replay still skips
+    val rowsAfter = spark.read.parquet(s"$path/data/vectors/${dirs.head}").count()
+    AnnIvf.appendIndexBatch(spark, emb.filter(third >= "a"), path, 1L, handle)
+    assert(vectorDirs(path) == dirs && spark.read
+      .parquet(s"$path/data/vectors/${dirs.head}").count() == rowsAfter,
+      "a committed replay re-appended after compaction")
+    // ...and a FRESH incarnation's lower id is refused on the high-water
+    // mark even though its batch-0 tag was compacted away
+    val ex = intercept[IllegalArgumentException] {
+      AnnIvf.appendIndexBatch(spark, emb.filter(third >= "6" && third < "a"), path, 0L)
+    }
+    assert(ex.getMessage.contains("high-water mark"), ex.getMessage)
+    Hygiene.release(spark)
+  }
+
+  test("incremental commit counts match the physical store across appends") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val path = java.nio.file.Files.createTempDirectory("ivf-counts").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(half), path, nlist = 4)
+    AnnIvf.appendIndex(spark, emb.filter(!half), path)
+    AnnIvf.appendIndexBatch(spark, emb.filter(!half).withColumn(
+      "vec_id", col("vec_id") + 100000L), path, 0L)
+    // validateIndex recounts the physical store and checks it against the
+    // carried manifest total — the reconciliation the O(1) commits defer
+    AnnIvf.validateIndex(spark, path)
+    Hygiene.release(spark)
+  }
+
+  test("rebuild with retain=2 leaves the superseded generation readable until the next gc") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf-retain").toString + "/ivf"
+    AnnIvf.buildIndex(spark, emb, path, nlist = 8)
+    val oldDirs = vectorDirs(path)
+    AnnIvf.rebuildIndex(spark, path, nlist = 4, retain = 2)
+    // the superseded generation survives the rebuild's gc — the grace
+    // window a reader that resolved pre-rebuild needs to finish its scan
+    assert(oldDirs.subsetOf(vectorDirs(path)),
+      s"retain=2 rebuild deleted the superseded generation: ${vectorDirs(path)}")
+    assert(vectorDirs(path).size == oldDirs.size + 1)
+    // the deployment's next-cadence gc (retain back to 1) retires it
+    graft.operators.SnapshotLog.gc(spark, path, "ivf-index")
+    assert(vectorDirs(path).intersect(oldDirs).isEmpty,
+      "gc(retain=1) left the superseded generation")
+    AnnIvf.validateIndex(spark, path)
+    Hygiene.release(spark)
+  }
 }

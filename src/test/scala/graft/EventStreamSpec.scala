@@ -909,11 +909,12 @@ class EventStreamSpec extends AnyFunSuite {
     val before = spark.read.parquet(s"$idx/data/vectors/batch-1").count()
     AnnIvf.appendIndexBatch(spark, b2.toDF("vec_id", "embedding"), idx, 1L)
     assert(spark.read.parquet(s"$idx/data/vectors/batch-1").count() == before)
-    // a fresh incarnation replaying ids is refused
+    // a fresh incarnation replaying ids is refused (the high-water mark
+    // fires first — it covers even ids whose tags compaction removed)
     val ex = intercept[IllegalArgumentException] {
       AnnIvf.appendIndexBatch(spark, b1.toDF("vec_id", "embedding"), idx, 0L)
     }
-    assert(ex.getMessage.contains("batch-0"))
+    assert(ex.getMessage.contains("high-water mark"), ex.getMessage)
     // a REBUILD between micro-batches carries the replay-skip marker —
     // a committed batch's replay after the rebuild is still a no-op
     // (the compactDedupIndex carry-forward lesson, IVF edition)
@@ -1060,7 +1061,7 @@ class EventStreamSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
     }
-    assert(ex.getMessage.contains("batch-0"), ex.getMessage)
+    assert(ex.getMessage.contains("high-water mark"), ex.getMessage)
     assert(spark.read.parquet(out).filter(col("batch_id") === 0)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == verdicts0,
       "the refused batch stomped the original verdict partition")
@@ -1069,6 +1070,93 @@ class EventStreamSpec extends AnyFunSuite {
     // a genuine committed replay (same incarnation, checkpoint lost the
     // advance) still skips silently — last_batch short-circuits first
     LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    Hygiene.release(spark)
+  }
+
+  test("an empty-admission batch still advances the high-water mark (refusal has no tag blind spot)") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(12).as[(Long, String)].collect().toSeq
+    val (corpus, fresh) = docs.splitAt(8)
+    val base = java.nio.file.Files.createTempDirectory("ingest-empty").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus.toDF("doc_id", "text"))
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    // batch 0 is ALL duplicates of the corpus (new ids, same text): zero
+    // docs admitted, so NO batch-0 tag lands in any manifest — only the
+    // marker. The old tag-presence refusal was blind here.
+    val dups = corpus.map { case (id, text) => (id + 1000L, text) }
+    LlmOps.ingestBatch(dups.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
+    val (h1, _) = LlmOps.loadDedupIndex(spark, idx)
+    assert(h1.count() == h0.count(), "an all-duplicate batch extended the index")
+    LlmOps.ingestBatch(fresh.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = true)
+    val verdicts0 = spark.read.parquet(out).filter(col("batch_id") === 0)
+      .select("doc_id", "keep").collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    // fresh incarnation replays id 0: no batch-0 tag exists, but the
+    // high-water mark (now 1) refuses it before the verdict write
+    val ex = intercept[IllegalArgumentException] {
+      LlmOps.ingestBatch(fresh.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = true)
+    }
+    assert(ex.getMessage.contains("high-water mark"), ex.getMessage)
+    assert(spark.read.parquet(out).filter(col("batch_id") === 0)
+      .select("doc_id", "keep").collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+      == verdicts0,
+      "the refused batch stomped the empty-admission batch's verdict partition")
+    Hygiene.release(spark)
+  }
+
+  test("verdict-only streams (maintainIndex=false) get the same replay protection via the ledger") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(12).as[(Long, String)].collect().toSeq
+    val (corpus, rest) = docs.splitAt(4)
+    val (b1, b2) = rest.splitAt(4)
+    val base = java.nio.file.Files.createTempDirectory("ingest-ledger").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus.toDF("doc_id", "text"))
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    // a verdict-only stream commits NOTHING to the index manifest — its
+    // durable history is the _ledger under the verdict dir (underscore-
+    // hidden: the verdict table read must not see it)
+    LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = false)
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = false)
+    assert(new java.io.File(s"$out/_ledger").isDirectory, "no ledger written")
+    val table = spark.read.parquet(out)
+    assert(table.columns.contains("batch_id") && table.count() == 8,
+      "the ledger leaked into the verdict table's partition discovery")
+    val verdicts0 = table.filter(col("batch_id") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the index manifest never advanced (read-only under this stream)
+    val snap = graft.operators.SnapshotLog.current(spark, idx, "dedup-index")
+    assert(!snap.props.contains("last_batch"),
+      "a verdict-only stream wrote the index manifest")
+    // fresh incarnation replaying id 0 → refused by the ledger before
+    // stomping the original verdict partition
+    val ex = intercept[IllegalArgumentException] {
+      LlmOps.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maintainIndex = false)
+    }
+    assert(ex.getMessage.contains("verdict ledger"), ex.getMessage)
+    assert(spark.read.parquet(out).filter(col("batch_id") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == verdicts0)
+    // a committed replay of the marker batch itself skips silently
+    LlmOps.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maintainIndex = false)
+    // pipelineBatch rides the same ledger
+    val grams = LlmOps.gramSetOf(corpus.toDF("doc_id", "text")).localCheckpoint(true)
+    val counts = LlmOps.bigramLmCountsOf(
+      corpus.toDF("doc_id", "text").select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t"))
+    ).localCheckpoint(true)
+    val out2 = s"$base/verdicts2"
+    LlmOps.pipelineBatch(b1.toDF("doc_id", "text"), idx, grams, counts, 1e9,
+      out2, 0L, maintainIndex = false)
+    LlmOps.pipelineBatch(b2.toDF("doc_id", "text"), idx, grams, counts, 1e9,
+      out2, 1L, maintainIndex = false)
+    val ex2 = intercept[IllegalArgumentException] {
+      LlmOps.pipelineBatch(b1.toDF("doc_id", "text"), idx, grams, counts, 1e9,
+        out2, 0L, maintainIndex = false)
+    }
+    assert(ex2.getMessage.contains("verdict ledger"), ex2.getMessage)
     Hygiene.release(spark)
   }
 

@@ -47,6 +47,25 @@ class KthLargestSpec extends AnyFunSuite {
     assert(rows === Map(1L -> Some(5.0), 2L -> None))
   }
 
+  test("NaN scores are skipped by both kernels (a poisoned score never outranks a real one)") {
+    import spark.implicits._
+    import graft.functions.TopKVids.topKVids
+    // NaN arrives FIRST (heap under-full — the corruption window: raw
+    // </== comparisons are all-false under NaN, so an admitted NaN broke
+    // the sift invariants and could displace valid entries)
+    val df = Seq(
+      (1L, Double.NaN, 10L), (1L, 3.0, 11L), (1L, 5.0, 12L), (1L, 4.0, 13L),
+      (2L, Double.NaN, 20L), (2L, Double.NaN, 21L) // all-NaN group == all-NULL group
+    ).toDF("qid", "v", "vid").repartition(3)
+    val kth = df.groupBy("qid").agg(kthLargest(col("v"), 2).as("kth"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(kth === Map(1L -> Some(4.0), 2L -> None))
+    val top = df.groupBy("qid").agg(topKVids(col("v"), col("vid"), 2).as("t"))
+      .selectExpr("qid", "t.vids as vids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(top === Map(1L -> Seq(12L, 13L), 2L -> Seq.empty[Long]))
+  }
+
   test("topKVids matches the window-based top-k across partials, ties, and short groups") {
     import spark.implicits._
     import graft.functions.TopKVids.topKVids
