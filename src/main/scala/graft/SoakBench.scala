@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
   * (default 5).
   */
 object SoakBench {
-  private def land(spark: SparkSession, df: DataFrame, landing: String, i: Int): Unit = {
+  private[graft] def land(spark: SparkSession, df: DataFrame, landing: String, i: Int): Unit = {
     val aside = s"$landing-aside$i"
     df.coalesce(2).write.mode("overwrite").parquet(aside)
     val fs = new org.apache.hadoop.fs.Path(landing)
@@ -55,7 +55,7 @@ object SoakBench {
     fs.delete(new org.apache.hadoop.fs.Path(aside), true): Unit
   }
 
-  private def dirSizeKb(p: java.io.File): Long = {
+  private[graft] def dirSizeKb(p: java.io.File): Long = {
     def walk(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).toSeq.flatten.map(walk).sum
@@ -128,6 +128,145 @@ object SoakBench {
       s"""{"batch":${s.batch},"rows":${s.rows},"sec":${Bench.jnum(s.sec)},"manifests":${s.manifests},"data_dirs":${s.dataDirs},"ck_kb":${s.ckKb},"state_rows":${s.stateRows}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"soak","docs_dir":"$docsDir","compact_every":$compactEvery,"batches":$items}""")
+    spark.stop()
+  }
+}
+
+/** The [[SoakBench]] twin for the streaming VECTOR ingest loop — the
+  * r9 verdict's missing evidence: the dedup commit protocol soaked at
+  * 25 batches, but [[graft.streaming.EventStream.ivfIngest]] had only a
+  * 5-batch table and no in-stream rebuild exercise. This drives ≥ 25
+  * streamed embedding batches through the live IVF index with BOTH
+  * maintenance mutations interleaved from the single-writer process:
+  *
+  *   - append-compaction on the stream's own `compactEvery` cadence
+  *     (collapses batch generations under the unchanged quantizer —
+  *     the small-file bound between rebuilds);
+  *   - a full [[graft.operators.AnnIvf.rebuildIndex]] every
+  *     `rebuildEvery` batches BETWEEN micro-batches (re-trains the
+  *     quantizer over the grown store — the drift-cadence maintenance a
+  *     production ingest runs), after which the stream's IngestHandle
+  *     must detect the new generation via its staleness probe and the
+  *     `last_batch` marker must ride through (a committed replay after
+  *     a rebuild stays a no-op — spec-pinned; the soak proves the cost
+  *     curves too).
+  *
+  * Sampled after every batch: wall seconds (flat now that the commit
+  * carries incremental counts — the r9 creep this soak regression-
+  * guards), manifest count and vector-dir count (saw-tooth bounded by
+  * the two cadences), checkpoint KB, the manifest's `rows` total and
+  * `last_batch` marker. At each rebuild: recall@k of the partition-
+  * pruned search against the brute-force exact top-k over the SAME
+  * stored vectors — the quantizer re-train must hold recall while the
+  * store grows.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"ivf_soak","batches":[{batch,rows,sec,manifests,vec_dirs,
+  *  ck_kb,store_rows,last_batch,recall}...],...knobs}
+  *
+  * Args: embeddings dir (default SPARK_GRAFT_SF_DIR or sf0.1). Env:
+  * SPARK_GRAFT_SOAK_BATCHES (25), SPARK_GRAFT_SOAK_COMPACT (3),
+  * SPARK_GRAFT_SOAK_REBUILD (5), SPARK_GRAFT_SOAK_NLIST (16).
+  */
+object IvfSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val embDir = args.headOption.getOrElse(sfDir)
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "25").toInt
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_COMPACT", "3").toInt
+    val rebuildEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_REBUILD", "5").toInt
+    val nlist = sys.env.getOrElse("SPARK_GRAFT_SOAK_NLIST", "16").toInt
+    val k = 5
+    val spark = GraftSession.builder("graft-ivf-soak").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    import graft.operators.{AnnIvf, SnapshotLog}
+    import graft.streaming.EventStream
+
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-soak").toString
+    val idx = s"$base/idx"; val ck = s"$base/ck"; val landing = s"$base/landing"
+    new java.io.File(landing).mkdirs()
+
+    val emb = Tables.embeddings(spark, embDir).select("vec_id", "embedding")
+    val isBatch = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val corpus = emb.filter(!isBatch)
+    AnnIvf.buildIndex(spark, corpus, idx, nlist)
+    val queries = corpus.filter(col("vec_id") < 20).localCheckpoint(true)
+    val arrivals = emb.filter(isBatch)
+      .withColumn("__s", pmod(col("vec_id"), lit(nBatches)))
+    val slices = (0 until nBatches).map(i => arrivals.filter(col("__s") === i).drop("__s"))
+
+    def manifests = Option(new java.io.File(idx).listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("manifest.v"))
+    def vecDirs = Option(new java.io.File(s"$idx/data/vectors").listFiles())
+      .toSeq.flatten.count(_.isDirectory)
+    def snapProps = SnapshotLog.current(spark, idx, "ivf-index").props
+
+    graft.functions.VectorFunctions.register(spark)
+    /** recall@k of the pruned index search vs brute force over the SAME
+      * stored vectors (read through the snapshot — the store IS the
+      * ground-truth corpus here). Bench-harness-only window: the store
+      * at this tier is thousands of rows; the engine's own scale path
+      * for this shape is the TopKVids kernel (e01). */
+    def recallNow(): Double = {
+      val snap = SnapshotLog.current(spark, idx, "ivf-index")
+      val store = snap.dirs(idx, "vectors")
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .select("vec_id", "embedding")
+      val approx = AnnIvf.searchIndex(spark, idx, queries, k, nprobe = 4)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getAs[Long]("vid")).toSet).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      val exact = store
+        .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+          col("vec_id") =!= col("qid"))
+        .withColumn("cosine", expr("cosine_similarity(qe, embedding)"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = exact.map { case (q, truth) =>
+        approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+
+    final case class S(batch: Int, rows: Long, sec: Double, manifests: Int,
+        vecDirs: Int, ckKb: Long, storeRows: Long, lastBatch: Long, recall: Option[Double])
+    val samples = scala.collection.mutable.ListBuffer.empty[S]
+
+    SoakBench.land(spark, slices.head, landing, 0)
+    val q = EventStream.ivfIngest(
+      EventStream.readEmbeddings(spark, landing), idx, ck, compactEvery)
+    try {
+      var progressSeen = 0
+      for (i <- 0 until nBatches) {
+        if (i > 0) SoakBench.land(spark, slices(i), landing, i)
+        q.processAllAvailable()
+        val ps = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val fresh = ps.drop(progressSeen)
+        progressSeen = ps.length
+        val (rows, sec) = fresh.lastOption
+          .map(p => (p.numInputRows, p.batchDuration / 1e3)).getOrElse((0L, 0.0))
+        val rebuilt = (i + 1) % rebuildEvery == 0
+        // maintenance rebuild BETWEEN micro-batches (single-writer); the
+        // stream's handle must pick up the new quantizer at its next probe
+        if (rebuilt) AnnIvf.rebuildIndex(spark, idx, nlist)
+        val p = snapProps
+        samples += S(i, rows, sec, manifests, vecDirs,
+          SoakBench.dirSizeKb(new java.io.File(ck)),
+          p.get("rows").map(_.toLong).getOrElse(-1L),
+          p.get("last_batch").map(_.toLong).getOrElse(-1L),
+          if (rebuilt) Some(recallNow()) else None)
+      }
+    } finally q.stop()
+    AnnIvf.validateIndex(spark, idx) // carried counts must reconcile cold
+
+    val items = samples.map { s =>
+      val rec = s.recall.map(r => Bench.jnum(r)).getOrElse("null")
+      s"""{"batch":${s.batch},"rows":${s.rows},"sec":${Bench.jnum(s.sec)},"manifests":${s.manifests},"vec_dirs":${s.vecDirs},"ck_kb":${s.ckKb},"store_rows":${s.storeRows},"last_batch":${s.lastBatch},"recall":$rec}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ivf_soak","emb_dir":"$embDir","compact_every":$compactEvery,"rebuild_every":$rebuildEvery,"nlist":$nlist,"batches":$items}""")
     spark.stop()
   }
 }
