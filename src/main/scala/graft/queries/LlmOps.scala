@@ -2011,26 +2011,39 @@ object LlmOps {
     * instead of hiding in a rows-only query. */
   val d14 = Q(
     "d14_semantic_decontam_recall",
-    Some("""
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval, TRUE AS recall_ok
-      FROM embeddings
-      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f')""")
+    // one row per EXACTLY-contaminated eval vector (d12's oracle-green
+    // denominator set re-derived cross-engine), so a degenerate exact
+    // side — empty, truncated, or with a dropped vec — fails CORRECTNESS
+    // on the row set instead of averaging away inside a constant shape;
+    // only the detection fraction itself stays Spark-computed
+    Some(s"""
+      WITH f AS ($flatSql),
+      n AS ($normsSql),
+      q AS (SELECT * FROM f
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f')),
+      t AS (SELECT * FROM f
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('e','f')),
+      dot AS (SELECT q.vec_id AS qid, t.vec_id AS tid, ${dprodSql("q.v", "t.v")} AS dot
+              FROM q JOIN t ON q.pos = t.pos
+              GROUP BY qid, tid),
+      cos AS (SELECT qid, tid,
+                ${cosineSql("nq", "nt")} AS cosine
+              FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nt ON tid = nt.vec_id)
+      SELECT qid AS vec_id, TRUE AS recall_ok
+      FROM cos WHERE cosine >= 0.35
+      GROUP BY qid ORDER BY vec_id""")
   ) { (s, d) =>
-    val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
-    val nEval = Tables
-      .embeddings(s, d)
-      .filter(nib.isin("e", "f"))
-      .agg(count(lit(1)).as("n_eval"))
-    // cached: the exact side feeds both the semi-join and its own count
+    // pinned: the exact contaminated set feeds the semi-join, the
+    // verdict denominator, AND the emitted rows
     val exact = d12.run(s, d).select("vec_id").cacheOnce()
     val detected = exact.join(d13.run(s, d).select("vec_id"), Seq("vec_id"), "left_semi")
-    nEval
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+    val gate = exact
+      .agg(count(lit(1)).as("n_exact"))
       .crossJoin(detected.agg(count(lit(1)).as("n_detected")))
       .select(
-        col("n_eval"),
         (col("n_detected").cast("double") >= col("n_exact") * 0.7).as("recall_ok")
       )
+    exact.crossJoin(broadcast(gate)).orderBy("vec_id")
   }
 
   /** Triangle-blocked self-join: every unordered pair of DISTINCT input
@@ -2099,7 +2112,7 @@ object LlmOps {
   /** Recall gate for the IVF path, same contract as e05. */
   val e07 = Q(
     "e07_ann_ivf_recall",
-    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+    Some(recallGateOracleSql)
   ) { (s, d) =>
     // cached for the same double-reference reason as e05
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
@@ -2141,11 +2154,11 @@ object LlmOps {
     * top-5 runs on it with the compiled cosine, and mean overlap with
     * e01's exact float top-5 must stay >= 0.7 (measured ~0.95: int8
     * round-trip cosine fidelity is > 0.995 on this data per
-    * VectorFunctionsSpec). Oracle pins n_queries and recall_ok row-by-row
-    * like e05/e07. */
+    * VectorFunctionsSpec). Oracle pins one (qid, k) row per query from
+    * the exact side, like e05/e07. */
   val e11 = Q(
     "e11_ann_int8_recall",
-    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+    Some(recallGateOracleSql)
   ) { (s, d) =>
     graft.functions.VectorFunctions.register(s)
     import graft.functions.VectorFunctions
@@ -2176,39 +2189,71 @@ object LlmOps {
   }
 
   /** The ONE recall-gate tail every approximate-search gate shares
-    * (e05 LSH, e07 IVF, e11 int8, e12 PQ): per-query overlap of `approx`
-    * with `exact` (both (qid, vid)), zero-hit queries kept alive by the
-    * left join + coalesce, then (n_queries, mean recall >= threshold).
-    * `exact` should arrive cached — it feeds both the hit join and the
-    * per-query k counts. */
+    * (e05 LSH, e07 IVF, e11 int8, e12 PQ, e18 lifecycle): per-query
+    * overlap of `approx` with `exact` (both (qid, vid)), zero-hit
+    * queries kept alive by the left join + coalesce.
+    *
+    * Emits ONE ROW PER QUERY — (qid, k, recall_ok) ordered by qid, with
+    * `recall_ok` the global mean-recall verdict broadcast onto every
+    * row — NOT the old single (n_queries, recall_ok) summary. The
+    * difference is what the ORACLE can pin: qid and k are derivable
+    * from the exact side's own oracle-green SQL, so a silently-empty or
+    * truncated exact side (zero rows, a dropped qid, a short top-k) now
+    * fails CORRECTNESS on row count / k values instead of averaging
+    * away inside a constant-shape summary the oracle merely restated.
+    * Only the recall ARITHMETIC itself remains Spark-computed — its
+    * denominator set is cross-engine-pinned. (e17's full exact-MMR
+    * oracle is the still-stronger pattern where the approximate side's
+    * semantics allow it.)
+    *
+    * The per-query frame is eagerly pinned (rows = |queries|, tiny by
+    * construction): it feeds both the verdict aggregate and the emitted
+    * rows, and without the pin the whole approx pipeline (the expensive
+    * ANN search) would execute twice. */
   private def recallGate(exact: DataFrame, approx: DataFrame, threshold: Double): DataFrame = {
     val hits = exact
       .join(approx, Seq("qid", "vid"))
       .groupBy("qid")
       .agg(count(lit(1)).as("hits"))
-    exact
+    val perQuery = exact
       .groupBy("qid")
       .agg(count(lit(1)).as("k"))
       .join(hits, Seq("qid"), "left")
       .select(
         col("qid"),
+        col("k"),
         (coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall")
       )
-      .agg(
-        count(lit(1)).as("n_queries"),
-        (avg(col("recall")) >= threshold).as("recall_ok")
-      )
+      .localCheckpoint(true)
+    val gate = perQuery.agg((avg(col("recall")) >= threshold).as("recall_ok"))
+    perQuery
+      .select(col("qid"), col("k"))
+      .crossJoin(broadcast(gate))
+      .orderBy("qid")
   }
 
+  /** The shared oracle twin of [[recallGate]] for the gates whose exact
+    * side ranks the embeddings table's full corpus for queries
+    * `vec_id < 10` at k = 5 (e05/e07/e11/e12/e18): one row per query
+    * with k pinned from the corpus size — the exact side must produce
+    * exactly these (qid, k) pairs or the gate fails cross-engine. */
+  // a def, not a val: referenced by Q(...) vals declared ABOVE this point
+  // in the file, which initialize before a val here would
+  private def recallGateOracleSql: String = """
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             CAST(LEAST(5, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS k,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
+
   /** Recall of the LSH path (e04) against the oracle-verified exact top-k
-    * (e01), emitted through the verify gate: the oracle pins n_queries and
-    * recall_ok = TRUE, so a silent LSH regression below 0.7 mean recall
+    * (e01), emitted through the verify gate: the oracle pins one (qid, k)
+    * row per query from the exact side plus recall_ok = TRUE, so a silent LSH regression below 0.7 mean recall
     * fails CORRECTNESS instead of hiding in a rows-only query. The bar is
     * the production one (0.7); e04's nprobe=4 multi-probe clears it
     * (measured 0.98 at the oracle tier vs 0.66 single-probe). */
   val e05 = Q(
     "e05_ann_recall",
-    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+    Some(recallGateOracleSql)
   ) { (s, d) =>
     // cached: `exact` feeds both the hit join and the per-query k counts —
     // without it the entire e01 pipeline (broadcast scan + two-stage
@@ -2609,7 +2654,7 @@ object LlmOps {
     * silently). */
   val e12 = Q(
     "e12_ann_pq_recall",
-    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+    Some(recallGateOracleSql)
   ) { (s, d) =>
     import graft.operators.{AnnPq, KMeans}
     graft.functions.VectorFunctions.register(s)
@@ -5661,12 +5706,12 @@ object LlmOps {
     * assignment of the whole corpus, and every batch lands as one
     * immutable partitioned directory + one manifest PUT. Approximate by
     * construction (centroid means are float-order-dependent), so gated
-    * like e05/e07: the oracle pins n_queries and the recall verdict
-    * whose exact side is e01's oracle-green path. nprobe=8 of nlist=16
+    * like e05/e07: the oracle pins one (qid, k) row per query from the
+    * exact side (e01's oracle-green path) plus the recall verdict. nprobe=8 of nlist=16
     * measures ~0.9+ recall at the oracle tier; gate at 0.6. */
   val e18 = Q(
     "e18_ann_ivf_incremental",
-    Some("SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok")
+    Some(recallGateOracleSql)
   ) { (s, d) =>
     val dir = scratchDir("e18", d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
