@@ -967,11 +967,15 @@ object LlmOps {
   ): graft.operators.SnapshotLog.Snapshot = {
     val L = graft.operators.SnapshotLog
     // the per-batch paths hand in the snapshot they already resolved;
-    // only cold mutators (saveDedupIndex on a fresh root) re-read
+    // only cold mutators (saveDedupIndex on a fresh root) re-read.
+    // BOTH replay-skip markers ride through every other mutator: a
+    // compaction or drain must not erase the stream's last_batch, and a
+    // stream batch or compaction must not erase the drain's last_drain.
+    val markers = Set("last_batch", "last_drain")
     val carried = resolved
-      .map(_.props.view.filterKeys(_ == "last_batch").toMap)
+      .map(_.props.view.filterKeys(markers).toMap)
       .getOrElse(
-        try L.current(s, path, DedupKind).props.view.filterKeys(_ == "last_batch").toMap
+        try L.current(s, path, DedupKind).props.view.filterKeys(markers).toMap
         catch { case _: Throwable => Map.empty[String, String] }
       )
     def rows(table: String) =
@@ -1331,44 +1335,7 @@ object LlmOps {
         requireFreshBatchTag(snap, tag, indexPath)
       }
       val arrivals = batch.localCheckpoint(true) // ingestBatch's source-amplification pin
-      val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
-      val contamV = contaminationAgainst(arrivals, trainGrams)
-        .select("doc_id", "n_grams", "n_hit", "contaminated")
-      val nllV = bigramNllFrom(
-        arrivals.select(col("doc_id"), toks(col("text")).as("t")),
-        lmCounts)
-      // left joins: a doc under the gram width has no contamination row
-      // (not contaminated), a doc with no in-vocab token has no score row
-      // (fails the quality gate)
-      val verdicts = dedupV
-        .join(contamV, Seq("doc_id"), "left")
-        .join(nllV, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          col("dup_exact"),
-          col("dup_near"),
-          col("keep"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"),
-          col("n_tokens"),
-          col("nll"),
-          (col("keep") && !coalesce(col("contaminated"), lit(false)) &&
-            col("nll").isNotNull && col("nll") <= nllMax).as("admit")
-        )
-        // the routing column: quarantine applies only to docs whose SOLE
-        // failure is the missing score — a dup or contaminated doc is a
-        // reject under either policy
-        .withColumn(
-          "verdict",
-          when(col("admit"), lit("admit"))
-            .when(
-              lit(unscorable == UnscorablePolicy.Quarantine) &&
-                col("keep") && !col("contaminated") && col("nll").isNull,
-              lit("quarantine")
-            )
-            .otherwise(lit("reject"))
-        )
+      val verdicts = gateVerdicts(arrivals, hash, bands, trainGrams, lmCounts, nllMax, unscorable)
         .localCheckpoint(true) // pin the pre-append view; consumed twice below
       verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
       if (maintainIndex) {
@@ -1390,6 +1357,172 @@ object LlmOps {
           tables, Map("last_batch" -> batchId.toString), resolved = Some(snap))
         handle.foreach(_.committed(s, newSnap))
       } else ledgerCommit(s, verdictDir, batchId)
+    }
+  }
+
+  /** The three admission gates' verdict frame — one row per arrival with
+    * every gate's evidence, the final `admit`, and the routing `verdict`
+    * (admit / reject / quarantine). The [[pipelineBatch]] body, factored
+    * so [[drainQuarantine]] re-scores parked docs through the IDENTICAL
+    * plan under refreshed artifacts — the two callers cannot drift. */
+  private def gateVerdicts(
+      arrivals: DataFrame,
+      hash: DataFrame,
+      bands: DataFrame,
+      trainGrams: DataFrame,
+      lmCounts: DataFrame,
+      nllMax: Double,
+      unscorable: UnscorablePolicy
+  ): DataFrame = {
+    val dedupV = incrementalDedupAgainst(arrivals, hash, bands)
+    val contamV = contaminationAgainst(arrivals, trainGrams)
+      .select("doc_id", "n_grams", "n_hit", "contaminated")
+    val nllV = bigramNllFrom(
+      arrivals.select(col("doc_id"), toks(col("text")).as("t")),
+      lmCounts)
+    // left joins: a doc under the gram width has no contamination row
+    // (not contaminated), a doc with no in-vocab token has no score row
+    // (fails the quality gate)
+    dedupV
+      .join(contamV, Seq("doc_id"), "left")
+      .join(nllV, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("dup_exact"),
+        col("dup_near"),
+        col("keep"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("n_tokens"),
+        col("nll"),
+        (col("keep") && !coalesce(col("contaminated"), lit(false)) &&
+          col("nll").isNotNull && col("nll") <= nllMax).as("admit")
+      )
+      // the routing column: quarantine applies only to docs whose SOLE
+      // failure is the missing score — a dup or contaminated doc is a
+      // reject under either policy
+      .withColumn(
+        "verdict",
+        when(col("admit"), lit("admit"))
+          .when(
+            lit(unscorable == UnscorablePolicy.Quarantine) &&
+              col("keep") && !col("contaminated") && col("nll").isNull,
+            lit("quarantine")
+          )
+          .otherwise(lit("reject"))
+      )
+  }
+
+  /** Re-score the PARKED documents through the same three gates after an
+    * artifact refresh — the second half of the quarantine contract: a
+    * crawl that routes can't-score-yet docs aside ([[UnscorablePolicy
+    * .Quarantine]]) needs a way to bring them back once the reason they
+    * parked has changed (an LM re-fit over a grown corpus now covers
+    * their vocabulary; a gram-set refresh changed the contamination
+    * bar). The reference's analogous move is re-queueing inputs parked
+    * by a resource verdict when conditions change (reference:
+    * node_service/src/node_service/worker_client.py:88-151).
+    *
+    * Semantics: eligible docs are those whose LATEST route is
+    * "parked" — a `quarantine` verdict in the stream's table that no
+    * earlier drain has since decided (the drain's own ledger is
+    * consulted; `admit` and `reject` there are terminal, a drain-time
+    * `quarantine` keeps the doc eligible for the NEXT drain). Each
+    * eligible doc runs the FULL gate battery against the CURRENT
+    * artifacts — not just the quality gate: a parked doc may have become
+    * a duplicate (a copy was admitted meanwhile) or contaminated (the
+    * gram set grew), and waving it through on the stale verdicts would
+    * bypass the gates the stream enforces. Docs that clear extend the
+    * index; docs that don't get their route recorded (reject terminal,
+    * quarantine re-parked). The caller supplies the parked docs'
+    * payloads (`docs` — any superset; it is semi-joined down), since
+    * verdict rows carry evidence, not text.
+    *
+    * Exactly-once is the ingestBatch protocol with a drain-scoped
+    * marker: verdicts land in `<drainDir>/drain_id=<id>` (overwrite —
+    * replay rewrites), the admitted rows' index parts land under a
+    * `drain-<id>` tag, and ONE manifest commit carries
+    * `last_drain=<id>`. A crash before the commit re-runs the drain
+    * against the unchanged snapshot; after it, the same `drainId` is a
+    * no-op. Drain ids are monotonic per index (the batch-id discipline);
+    * a lower id is refused, and `last_batch` rides through untouched so
+    * the stream's replay skip survives a drain exactly as it survives a
+    * compaction. Run it BETWEEN micro-batches from the index's single
+    * writer (the compaction contract). */
+  private[graft] def drainQuarantine(
+      docs: DataFrame,
+      indexPath: String,
+      trainGrams: DataFrame,
+      lmCounts: DataFrame,
+      nllMax: Double,
+      verdictDir: String,
+      drainDir: String,
+      drainId: Long,
+      handle: Option[DedupIndexHandle] = None
+  ): Unit = {
+    val s = docs.sparkSession
+    val L = graft.operators.SnapshotLog
+    val (snap, hash, bands) = handle match {
+      case Some(h) => h.resolve(s)
+      case None =>
+        val sn = dedupSnapshot(s, indexPath)
+        val (h, b) = trustedFrames(s, indexPath, sn)
+        (sn, h, b)
+    }
+    if (!snap.props.get("last_drain").contains(drainId.toString)) {
+      val tag = s"drain-$drainId"
+      snap.props.get("last_drain").map(_.toLong).foreach { hw =>
+        require(
+          drainId > hw,
+          s"drain id $drainId is below the committed high-water mark $hw of " +
+            s"$indexPath: drain ids are monotonic per index — a replayed or " +
+            "second-writer drain must not overwrite an earlier drain's verdicts"
+        )
+      }
+      requireFreshBatchTag(snap, tag, indexPath)
+      val parked = s.read.parquet(verdictDir)
+        .filter(col("verdict") === "quarantine")
+        .select("doc_id").distinct()
+      val drainDirExists = new org.apache.hadoop.fs.Path(drainDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(drainDir))
+      // EARLIER drains' decisions only: a crashed attempt of THIS drain
+      // may have landed its own partition before the index commit — the
+      // replay must re-score those docs, not read its own half-finished
+      // verdicts as terminal (the admit would otherwise never reach the
+      // index)
+      val decided =
+        if (drainDirExists)
+          s.read.parquet(drainDir)
+            .filter(col("drain_id") =!= drainId && col("verdict") =!= "quarantine")
+            .select("doc_id")
+        else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      val eligible = parked.join(decided, Seq("doc_id"), "left_anti")
+      val arrivals = docs.join(eligible, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // the ingestBatch pin
+      val verdicts =
+        gateVerdicts(arrivals, hash, bands, trainGrams, lmCounts, nllMax,
+          UnscorablePolicy.Quarantine)
+          .localCheckpoint(true) // pre-append view; consumed twice below
+      verdicts.write.mode("overwrite").parquet(s"$drainDir/drain_id=$drainId")
+      val admitted =
+        arrivals.join(verdicts.filter(col("admit")), Seq("doc_id"), "left_semi")
+      val tables =
+        if (admitted.isEmpty) snap.tables
+        else {
+          val materialized = admitted.localCheckpoint(true)
+          val (h, b) = dedupIndexOf(materialized)
+          b.write.mode("overwrite").parquet(L.dataDir(indexPath, "bands", tag))
+          h.write.mode("overwrite").parquet(L.dataDir(indexPath, "hash", tag))
+          Map("hash" -> (snap.tables.getOrElse("hash", Nil) :+ tag),
+              "bands" -> (snap.tables.getOrElse("bands", Nil) :+ tag))
+        }
+      val newSnap = commitDedupSnapshot(
+        s, indexPath,
+        handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(s, indexPath)),
+        tables, Map("last_drain" -> drainId.toString), resolved = Some(snap))
+      handle.foreach(_.committed(s, newSnap))
     }
   }
 
@@ -3757,8 +3890,12 @@ object LlmOps {
     * `sc`): the Spark chain above, restated over DuckDB's list kernels —
     * bigrams via range(1, len(t)) + 1-based t[i]. Shared by the scoring
     * oracles (t25/t26) and the per-source bucket oracle (t27). */
-  private lazy val bigramNllCtesSql = s"""
-      tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** The bigram-LM scoring CTE chain over an arbitrary relation — the
+    * corpus the LM is FIT ON is the corpus being scored, so composed
+    * builds (t30) instantiate it over their rules-filtered survivor set
+    * while t25/t27 use the whole table. */
+  private def bigramNllCtesSqlOver(rel: String): String = s"""
+      tk AS (SELECT doc_id, $toksSql AS t FROM $rel),
       oc AS (SELECT doc_id, UNNEST(t) AS tok FROM tk),
       ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY tok),
       gg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM ug),
@@ -3780,6 +3917,8 @@ object LlmOps {
       sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                     CAST(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS nll
              FROM contrib GROUP BY doc_id)"""
+
+  private lazy val bigramNllCtesSql = bigramNllCtesSqlOver("documents")
 
   private val bigramNllOracle = s"""
       WITH $bigramNllCtesSql
@@ -4007,11 +4146,12 @@ object LlmOps {
     * Scale: one pure projection pass — every count is a per-row
     * expression over the token/line arrays, no shuffle except the output
     * ORDER BY. */
-  val t29 = Q(
-    "t29_gopher_rules",
-    Some(s"""
-      WITH t0 AS (SELECT doc_id, text, $toksSql AS t,
-                         string_split(text, chr(10)) AS ls FROM documents),
+  /** The Gopher rule battery's measurement CTEs (`t0`, `m`) over an
+    * arbitrary relation, plus the keep conjunction — shared by t29's
+    * verdict table and t30's composed build so the two cannot drift. */
+  private def gopherCtesSqlOver(rel: String): String = s"""
+      t0 AS (SELECT doc_id, text, $toksSql AS t,
+                         string_split(text, chr(10)) AS ls FROM $rel),
       m AS (SELECT doc_id,
               CAST(len(t) AS BIGINT) AS n_words,
               CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS tot_chars,
@@ -4023,7 +4163,20 @@ object LlmOps {
               CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
                                           OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
               CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS n_ell_ln
-            FROM t0)
+            FROM t0)"""
+
+  private def gopherKeepSql: String = """(n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= tot_chars AND tot_chars <= 10 * n_words
+          AND 10 * (n_sym + n_ell) <= n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND 10 * n_bullet <= 9 * n_lines
+          AND 10 * n_ell_ln <= 3 * n_lines
+          AND n_stop >= 2)"""
+
+  val t29 = Q(
+    "t29_gopher_rules",
+    Some(s"""
+      WITH ${gopherCtesSqlOver("documents")}
       SELECT doc_id, n_words,
         (n_words >= 50 AND n_words <= 100000) AS ok_words,
         (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words) AS ok_wordlen,
@@ -4032,13 +4185,7 @@ object LlmOps {
         (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
         (10 * n_ell_ln <= 3 * n_lines) AS ok_ellipsis,
         (n_stop >= 2) AS ok_stop,
-        (n_words >= 50 AND n_words <= 100000
-          AND 3 * n_words <= tot_chars AND tot_chars <= 10 * n_words
-          AND 10 * (n_sym + n_ell) <= n_words
-          AND 5 * n_alpha >= 4 * n_words
-          AND 10 * n_bullet <= 9 * n_lines
-          AND 10 * n_ell_ln <= 3 * n_lines
-          AND n_stop >= 2) AS keep
+        $gopherKeepSql AS keep
       FROM m ORDER BY doc_id""")
   ) { (s, d) => gopherRulesOf(Tables.documents(s, d)) }
 
@@ -4173,6 +4320,152 @@ object LlmOps {
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
       )
       .orderBy("source")
+  }
+
+  /** THE COMPOSED CORPUS BUILD — t29 + t27 + t28 as ONE plan, the way a
+    * pretraining mixture is actually produced (the CCNet + DoReMi-style
+    * composition): hard rules first, quality buckets second, temperature
+    * allocation third, each stage feeding the next instead of running as
+    * separate reports over the raw table.
+    *
+    *   1. RULES (t29): documents failing any Gopher rule are dropped
+    *      before anything downstream sees them — in particular the
+    *      quality LM is FIT ON THE SURVIVORS, not the raw crawl (fitting
+    *      on garbage biases the very scores that rank the garbage).
+    *   2. BUCKETS (t27): interpolated bigram NLL under that survivor LM,
+    *      ranked WITHIN source via the distributed groupedRank (the
+    *      per-source window stays banned — WindowBoundSpec audits this
+    *      plan automatically), integer-tercile buckets. Unscorable
+    *      survivors (no in-vocab token) drop, the t25 contract.
+    *   3. ALLOCATION (t28, refined to (source, bucket) granularity —
+    *      CCNet samples per quality bucket, not per source): target
+    *      mixture M = total/2 split by √n weights across the
+    *      (source, bucket) cells, membership by the exact hex-threshold
+    *      predicate over md5("mix3|" || text). A cell upweighted past
+    *      its size reports its repetition need as n_target − n_kept.
+    *
+    * Output: one row per (source, bucket) — survivors, target, kept
+    * docs, kept TOKENS (the number a training run budgets against), and
+    * the kept-id checksum. Fully oracle-gated: every stage is integer-
+    * exact or decimal-pinned, so the DuckDB twin re-derives the whole
+    * composition (the three stages' own oracle CTEs, chained over the
+    * survivor relation).
+    *
+    * Scale: stage 1 is a projection pass; stage 2 is the t27 shape (LM
+    * fit = two token aggs, one range exchange, metadata offsets); stage
+    * 3 is a broadcast dim + scan-stage membership predicate + one
+    * summary shuffle. The survivor set is cached across its three
+    * consumers (LM fit, scoring, membership) — at 100 TB swap the cache
+    * for a materialized intermediate table, same plan shape. The
+    * membership hash rides THROUGH the range exchange as a 9-char
+    * column, so the corpus text is never joined a second time. */
+  val t30 = Q(
+    "t30_corpus_build",
+    Some(s"""
+      WITH ${gopherCtesSqlOver("documents")},
+      docs2 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                JOIN m USING (doc_id) WHERE $gopherKeepSql),
+      ${bigramNllCtesSqlOver("docs2")},
+      r AS (SELECT d.source, sc.doc_id, d.text, sc.n_tokens, sc.nll,
+              ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY sc.nll, sc.doc_id) AS rnk,
+              COUNT(*) OVER (PARTITION BY d.source) AS gn
+            FROM sc JOIN docs2 d USING (doc_id)),
+      b AS (SELECT source, CAST(((rnk - 1) * 3) // gn AS INTEGER) AS bucket,
+                   doc_id, text, n_tokens FROM r),
+      c AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY source, bucket),
+      w AS (SELECT source, bucket, n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1099511627776)) AS BIGINT) AS w
+            FROM c),
+      g AS (SELECT CAST(SUM(w) AS BIGINT) AS ww,
+                   CAST(SUM(n_docs) // 2 AS BIGINT) AS m FROM w),
+      th AS (SELECT source, bucket, n_docs, w,
+               CAST((g.m * w.w) // g.ww AS BIGINT) AS n_target,
+               least((g.m * w.w) // g.ww, n_docs) AS n_keep
+             FROM w CROSS JOIN g),
+      t2 AS (SELECT source, bucket, n_docs, n_target,
+               printf('%09x', (n_keep * 4294967296) // n_docs) AS th
+             FROM th),
+      kept AS (SELECT b.source, b.bucket, b.doc_id, b.n_tokens
+               FROM b JOIN t2 USING (source, bucket)
+               WHERE '0' || substr(md5('mix3|' || b.text), 1, 8) < t2.th),
+      s2 AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+                    CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+             FROM kept GROUP BY source, bucket)
+      SELECT t2.source, t2.bucket, t2.n_docs, t2.n_target,
+             COALESCE(s2.n_kept, 0) AS n_kept,
+             COALESCE(s2.kept_tokens, 0) AS kept_tokens,
+             COALESCE(s2.kept_id_sum, 0) AS kept_id_sum
+      FROM t2 LEFT JOIN s2 USING (source, bucket)
+      ORDER BY source, bucket""")
+  ) { (s, d) =>
+    corpusBuildOf(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      s.sparkContext.defaultParallelism)
+  }
+
+  /** t30's frame-parameterized body — (doc_id, source, text) in, one
+    * (source, bucket) mixture row out. Facade: Graft.corpusBuild. */
+  private[graft] def corpusBuildOf(docs: DataFrame, numParts: Int): DataFrame = {
+    // stage 1: rules — survivors cached for the LM fit + scoring reads
+    val survivors = docs
+      .join(gopherRulesOf(docs).filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      // the membership hash is computed HERE, once, and carried through
+      // the range exchange as 9 chars — the corpus text never re-joins
+      .withColumn(
+        "mh",
+        concat(lit("0"), substring(md5(concat(lit("mix3|"), col("text"))), 1, 8))
+      )
+      .cacheOnce()
+    // stage 2: survivor-fit LM, per-source integer terciles
+    val tk = survivors.select(col("doc_id"), toks(col("text")).as("t")).cacheOnce()
+    val scored = bigramNllFrom(tk, bigramLmCountsOf(tk))
+      .join(survivors.select("doc_id", "source", "mh"), "doc_id")
+    val bucketed = graft.operators.Ranks
+      .groupedRank(
+        scored.select("source", "doc_id", "n_tokens", "nll", "mh"),
+        "source",
+        numParts,
+        col("nll"),
+        col("doc_id")
+      )
+      .withColumn("bucket", expr("((grank - 1) * 3) div gn").cast("int"))
+      .select("source", "bucket", "doc_id", "n_tokens", "mh")
+    // stage 3: √n temperature allocation over the (source, bucket) cells
+    val counts = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+    val weights = counts.withColumn(
+      "w",
+      floor(sqrt(col("n_docs").cast("double") * lit(1099511627776.0))).cast("long")
+    )
+    val g = weights.agg(sum(col("w")).as("ww"), expr("sum(n_docs) div 2").as("m"))
+    val th = weights
+      .crossJoin(broadcast(g))
+      .withColumn("n_target", expr("(m * w) div ww"))
+      .withColumn("n_keep", least(col("n_target"), col("n_docs")))
+      .withColumn("th", format_string("%09x", expr("(n_keep * 4294967296) div n_docs")))
+    val kept = bucketed
+      .join(broadcast(th.select("source", "bucket", "th")), Seq("source", "bucket"))
+      .filter(col("mh") < col("th"))
+    val summary = kept
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"),
+        sum(col("doc_id")).as("kept_id_sum")
+      )
+    th.select("source", "bucket", "n_docs", "n_target")
+      .join(summary, Seq("source", "bucket"), "left")
+      .select(
+        col("source"),
+        col("bucket"),
+        col("n_docs"),
+        col("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum")
+      )
+      .orderBy("source", "bucket")
   }
 
   /** Sequence packing: place every document into fixed token-budget
@@ -5765,5 +6058,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30)
 }

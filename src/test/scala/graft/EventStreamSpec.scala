@@ -1036,6 +1036,101 @@ class EventStreamSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("quarantine drain: a doc parked for OOV-NLL under LM v1 is admitted after an LM v2 refresh") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    import graft.queries.LlmOps.UnscorablePolicy
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").limit(8)
+    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    // two parked candidates: one whose vocab LM v2 will cover, one it won't
+    val oovDoc = (maxId + 1, "zzzzz qqqqq zzzzz qqqqq")
+    val stillOov = (maxId + 2, "jjjjj kkkkk jjjjj")
+    // 8 corpus tokens + 2 fresh: 1 of its 3 8-grams hits the train set
+    // (33% < the 70% contamination rule) and every token is in-vocab
+    val freshDoc = corpus.as[(Long, String)].head() match {
+      case (_, t) => (maxId + 3, t.split(" ").take(8).mkString(" ") + " extra tail")
+    }
+    val batch = Seq(oovDoc, stillOov, freshDoc).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("drain").toString
+    val idx = s"$base/idx"; val out = s"$base/verdicts"; val drainOut = s"$base/drain"
+    val (h0, bd0) = LlmOps.dedupIndexOf(corpus)
+    LlmOps.saveDedupIndex(h0, bd0, idx)
+    val grams = LlmOps.gramSetOf(corpus).localCheckpoint(true)
+    def lmOf(df: org.apache.spark.sql.DataFrame) = LlmOps
+      .bigramLmCountsOf(df.select(col("doc_id"), LlmOps.tokensCol(col("text")).as("t")))
+      .localCheckpoint(true)
+    val lmV1 = lmOf(corpus)
+    // batch 0 under LM v1: both OOV docs route to quarantine
+    LlmOps.pipelineBatch(batch, idx, grams, lmV1, 1e9, out, 0L,
+      maintainIndex = true, unscorable = UnscorablePolicy.Quarantine)
+    val routes0 = spark.read.parquet(out).select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(routes0(oovDoc._1) == "quarantine" && routes0(stillOov._1) == "quarantine")
+    assert(routes0(freshDoc._1) == "admit")
+    val hashAfterBatch = LlmOps.loadDedupIndex(spark, idx)._1.count()
+    // LM v2: re-fit over the grown corpus — now covers oovDoc's vocab
+    // (the refresh that changes the parked doc's verdict) but not stillOov's
+    val lmV2 = lmOf(corpus.unionByName(Seq(oovDoc).toDF("doc_id", "text")))
+    LlmOps.drainQuarantine(batch, idx, grams, lmV2, 1e9, out, drainOut, 1L)
+    val drainRoutes = spark.read.parquet(drainOut).select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // only the two PARKED docs were re-scored (the admitted one is not eligible)
+    assert(drainRoutes.keySet == Set(oovDoc._1, stillOov._1), drainRoutes.toString)
+    assert(drainRoutes(oovDoc._1) == "admit", "LM v2 covers its vocab — must clear")
+    assert(drainRoutes(stillOov._1) == "quarantine", "still unscorable — stays parked")
+    // the index extended by exactly the one admitted doc
+    val hashAfterDrain = LlmOps.loadDedupIndex(spark, idx)._1.count()
+    assert(hashAfterDrain == hashAfterBatch + 1, s"$hashAfterBatch -> $hashAfterDrain")
+    // BOTH routes are durable: quarantine in the stream's ledger, admit in
+    // the drain's — the audit trail the parked doc's lifecycle needs
+    assert(spark.read.parquet(out).filter(col("doc_id") === oovDoc._1)
+      .head().getAs[String]("verdict") == "quarantine")
+    // a replayed drain (same id) is a no-op
+    LlmOps.drainQuarantine(batch, idx, grams, lmV2, 1e9, out, drainOut, 1L)
+    assert(LlmOps.loadDedupIndex(spark, idx)._1.count() == hashAfterDrain,
+      "a replayed drain double-extended the index")
+    // a lower drain id is refused (monotonic per index)
+    val ex = intercept[IllegalArgumentException] {
+      LlmOps.drainQuarantine(batch, idx, grams, lmV2, 1e9, out, drainOut, 0L)
+    }
+    assert(ex.getMessage.contains("high-water mark"), ex.getMessage)
+    // the stream survives the drain: its next batch commits normally and
+    // CARRIES the drain marker, so the drain's replay skip stays durable
+    val nextArrival = Seq((maxId + 4, "another brand new arrival document text")).toDF("doc_id", "text")
+    LlmOps.pipelineBatch(nextArrival, idx, grams, lmV2, 1e9, out, 1L,
+      maintainIndex = true, unscorable = UnscorablePolicy.Quarantine)
+    LlmOps.drainQuarantine(batch, idx, grams, lmV2, 1e9, out, drainOut, 1L) // still a no-op
+    val finalHash = LlmOps.loadDedupIndex(spark, idx)._1.count()
+    // a drain-2 after ANOTHER refresh can still re-score the re-parked doc
+    val lmV3 = lmOf(corpus.unionByName(Seq(oovDoc, stillOov).toDF("doc_id", "text")))
+    LlmOps.drainQuarantine(batch, idx, grams, lmV3, 1e9, out, drainOut, 2L)
+    val drain2 = spark.read.parquet(drainOut).filter(col("drain_id") === 2)
+      .select("doc_id", "verdict").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drain2 == Map(stillOov._1 -> "admit"),
+      s"drain 2 must re-score ONLY the still-parked doc: $drain2")
+    val hashAfterDrain2 = LlmOps.loadDedupIndex(spark, idx)._1.count()
+    assert(hashAfterDrain2 == finalHash + 1)
+    // CHAOS: a drain that crashed BETWEEN its ledger write and the index
+    // commit left its own drain_id partition on disk with an admit row.
+    // The replay must re-score those docs — its own half-finished verdicts
+    // are not terminal — and finish the index extension.
+    val lateOov = (maxId + 5, "wwwww vvvvv wwwww")
+    LlmOps.pipelineBatch(Seq(lateOov).toDF("doc_id", "text"), idx, grams, lmV3, 1e9,
+      out, 2L, maintainIndex = true, unscorable = UnscorablePolicy.Quarantine)
+    val lmV4 = lmOf(corpus.unionByName(Seq(oovDoc, stillOov, lateOov).toDF("doc_id", "text")))
+    val crashed = Seq((lateOov._1, false, false, true, 0L, 0L, false,
+      Some(3L), Some(0.1), true, "admit"))
+      .toDF("doc_id", "dup_exact", "dup_near", "keep", "n_grams", "n_hit",
+        "contaminated", "n_tokens", "nll", "admit", "verdict")
+    crashed.write.mode("overwrite").parquet(s"$drainOut/drain_id=3")
+    LlmOps.drainQuarantine(Seq(lateOov).toDF("doc_id", "text"), idx, grams, lmV4,
+      1e9, out, drainOut, 3L)
+    assert(LlmOps.loadDedupIndex(spark, idx)._1.count() == hashAfterDrain2 + 1,
+      "the replayed drain treated its own crashed partition as terminal")
+    Hygiene.release(spark)
+  }
+
   test("a fresh stream incarnation replaying batch ids against an existing index is refused") {
     import spark.implicits._
     import graft.queries.LlmOps
