@@ -354,6 +354,15 @@ object Graft {
   def sourceQualityBuckets(documents: DataFrame, numParts: Int): DataFrame =
     graft.queries.LlmOps.sourceQualityBucketsOf(documents, numParts)
 
+  /** t30's composed corpus build: Gopher rules → survivor-fit bigram-LM
+    * quality terciles within source → √n temperature allocation over the
+    * (source, bucket) cells with deterministic membership. One
+    * (source, bucket) mixture row out: survivors, target, kept docs,
+    * kept tokens, membership checksum. Input needs
+    * (doc_id, source, text); `numParts` as in sourceQualityBuckets. */
+  def corpusBuild(documents: DataFrame, numParts: Int): DataFrame =
+    graft.queries.LlmOps.corpusBuildOf(documents, numParts)
+
   /** Exact in-group rank without a per-group window partition (the
     * operators.Ranks kernel behind q22/q37/t27): input columns + grank
     * (1-based within `grp` by `orderKeys`) + gn (group size). Include a
