@@ -1487,15 +1487,21 @@ object LlmOps {
       val drainDirExists = new org.apache.hadoop.fs.Path(drainDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .exists(new org.apache.hadoop.fs.Path(drainDir))
-      // EARLIER drains' decisions only: a crashed attempt of THIS drain
-      // may have landed its own partition before the index commit — the
-      // replay must re-score those docs, not read its own half-finished
-      // verdicts as terminal (the admit would otherwise never reach the
-      // index)
+      // COMMITTED drains' decisions only: a drain partition is durable the
+      // moment its parquet write lands, but its admits reach the index only
+      // at the manifest commit that advances `last_drain`. Any partition
+      // with drain_id above the committed high-water — this id's own
+      // half-finished replay, OR an earlier drain that crashed between its
+      // verdict write and its commit and was never replayed under the same
+      // id — carries 'admit' rows whose index append never happened.
+      // Treating those as terminal would permanently exclude the doc from
+      // re-scoring while the audit trail claims it was admitted. So the
+      // terminal set is gated on drain_id <= last_drain, not =!= drainId.
+      val committedHw = snap.props.get("last_drain").map(_.toLong)
       val decided =
-        if (drainDirExists)
+        if (drainDirExists && committedHw.isDefined)
           s.read.parquet(drainDir)
-            .filter(col("drain_id") =!= drainId && col("verdict") =!= "quarantine")
+            .filter(col("drain_id") <= committedHw.get && col("verdict") =!= "quarantine")
             .select("doc_id")
         else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       val eligible = parked.join(decided, Seq("doc_id"), "left_anti")

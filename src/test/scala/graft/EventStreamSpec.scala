@@ -1128,6 +1128,36 @@ class EventStreamSpec extends AnyFunSuite {
       1e9, out, drainOut, 3L)
     assert(LlmOps.loadDedupIndex(spark, idx)._1.count() == hashAfterDrain2 + 1,
       "the replayed drain treated its own crashed partition as terminal")
+    // CHAOS 2 (the r10 ADVICE finding): an EARLIER drain (id 4) crashed
+    // between its verdict write and its index commit, and is never
+    // replayed under id 4 — the operator's next refresh runs as drain 5,
+    // which the monotonic check permits since the crashed drain never
+    // advanced the high-water. Drain 5 must NOT read the crashed 'admit'
+    // as terminal: that admit never reached the index, and trusting it
+    // would permanently exclude the doc while the audit trail claims it
+    // was admitted. Terminal verdicts are COMMITTED drains' only
+    // (drain_id <= last_drain), not merely other-id partitions.
+    val ghostOov = (maxId + 6, "ggggg hhhhh ggggg hhhhh")
+    LlmOps.pipelineBatch(Seq(ghostOov).toDF("doc_id", "text"), idx, grams, lmV4, 1e9,
+      out, 3L, maintainIndex = true, unscorable = UnscorablePolicy.Quarantine)
+    assert(spark.read.parquet(out).filter(col("doc_id") === ghostOov._1)
+      .head().getAs[String]("verdict") == "quarantine")
+    val hashBeforeGhost = LlmOps.loadDedupIndex(spark, idx)._1.count()
+    val crashedEarlier = Seq((ghostOov._1, false, false, true, 0L, 0L, false,
+      Some(4L), Some(0.1), true, "admit"))
+      .toDF("doc_id", "dup_exact", "dup_near", "keep", "n_grams", "n_hit",
+        "contaminated", "n_tokens", "nll", "admit", "verdict")
+    crashedEarlier.write.mode("overwrite").parquet(s"$drainOut/drain_id=4")
+    val lmV5 = lmOf(corpus.unionByName(
+      Seq(oovDoc, stillOov, lateOov, ghostOov).toDF("doc_id", "text")))
+    LlmOps.drainQuarantine(Seq(ghostOov).toDF("doc_id", "text"), idx, grams, lmV5,
+      1e9, out, drainOut, 5L)
+    assert(LlmOps.loadDedupIndex(spark, idx)._1.count() == hashBeforeGhost + 1,
+      "drain 5 treated a crashed drain-4 'admit' as terminal — that admit " +
+        "never reached the index, the doc must be re-scored")
+    val drain5 = spark.read.parquet(drainOut).filter(col("drain_id") === 5)
+      .select("doc_id", "verdict").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drain5 == Map(ghostOov._1 -> "admit"), drain5.toString)
     Hygiene.release(spark)
   }
 
