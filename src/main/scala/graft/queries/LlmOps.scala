@@ -4386,11 +4386,12 @@ object LlmOps {
       g AS (SELECT CAST(SUM(w) AS BIGINT) AS ww,
                    CAST(SUM(n_docs) // 2 AS BIGINT) AS m FROM w),
       th AS (SELECT source, bucket, n_docs, w,
-               CAST((g.m * w.w) // g.ww AS BIGINT) AS n_target,
-               least((g.m * w.w) // g.ww, n_docs) AS n_keep
+               CAST((CAST(g.m AS HUGEINT) * CAST(w.w AS HUGEINT)) // g.ww AS BIGINT) AS n_target,
+               CAST(least((CAST(g.m AS HUGEINT) * CAST(w.w AS HUGEINT)) // g.ww,
+                          CAST(n_docs AS HUGEINT)) AS BIGINT) AS n_keep
              FROM w CROSS JOIN g),
       t2 AS (SELECT source, bucket, n_docs, n_target,
-               printf('%09x', (n_keep * 4294967296) // n_docs) AS th
+               printf('%09x', CAST((CAST(n_keep AS HUGEINT) * 4294967296) // n_docs AS BIGINT)) AS th
              FROM th),
       kept AS (SELECT b.source, b.bucket, b.doc_id, b.n_tokens
                FROM b JOIN t2 USING (source, bucket)
@@ -4445,11 +4446,24 @@ object LlmOps {
       floor(sqrt(col("n_docs").cast("double") * lit(1099511627776.0))).cast("long")
     )
     val g = weights.agg(sum(col("w")).as("ww"), expr("sum(n_docs) div 2").as("m"))
+    // The two products are computed in DECIMAL so they cannot wrap at
+    // scale: m and w are each < 2^63, so m*w < 2^126 ≈ 8.5e37, which
+    // DECIMAL(38,0) holds exactly (Spark non-ANSI int64 would wrap
+    // SILENTLY past ~1e9 total docs while the DuckDB oracle raises —
+    // the worst kind of cross-engine divergence). Both quotients are
+    // bounded back into int64 by construction (n_target <= m,
+    // threshold < 2^32), so the OUTPUT columns stay BIGINT.
     val th = weights
       .crossJoin(broadcast(g))
-      .withColumn("n_target", expr("(m * w) div ww"))
+      .withColumn(
+        "n_target",
+        expr("(CAST(m AS DECIMAL(20,0)) * CAST(w AS DECIMAL(20,0))) div ww"))
       .withColumn("n_keep", least(col("n_target"), col("n_docs")))
-      .withColumn("th", format_string("%09x", expr("(n_keep * 4294967296) div n_docs")))
+      .withColumn(
+        "th",
+        format_string(
+          "%09x",
+          expr("(CAST(n_keep AS DECIMAL(20,0)) * CAST(4294967296 AS DECIMAL(12,0))) div n_docs")))
     val kept = bucketed
       .join(broadcast(th.select("source", "bucket", "th")), Seq("source", "bucket"))
       .filter(col("mh") < col("th"))

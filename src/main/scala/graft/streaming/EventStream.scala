@@ -648,15 +648,30 @@ object EventStream {
     * no second writer races it; a crash mid-compaction leaves the old
     * snapshot fully live and the replay skips the batch (already
     * committed) — the compaction simply re-runs at the next cadence
-    * hit. */
+    * hit.
+    *
+    * `retain` is the concurrent-reader grace window handed to each
+    * compaction's GC (SnapshotLog versions kept). `0` (the default)
+    * resolves to 2 WHEN COMPACTION IS ENABLED and 1 otherwise: the
+    * "searches pick up each batch as soon as its manifest commits"
+    * contract above means a reader may have resolved the pre-compaction
+    * snapshot at the moment the compaction commit lands, and a retain of
+    * 1 would GC the superseded batch directories out from under that
+    * in-flight read. Keeping the previous generation for one extra
+    * compaction cycle makes the advertised concurrent search safe by
+    * default; deployments with no concurrent readers can pass 1
+    * explicitly to reclaim space at each flip. */
   def ivfIngest(
       emb: DataFrame,
       indexPath: String,
       checkpointDir: String,
       compactEvery: Int = 0,
-      retain: Int = 1
+      retain: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    require(retain >= 0, s"retain must be >= 0 (0 = auto), got $retain")
+    val effectiveRetain =
+      if (retain > 0) retain else if (compactEvery > 0) 2 else 1
     // full validation once, at stream start (the ingestGuard rule)
     graft.operators.AnnIvf.validateIndex(emb.sparkSession, indexPath)
     // cross-batch snapshot + centroid reuse (the r9 floor-trim discipline)
@@ -667,7 +682,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId, handle)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.operators.AnnIvf.compactIndex(batch.sparkSession, indexPath, retain)
+          graft.operators.AnnIvf.compactIndex(batch.sparkSession, indexPath, effectiveRetain)
       }
       .start()
   }

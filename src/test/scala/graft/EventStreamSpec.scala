@@ -928,6 +928,60 @@ class EventStreamSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("ivfIngest: compaction's default retain keeps the superseded generation readable for concurrent readers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{AnnIvf, SnapshotLog}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val half = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val base = java.nio.file.Files.createTempDirectory("ivf-retain").toString
+    val idx = s"$base/ivf"
+    AnnIvf.buildIndex(spark, emb.filter(half), idx, nlist = 8)
+    val arriving = emb.filter(!half)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val slices = arriving.grouped((arriving.size + 2) / 3).toSeq // batches 0,1,2
+    val src = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 2, retain left at the default: the advertised
+    // "searches pick up each batch as soon as its manifest commits"
+    // contract means a reader may hold the pre-compaction snapshot when
+    // the compaction commit lands — the auto retain (2 under compaction)
+    // must keep that snapshot's directories alive through the flip
+    val q = EventStream.ivfIngest(src.toDF().toDF("vec_id", "embedding"), idx,
+      s"$base/ck", compactEvery = 2)
+    try {
+      src.addData(slices(0): _*); q.processAllAvailable()
+      src.addData(slices(1): _*); q.processAllAvailable()
+      // the concurrent reader: resolves the pre-compaction snapshot NOW
+      val preSnap = SnapshotLog.current(spark, idx, "ivf-index")
+      val preTags = preSnap.tables("vectors")
+      assert(preTags.size > 1, s"expected multiple generations pre-compaction: $preTags")
+      src.addData(slices(2): _*); q.processAllAvailable() // batch 2 → compaction
+      val postSnap = SnapshotLog.current(spark, idx, "ivf-index")
+      assert(postSnap.tables("vectors").exists(_.startsWith("compact-")),
+        s"compaction did not commit: ${postSnap.tables("vectors")}")
+      // the superseded generation is still on disk AND still readable —
+      // the in-flight pre-compaction read survives the commit
+      preTags.foreach { tag =>
+        val dir = SnapshotLog.dataDir(idx, "vectors", tag)
+        assert(new java.io.File(dir).exists(), s"retain default GC'd $dir at the flip")
+        assert(spark.read.parquet(dir).count() > 0, s"$dir unreadable post-compaction")
+      }
+    } finally q.stop()
+    // contrast: an explicit retain=1 compaction reclaims the superseded
+    // dirs immediately (the no-concurrent-readers deployment's choice)
+    AnnIvf.rebuildIndex(spark, idx, nlist = 8) // collapse to one generation first
+    AnnIvf.appendIndexBatch(spark, slices(0).toDF("vec_id", "embedding"), idx, 3L)
+    val tagsBefore = SnapshotLog.current(spark, idx, "ivf-index").tables("vectors")
+    AnnIvf.compactIndex(spark, idx, retain = 1)
+    tagsBefore.foreach { tag =>
+      assert(!new java.io.File(SnapshotLog.dataDir(idx, "vectors", tag)).exists(),
+        s"explicit retain=1 left superseded dir $tag")
+    }
+    AnnIvf.validateIndex(spark, idx)
+    Hygiene.release(spark)
+  }
+
   test("gram refresh: an in-flight crawlPipeline picks up the rebuilt artifact at the next batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
