@@ -2168,21 +2168,59 @@ object LlmOps {
       cos AS (SELECT qid, tid,
                 ${cosineSql("nq", "nt")} AS cosine
               FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nt ON tid = nt.vec_id)
-      SELECT qid AS vec_id, TRUE AS recall_ok
+      SELECT qid AS vec_id, TRUE AS recall_floor_ok, TRUE AS recall_ok
       FROM cos WHERE cosine >= 0.35
       GROUP BY qid ORDER BY vec_id""")
   ) { (s, d) =>
-    // pinned: the exact contaminated set feeds the semi-join, the
-    // verdict denominator, AND the emitted rows
-    val exact = d12.run(s, d).select("vec_id").cacheOnce()
-    val detected = exact.join(d13.run(s, d).select("vec_id"), Seq("vec_id"), "left_semi")
-    val gate = exact
-      .agg(count(lit(1)).as("n_exact"))
-      .crossJoin(detected.agg(count(lit(1)).as("n_detected")))
+    // pinned: the exact contaminated set feeds the mean verdict, the
+    // bucket rates, AND the emitted rows (detection is per-vec BINARY,
+    // so a per-vec floor would demand 100% detection — stronger than
+    // the gate's own 0.7 contract; the floor instead guards against
+    // REGIONAL collapse: vecs hash into 4 buckets and every bucket's
+    // detection rate must hold >= 0.5, so a dead probe region — e.g.
+    // one IVF list's vecs all silently undetected — turns its bucket's
+    // rows FALSE against the oracle's pinned TRUE instead of averaging
+    // into the global mean. Bucket minima measured 0.64 / 0.75 / 0.93
+    // at sf0.001 / sf0.01 / sf0.1.)
+    detectionGate(
+      d12.run(s, d).select("vec_id"),
+      d13.run(s, d).select("vec_id"),
+      meanBar = 0.7,
+      bucketFloor = 0.5
+    )
+  }
+
+  /** The d14 gate tail, factored for the poisoned-bucket spec: per-vec
+    * detection flags (exact ∈ detected?), the global mean verdict
+    * (`recall_ok`), and the per-bucket floor verdict
+    * (`recall_floor_ok`) joined back onto every row. One row per exact
+    * vec, ordered. private[graft] so RecallGateSpec can drive it with a
+    * sabotaged detected side. */
+  private[graft] def detectionGate(
+      exact: DataFrame,
+      detected: DataFrame,
+      meanBar: Double,
+      bucketFloor: Double,
+      nBuckets: Int = 4
+  ): DataFrame = {
+    val flags = exact
+      .join(detected.withColumn("det", lit(1.0d)), Seq("vec_id"), "left")
       .select(
-        (col("n_detected").cast("double") >= col("n_exact") * 0.7).as("recall_ok")
+        col("vec_id"),
+        coalesce(col("det"), lit(0.0d)).as("det"),
+        pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).as("bucket")
       )
-    exact.crossJoin(broadcast(gate)).orderBy("vec_id")
+      .localCheckpoint(true)
+    val gate = flags.agg((avg(col("det")) >= meanBar).as("recall_ok"))
+    val bucketOk = flags
+      .groupBy("bucket")
+      .agg((avg(col("det")) >= bucketFloor).as("recall_floor_ok"))
+    flags
+      .select("vec_id", "bucket")
+      .join(broadcast(bucketOk), Seq("bucket"))
+      .select(col("vec_id"), col("recall_floor_ok"))
+      .crossJoin(broadcast(gate))
+      .orderBy("vec_id")
   }
 
   /** Triangle-blocked self-join: every unordered pair of DISTINCT input
@@ -2256,7 +2294,10 @@ object LlmOps {
     // cached for the same double-reference reason as e05
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
-    recallGate(exact, approx, 0.4)
+    // floor 0.2 = every query keeps >= 1 of its 5 true neighbors (the
+    // per-qid minimum measured at the oracle tier IS 0.2 — IVF at e06's
+    // probe budget legitimately misses 4/5 on its worst query)
+    recallGate(exact, approx, 0.4, floor = 0.2)
   }
 
   /** int8 embedding quantization (absmax scheme) — the 4x storage
@@ -2324,7 +2365,9 @@ object LlmOps {
     val approx = topKRankedSameCol(dbl, "c", 5, asc = false)
     // cached: exact feeds both the hit join and the per-query k counts
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
-    recallGate(exact, approx, 0.7)
+    // floor 0.4: per-qid minimum measured 0.8 at the oracle tier (int8
+    // round-trip barely perturbs the ranking), so 2x headroom
+    recallGate(exact, approx, 0.7, floor = 0.4)
   }
 
   /** The ONE recall-gate tail every approximate-search gate shares
@@ -2332,9 +2375,11 @@ object LlmOps {
     * overlap of `approx` with `exact` (both (qid, vid)), zero-hit
     * queries kept alive by the left join + coalesce.
     *
-    * Emits ONE ROW PER QUERY — (qid, k, recall_ok) ordered by qid, with
-    * `recall_ok` the global mean-recall verdict broadcast onto every
-    * row — NOT the old single (n_queries, recall_ok) summary. The
+    * Emits ONE ROW PER QUERY — (qid, k, recall_floor_ok, recall_ok)
+    * ordered by qid, with `recall_ok` the global mean-recall verdict
+    * broadcast onto every row and `recall_floor_ok` that qid's OWN
+    * recall >= the per-gate floor — NOT the old single
+    * (n_queries, recall_ok) summary. The
     * difference is what the ORACLE can pin: qid and k are derivable
     * from the exact side's own oracle-green SQL, so a silently-empty or
     * truncated exact side (zero rows, a dropped qid, a short top-k) now
@@ -2348,8 +2393,23 @@ object LlmOps {
     * The per-query frame is eagerly pinned (rows = |queries|, tiny by
     * construction): it feeds both the verdict aggregate and the emitted
     * rows, and without the pin the whole approx pipeline (the expensive
-    * ANN search) would execute twice. */
-  private def recallGate(exact: DataFrame, approx: DataFrame, threshold: Double): DataFrame = {
+    * ANN search) would execute twice.
+    *
+    * `floor` closes the last averaging blind spot: the mean verdict
+    * tolerates one dead query out of ten behind nine strong ones, but
+    * the floor verdict is per-row, so a single collapsed qid turns
+    * exactly its row FALSE against the oracle's pinned TRUE. Floors are
+    * calibrated to each gate's measured per-qid MINIMUM at the oracle
+    * tier (sf0.01, where CORRECTNESS compares) — see each call site;
+    * a floor of 0.2 at k = 5 reads "every query keeps at least one
+    * true neighbor". private[graft] so RecallGateSpec can drive it
+    * with a poisoned approx side. */
+  private[graft] def recallGate(
+      exact: DataFrame,
+      approx: DataFrame,
+      threshold: Double,
+      floor: Double
+  ): DataFrame = {
     val hits = exact
       .join(approx, Seq("qid", "vid"))
       .groupBy("qid")
@@ -2366,7 +2426,16 @@ object LlmOps {
       .localCheckpoint(true)
     val gate = perQuery.agg((avg(col("recall")) >= threshold).as("recall_ok"))
     perQuery
-      .select(col("qid"), col("k"))
+      .select(
+        col("qid"),
+        col("k"),
+        // per-qid FLOOR verdict: this row's own recall must clear the
+        // per-gate floor. Unlike recall_ok (the broadcast mean verdict,
+        // where one dead query out of ten can hide behind nine strong
+        // ones), the oracle pins TRUE on every row — a single collapsed
+        // qid fails CORRECTNESS on exactly its row.
+        (col("recall") >= floor).as("recall_floor_ok")
+      )
       .crossJoin(broadcast(gate))
       .orderBy("qid")
   }
@@ -2381,6 +2450,7 @@ object LlmOps {
   private def recallGateOracleSql: String = """
       SELECT CAST(vec_id AS BIGINT) AS qid,
              CAST(LEAST(5, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS k,
+             TRUE AS recall_floor_ok,
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
 
@@ -2399,7 +2469,8 @@ object LlmOps {
     // rescore) executes twice inside this one gate (measured ~2x)
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
-    recallGate(exact, approx, 0.7)
+    // floor 0.4: per-qid minimum measured 0.8 at the oracle tier
+    recallGate(exact, approx, 0.7, floor = 0.4)
   }
 
   /** Per-label centroids — the aggregation kernel of k-means / IVF coarse
@@ -2818,7 +2889,9 @@ object LlmOps {
     // smallest-distance one-pass top-k (negated scores); int_sqdist
     // values sit far below topKRankedSameCol's 2^53 exactness bound
     val exact = topKRankedSameCol(exactL2, "d2", 5, asc = true).cacheOnce()
-    recallGate(exact, approx, 0.4)
+    // floor 0.2 = every query keeps >= 1 true neighbor through the
+    // 4x16 ADC shortlist + re-rank (per-qid minimum at the oracle tier)
+    recallGate(exact, approx, 0.4, floor = 0.2)
   }
 
   /** Semantic dedup (the SemDeDup recipe): embedding near-dup pairs
@@ -6038,7 +6111,10 @@ object LlmOps {
       .select("qid", "vid")
     // cached: feeds the hit join and the per-query k counts (e05's note)
     val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
-    recallGate(exact, approx, 0.6)
+    // floor 0.2 = every query keeps >= 1 true neighbor out of the merged
+    // built+appended artifact (per-qid minimum measured 0.4 at the
+    // oracle tier, 0.6 at sf0.001/sf0.1)
+    recallGate(exact, approx, 0.6, floor = 0.2)
   }
 
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid

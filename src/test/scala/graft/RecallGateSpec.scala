@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-qid recall FLOOR contract of the six ANN recall gates
+  * (e05/e07/e11/e12/e18 via LlmOps.recallGate, d14 via
+  * LlmOps.detectionGate): the mean verdict tolerates one dead query
+  * out of ten behind nine strong ones — the floor verdict must not.
+  * These specs poison exactly one qid / one bucket and assert the
+  * frame the DuckDB oracle pins (TRUE on every row) now carries a
+  * FALSE, i.e. the collapse fails CORRECTNESS on its own row instead
+  * of averaging away.
+  */
+class RecallGateSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  /** 10 qids x k=5 exact rows. */
+  private def exactSide = (for { q <- 0L until 10L; v <- 0L until 5L }
+    yield (q, q * 100 + v)).toDF("qid", "vid")
+
+  test("poisoned qid: one dead query out of ten passes the mean but fails the floor") {
+    val exact = exactSide
+    // approx finds everything except qid 7, which finds NOTHING
+    val approx = exact.filter($"qid" =!= 7L)
+    val out = graft.queries.LlmOps
+      .recallGate(exact, approx, threshold = 0.7, floor = 0.2)
+      .collect()
+    assert(out.length === 10)
+    // the mean verdict (0.9 >= 0.7) is green on every row — exactly the
+    // blind spot: the dead query hides behind the other nine
+    assert(out.forall(_.getAs[Boolean]("recall_ok")))
+    // ...but the floor verdict is FALSE on precisely the dead qid's row
+    val floorFails = out.filter(!_.getAs[Boolean]("recall_floor_ok")).map(_.getAs[Long]("qid"))
+    assert(floorFails.toSeq === Seq(7L))
+  }
+
+  test("healthy and grazing qids clear the floor") {
+    val exact = exactSide
+    // qid 3 keeps exactly 1 of 5 neighbors (recall 0.2): AT the floor
+    val approx = exact.filter($"qid" =!= 3L || $"vid" === 300L)
+    val out = graft.queries.LlmOps
+      .recallGate(exact, approx, threshold = 0.7, floor = 0.2)
+      .collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Boolean]("recall_floor_ok")))
+  }
+
+  test("poisoned bucket: a regional detection collapse fails the bucket floor per-row") {
+    // 200 vecs, ~90% detected overall (mean bar 0.7 clears), EXCEPT the
+    // vecs hashing into bucket 2, none of which are detected — the
+    // regional collapse d14's floor exists to catch
+    val exact = (0L until 200L).toDF("vec_id")
+    val bucketed = exact.withColumn("bucket", pmod(xxhash64($"vec_id"), lit(4L)))
+    val detected = bucketed
+      .filter($"bucket" =!= 2L && pmod($"vec_id", lit(10L)) =!= 0L)
+      .select("vec_id")
+    val out = graft.queries.LlmOps
+      .detectionGate(exact, detected, meanBar = 0.6, bucketFloor = 0.5)
+      .collect()
+    assert(out.length === 200)
+    assert(out.forall(_.getAs[Boolean]("recall_ok")), "mean verdict hides the collapse")
+    val expected = bucketed.filter($"bucket" === 2L).count()
+    val floorFails = out.count(!_.getAs[Boolean]("recall_floor_ok"))
+    assert(floorFails === expected, "exactly the dead bucket's rows carry FALSE")
+    assert(floorFails > 0)
+  }
+
+  test("fully healthy detection keeps every floor verdict TRUE") {
+    val exact = (0L until 100L).toDF("vec_id")
+    val out = graft.queries.LlmOps
+      .detectionGate(exact, exact, meanBar = 0.7, bucketFloor = 0.5)
+      .collect()
+    assert(out.length === 100)
+    assert(out.forall(r => r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("recall_floor_ok")))
+  }
+}
