@@ -572,4 +572,99 @@ object AnnIvf {
       .select(col("qid"), col("rnk"), col("vec_id").as("vid"), col("cosine"))
       .orderBy("qid", "rnk")
   }
+
+  // ---- probe-budget calibration (nprobe -> recall) ----
+
+  /** The measured nprobe→recall curve for a quantizer over its corpus —
+    * the number a production user must see BEFORE picking nprobe (the
+    * soak's 0.24 recall at a 6% probe budget is what shipping blind
+    * looks like). One corpus scan yields the WHOLE curve: IVF search
+    * rescales candidates exactly inside the probed clusters, so the only
+    * recall loss is a true neighbor whose assigned cluster is NOT probed
+    * — and the minimal nprobe that finds a given (query, neighbor) pair
+    * is exactly the POSITION of the neighbor's cluster in the query's
+    * centroid-similarity order. The curve is the cumulative histogram of
+    * those positions:
+    *
+    *   1. assign each corpus row its cluster (compiled argmax, no join);
+    *   2. exact top-k per query (broadcast non-equi join + the
+    *      constant-state [[graft.functions.TopKVids]] heap — one linear
+    *      pass, no corpus window);
+    *   3. per true neighbor, `array_position` of its cluster in the
+    *      query's full probe order;
+    *   4. recall(nprobe) = fraction of pairs at position ≤ nprobe.
+    *
+    * Returns (nprobe, recall) for nprobe = 1..nlist, recall
+    * nondecreasing with recall(nlist) = 1.0 by construction. The
+    * calibration pays one exact brute-force pass over `emb` for the
+    * sample `queries` — the cost of measuring, paid once per quantizer
+    * generation, not per search; at 100 TB run it on a corpus sample
+    * with a representative query batch. */
+  def probeRecallCurve(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding
+      queries: DataFrame, // vec_id, embedding (small by construction)
+      cs: Seq[Array[Double]],
+      k: Int = 5
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val nlist = cs.length
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"), nearestCentroidCol(cs).as("cluster"))
+    val scored = corpus
+      .as("e")
+      .join(broadcast(queries).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("c")
+      )
+    val exact = scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKVids.topKVids(col("c"), col("vid"), k).as("top"))
+      .select(col("qid"), explode(col("top.vids")).as("vid"))
+    // the query's FULL centroid order once (nlist ints per query), then
+    // each neighbor's cluster position in it
+    val order = queries.select(
+      col("vec_id").as("qid"),
+      probeClustersCol(cs, nlist).as("probe_order")
+    )
+    val positions = exact
+      .join(corpus.select(col("vec_id").as("vid"), col("cluster")), Seq("vid"))
+      .join(broadcast(order), Seq("qid"))
+      .select(array_position(col("probe_order"), col("cluster")).as("pos"))
+    // cumulative histogram — ≤ nlist distinct positions, metadata-sized
+    val hist = positions.groupBy("pos").count().collect()
+    val total = hist.map(_.getLong(1)).sum.toDouble
+    val byPos = hist.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val curve = (1 to nlist).scanLeft(0L) { (acc, p) => acc + byPos.getOrElse(p.toLong, 0L) }
+    import spark.implicits._
+    curve.tail.zipWithIndex
+      .map { case (cum, i) => (i + 1, if (total == 0) 1.0 else cum / total) }
+      .toDF("nprobe", "recall")
+  }
+
+  /** The smallest nprobe whose measured recall on this (quantizer,
+    * corpus, query sample) meets `targetRecall` — the probe budget a
+    * deployment should run with, instead of guessing. Rule-of-thumb
+    * context (measured, docs/SCALE.md): uniform-ish corpora need a
+    * 30-50% probe budget for 0.9 recall at small nlist; cluster-friendly
+    * corpora far less. Returns nlist (exact search) when the target is
+    * unreachable below it. */
+  def suggestNprobe(
+      spark: SparkSession,
+      emb: DataFrame,
+      queries: DataFrame,
+      cs: Seq[Array[Double]],
+      targetRecall: Double,
+      k: Int = 5
+  ): Int = {
+    require(targetRecall > 0 && targetRecall <= 1.0, s"targetRecall in (0,1], got $targetRecall")
+    val curve = probeRecallCurve(spark, emb, queries, cs, k).collect()
+    curve
+      .filter(_.getDouble(1) >= targetRecall)
+      .map(_.getInt(0))
+      .minOption
+      .getOrElse(cs.length)
+  }
 }

@@ -2291,8 +2291,7 @@ object LlmOps {
     "e07_ann_ivf_recall",
     Some(recallGateOracleSql)
   ) { (s, d) =>
-    // cached for the same double-reference reason as e05
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
+    val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
     val approx = e06.run(s, d).select(col("qid"), col("vid"))
     // floor 0.2 = every query keeps >= 1 of its 5 true neighbors (the
     // per-qid minimum measured at the oracle tier IS 0.2 — IVF at e06's
@@ -2363,8 +2362,7 @@ object LlmOps {
     // int8 corpus never flows through a per-qid window partition, and the
     // dequantize+cosine scan runs exactly once
     val approx = topKRankedSameCol(dbl, "c", 5, asc = false)
-    // cached: exact feeds both the hit join and the per-query k counts
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
+    val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
     // floor 0.4: per-qid minimum measured 0.8 at the oracle tier (int8
     // round-trip barely perturbs the ranking), so 2x headroom
     recallGate(exact, approx, 0.7, floor = 0.4)
@@ -2440,6 +2438,36 @@ object LlmOps {
       .orderBy("qid")
   }
 
+  /** The exact cosine top-5 (qid, vid) frame every e01-gated recall gate
+    * shares (e05/e07/e11/e18), materialized ONCE per (JVM, dataset) as a
+    * scratch parquet artifact (|queries| x k = ~50 rows) and re-read
+    * thereafter. e01 is deterministic (exact-decimal rescore decides the
+    * ordering) and oracle-green, so build-once/re-read is observationally
+    * identical to running the exact pipeline inline in each gate — but a
+    * suite run pays the corpus-scan exact side once instead of four
+    * times. The build is EAGER at first construction (the artifact is
+    * the t20/t24 persisted-artifact discipline applied to the gates'
+    * shared denominator); the returned frame is a tiny parquet read, so
+    * no cache is needed even though each gate references it twice. */
+  private val sharedArtifactsBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Build `path` once per JVM, holding the lock through the build so a
+    * concurrent constructor (parallel spec suites) blocks instead of
+    * reading a half-written artifact; a failed build retries next call. */
+  private def buildSharedOnce(path: String)(build: => Unit): Unit =
+    sharedArtifactsBuilt.synchronized {
+      if (sharedArtifactsBuilt.add(path)) {
+        try build
+        catch { case e: Throwable => sharedArtifactsBuilt.remove(path); throw e }
+      }
+    }
+  private def exactTopKShared(s: SparkSession, d: String): DataFrame = {
+    val path = scratchDir("e01_exact_topk", d) + "/topk"
+    buildSharedOnce(path) {
+      e01.run(s, d).select(col("qid"), col("vid")).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The shared oracle twin of [[recallGate]] for the gates whose exact
     * side ranks the embeddings table's full corpus for queries
     * `vec_id < 10` at k = 5 (e05/e07/e11/e12/e18): one row per query
@@ -2464,10 +2492,7 @@ object LlmOps {
     "e05_ann_recall",
     Some(recallGateOracleSql)
   ) { (s, d) =>
-    // cached: `exact` feeds both the hit join and the per-query k counts —
-    // without it the entire e01 pipeline (broadcast scan + two-stage
-    // rescore) executes twice inside this one gate (measured ~2x)
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
+    val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
     val approx = e04.run(s, d).select(col("qid"), col("vid"))
     // floor 0.4: per-qid minimum measured 0.8 at the oracle tier
     recallGate(exact, approx, 0.7, floor = 0.4)
@@ -3771,9 +3796,26 @@ object LlmOps {
     * silently SHRINKS THE SCALE to 8, rounding the corpus-level
     * difference (the tf×DECIMAL trap's sibling; caught by the oracle at
     * one doc's 9th decimal). */
-  private[graft] def dsirRatios(ug: DataFrame): DataFrame = {
-    val g = ug.agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v"))
-    ug.crossJoin(broadcast(g))
+  private[graft] def dsirRatios(
+      ug: DataFrame,
+      totals: Option[(Long, Long, Long)] = None
+  ): DataFrame = {
+    // `totals` = (raw_tokens, target_tokens, vocab_rows) when the caller
+    // already HOLDS the validated corpus totals — the loaded-artifact
+    // path, where loadDsirLmPair just proved the manifest's numbers
+    // against the physical table, so re-aggregating them here (a third
+    // vocab scan) and broadcasting a 1-row frame would recompute what the
+    // manifest carries. In-plan training (t23) passes None and pays the
+    // single aggregate.
+    val withTotals = totals match {
+      case Some((ttr, ttt, v)) =>
+        ug.select(col("tok"), col("cr"), col("ct"),
+          lit(ttr).as("ttr"), lit(ttt).as("ttt"), lit(v).as("v"))
+      case None =>
+        val g = ug.agg(sum("cr").as("ttr"), sum("ct").as("ttt"), count(lit(1)).as("v"))
+        ug.crossJoin(broadcast(g))
+    }
+    withTotals
       .select(
         col("tok"),
         ((-log((col("cr") + 1).cast("double") / (col("ttr") + col("v")).cast("double")))
@@ -3833,8 +3875,11 @@ object LlmOps {
   /** Reload a DSIR LM pair written by [[saveDsirLmPair]]:
     * manifest-validated on kind/version, vocabulary row count, and both
     * token totals (all three recomputed from the loaded table — a
-    * vocabulary-sized aggregate, cheap at any corpus scale). */
-  private[graft] def loadDsirLmPair(s: SparkSession, path: String): DataFrame = {
+    * vocabulary-sized aggregate, cheap at any corpus scale). Returns the
+    * table AND the now-VALIDATED (raw_tokens, target_tokens, vocab_rows)
+    * totals, so scoring ([[dsirRatios]]) can take them as literals
+    * instead of aggregating the vocabulary a third time. */
+  private[graft] def loadDsirLmPair(s: SparkSession, path: String): (DataFrame, (Long, Long, Long)) = {
     val M = graft.operators.ArtifactManifest
     val mf = M.readAndCheck(s, path, "dsir-lm-pair")
     val df = s.read.parquet(path)
@@ -3842,7 +3887,7 @@ object LlmOps {
     M.check(path, "vocab_rows", mf.getOrElse("vocab_rows", "?"), t.getLong(2).toString)
     M.check(path, "raw_tokens", mf.getOrElse("raw_tokens", "?"), t.getLong(0).toString)
     M.check(path, "target_tokens", mf.getOrElse("target_tokens", "?"), t.getLong(1).toString)
-    df
+    (df, (t.getLong(0), t.getLong(1), t.getLong(2)))
   }
 
   /** t23 THROUGH THE PERSISTED LM PAIR: train both DSIR LMs, save them
@@ -3856,7 +3901,8 @@ object LlmOps {
     val dir = scratchDir("t24", d)
     val f = dsirOccurrences(s, d).cacheOnce()
     saveDsirLmPair(dsirLmPairOf(f), s"$dir/lm")
-    dsirSelect(s, f, dsirRatios(loadDsirLmPair(s, s"$dir/lm")))
+    val (lm, totals) = loadDsirLmPair(s, s"$dir/lm")
+    dsirSelect(s, f, dsirRatios(lm, Some(totals)))
   }
 
   // ---- interpolated bigram LM (t25/t26): the next rung of the CCNet
@@ -5950,6 +5996,22 @@ object LlmOps {
   private[graft] def mmrGroupedFor(s: SparkSession, d: String, qids: Seq[Long]): DataFrame =
     mmrGroupedFromCand(s, d, groupedCosineTopC(s, d, qids, mmrCandidates))
 
+  /** The exact grouped-MMR frame e17's objective gate compares against
+    * (= e16's oracle-green output for the shared mmrQids), materialized
+    * once per (JVM, dataset) as a scratch parquet artifact (|qids| x K =
+    * 30 rows) — the exactTopKShared discipline applied to the MMR gate:
+    * the exact derivation (two-pass candidate kernel + pairwise sims +
+    * driver greedy) is deterministic, so build-once/re-read is
+    * observationally identical, and e17's warm runs stop re-deriving the
+    * exact side they only JOIN against. */
+  private def exactMmrShared(s: SparkSession, d: String): DataFrame = {
+    val path = scratchDir("e16_exact_mmr", d) + "/mmr"
+    buildSharedOnce(path) {
+      mmrGroupedFor(s, d, mmrQids).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The grouped-MMR machinery downstream of candidate generation —
     * pairwise sims + per-qid greedy — parameterized on the candidate
     * frame (qid, vid, cosine), so the exact kernel (e16) and an
@@ -6064,8 +6126,9 @@ object LlmOps {
       .topK(s, emb, queries, k = mmrCandidates, nlist = 16, nprobe = 8)
       .select(col("qid"), col("vid"), col("cosine"))
     val ann = mmrGroupedFromCand(s, d, cand)
-    // cached: feeds both the gate's denominator and the output rows
-    val exact = mmrGroupedFor(s, d, mmrQids).cacheOnce()
+    // e16's frame, built once per dataset (feeds the gate's denominator
+    // and the output rows as a 30-row parquet read)
+    val exact = exactMmrShared(s, d)
     val ao = ann.groupBy("qid").agg(sum(col("mmr")).as("a"))
     val eo = exact.groupBy("qid").agg(sum(col("mmr")).as("e"))
     val gate = eo
@@ -6109,8 +6172,7 @@ object LlmOps {
     val approx = graft.operators.AnnIvf
       .searchIndex(s, idx, queries, k = 5, nprobe = 8)
       .select("qid", "vid")
-    // cached: feeds the hit join and the per-query k counts (e05's note)
-    val exact = e01.run(s, d).select(col("qid"), col("vid")).cacheOnce()
+    val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
     // floor 0.2 = every query keeps >= 1 true neighbor out of the merged
     // built+appended artifact (per-qid minimum measured 0.4 at the
     // oracle tier, 0.6 at sf0.001/sf0.1)

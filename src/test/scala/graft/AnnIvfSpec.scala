@@ -282,4 +282,51 @@ class AnnIvfSpec extends AnyFunSuite {
     AnnIvf.validateIndex(spark, path)
     Hygiene.release(spark)
   }
+
+  test("probeRecallCurve: nondecreasing, hits 1.0 at nlist, matches measured per-nprobe recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cs = AnnIvf.fit(spark, emb, nlist = 16)
+    val curve = AnnIvf.probeRecallCurve(spark, emb, queries, cs, k = 5)
+      .orderBy("nprobe").collect()
+    assert(curve.length == 16)
+    assert(curve.map(_.getInt(0)).toSeq == (1 to 16))
+    val rs = curve.map(_.getDouble(1))
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a }, "curve must be nondecreasing")
+    assert(rs.last == 1.0, s"probing every cluster must give exact recall, got ${rs.last}")
+    // the curve's point at nprobe=4 must equal the recall actually
+    // measured by running topKWith at nprobe=4 against brute force
+    val approx = AnnIvf
+      .topKWith(spark, emb, queries, cs, k = 5, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("vid")).toSet).toMap
+    val exact = graft.queries.LlmOps.e01
+      .run(spark, TestSpark.sf001)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("vid")).toSet).toMap
+    val measured = exact.map { case (qid, truth) =>
+      approx.get(qid).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }.sum / exact.size
+    val predicted = rs(3)
+    info(f"curve@4 = $predicted%.3f, measured@4 = $measured%.3f")
+    assert(math.abs(predicted - measured) < 1e-9,
+      f"curve point ($predicted%.3f) must equal the end-to-end measured recall ($measured%.3f)")
+    Hygiene.release(spark)
+  }
+
+  test("suggestNprobe returns the minimal budget meeting the target, nlist when unreachable early") {
+    val emb = Tables.embeddings(spark, TestSpark.sf001).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cs = AnnIvf.fit(spark, emb, nlist = 16)
+    val curve = AnnIvf.probeRecallCurve(spark, emb, queries, cs, k = 5)
+      .orderBy("nprobe").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (target <- Seq(0.3, 0.6, 0.9)) {
+      val n = AnnIvf.suggestNprobe(spark, emb, queries, cs, target, k = 5)
+      assert(curve(n) >= target, s"suggested $n misses target $target: ${curve(n)}")
+      if (n > 1) assert(curve(n - 1) < target, s"$n not minimal for $target: ${curve(n - 1)}")
+    }
+    // exact search is always reachable
+    assert(AnnIvf.suggestNprobe(spark, emb, queries, cs, 1.0, k = 5) <= 16)
+    Hygiene.release(spark)
+  }
 }

@@ -301,7 +301,7 @@ class IndexPersistSpec extends AnyFunSuite {
     val f = LlmOps.dsirOccurrences(spark, TestSpark.sf0001)
     val dir = tmp("mf-dsir")
     LlmOps.saveDsirLmPair(LlmOps.dsirLmPairOf(f), dir)
-    LlmOps.loadDsirLmPair(spark, dir) // pristine artifact loads
+    LlmOps.loadDsirLmPair(spark, dir): Unit // pristine artifact loads
     // a vocabulary mutated after the manifest committed (here: duplicate
     // count rows appended — same failure class as lost rows) contradicts
     // the recomputed vocab_rows/totals and refuses to load
