@@ -369,12 +369,42 @@ object AnnIvf {
     * before any write — the requireFreshBatchTag discipline. Through a
     * `handle` the per-batch manifest reads and the centroid re-collect
     * collapse to one directory listing (the r9 floor-trim discipline). */
+  /** Why a vector may NOT enter the store, or NULL when admissible —
+    * the INTRINSIC validity gate: null embedding, wrong dimensionality
+    * for this index, or a non-finite element (a NaN-poisoned vector
+    * scores NaN cosines everywhere, which the search kernels then skip —
+    * it would occupy store bytes while being unfindable, and one NaN in
+    * a centroid's mean would poison the whole cluster at the next
+    * rebuild).
+    *
+    * DELIBERATELY ARTIFACT-INDEPENDENT — this is why the vector store
+    * has NO quarantine-drain twin of
+    * [[graft.queries.LlmOps.drainQuarantine]]: the crawl pipeline parks
+    * docs whose verdict depends on a REFRESHABLE artifact (an LM that
+    * cannot score a doc today may score it after a refresh, so parked
+    * docs are re-scored when the artifact moves). A vector's validity
+    * consults only the row itself and the index DIMENSION — fixed at
+    * build time and invariant across quantizer rebuilds (rebuildIndex
+    * re-trains centroids over the same stored vectors; it cannot change
+    * dim) — so no later artifact state can flip a reject into an admit:
+    * rejects are terminal by construction and a drain loop would have
+    * nothing to re-score. Spec-pinned by "vector reject verdicts are
+    * quantizer-independent" in EventStreamSpec. */
+  private[graft] def vectorRejectReason(dim: Int): Column = {
+    val e = col("embedding")
+    when(e.isNull, "null_embedding")
+      .when(size(e) =!= dim, "wrong_dim")
+      .when(exists(e, x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)), "non_finite")
+      .otherwise(lit(null).cast("string"))
+  }
+
   def appendIndexBatch(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       batchId: Long,
-      handle: Option[IngestHandle] = None
+      handle: Option[IngestHandle] = None,
+      rejectDir: Option[String] = None
   ): Unit = {
     val (snap, cs) = handle match {
       case Some(h) => h.resolve(spark)
@@ -404,18 +434,56 @@ object AnnIvf {
           "against an existing index — resume from the original checkpoint, or " +
           "point the stream at a fresh index"
       )
-      val pinned = batch.localCheckpoint(true) // one source read per batch (the ingestBatch pin)
-      pinned
-        .withColumn("cluster", nearestCentroidCol(cs))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(L.dataDir(path, "vectors", tag))
-      val newSnap = commitIndex(spark, path,
-        handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(spark, path)),
-        snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
-        Map("last_batch" -> batchId.toString), resolved = Some(snap),
-        // the pinned batch's count IS the written dir's count (deterministic
-        // write), and counting the checkpoint blocks costs no file reads
-        addedRows = Some(pinned.count()))
+      // one source read per batch (the ingestBatch pin), gated by the
+      // intrinsic validity check BEFORE anything touches the store
+      val pinned = batch
+        .withColumn("__reject", vectorRejectReason(cs.head.length))
+        .localCheckpoint(true)
+      val rejects = pinned.filter(col("__reject").isNotNull)
+      val valid = pinned.filter(col("__reject").isNull).drop("__reject")
+      rejectDir match {
+        case Some(dir) =>
+          // the reject LEDGER: parked BEFORE the append commit, so a
+          // crash in between replays the batch and overwrites this
+          // directory idempotently (mode overwrite per batch_id)
+          rejects
+            .withColumnRenamed("__reject", "reason")
+            .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        case None =>
+          val bad = rejects.limit(1).collect()
+          require(
+            bad.isEmpty,
+            s"batch $batchId carries a malformed vector " +
+              s"(${bad.headOption.map(_.getAs[String]("__reject")).getOrElse("")}); " +
+              "pass a reject ledger (rejectDir) to park malformed rows, or clean the feed"
+          )
+      }
+      val added = valid.count()
+      // an all-rejected (or empty) batch still advances the replay
+      // marker — the empty-admission discipline from the dedup loop —
+      // but commits NO vector directory: a zero-row partitionBy write
+      // materializes no data files, and a tag over a fileless directory
+      // would fail every later schema-inferring read of the store
+      val newSnap =
+        if (added == 0L)
+          commitIndex(spark, path,
+            handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(spark, path)),
+            snap.tables, Map("last_batch" -> batchId.toString),
+            resolved = Some(snap), addedRows = Some(0L))
+        else {
+          valid
+            .withColumn("cluster", nearestCentroidCol(cs))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(L.dataDir(path, "vectors", tag))
+          commitIndex(spark, path,
+            handle.map(_.nextVersionFromProbe).getOrElse(L.nextVersion(spark, path)),
+            snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
+            Map("last_batch" -> batchId.toString), resolved = Some(snap),
+            // the pinned batch's count IS the written dir's count
+            // (deterministic write), and counting the checkpoint blocks
+            // costs no file reads
+            addedRows = Some(added))
+        }
       handle.foreach(_.committed(newSnap))
     }
   }

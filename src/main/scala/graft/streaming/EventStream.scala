@@ -666,12 +666,22 @@ object EventStream {
       indexPath: String,
       checkpointDir: String,
       compactEvery: Int = 0,
-      retain: Int = 0
+      retain: Int = 0,
+      rejectDir: String = ""
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     require(retain >= 0, s"retain must be >= 0 (0 = auto), got $retain")
     val effectiveRetain =
       if (retain > 0) retain else if (compactEvery > 0) 2 else 1
+    // malformed vectors (null / wrong-dim / non-finite) never reach the
+    // store: with a reject ledger they park under rejectDir/batch_id=N
+    // with a reason; without one the batch fails loudly. There is
+    // DELIBERATELY no drain loop over the ledger (the crawlPipeline
+    // quarantine's twin): validity is intrinsic to the row + the index
+    // dimension, which no quantizer rebuild can change, so a parked
+    // vector can never become admittable — see
+    // AnnIvf.vectorRejectReason's scaladoc.
+    val rejects = Option(rejectDir).filter(_.nonEmpty)
     // full validation once, at stream start (the ingestGuard rule)
     graft.operators.AnnIvf.validateIndex(emb.sparkSession, indexPath)
     // cross-batch snapshot + centroid reuse (the r9 floor-trim discipline)
@@ -680,7 +690,8 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.AnnIvf.appendIndexBatch(batch.sparkSession, batch, indexPath, batchId, handle)
+        graft.operators.AnnIvf.appendIndexBatch(
+          batch.sparkSession, batch, indexPath, batchId, handle, rejects)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           graft.operators.AnnIvf.compactIndex(batch.sparkSession, indexPath, effectiveRetain)
       }

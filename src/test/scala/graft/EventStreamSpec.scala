@@ -982,6 +982,94 @@ class EventStreamSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("ivfIngest: malformed vectors park in the reject ledger, never the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.AnnIvf
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf-reject").toString
+    val idx = s"$base/ivf"
+    AnnIvf.buildIndex(spark, emb, idx, nlist = 8)
+    val baseRows = spark.read.parquet(s"$idx/data/vectors/base-v1").count()
+    val valid = emb.as[(Long, Seq[Float])].collect().sortBy(_._1).take(10)
+      .map { case (v, e) => (v + 100000L, Option(e)) }.toSeq
+    val malformed = Seq(
+      (900001L, None: Option[Seq[Float]]), // null embedding
+      (900002L, Some(Seq(1f, 2f))), // wrong dim (index is 64)
+      (900003L, Some(Seq.tabulate(64)(i => if (i == 0) Float.NaN else 0.1f))) // non-finite
+    )
+    val src = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = EventStream.ivfIngest(
+      src.toDF().toDF("vec_id", "embedding"), idx, s"$base/ck", rejectDir = s"$base/rejects")
+    try {
+      // batch 0: valid rows mixed with all three malformed shapes
+      src.addData(valid ++ malformed: _*); q.processAllAvailable()
+      // batch 1: ALL malformed — must advance the replay marker but
+      // commit NO vector directory (a fileless tag would break every
+      // later schema-inferring read of the store)
+      src.addData((900004L, None: Option[Seq[Float]])); q.processAllAvailable()
+      // batch 2: valid again — the store keeps ingesting past it
+      src.addData((910000L, Option(valid.head._2.get))); q.processAllAvailable()
+    } finally q.stop()
+    // the store holds base + the 11 valid arrivals, nothing malformed
+    AnnIvf.validateIndex(spark, idx)
+    val snap = graft.operators.SnapshotLog.current(spark, idx, "ivf-index")
+    assert(snap.props("rows").toLong == baseRows + valid.size + 1)
+    assert(snap.props("last_batch") == "2", snap.props.toString)
+    val tags = snap.tables("vectors").toSet
+    assert(tags == Set("base-v1", "batch-0", "batch-2"), s"unexpected tags: $tags")
+    // the ledger carries exactly the malformed rows, with their reasons
+    val parked = spark.read.parquet(s"$base/rejects")
+    assert(parked.count() == 4)
+    val reasons = parked.select("vec_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(900001L) == "null_embedding")
+    assert(reasons(900002L) == "wrong_dim")
+    assert(reasons(900003L) == "non_finite")
+    assert(reasons(900004L) == "null_embedding")
+    // the parked vectors are absent from search results
+    val hits = AnnIvf.searchIndex(spark, idx, emb.filter(col("vec_id") < 5), k = 5, nprobe = 8)
+    assert(hits.filter(col("vid").isin(900001L, 900002L, 900003L, 900004L)).count() == 0)
+    Hygiene.release(spark)
+  }
+
+  test("vector reject verdicts are quantizer-independent — why the store has no drain loop") {
+    import spark.implicits._
+    import graft.operators.AnnIvf
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf-nodrain").toString
+    val idx = s"$base/ivf"
+    AnnIvf.buildIndex(spark, emb, idx, nlist = 8)
+    val mixed = Seq(
+      (1L, Option(Seq.fill(64)(0.1f))),
+      (2L, None: Option[Seq[Float]]),
+      (3L, Some(Seq(1f))),
+      (4L, Some(Seq.tabulate(64)(i => if (i == 63) Float.NegativeInfinity else 0f)))
+    ).toDF("vec_id", "embedding")
+    def verdicts(): Map[Long, String] = {
+      val dim = AnnIvf.indexCentroids(spark, idx).head.length
+      mixed.select(col("vec_id"), AnnIvf.vectorRejectReason(dim).as("r"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("ok")).toMap
+    }
+    val before = verdicts()
+    assert(before == Map(1L -> "ok", 2L -> "null_embedding", 3L -> "wrong_dim", 4L -> "non_finite"))
+    // a quantizer REBUILD — the artifact refresh that re-opens parked
+    // docs in the crawl pipeline — cannot flip a single vector verdict:
+    // validity consults only the row and the index dimension, which the
+    // rebuild preserves. Rejects are terminal; a drain loop would have
+    // nothing to re-score.
+    AnnIvf.rebuildIndex(spark, idx, nlist = 4)
+    assert(verdicts() == before, "a rebuild changed a validity verdict")
+    // and without a ledger, a malformed batch fails LOUDLY instead of
+    // silently dropping rows
+    val ex = intercept[IllegalArgumentException] {
+      AnnIvf.appendIndexBatch(spark, mixed, idx, 10L)
+    }
+    assert(ex.getMessage.contains("malformed vector"), ex.getMessage)
+    Hygiene.release(spark)
+  }
+
   test("gram refresh: an in-flight crawlPipeline picks up the rebuilt artifact at the next batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
