@@ -203,7 +203,7 @@ object Graft {
       subDim: Int = 16, k: Int = 16): graft.operators.AnnPq.Model =
     graft.operators.AnnPq.fit(spark, corpus, subspaces, subDim, k)
   def annTopKPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      model: graft.operators.AnnPq.Model, k: Int = 5, shortlist: Int = 50): DataFrame =
+      model: graft.operators.AnnPq.Model, k: Int = 5, shortlist: Int = 0): DataFrame =
     graft.operators.AnnPq.topK(spark, corpus, queries, model, k, shortlist)
 
   /** Persist / reload a PQ codebook artifact (train once, encode forever —

@@ -141,15 +141,32 @@ object AnnPq {
   /** Top-k approximate neighbors by ADC shortlist + exact re-rank.
     * `queries` must be small (its vectors become driver-side lookup
     * tables and broadcasts — same contract as AnnIvf/AnnLsh). Output:
-    * (qid, rnk, vid, d2) with d2 the exact fixed-point squared L2. */
+    * (qid, rnk, vid, d2) with d2 the exact fixed-point squared L2.
+    *
+    * `shortlist = 0` (the default) resolves to max(100, corpus/10)
+    * CAPPED AT 1000: a FIXED shortlist is a silent recall cliff — the
+    * ADC stage's discrimination is constant (subspaces × k cells) while
+    * the corpus grows, so the true neighbors' ADC ranks drift down and a
+    * constant cut drops them (measured: 50-row shortlist = 0.58 mean
+    * recall@5 at 500 vectors but 0.24 at 2 000; the 10% rule holds
+    * 0.52–0.60 across both with min-per-query 0.2). The cap is where the
+    * scaling argument flips: re-ranking 10% of a 10^9-vector corpus
+    * would BE a corpus scan, and past ~10k vectors the fix for fading
+    * ADC discrimination is more ADC resolution (raise subspaces/k — a
+    * production PQ runs 8–16 subspaces × 256 codes, not 4 × 16), never
+    * an unbounded shortlist. */
   def topK(
       spark: SparkSession,
       emb: DataFrame, // vec_id, embedding
       queries: DataFrame, // vec_id, embedding (small by construction)
       model: Model,
       k: Int = 5,
-      shortlist: Int = 50
+      shortlist: Int = 0
   ): DataFrame = {
+    require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
+    val effectiveShortlist =
+      if (shortlist > 0) shortlist
+      else math.max(100L, (emb.count() / 10).min(1000L)).toInt
     VectorFunctions.register(spark)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -198,7 +215,7 @@ object AnnPq {
     val wPq = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
     val short = adc
       .withColumn("rnk", row_number().over(wPq))
-      .filter(col("rnk") <= shortlist)
+      .filter(col("rnk") <= effectiveShortlist)
       .select(col("qid"), col("vec_id").as("vid"))
     val fp = KMeans.fixedPoint(emb, "embedding")
     // Query fixed-point vectors come from the QUERIES frame (driver-side,

@@ -2879,14 +2879,17 @@ object LlmOps {
     * same deterministic subspace models e10 fits), and a code word's
     * score is the sum of its four table entries, so the corpus-side scan
     * touches ONLY 4-byte codes via an equi-join on (subspace, code) —
-    * the top-50 by ADC survive; (2) exact integer-L2 RE-RANK of the
-    * shortlist (compiled int_sqdist on the ~50 surviving raw vectors per
-    * query) picks the final top-5. Gated against exact brute-force
-    * integer-L2 top-5 with mean overlap >= 0.4 (measured 0.58 at the
-    * oracle tier — raw 4x16 ADC alone measures ~0.1, which is exactly
-    * why production PQ always re-ranks; the gate pins the tradeoff so a
-    * quantizer regression fails CORRECTNESS rather than degrading
-    * silently). */
+    * the top max(100, corpus/10) by ADC survive (AnnPq.topK's auto rule:
+    * a FIXED shortlist is a recall cliff — 50 rows measured 0.58 mean
+    * recall at the 500-vector oracle tier but 0.24 at 2 000 vectors;
+    * the 10% budget holds 0.52-0.60 at every tier with per-query
+    * minimum 0.2); (2) exact integer-L2 RE-RANK of the shortlist
+    * (compiled int_sqdist on the surviving raw vectors per query) picks
+    * the final top-5. Gated against exact brute-force integer-L2 top-5
+    * with mean overlap >= 0.4 (measured 0.60 at the oracle tier — raw
+    * 4x16 ADC alone measures ~0.1, which is exactly why production PQ
+    * always re-ranks; the gate pins the tradeoff so a quantizer
+    * regression fails CORRECTNESS rather than degrading silently). */
   val e12 = Q(
     "e12_ann_pq_recall",
     Some(recallGateOracleSql)
@@ -2897,7 +2900,7 @@ object LlmOps {
     val queries = emb.filter(col("vec_id") < 10)
     // THE codebook e10 ships (shared pqModel), searched by the operator
     val approx = AnnPq
-      .topK(s, emb, queries, pqModel(s, emb), k = 5, shortlist = 50)
+      .topK(s, emb, queries, pqModel(s, emb), k = 5) // shortlist auto: max(100, corpus/10)
       .select("qid", "vid")
     // exact integer-L2 baseline: compiled int_sqdist brute force over the
     // same fixed-point encoding (cached: feeds the hit join and k counts)

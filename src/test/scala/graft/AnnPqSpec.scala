@@ -124,4 +124,17 @@ class AnnPqSpec extends AnyFunSuite {
       assert(small(key) >= dFull, s"$key: small-shortlist d2 ${small(key)} < full $dFull")
     }
   }
+
+  test("shortlist=0 resolves to the max(100, corpus/10) auto budget") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = AnnPq.fit(spark, emb, 4, 16, 16)
+    val expected = math.max(100L, (n / 10).min(1000L)).toInt
+    val auto = AnnPq.topK(spark, emb, queries, model, k = 5).collect().map(_.toSeq).toSeq
+    val explicit = AnnPq.topK(spark, emb, queries, model, k = 5, shortlist = expected)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == explicit, s"auto shortlist != explicit $expected")
+    Hygiene.release(spark)
+  }
 }
