@@ -6120,7 +6120,7 @@ object LlmOps {
       WITH RECURSIVE $mmrGroupedCtesSql
       SELECT CAST(qid AS BIGINT) AS qid, CAST(step AS INTEGER) AS step,
              CAST(vid AS BIGINT) AS vid, CAST(mmr AS DOUBLE) AS exact_mmr,
-             TRUE AS objective_ok
+             TRUE AS objective_floor_ok, TRUE AS objective_ok
       FROM sel ORDER BY qid, step""")
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -6134,15 +6134,24 @@ object LlmOps {
     val exact = exactMmrShared(s, d)
     val ao = ann.groupBy("qid").agg(sum(col("mmr")).as("a"))
     val eo = exact.groupBy("qid").agg(sum(col("mmr")).as("e"))
-    val gate = eo
+    // per-qid frame pinned: feeds the mean verdict AND the per-qid floor
+    // (the recallGate discipline — the mean tolerates one collapsed qid
+    // behind strong ones; the floor verdict is per-row against the
+    // oracle's pinned TRUE). Floor 0.5: per-qid rel_gap measured ≤ 0.21
+    // across tiers (sf0.001/0.01/0.1); a dead qid's gap is ~1.0.
+    val perQid = eo
       .join(ao, Seq("qid"))
       .select(
         col("qid"),
         ((col("e") - col("a")) / greatest(abs(col("e")), lit(0.01 * mmrK))).as("rel_gap")
       )
-      .agg((avg(col("rel_gap")) <= 0.2).as("objective_ok"))
+      .localCheckpoint(true)
+    val floorOk = perQid
+      .select(col("qid"), (col("rel_gap") <= 0.5).as("objective_floor_ok"))
+    val gate = perQid.agg((avg(col("rel_gap")) <= 0.2).as("objective_ok"))
     exact
       .select(col("qid"), col("step"), col("vid"), col("mmr").as("exact_mmr"))
+      .join(broadcast(floorOk), Seq("qid"))
       .crossJoin(broadcast(gate))
       .orderBy("qid", "step")
   }
