@@ -6191,6 +6191,46 @@ object LlmOps {
     recallGate(exact, approx, 0.6, floor = 0.2)
   }
 
+  /** IVF PROBE-BUDGET CALIBRATION as a gated query (e19): the
+    * nprobe→recall curve ([[graft.operators.AnnIvf.probeRecallCurve]] —
+    * one corpus scan, no window, no all-pairs) emitted with its two
+    * STRUCTURAL invariants as per-row verdicts: the curve must be
+    * nondecreasing in nprobe (it is a cumulative histogram of
+    * cluster-order positions — a dip means the position computation or
+    * the exact side broke) and must reach recall 1.0 at nprobe = nlist
+    * (probing every cluster IS exact search; anything less means the
+    * curve dropped a true neighbor). The oracle pins the full
+    * (nprobe = 1..nlist) row set cross-engine plus TRUE per verdict.
+    * The recall VALUES themselves are deliberately not hash-pinned:
+    * AnnIvf's coarse centroids are float-order-dependent (the same
+    * reason e06/e18 are recall-gated, not hash-gated), but both
+    * invariants hold for ANY centroid set, so the gate is stable while
+    * still failing on a real calibration bug. Verdicts are computed on
+    * the driver over the nlist-row curve — metadata, like the MMR
+    * greedy. */
+  val e19 = Q(
+    "e19_ivf_probe_calibration",
+    Some("""
+      SELECT CAST(range AS INTEGER) AS nprobe,
+             TRUE AS monotone_ok, TRUE AS exact_at_full
+      FROM range(1, 17) ORDER BY nprobe""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val cs = graft.operators.AnnIvf.fit(s, emb, nlist = 16)
+    val curve = graft.operators.AnnIvf
+      .probeRecallCurve(s, emb, queries, cs, k = 5)
+      .orderBy("nprobe")
+      .collect()
+    val rs = curve.map(_.getDouble(1))
+    val exactAtFull = rs.last == 1.0
+    import s.implicits._
+    curve.indices
+      .map(i => (curve(i).getInt(0), i == 0 || rs(i) >= rs(i - 1), exactAtFull))
+      .toDF("nprobe", "monotone_ok", "exact_at_full")
+      .orderBy("nprobe")
+  }
+
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid
     * exact top-C with the double-prefilter + exact-decimal re-rank
     * discipline ([[topCCandidates]] — constant-state kth aggregate +
@@ -6227,6 +6267,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30)
 }
