@@ -392,8 +392,15 @@ object AnnIvf {
     * quantizer-independent" in EventStreamSpec. */
   private[graft] def vectorRejectReason(dim: Int): Column = {
     val e = col("embedding")
+    // null ELEMENTS are checked explicitly: isnan(null) is false and
+    // abs(null) === Inf is null, so a [0.1, null, ...] row would fall
+    // through a finiteness-only exists() to "admissible" — and a null
+    // slot NPEs the compiled kernels (they read elements without
+    // isNullAt) or silently scores 0.0, exactly the poisoned-store state
+    // this gate exists to block
     when(e.isNull, "null_embedding")
       .when(size(e) =!= dim, "wrong_dim")
+      .when(exists(e, x => x.isNull), "null_element")
       .when(exists(e, x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)), "non_finite")
       .otherwise(lit(null).cast("string"))
   }
@@ -445,10 +452,15 @@ object AnnIvf {
         case Some(dir) =>
           // the reject LEDGER: parked BEFORE the append commit, so a
           // crash in between replays the batch and overwrites this
-          // directory idempotently (mode overwrite per batch_id)
-          rejects
-            .withColumnRenamed("__reject", "reason")
-            .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+          // directory idempotently (mode overwrite per batch_id). Only
+          // written when the batch actually rejected something — a
+          // healthy stream must not accumulate one empty directory (and
+          // one write job) per micro-batch forever; the emptiness probe
+          // reads the already-pinned checkpoint, not the source
+          if (!rejects.isEmpty)
+            rejects
+              .withColumnRenamed("__reject", "reason")
+              .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
         case None =>
           val bad = rejects.limit(1).collect()
           require(
@@ -646,7 +658,8 @@ object AnnIvf {
   /** The measured nprobe→recall curve for a quantizer over its corpus —
     * the number a production user must see BEFORE picking nprobe (the
     * soak's 0.24 recall at a 6% probe budget is what shipping blind
-    * looks like). One corpus scan yields the WHOLE curve: IVF search
+    * looks like). One corpus pass (pinned, materialized once) yields the
+    * WHOLE curve — no per-nprobe re-measurement: IVF search
     * rescales candidates exactly inside the probed clusters, so the only
     * recall loss is a true neighbor whose assigned cluster is NOT probed
     * — and the minimal nprobe that finds a given (query, neighbor) pair
@@ -677,39 +690,55 @@ object AnnIvf {
   ): DataFrame = {
     VectorFunctions.register(spark)
     val nlist = cs.length
+    // pinned: the assigned corpus feeds BOTH the brute-force scoring
+    // join and the neighbor→cluster re-attach — unpinned, the corpus
+    // read plus the compiled argmax would execute twice (the e05/t21
+    // double-evaluation trap). Released before return: the curve is
+    // already driver-held by then (topK's cache-scope discipline).
     val corpus = emb
       .select(col("vec_id"), col("embedding"), nearestCentroidCol(cs).as("cluster"))
-    val scored = corpus
-      .as("e")
-      .join(broadcast(queries).as("q"), col("q.vec_id") =!= col("e.vec_id"))
-      .select(
-        col("q.vec_id").as("qid"),
-        col("e.vec_id").as("vid"),
-        expr("cosine_similarity(q.embedding, e.embedding)").as("c")
+      .cache()
+    try {
+      val scored = corpus
+        .as("e")
+        .join(broadcast(queries).as("q"), col("q.vec_id") =!= col("e.vec_id"))
+        .select(
+          col("q.vec_id").as("qid"),
+          col("e.vec_id").as("vid"),
+          expr("cosine_similarity(q.embedding, e.embedding)").as("c")
+        )
+      val exact = scored
+        .groupBy("qid")
+        .agg(graft.functions.TopKVids.topKVids(col("c"), col("vid"), k).as("top"))
+        .select(col("qid"), explode(col("top.vids")).as("vid"))
+      // the query's FULL centroid order once (nlist ints per query), then
+      // each neighbor's cluster position in it
+      val order = queries.select(
+        col("vec_id").as("qid"),
+        probeClustersCol(cs, nlist).as("probe_order")
       )
-    val exact = scored
-      .groupBy("qid")
-      .agg(graft.functions.TopKVids.topKVids(col("c"), col("vid"), k).as("top"))
-      .select(col("qid"), explode(col("top.vids")).as("vid"))
-    // the query's FULL centroid order once (nlist ints per query), then
-    // each neighbor's cluster position in it
-    val order = queries.select(
-      col("vec_id").as("qid"),
-      probeClustersCol(cs, nlist).as("probe_order")
-    )
-    val positions = exact
-      .join(corpus.select(col("vec_id").as("vid"), col("cluster")), Seq("vid"))
-      .join(broadcast(order), Seq("qid"))
-      .select(array_position(col("probe_order"), col("cluster")).as("pos"))
-    // cumulative histogram — ≤ nlist distinct positions, metadata-sized
-    val hist = positions.groupBy("pos").count().collect()
-    val total = hist.map(_.getLong(1)).sum.toDouble
-    val byPos = hist.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val curve = (1 to nlist).scanLeft(0L) { (acc, p) => acc + byPos.getOrElse(p.toLong, 0L) }
-    import spark.implicits._
-    curve.tail.zipWithIndex
-      .map { case (cum, i) => (i + 1, if (total == 0) 1.0 else cum / total) }
-      .toDF("nprobe", "recall")
+      val positions = exact
+        .join(corpus.select(col("vec_id").as("vid"), col("cluster")), Seq("vid"))
+        .join(broadcast(order), Seq("qid"))
+        .select(array_position(col("probe_order"), col("cluster")).as("pos"))
+      // cumulative histogram — ≤ nlist distinct positions, metadata-sized
+      val hist = positions.groupBy("pos").count().collect()
+      val total = hist.map(_.getLong(1)).sum.toDouble
+      // an empty pair set must FAIL, not flatter: a perfect curve from
+      // zero evidence would hand suggestNprobe a measured-looking
+      // minimum budget off an accidentally-empty query sample
+      require(
+        total > 0,
+        "probeRecallCurve: no (query, neighbor) pairs — empty or fully " +
+          "self-filtered query sample; calibrate with a non-empty sample"
+      )
+      val byPos = hist.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val curve = (1 to nlist).scanLeft(0L) { (acc, p) => acc + byPos.getOrElse(p.toLong, 0L) }
+      import spark.implicits._
+      curve.tail.zipWithIndex
+        .map { case (cum, i) => (i + 1, cum / total) }
+        .toDF("nprobe", "recall")
+    } finally corpus.unpersist()
   }
 
   /** The smallest nprobe whose measured recall on this (quantizer,

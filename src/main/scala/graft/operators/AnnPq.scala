@@ -35,10 +35,15 @@ import graft.functions.VectorFunctions
   */
 object AnnPq {
 
+  /** `corpusRows` is recorded at fit time (train-once cost) so auto
+    * shortlist sizing in [[topK]] never pays a count action per search;
+    * -1 = unknown (a pre-round-11 artifact), in which case topK counts
+    * once as a fallback. */
   final case class Model(
       subspaces: Int,
       subDim: Int,
-      codebooks: IndexedSeq[KMeans.Model]
+      codebooks: IndexedSeq[KMeans.Model],
+      corpusRows: Long = -1L
   )
 
   /** Fit one codebook per subspace over the corpus (deterministic). */
@@ -53,7 +58,7 @@ object AnnPq {
     val books = (0 until subspaces).map { m =>
       KMeans.fit(spark, subVectors(emb, m, subDim), k = k, iters = iters)
     }
-    Model(subspaces, subDim, books)
+    Model(subspaces, subDim, books, emb.count())
   }
 
   /** Persist the codebook set as one parquet artifact: a row per
@@ -83,7 +88,8 @@ object AnnPq {
       Map(
         "subspaces" -> model.subspaces.toString,
         "sub_dim" -> model.subDim.toString,
-        "k" -> model.codebooks.head.k.toString
+        "k" -> model.codebooks.head.k.toString,
+        "corpus_rows" -> model.corpusRows.toString
       )
     )
   }
@@ -113,7 +119,8 @@ object AnnPq {
     ArtifactManifest.check(path, "subspaces", mf.getOrElse("subspaces", "?"), books.length.toString)
     ArtifactManifest.check(path, "sub_dim", mf.getOrElse("sub_dim", "?"), subDim.toString)
     ArtifactManifest.check(path, "k", mf.getOrElse("k", "?"), books.head.k.toString)
-    Model(books.length, subDim, books)
+    // absent on pre-corpus_rows artifacts → -1 (topK's counted fallback)
+    Model(books.length, subDim, books, mf.getOrElse("corpus_rows", "-1").toLong)
   }
 
   private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
@@ -164,9 +171,14 @@ object AnnPq {
       shortlist: Int = 0
   ): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
-    val effectiveShortlist =
+    val effectiveShortlist = {
+      // fit-time corpus count when the model carries it — no count
+      // action on the search path; the fallback count covers models
+      // loaded from a pre-corpus_rows artifact
+      val n = if (shortlist > 0) 0L else if (model.corpusRows >= 0) model.corpusRows else emb.count()
       if (shortlist > 0) shortlist
-      else math.max(100L, (emb.count() / 10).min(1000L)).toInt
+      else math.max(100L, (n / 10).min(1000L)).toInt
+    }
     VectorFunctions.register(spark)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

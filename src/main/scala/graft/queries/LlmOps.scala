@@ -2173,20 +2173,32 @@ object LlmOps {
       GROUP BY qid ORDER BY vec_id""")
   ) { (s, d) =>
     // pinned: the exact contaminated set feeds the mean verdict, the
-    // bucket rates, AND the emitted rows (detection is per-vec BINARY,
+    // bucket rates, AND the emitted rows. Detection is per-vec BINARY,
     // so a per-vec floor would demand 100% detection — stronger than
     // the gate's own 0.7 contract; the floor instead guards against
-    // REGIONAL collapse: vecs hash into 4 buckets and every bucket's
-    // detection rate must hold >= 0.5, so a dead probe region — e.g.
-    // one IVF list's vecs all silently undetected — turns its bucket's
-    // rows FALSE against the oracle's pinned TRUE instead of averaging
-    // into the global mean. Bucket minima measured 0.64 / 0.75 / 0.93
-    // at sf0.001 / sf0.01 / sf0.1.)
+    // REGIONAL collapse, with buckets = embedding-space k-means regions
+    // (floor 0.3; per-region rates measured 0.56–0.89 / 0.67–1.00 /
+    // 0.93–0.98 at sf0.001 / sf0.01 / sf0.1, so a dead region's ~0 rate
+    // turns its rows FALSE against the oracle's pinned TRUE instead of
+    // averaging into the global mean).
+    val exactIds = d12.run(s, d).select("vec_id")
+    // REGION labels for the floor: integer-exact k-means (bit-stable
+    // cross-run) over the contaminated set's OWN embeddings. The floor
+    // exists to catch a REGIONAL collapse — e.g. one dead IVF probe
+    // region leaving every vec near it undetected — and such a failure
+    // concentrates in one embedding-space cluster; hash buckets would
+    // spread it uniformly (one dead list out of 16 leaves all four hash
+    // buckets at ~0.94 and the gate green), which is exactly the
+    // blind spot the floor must not have.
+    val embC = Tables
+      .embeddings(s, d)
+      .join(exactIds, Seq("vec_id"), "left_semi")
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, embC, k = 4, iters = 1)
     detectionGate(
-      d12.run(s, d).select("vec_id"),
+      assigned.select(col("vec_id"), col("cluster").as("bucket")),
       d13.run(s, d).select("vec_id"),
       meanBar = 0.7,
-      bucketFloor = 0.5
+      bucketFloor = 0.3
     )
   }
 
@@ -2194,8 +2206,12 @@ object LlmOps {
     * detection flags (exact ∈ detected?), the global mean verdict
     * (`recall_ok`), and the per-bucket floor verdict
     * (`recall_floor_ok`) joined back onto every row. One row per exact
-    * vec, ordered. private[graft] so RecallGateSpec can drive it with a
-    * sabotaged detected side. */
+    * vec, ordered. `exact` may carry a caller-supplied `bucket` column
+    * (d14's embedding-space k-means regions — the floor's unit of
+    * accountability should be the failure's OWN geometry); without one,
+    * vecs hash into `nBuckets` uniform buckets, which catches only
+    * collapses uncorrelated with the hash. private[graft] so
+    * RecallGateSpec can drive it with a sabotaged detected side. */
   private[graft] def detectionGate(
       exact: DataFrame,
       detected: DataFrame,
@@ -2203,12 +2219,19 @@ object LlmOps {
       bucketFloor: Double,
       nBuckets: Int = 4
   ): DataFrame = {
-    val flags = exact
-      .join(detected.withColumn("det", lit(1.0d)), Seq("vec_id"), "left")
+    val withBucket =
+      if (exact.columns.contains("bucket")) exact
+      else exact.withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
+    val flags = withBucket
+      // dropDuplicates restores the invariant the old left_semi join had
+      // for free: a detector emitting the same vec_id twice must not
+      // duplicate exact rows (which would skew avg(det) upward AND break
+      // the oracle's one-row-per-vec row set)
+      .join(detected.dropDuplicates("vec_id").withColumn("det", lit(1.0d)), Seq("vec_id"), "left")
       .select(
         col("vec_id"),
         coalesce(col("det"), lit(0.0d)).as("det"),
-        pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).as("bucket")
+        col("bucket")
       )
       .localCheckpoint(true)
     val gate = flags.agg((avg(col("det")) >= meanBar).as("recall_ok"))
@@ -6140,10 +6163,16 @@ object LlmOps {
     // oracle's pinned TRUE). Floor 0.5: per-qid rel_gap measured ≤ 0.21
     // across tiers (sf0.001/0.01/0.1); a dead qid's gap is ~1.0.
     val perQid = eo
-      .join(ao, Seq("qid"))
+      // left join + zero-coalesce: a qid the ANN side returned NOTHING
+      // for must surface as rel_gap ≈ 1.0 (objective fully lost) and
+      // fail the floor on its own rows — an inner join would silently
+      // DROP the dead qid's output rows and let the mean run over the
+      // survivors (recallGate's dead-qid discipline, objective edition)
+      .join(ao, Seq("qid"), "left")
       .select(
         col("qid"),
-        ((col("e") - col("a")) / greatest(abs(col("e")), lit(0.01 * mmrK))).as("rel_gap")
+        ((col("e") - coalesce(col("a"), lit(0.0d))) /
+          greatest(abs(col("e")), lit(0.01 * mmrK))).as("rel_gap")
       )
       .localCheckpoint(true)
     val floorOk = perQid
@@ -6207,7 +6236,12 @@ object LlmOps {
     * invariants hold for ANY centroid set, so the gate is stable while
     * still failing on a real calibration bug. Verdicts are computed on
     * the driver over the nlist-row curve — metadata, like the MMR
-    * greedy. */
+    * greedy — which means the registered query's own physical plan is a
+    * LocalTableScan: the data path (the broadcast query-set join, the
+    * constant-state top-k, the position histogram) is plan-audited and
+    * behavior-pinned in AnnIvfSpec instead of by the suite-wide walkers,
+    * and constructing this query EXECUTES the calibration (the e16/e17
+    * driver-greedy discipline). */
   val e19 = Q(
     "e19_ivf_probe_calibration",
     Some("""

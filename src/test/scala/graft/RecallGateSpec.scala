@@ -67,6 +67,45 @@ class RecallGateSpec extends AnyFunSuite {
     assert(floorFails > 0)
   }
 
+  test("caller-supplied region buckets catch a collapse that hash buckets dilute") {
+    // 160 vecs in 4 REGIONS of 40 (the caller's bucket column — d14 uses
+    // embedding-space k-means clusters). Region 2 collapses entirely;
+    // everything else is detected. Hash buckets would spread the 40 dead
+    // vecs uniformly (~10 per hash bucket → every bucket at ~0.75, gate
+    // green) — the region buckets must flag exactly the dead region.
+    val exact = (0L until 160L).map(v => (v, v % 4)).toDF("vec_id", "bucket")
+    val detected = exact.filter($"bucket" =!= 2L).select("vec_id")
+    // hash-bucket dilution, shown on the same fixture: every hash bucket
+    // holds ~3/4 detected rows, so the fallback floor stays green
+    val hashOut = graft.queries.LlmOps
+      .detectionGate(exact.select("vec_id"), detected, meanBar = 0.7, bucketFloor = 0.5)
+      .collect()
+    assert(hashOut.forall(_.getAs[Boolean]("recall_floor_ok")),
+      "hash buckets were expected to dilute the regional collapse on this fixture")
+    // region buckets: exactly the dead region's 40 rows carry FALSE
+    val out = graft.queries.LlmOps
+      .detectionGate(exact, detected, meanBar = 0.7, bucketFloor = 0.5)
+      .collect()
+    assert(out.length === 160)
+    assert(out.forall(_.getAs[Boolean]("recall_ok")), "mean verdict hides the collapse")
+    val floorFails = out.filter(!_.getAs[Boolean]("recall_floor_ok")).map(_.getAs[Long]("vec_id"))
+    assert(floorFails.length === 40)
+    assert(floorFails.forall(_ % 4 == 2), "only the dead region's rows may carry FALSE")
+  }
+
+  test("a duplicate-emitting detector cannot inflate the detection rate") {
+    val exact = (0L until 10L).toDF("vec_id")
+    // detector finds only 5 vecs but emits each THREE times: a naive
+    // left join would yield 15 detected rows over 20 total (rate 0.75 >=
+    // 0.7) and duplicate the output row set; the gate must see rate 0.5
+    val detected = (0L until 5L).flatMap(v => Seq(v, v, v)).toDF("vec_id")
+    val out = graft.queries.LlmOps
+      .detectionGate(exact, detected, meanBar = 0.7, bucketFloor = 0.0)
+      .collect()
+    assert(out.length === 10, "duplicates must not multiply output rows")
+    assert(out.forall(!_.getAs[Boolean]("recall_ok")), "rate is 0.5, the mean bar must fail")
+  }
+
   test("fully healthy detection keeps every floor verdict TRUE") {
     val exact = (0L until 100L).toDF("vec_id")
     val out = graft.queries.LlmOps
