@@ -2190,12 +2190,24 @@ object LlmOps {
     // spread it uniformly (one dead list out of 16 leaves all four hash
     // buckets at ~0.94 and the gate green), which is exactly the
     // blind spot the floor must not have.
+    // pinned: the contaminated embeddings feed the empty probe and the
+    // k-means fit's several passes from one materialization
     val embC = Tables
       .embeddings(s, d)
       .join(exactIds, Seq("vec_id"), "left_semi")
-    val (_, assigned) = graft.operators.KMeans.fitAssign(s, embC, k = 4, iters = 1)
+      .localCheckpoint(true)
+    val labeled =
+      if (embC.isEmpty)
+        // degenerate corpus with nothing contaminated: emit the empty
+        // frame (matching the oracle's empty row set) instead of asking
+        // k-means to fit zero rows
+        embC.select(col("vec_id"), lit(0).as("bucket"))
+      else {
+        val (_, assigned) = graft.operators.KMeans.fitAssign(s, embC, k = 4, iters = 1)
+        assigned.select(col("vec_id"), col("cluster").as("bucket"))
+      }
     detectionGate(
-      assigned.select(col("vec_id"), col("cluster").as("bucket")),
+      labeled,
       d13.run(s, d).select("vec_id"),
       meanBar = 0.7,
       bucketFloor = 0.3
