@@ -42,11 +42,19 @@ import org.apache.spark.sql.SparkSession
   * measurement, a competing-load burst does not, so "drift_flags" counts
   * only CONFIRMED flags (flagged twice) while "drift_unconfirmed" carries
   * the rest; and (2) records per query the process CPU seconds consumed
-  * by the warm run ("cpu_warm_s") and the host 1-minute loadavg after it
-  * ("load1") — on a contended host the query's OWN cpu/wall ratio
-  * collapses and load1 exceeds the core count, so a bad capture
+  * by each run ("cpu_warm_s"/"cpu_cold_s") and the host 1-minute loadavg
+  * after it ("load1") — on a contended host the query's OWN cpu/wall
+  * ratio collapses and load1 exceeds the core count, so a bad capture
   * self-identifies in bench_full.json instead of needing a post-hoc
-  * adjudication.
+  * adjudication. r12 (the r11 failure: the recheck ran inside the same
+  * contended window, so six environmental bursts "reproduced"):
+  * confirmation now consults the recheck leg's OWN-WORK signal — a flag
+  * confirms only if the recheck reproduces the wall regression AND its
+  * process-CPU seconds exceed 2x the committed reference cpu (see
+  * [[confirmDrift]]; BASELINE.md rows may carry cpu_warm/cpu_cold as
+  * 4th/5th columns) — and the recheck leg's cpu/load1 telemetry ships in
+  * bench_full.json ("recheck_cpu_warm_s"/"recheck_cpu_cold_s"/
+  * "recheck_load1") for post-hoc adjudication.
   *
   * Output budget: the round driver captures only the LAST 2000 chars of
   * stdout, and full query names (~25 chars/entry x 80+ queries) overflow
@@ -65,31 +73,93 @@ object Bench {
   private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** Reference (warm, cold) seconds per query from BASELINE.md's recorded
-    * tables. Tolerant parse: any `| <query_id> | <num> | <num> |` row
-    * anywhere in the file; the last occurrence of a query wins. Missing
-    * file or unparseable rows → no reference → no flag (new queries are
-    * unflagged until their first committed row). */
-  private[graft] def baselineRows(path: String = "BASELINE.md"): Map[String, (Double, Double)] = {
+  /** One committed reference row: warm/cold wall seconds plus (r12)
+    * optional process-CPU seconds for each leg — the own-work signal the
+    * drift confirmation consults. Pre-r12 rows carry only the two wall
+    * columns; their cpu fields are None and confirmation degrades to the
+    * legacy wall-only rule. */
+  private[graft] case class Ref(
+      warm: Double,
+      cold: Double,
+      cpuWarm: Option[Double],
+      cpuCold: Option[Double]
+  )
+
+  /** Reference rows per query from BASELINE.md's recorded tables.
+    * Tolerant parse: any `| <query_id> | <num> | <num> |` row anywhere in
+    * the file, with up to two further numeric columns read as
+    * (cpu_warm_s, cpu_cold_s); the last occurrence of a query wins.
+    * Missing file or unparseable rows → no reference → no flag (new
+    * queries are unflagged until their first committed row). */
+  private[graft] def baselineRefs(path: String = "BASELINE.md"): Map[String, Ref] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
-      val row = """\|\s*([a-z]\d{2}_[a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
+      val num = """([0-9]+\.[0-9]+)"""
+      val row =
+        (s"""\\|\\s*([a-z]\\d{2}_[a-z0-9_]+)\\s*\\|\\s*$num\\s*\\|\\s*$num\\s*\\|""" +
+          s"""(?:\\s*$num\\s*\\|(?:\\s*$num\\s*\\|)?)?""").r
       val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      row.findAllMatchIn(src).map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
+      row.findAllMatchIn(src).map { m =>
+        m.group(1) -> Ref(
+          m.group(2).toDouble,
+          m.group(3).toDouble,
+          Option(m.group(4)).map(_.toDouble),
+          Option(m.group(5)).map(_.toDouble))
+      }.toMap
     }
   }
 
+  private[graft] def baselineRows(path: String = "BASELINE.md"): Map[String, (Double, Double)] =
+    baselineRefs(path).view.mapValues(r => (r.warm, r.cold)).toMap
+
   private[graft] def baselineWarm(path: String = "BASELINE.md"): Map[String, Double] =
-    baselineRows(path).view.mapValues(_._1).toMap
+    baselineRefs(path).view.mapValues(_.warm).toMap
+
+  /** Is a first-pass drift flag CONFIRMED by its recheck leg?
+    *
+    * r11 lesson: the end-of-suite recheck ran inside the same contended
+    * window as the first pass, so six environmental bursts "reproduced"
+    * and shipped as confirmed regressions (d06 read 5.6×; a quiet host
+    * measured 1.11×). The wall clock alone cannot distinguish a starved
+    * query from a slow one — but the query's OWN process-CPU seconds
+    * can: a genuine plan regression (an extra shuffle, a lost pushdown)
+    * does more WORK, so cpu rises with wall; a starved run's wall blows
+    * up while its cpu stays flat (r11's e05: 14 CPU-s across 12 s of
+    * wall on a 32-core session = 1.2 cores — starved, not slow).
+    *
+    * Rule: a flag confirms only if the recheck reproduces the WALL
+    * regression (>2× the committed reference) AND shows an own-work
+    * regression — recheck cpu > 2× the committed reference cpu. Rows
+    * without a cpu reference (pre-r12 tables) confirm on wall alone, the
+    * legacy rule, so the defense tightens as rows are re-recorded rather
+    * than silently never confirming. A recheck that itself ERRORS keeps
+    * the flag — an error must never read as "refuted". cpu telemetry
+    * that is unavailable on this JVM (cpu < 0) also falls back to
+    * wall-only. */
+  private[graft] def confirmDrift(
+      refWall: Option[Double],
+      refCpu: Option[Double],
+      recheckOk: Boolean,
+      recheckWall: Double,
+      recheckCpu: Double
+  ): Boolean = {
+    if (!recheckOk) true
+    else {
+      val wallRegressed = refWall.exists(recheckWall > 2 * _)
+      val ownWorkRegressed = refCpu match {
+        case Some(rc) if rc > 0 && recheckCpu >= 0 => recheckCpu > 2 * rc
+        case _                                     => true
+      }
+      wallRegressed && ownWorkRegressed
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val refRows = baselineRows()
-    val ref = refRows.view.mapValues(_._1).toMap
-    val refCold = refRows.view.mapValues(_._2).toMap
+    val refs = baselineRefs()
     // Warm the session once on the smallest tier (classloading, first-job
     // scheduler setup) so even "cold" numbers measure the engine.
     try SparkEntry.entry(spark).count()
@@ -133,11 +203,14 @@ object Bench {
         drift: Boolean,
         coldDrift: Boolean,
         cpuWarm: Double,
+        cpuCold: Double,
         load: Double
     )
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
       def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
+      val cpuC0 = cpuS()
       val (cold, okC) = time(exec())
+      val cpuCold = cpuS() - cpuC0
       val stCold = Hygiene.storageBytes(spark)
       val cpu0 = cpuS()
       val (warm, okW) = time(exec())
@@ -147,10 +220,10 @@ object Bench {
       if (okC && okW) {
         val best = math.min(cold, warm)
         R(name, best, cold, ok = true, stCold, stWarm,
-          ref.get(name).exists(best > 2 * _),
-          refCold.get(name).exists(cold > 2 * _), cpuWarm, load1())
+          refs.get(name).exists(best > 2 * _.warm),
+          refs.get(name).exists(cold > 2 * _.cold), cpuWarm, cpuCold, load1())
       } else R(name, -1.0, -1.0, ok = false, stCold, stWarm,
-        drift = false, coldDrift = false, cpuWarm, load1())
+        drift = false, coldDrift = false, cpuWarm, cpuCold, load1())
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) => measure(name, fn) }
     // End-of-suite recheck: every first-pass drift flag — WARM OR COLD —
@@ -165,18 +238,30 @@ object Bench {
     // which is the right bar for adjudication: a contention burst
     // collapses on it, while a data-path regression (an extra shuffle,
     // a lost pushdown) dominates compile time and still reproduces.
+    //
+    // r12: reproducing the WALL regression is no longer sufficient — when
+    // the whole suite window is contended (r11: load1_max 18.67, six
+    // environmental flags "confirmed"), the recheck leg is contended too.
+    // Confirmation now ALSO requires the recheck's own-work signal (its
+    // process-CPU seconds vs the committed reference cpu — see
+    // confirmDrift), and the recheck leg's cpu/load1 telemetry ships in
+    // bench_full.json so a post-hoc reader can re-adjudicate.
     val recheck: Map[String, R] = firstPass
       .filter(r => (r.drift || r.coldDrift) && r.ok)
       .map(r => r.name -> measure(r.name, SparkEntry.queries(r.name)))
       .toMap
     val results = firstPass.map { r =>
       recheck.get(r.name) match {
-        case Some(r2) => r.copy(
-          drift = r.drift && (!r2.ok || r2.drift),
-          coldDrift = r.coldDrift && (!r2.ok || r2.coldDrift),
-          // the steady-state number is the best honest measurement we have
-          warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
-          cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold)
+        case Some(r2) =>
+          val ref = refs.get(r.name)
+          r.copy(
+            drift = r.drift && confirmDrift(
+              ref.map(_.warm), ref.flatMap(_.cpuWarm), r2.ok, r2.warm, r2.cpuWarm),
+            coldDrift = r.coldDrift && confirmDrift(
+              ref.map(_.cold), ref.flatMap(_.cpuCold), r2.ok, r2.cold, r2.cpuCold),
+            // the steady-state number is the best honest measurement we have
+            warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
+            cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold)
         case None => r
       }
     }
@@ -201,16 +286,25 @@ object Bench {
     if (args.isEmpty) {
       val detail = results
         .map { r =>
-          val refPart = refRows.get(r.name)
-            .map { case (w, c) => s""", "ref_warm": ${jnum(w)}, "ref_cold": ${jnum(c)}""" }
+          val refPart = refs.get(r.name)
+            .map { rf =>
+              val cpuRefs = (rf.cpuWarm, rf.cpuCold) match {
+                case (Some(w), Some(c)) => s""", "ref_cpu_warm": ${jnum(w)}, "ref_cpu_cold": ${jnum(c)}"""
+                case _                  => ""
+              }
+              s""", "ref_warm": ${jnum(rf.warm)}, "ref_cold": ${jnum(rf.cold)}$cpuRefs"""
+            }
             .getOrElse("")
+          // the recheck leg ships its OWN cpu/load telemetry (r11 lesson:
+          // only first-pass telemetry was kept, so a contended recheck
+          // could not be adjudicated from the artifact)
           val recheckPart = recheck.get(r.name)
             .map { r2 =>
               val fp = firstPass.find(_.name == r.name).get
-              s""", "first_pass_warm": ${jnum(fp.warm)}, "recheck_warm": ${jnum(r2.warm)}, "first_pass_cold": ${jnum(fp.cold)}, "recheck_cold": ${jnum(r2.cold)}"""
+              s""", "first_pass_warm": ${jnum(fp.warm)}, "recheck_warm": ${jnum(r2.warm)}, "first_pass_cold": ${jnum(fp.cold)}, "recheck_cold": ${jnum(r2.cold)}, "recheck_cpu_warm_s": ${jnum(r2.cpuWarm)}, "recheck_cpu_cold_s": ${jnum(r2.cpuCold)}, "recheck_load1": ${jnum(r2.load)}"""
             }
             .getOrElse("")
-          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}$refPart$recheckPart}"""
+          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "cpu_cold_s": ${jnum(r.cpuCold)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}$refPart$recheckPart}"""
         }
         .mkString("{\n", ",\n", "\n}")
       val detailPath = java.nio.file.Paths.get("bench_full.json")
