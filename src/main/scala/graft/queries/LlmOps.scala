@@ -2484,17 +2484,33 @@ object LlmOps {
     * the t20/t24 persisted-artifact discipline applied to the gates'
     * shared denominator); the returned frame is a tiny parquet read, so
     * no cache is needed even though each gate references it twice. */
-  private val sharedArtifactsBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  /** Build `path` once per JVM, holding the lock through the build so a
-    * concurrent constructor (parallel spec suites) blocks instead of
-    * reading a half-written artifact; a failed build retries next call. */
-  private def buildSharedOnce(path: String)(build: => Unit): Unit =
-    sharedArtifactsBuilt.synchronized {
-      if (sharedArtifactsBuilt.add(path)) {
-        try build
-        catch { case e: Throwable => sharedArtifactsBuilt.remove(path); throw e }
-      }
+  private val sharedArtifactBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
+  /** Build `path` once per JVM. PER-PATH latch (r12 — the r11 shape held
+    * one global monitor through any build, so concurrent constructors of
+    * DIFFERENT artifacts, e01's top-k vs e16's MMR under parallel spec
+    * suites, serialized behind whichever build ran first): computeIfAbsent
+    * installs exactly one FutureTask per path, the installer runs it, and
+    * every caller — installer and latecomers alike — waits on THAT task,
+    * so a concurrent constructor of the same path blocks instead of
+    * reading a half-written artifact while builds of unrelated paths
+    * proceed in parallel. A failed build removes its own latch
+    * (conditionally, so it cannot clobber a retry's fresh latch) and
+    * rethrows the cause; the next call retries. */
+  private[graft] def buildSharedOnce(path: String)(build: => Unit): Unit = {
+    val mine = new java.util.concurrent.FutureTask[Unit](() => build)
+    val latch = sharedArtifactBuilds.computeIfAbsent(path, _ => mine)
+    if (latch eq mine) latch.run()
+    try latch.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        sharedArtifactBuilds.remove(path, latch)
+        throw e.getCause
+      case e: Throwable =>
+        sharedArtifactBuilds.remove(path, latch)
+        throw e
     }
+  }
   private def exactTopKShared(s: SparkSession, d: String): DataFrame = {
     val path = scratchDir("e01_exact_topk", d) + "/topk"
     buildSharedOnce(path) {
