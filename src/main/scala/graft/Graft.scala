@@ -202,6 +202,13 @@ object Graft {
   def annPqFit(spark: SparkSession, corpus: DataFrame, subspaces: Int = 4,
       subDim: Int = 16, k: Int = 16): graft.operators.AnnPq.Model =
     graft.operators.AnnPq.fit(spark, corpus, subspaces, subDim, k)
+  /** BEHAVIOR CHANGE (v0.11, documented in README "Upgrade notes"): the
+    * default `shortlist` moved from a fixed 50 to 0 = auto — per query,
+    * max(100, searched_corpus/10) capped at 1000. Results improve
+    * (the fixed 50 measured 0.24 mean recall@5 at 2 000 vectors) at up
+    * to 20x the re-rank cost; callers who want the old budget pass
+    * `shortlist = 50` explicitly. v0.12 sizes the auto budget from the
+    * corpus actually searched, not the fit-time count. */
   def annTopKPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       model: graft.operators.AnnPq.Model, k: Int = 5, shortlist: Int = 0): DataFrame =
     graft.operators.AnnPq.topK(spark, corpus, queries, model, k, shortlist)

@@ -35,10 +35,12 @@ import graft.functions.VectorFunctions
   */
 object AnnPq {
 
-  /** `corpusRows` is recorded at fit time (train-once cost) so auto
-    * shortlist sizing in [[topK]] never pays a count action per search;
-    * -1 = unknown (a pre-round-11 artifact), in which case topK counts
-    * once as a fallback. */
+  /** `corpusRows` records the fit-time corpus size in the model and its
+    * manifest — provenance metadata (how much data trained this
+    * codebook), NOT a sizing input: [[topK]]'s auto shortlist derives
+    * from the corpus actually searched (r12 — a fit-time budget goes
+    * stale the moment ingestion grows the corpus past the training
+    * snapshot). -1 = unknown (a pre-round-11 artifact). */
   final case class Model(
       subspaces: Int,
       subDim: Int,
@@ -150,18 +152,24 @@ object AnnPq {
     * tables and broadcasts — same contract as AnnIvf/AnnLsh). Output:
     * (qid, rnk, vid, d2) with d2 the exact fixed-point squared L2.
     *
-    * `shortlist = 0` (the default) resolves to max(100, corpus/10)
-    * CAPPED AT 1000: a FIXED shortlist is a silent recall cliff — the
-    * ADC stage's discrimination is constant (subspaces × k cells) while
-    * the corpus grows, so the true neighbors' ADC ranks drift down and a
-    * constant cut drops them (measured: 50-row shortlist = 0.58 mean
-    * recall@5 at 500 vectors but 0.24 at 2 000; the 10% rule holds
-    * 0.52–0.60 across both with min-per-query 0.2). The cap is where the
-    * scaling argument flips: re-ranking 10% of a 10^9-vector corpus
-    * would BE a corpus scan, and past ~10k vectors the fix for fading
-    * ADC discrimination is more ADC resolution (raise subspaces/k — a
-    * production PQ runs 8–16 subspaces × 256 codes, not 4 × 16), never
-    * an unbounded shortlist. */
+    * `shortlist = 0` (the default) resolves PER QUERY to
+    * max(100, searched_corpus/10) CAPPED AT 1000: a FIXED shortlist is a
+    * silent recall cliff — the ADC stage's discrimination is constant
+    * (subspaces × k cells) while the corpus grows, so the true
+    * neighbors' ADC ranks drift down and a constant cut drops them
+    * (measured: 50-row shortlist = 0.58 mean recall@5 at 500 vectors but
+    * 0.24 at 2 000; the 10% rule holds 0.52–0.60 across both with
+    * min-per-query 0.2). The denominator is the corpus actually SEARCHED
+    * — counted inside the ranking window itself, zero extra passes — not
+    * the fit-time `model.corpusRows` (r12: in the
+    * train-once/encode-forever path this index champions, the persisted
+    * codebook's count stays pinned while ingestion grows the corpus, so
+    * a fit-time budget reproduces exactly the cliff the auto rule exists
+    * to remove). The cap is where the scaling argument flips: re-ranking
+    * 10% of a 10^9-vector corpus would BE a corpus scan, and past ~10k
+    * vectors the fix for fading ADC discrimination is more ADC
+    * resolution (raise subspaces/k — a production PQ runs 8–16 subspaces
+    * × 256 codes, not 4 × 16), never an unbounded shortlist. */
   def topK(
       spark: SparkSession,
       emb: DataFrame, // vec_id, embedding
@@ -171,14 +179,6 @@ object AnnPq {
       shortlist: Int = 0
   ): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
-    val effectiveShortlist = {
-      // fit-time corpus count when the model carries it — no count
-      // action on the search path; the fallback count covers models
-      // loaded from a pre-corpus_rows artifact
-      val n = if (shortlist > 0) 0L else if (model.corpusRows >= 0) model.corpusRows else emb.count()
-      if (shortlist > 0) shortlist
-      else math.max(100L, (n / 10).min(1000L)).toInt
-    }
     VectorFunctions.register(spark)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -225,10 +225,23 @@ object AnnPq {
       .groupBy("qid", "vec_id")
       .agg(sum("d").as("adc"))
     val wPq = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-    val short = adc
-      .withColumn("rnk", row_number().over(wPq))
-      .filter(col("rnk") <= effectiveShortlist)
-      .select(col("qid"), col("vec_id").as("vid"))
+    val ranked = adc.withColumn("rnk", row_number().over(wPq))
+    // The auto budget (shortlist = 0) derives from the corpus actually
+    // SEARCHED, not the fit-time count: count(*) over the same qid
+    // partition the ranking window already builds — zero extra corpus
+    // passes, and the same shuffle/sort serves both window functions.
+    // r12 fix: sizing from model.corpusRows silently reproduced the
+    // fixed-shortlist recall cliff in the train-once/encode-forever path
+    // (persisted codebook, corpus grown by later ingestion: the budget
+    // stayed pinned to the old count while ADC ranks of true neighbors
+    // drifted past it).
+    val short =
+      (if (shortlist > 0) ranked.filter(col("rnk") <= shortlist)
+       else ranked
+         .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("qid")))
+         .filter(col("rnk") <=
+           greatest(lit(100L), least(floor(col("__cnt") / lit(10)), lit(1000L)))))
+        .select(col("qid"), col("vec_id").as("vid"))
     val fp = KMeans.fixedPoint(emb, "embedding")
     // Query fixed-point vectors come from the QUERIES frame (driver-side,
     // via the scalar twin of fixedPoint — same space, spec-pinned), not a

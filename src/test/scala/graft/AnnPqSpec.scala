@@ -125,16 +125,49 @@ class AnnPqSpec extends AnyFunSuite {
     }
   }
 
-  test("shortlist=0 resolves to the max(100, corpus/10) auto budget") {
+  test("shortlist=0 resolves to the max(100, searched/10) auto budget") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < 5)
     val model = AnnPq.fit(spark, emb, 4, 16, 16)
-    val expected = math.max(100L, (n / 10).min(1000L)).toInt
+    // queries are drawn from the corpus, and the ADC scan excludes the
+    // query's own row, so each qid searches n - 1 candidates
+    val expected = math.max(100L, ((n - 1) / 10).min(1000L)).toInt
     val auto = AnnPq.topK(spark, emb, queries, model, k = 5).collect().map(_.toSeq).toSeq
     val explicit = AnnPq.topK(spark, emb, queries, model, k = 5, shortlist = expected)
       .collect().map(_.toSeq).toSeq
     assert(auto == explicit, s"auto shortlist != explicit $expected")
+    Hygiene.release(spark)
+  }
+
+  test("auto budget sizes from the SEARCHED corpus, not the fit-time count") {
+    // train-once/encode-forever: the codebook is fitted on a snapshot,
+    // then ingestion grows the corpus. A fit-time budget stays pinned to
+    // the old count — silently reproducing the fixed-shortlist recall
+    // cliff. The searched corpus here is ~4x the fit corpus; the auto
+    // result must match an explicit searched-sized budget, on a dataset
+    // where the fit-sized budget provably yields a different result set.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val model = AnnPq.fit(spark, emb, 4, 16, 16) // corpusRows = fit-time n
+    val grown = (0 until 4)
+      .map(i => emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        // shift each clone's vectors so the enlarged corpus is not four
+        // identical copies (ties would mask budget differences)
+        expr(s"transform(embedding, (v, j) -> v + ${i}e-1f * CAST(j % 7 AS FLOAT))")
+          .as("embedding")))
+      .reduce(_ union _)
+    val n = grown.count()
+    val queries = grown.filter(col("vec_id") < 5)
+    val searchSized = math.max(100L, ((n - 1) / 10).min(1000L)).toInt
+    val fitSized = math.max(100L, ((model.corpusRows - 1) / 10).min(1000L)).toInt
+    assert(searchSized > fitSized, "fixture must make the two budgets differ")
+    def rows(shortlist: Int) =
+      AnnPq.topK(spark, grown, queries, model, k = 5, shortlist = shortlist)
+        .collect().map(_.toSeq).toSeq
+    val auto = AnnPq.topK(spark, grown, queries, model, k = 5).collect().map(_.toSeq).toSeq
+    assert(rows(searchSized) != rows(fitSized),
+      "fixture too easy: both budgets re-rank to the same top-k, so the test proves nothing")
+    assert(auto == rows(searchSized), "auto budget did not size from the searched corpus")
     Hygiene.release(spark)
   }
 }
