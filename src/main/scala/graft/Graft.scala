@@ -251,6 +251,14 @@ object Graft {
   def annIvfRebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit =
     graft.operators.AnnIvf.rebuildIndex(spark, path, nlist)
 
+  /** What the vector ingest rejected, why, and at what rate: one row per
+    * (batch_id, reason) over a reject ledger written by ivfIngest /
+    * appendIndexBatch's rejectDir. A missing ledger (healthy stream —
+    * the ledger is written lazily) reads as an empty frame, never a
+    * path-not-found error. */
+  def vectorRejects(spark: SparkSession, rejectDir: String): DataFrame =
+    graft.operators.AnnIvf.rejectSummary(spark, rejectDir)
+
   def annIvfSaveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit =
     graft.operators.AnnIvf.saveCentroids(spark, cs, path)
   def annIvfLoadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =

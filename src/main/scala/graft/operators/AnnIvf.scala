@@ -500,6 +500,42 @@ object AnnIvf {
     }
   }
 
+  /** Accounting surface over a reject ledger written by
+    * [[appendIndexBatch]]/ivfIngest: one row per (batch_id, reason) with
+    * its reject count — "what was rejected, why, at what rate", the
+    * drain-accounting twin the crawl quarantine already has (every input
+    * attributable; rejects are terminal here, so counts ARE the whole
+    * story — there is no drain state to report). Schema is fixed
+    * (batch_id BIGINT, reason STRING, rejects BIGINT) regardless of the
+    * feed's own columns.
+    *
+    * A MISSING ledger directory reads as an EMPTY summary, not an error:
+    * the ledger is written lazily — only a batch that actually rejects
+    * rows creates its `batch_id=N` directory, so a healthy stream never
+    * materializes the path at all — and monitoring that polls a healthy
+    * stream must see zero rows, not a path-not-found failure from
+    * parquet schema inference. This method IS the supported reader;
+    * reading the raw directory with spark.read.parquet requires the
+    * caller to tolerate the missing path themselves. */
+  def rejectSummary(spark: SparkSession, rejectDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val p = new org.apache.hadoop.fs.Path(rejectDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("batch_id", LongType),
+          StructField("reason", StringType),
+          StructField("rejects", LongType))))
+    else
+      spark.read.parquet(rejectDir)
+        // partition discovery infers `batch_id=N` as int; pin bigint
+        .groupBy(col("batch_id").cast("long").as("batch_id"), col("reason"))
+        .agg(count(lit(1)).as("rejects"))
+        .orderBy("batch_id", "reason")
+  }
+
   /** One frame over the referenced vector directories. Each generation
     * is read as its OWN root and unioned: Spark's partition discovery
     * rejects multiple roots whose partitioning starts at different

@@ -6272,10 +6272,17 @@ object LlmOps {
     * driver-greedy discipline). */
   val e19 = Q(
     "e19_ivf_probe_calibration",
+    // curve length = fitted centroid count = min(16, corpus rows): the
+    // k-means seeding can produce at most one centroid per embedding
+    // row, so a sub-16-row tier yields a shorter curve — the oracle's
+    // row count must shrink with it (recallGateOracleSql's LEAST
+    // discipline), not hardcode range(1, 17)
     Some("""
       SELECT CAST(range AS INTEGER) AS nprobe,
              TRUE AS monotone_ok, TRUE AS exact_at_full
-      FROM range(1, 17) ORDER BY nprobe""")
+      FROM range(1, 17)
+      WHERE range <= (SELECT COUNT(*) FROM embeddings)
+      ORDER BY nprobe""")
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < 10)
@@ -6291,6 +6298,71 @@ object LlmOps {
       .map(i => (curve(i).getInt(0), i == 0 || rs(i) >= rs(i - 1), exactAtFull))
       .toDF("nprobe", "monotone_ok", "exact_at_full")
       .orderBy("nprobe")
+  }
+
+  /** VECTOR-INGEST REJECT ACCOUNTING as a gated query (e20): drive the
+    * production ingest path ([[graft.operators.AnnIvf.appendIndexBatch]]
+    * with a reject ledger) over a deterministically poisoned feed, then
+    * emit [[graft.operators.AnnIvf.rejectSummary]] — one row per
+    * (batch_id, reason) with its count, the "what was rejected, why, at
+    * what rate" surface a production store owes its operators (the
+    * crawl quarantine's drain accounting, vector edition; rejects are
+    * terminal here so counts are the whole story). The poisoning rule is
+    * pure arithmetic on vec_id — vec_id % 20 picks the malformation
+    * (0 → null embedding, 1 → wrong dimensionality, 2 → a null element,
+    * 3 → a NaN element), vec_id % 3 picks the ingest batch — so DuckDB
+    * re-derives the exact expected ledger from the embeddings table
+    * alone and the driver hash-compares every (batch_id, reason,
+    * rejects) row cross-engine: a validity-gate regression (a malformed
+    * shape slipping through, a reason misclassified, a batch double-
+    * parked on replay) fails CORRECTNESS on its exact row. Like
+    * e18/e19, constructing the query EXECUTES the lifecycle (index
+    * seeded from clean rows, three poisoned batches appended); the
+    * ledger is built once per (JVM, dataset) under the shared-artifact
+    * latch, so the bench's warm pass times the summary aggregation —
+    * the monitoring read — not a re-ingest. */
+  val e20 = Q(
+    "e20_vector_reject_ledger",
+    Some("""
+      SELECT CAST(vec_id % 3 + 1 AS BIGINT) AS batch_id,
+             CASE vec_id % 20
+               WHEN 0 THEN 'null_embedding'
+               WHEN 1 THEN 'wrong_dim'
+               WHEN 2 THEN 'null_element'
+               WHEN 3 THEN 'non_finite'
+             END AS reason,
+             COUNT(*) AS rejects
+      FROM embeddings
+      WHERE vec_id % 20 IN (0, 1, 2, 3)
+      GROUP BY 1, 2
+      ORDER BY batch_id, reason""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val poisoned = emb.select(
+      col("vec_id"),
+      when(col("vec_id") % 20 === 0, expr("CAST(NULL AS ARRAY<FLOAT>)"))
+        .when(col("vec_id") % 20 === 1, expr("slice(embedding, 1, 3)"))
+        .when(col("vec_id") % 20 === 2,
+          expr("transform(embedding, (v, j) -> IF(j = 0, CAST(NULL AS FLOAT), v))"))
+        .when(col("vec_id") % 20 === 3,
+          expr("transform(embedding, (v, j) -> IF(j = 0, CAST('NaN' AS FLOAT), v))"))
+        .otherwise(col("embedding")).as("embedding"))
+    val dir = scratchDir("e20", d)
+    val idx = dir + "/index"
+    val ledger = dir + "/rejects"
+    buildSharedOnce(ledger) {
+      // seed the store from a small CLEAN slice (the ledger gate is
+      // about the batches, not the base generation), then append every
+      // row — valid and poisoned alike — through the gated batch path
+      graft.operators.AnnIvf.buildIndex(
+        s, emb.filter(col("vec_id") % 20 >= 4 && col("vec_id") < 64), idx, nlist = 4)
+      (0 until 3).foreach { b =>
+        graft.operators.AnnIvf.appendIndexBatch(
+          s, poisoned.filter(col("vec_id") % 3 === b), idx,
+          batchId = b + 1L, rejectDir = Some(ledger))
+      }
+    }
+    graft.operators.AnnIvf.rejectSummary(s, ledger)
   }
 
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid
@@ -6329,6 +6401,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30)
 }

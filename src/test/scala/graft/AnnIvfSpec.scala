@@ -329,4 +329,56 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(AnnIvf.suggestNprobe(spark, emb, queries, cs, 1.0, k = 5) <= 16)
     Hygiene.release(spark)
   }
+
+  test("rejectSummary reads a missing ledger as an empty frame, never a path error") {
+    // the ledger is written lazily (only a rejecting batch creates it),
+    // so monitoring a healthy stream polls a path that does not exist —
+    // that must read as ZERO rows with the fixed schema, not a
+    // path-not-found failure from parquet schema inference
+    val dir = java.nio.file.Files.createTempDirectory("ivf-noledger").toString + "/rejects"
+    val s = AnnIvf.rejectSummary(spark, dir)
+    assert(s.columns.toSeq == Seq("batch_id", "reason", "rejects"))
+    assert(s.schema("batch_id").dataType.typeName == "long")
+    assert(s.schema("rejects").dataType.typeName == "long")
+    assert(s.count() == 0L)
+    // an EXISTING but empty directory (e.g. pre-created by ops tooling)
+    // reads the same way
+    new java.io.File(dir).mkdirs()
+    assert(AnnIvf.rejectSummary(spark, dir).count() == 0L)
+  }
+
+  test("rejectSummary accounts every parked row per (batch_id, reason)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf-ledger").toString
+    val idx = s"$base/ivf"
+    val ledger = s"$base/rejects"
+    def vec(seed: Int): Array[Float] = Array.tabulate(4)(d => (seed * 7 + d).toFloat / 10f)
+    val clean = (0 until 32).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    AnnIvf.buildIndex(spark, clean, idx, nlist = 2)
+    // batch 1: 2 null embeddings + 1 wrong-dim + 3 valid rows
+    val b1 = Seq[(Long, Array[Float])](
+      (100L, null), (101L, null), (102L, Array(1f, 2f)),
+      (103L, vec(3)), (104L, vec(4)), (105L, vec(5))).toDF("vec_id", "embedding")
+    // batch 2: 1 NaN element + 1 null element, rest valid
+    val b2 = Seq[(Long, Array[Float])](
+      (200L, Array(Float.NaN, 1f, 2f, 3f)),
+      (201L, Array(1f, 2f, 3f, 4f)), (202L, vec(6))).toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        when(col("vec_id") === 201L,
+          expr("transform(embedding, (v, j) -> IF(j = 1, CAST(NULL AS FLOAT), v))"))
+          .otherwise(col("embedding")))
+    AnnIvf.appendIndexBatch(spark, b1, idx, 1L, rejectDir = Some(ledger))
+    AnnIvf.appendIndexBatch(spark, b2, idx, 2L, rejectDir = Some(ledger))
+    val got = AnnIvf.rejectSummary(spark, ledger).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "null_embedding", 2L), (1L, "wrong_dim", 1L),
+      (2L, "non_finite", 1L), (2L, "null_element", 1L)), got.toString)
+    // parked rows keep their payload columns for triage: vec_id is readable
+    val parked = spark.read.parquet(ledger).select("vec_id").as[Long].collect().toSet
+    assert(parked == Set(100L, 101L, 102L, 200L, 201L))
+    // the valid rows of both batches actually entered the store
+    AnnIvf.validateIndex(spark, idx)
+    Hygiene.release(spark)
+  }
 }
