@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Expression, In, InSet, Literal, Md5}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, EqualTo, Expression, In, InSet, Literal, Md5, Substring}
 import org.apache.spark.sql.execution.{FilterExec, LocalTableScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -42,15 +42,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *      allowlisted id column to LITERALS (`vec_id < 10`, `= 0`,
   *      `IN (0,1,2)`) — the broadcast ANN query batch, sized by the
   *      request, never the corpus (e01/e11/e16/e17/t17's pattern);
-  *  (g) the EVAL-SPLIT FILTER: a Filter whose condition compares an
-  *      md5-derived expression to literals — d12/d13's deterministic
-  *      eval-split tag. Eval sets are bounded BY CONSTRUCTION
-  *      (~10^3-10^5 while corpora are 10^9+); the md5 nibble is the
-  *      test-tier stand-in for that external set, and d12's scaladoc
-  *      names the IVF-probe scale path for when an eval set outgrows
-  *      a broadcast. A generic corpus-proportional predicate
-  *      (`quality > 0.5`, `vec_id % 2 = 0`) matches NEITHER shape and
-  *      is flagged.
+  *  (g) the EVAL-SPLIT FILTER: a Filter pinning the d12/d13 split tag
+  *      — substring(md5(...), 1, ≤2) — by nibble EQUALITY or a
+  *      ≤ 4-literal membership list, i.e. a few fixed slices of a
+  *      deterministic ≤ 256-way partition. Eval sets are bounded BY
+  *      CONSTRUCTION (~10^3-10^5 while corpora are 10^9+); the md5
+  *      nibble is the test-tier stand-in for that external set, and
+  *      d12's scaladoc names the IVF-probe scale path for when an
+  *      eval set outgrows a broadcast. A generic corpus-proportional
+  *      predicate (`quality > 0.5`, `vec_id % 2 = 0`, and — tightened
+  *      this round — a RANGE over the tag like `md5(x) > 'a'`, half
+  *      the corpus) matches NEITHER shape and is flagged.
   *
   * A new query that genuinely needs a new bounded shape must extend the
   * contract HERE, with the justification in this scaladoc — the review
@@ -99,25 +101,44 @@ class CrossJoinBoundSpec extends AnyFunSuite {
     case other                                               => Seq(other)
   }
 
+  /** The d12/d13 eval-split TAG exactly: substring(md5(...), 1, len ≤ 2)
+    * — a ≤ 256-way deterministic partition of the corpus, of which the
+    * literal set then picks a few slices. Anything looser is refused:
+    * `md5(x) > 'a'` selects a corpus-proportional HALF and must not
+    * pass the pin this suite exists to enforce. */
+  private def isSplitTag(e: Expression): Boolean = e match {
+    case Substring(inner, Literal(pos: Int, _), Literal(len: Int, _)) =>
+      pos == 1 && len <= 2 && inner.exists(_.isInstanceOf[Md5])
+    case _ => false
+  }
+
   /** Case (f)/(g): does this filter condition contain a conjunct that
     * pins a query-set? Qualifying conjunct shapes (ANY one suffices —
     * extra conjuncts only shrink the side further):
-    *  - BinaryComparison(attr ∈ queryIdCols, Literal) either way round
-    *  - In/InSet(attr ∈ queryIdCols, all-literal list)
-    *  - any of the above where the non-literal side is an md5-derived
-    *    expression (the d12 eval-split tag) */
+    *  (f) allowlisted id column vs literal(s), ANY comparison shape —
+    *      the batch is sized by the request (`vec_id < 10`, `= 0`,
+    *      `IN (0,1,2)`);
+    *  (g) the eval-split tag under nibble EQUALITY or a ≤ 4-literal
+    *      membership list (≤ 4/16 of one nibble's slices). Range
+    *      comparisons over the tag (`< '8'` = half the corpus) and
+    *      md5 anywhere else do NOT qualify. */
   private def isQuerySetFilter(cond: Expression): Boolean = {
-    def qualifyingSide(e: Expression): Boolean = e match {
+    def isQueryId(e: Expression): Boolean = e match {
       case a: Attribute => queryIdCols.contains(a.name)
-      case other        => other.exists(_.isInstanceOf[Md5])
+      case _            => false
     }
     conjuncts(cond).exists {
+      case e @ EqualTo(l, r) =>
+        (l.isInstanceOf[Literal] && (isQueryId(r) || isSplitTag(r))) ||
+          (r.isInstanceOf[Literal] && (isQueryId(l) || isSplitTag(l)))
       case b: BinaryComparison =>
-        (b.left.isInstanceOf[Literal] && qualifyingSide(b.right)) ||
-          (b.right.isInstanceOf[Literal] && qualifyingSide(b.left))
-      case In(v, list) => list.forall(_.isInstanceOf[Literal]) && qualifyingSide(v)
-      case i: InSet    => qualifyingSide(i.child)
-      case _           => false
+        (b.left.isInstanceOf[Literal] && isQueryId(b.right)) ||
+          (b.right.isInstanceOf[Literal] && isQueryId(b.left))
+      case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
+        isQueryId(v) || (isSplitTag(v) && list.size <= 4)
+      case i: InSet =>
+        isQueryId(i.child) || (isSplitTag(i.child) && i.hset.size <= 4)
+      case _ => false
     }
   }
 
@@ -193,6 +214,25 @@ class CrossJoinBoundSpec extends AnyFunSuite {
     val bad = embs.as("e").join(half.as("q"), col("q.vec_id") =!= col("e.vec_id"))
     val vs = violations(bad.queryExecution.executedPlan)
     assert(vs.nonEmpty, "the half-corpus broadcast side must be flagged")
+  }
+
+  test("an md5 RANGE predicate (corpus-proportional) is NOT an eval-split pin") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    // syntactically md5-vs-literal, semantically HALF the corpus — the
+    // exact shape the r11 case (g) would have waved through
+    val half = broadcast(
+      embs.filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "8"))
+    val bad = embs.as("e").join(half.as("q"), col("q.vec_id") =!= col("e.vec_id"))
+    val vs = violations(bad.queryExecution.executedPlan)
+    assert(vs.nonEmpty, "the md5-range half-corpus side must be flagged")
+    // ...while the true eval-split tag (nibble membership, 2 slices)
+    // still qualifies
+    val eval = broadcast(
+      embs.filter(substring(md5(col("vec_id").cast("string")), 1, 1).isin("e", "f")))
+    val ok = embs.as("e").join(eval.as("q"), col("q.vec_id") =!= col("e.vec_id"))
+    assert(violations(ok.queryExecution.executedPlan).isEmpty,
+      "the nibble-membership eval side must pass")
   }
 
   test("a verdict-gate crossJoin (single-row aggregate build side) passes the pin") {
