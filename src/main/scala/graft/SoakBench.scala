@@ -160,13 +160,33 @@ object SoakBench {
   * stored vectors — the quantizer re-train must hold recall while the
   * store grows.
   *
+  * POISONED-FEED MODE (`SPARK_GRAFT_SOAK_POISON=1`): the r11 validity
+  * gate has spec coverage but the clean soak never exercises it under
+  * maintenance churn. With poison on, every arrival batch carries the
+  * e20 malformation rule (vec_id % 23: 0 → null embedding, 1 → wrong
+  * dim, 2 → null element, 3 → NaN element — ~4/23 of the feed) and the
+  * stream runs with a reject ledger. (The soak's modulus is 23 where
+  * e20's is 20: 23 is coprime to any realistic batch count, so the
+  * vec_id % nBatches slicing interleaves malformed rows into EVERY
+  * batch instead of aliasing them into the first few.) The soak then
+  * also samples the
+  * ledger's cumulative reject count and its directory count per batch
+  * (growth must be bounded by REJECTING BATCHES, not by compactions or
+  * rebuilds — maintenance must never touch the ledger), and at the end
+  * asserts EXACTNESS loudly: the manifest's row total equals the
+  * arithmetic count of valid feed rows + the base corpus (no malformed
+  * row entered the store, no valid row was lost), and the per-reason
+  * ledger totals equal the vec_id-arithmetic expectation (every parked
+  * row attributable).
+  *
   * Prints ONE JSON line:
   * {"metric":"ivf_soak","batches":[{batch,rows,sec,manifests,vec_dirs,
-  *  ck_kb,store_rows,last_batch,recall}...],...knobs}
+  *  ck_kb,store_rows,last_batch,recall,rejects,ledger_dirs}...],...knobs}
   *
   * Args: embeddings dir (default SPARK_GRAFT_SF_DIR or sf0.1). Env:
   * SPARK_GRAFT_SOAK_BATCHES (25), SPARK_GRAFT_SOAK_COMPACT (3),
-  * SPARK_GRAFT_SOAK_REBUILD (5), SPARK_GRAFT_SOAK_NLIST (16).
+  * SPARK_GRAFT_SOAK_REBUILD (5), SPARK_GRAFT_SOAK_NLIST (16),
+  * SPARK_GRAFT_SOAK_POISON (0).
   */
 object IvfSoak {
   def main(args: Array[String]): Unit = {
@@ -176,6 +196,7 @@ object IvfSoak {
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_COMPACT", "3").toInt
     val rebuildEvery = sys.env.getOrElse("SPARK_GRAFT_SOAK_REBUILD", "5").toInt
     val nlist = sys.env.getOrElse("SPARK_GRAFT_SOAK_NLIST", "16").toInt
+    val poison = sys.env.getOrElse("SPARK_GRAFT_SOAK_POISON", "0") == "1"
     val k = 5
     val spark = GraftSession.builder("graft-ivf-soak").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -192,9 +213,23 @@ object IvfSoak {
     val corpus = emb.filter(!isBatch)
     AnnIvf.buildIndex(spark, corpus, idx, nlist)
     val queries = corpus.filter(col("vec_id") < 20).localCheckpoint(true)
-    val arrivals = emb.filter(isBatch)
+    // the e20 malformation rule: deterministic vec_id arithmetic, so the
+    // expected ledger and the expected store size are both re-derivable
+    // without trusting the ingest path under test
+    val isPoisoned = col("vec_id") % 23 < 4
+    val feed = emb.filter(isBatch)
+    val arrivals = (if (!poison) feed
+      else feed.withColumn("embedding",
+        when(col("vec_id") % 23 === 0, expr("CAST(NULL AS ARRAY<FLOAT>)"))
+          .when(col("vec_id") % 23 === 1, expr("slice(embedding, 1, 3)"))
+          .when(col("vec_id") % 23 === 2,
+            expr("transform(embedding, (v, j) -> IF(j = 0, CAST(NULL AS FLOAT), v))"))
+          .when(col("vec_id") % 23 === 3,
+            expr("transform(embedding, (v, j) -> IF(j = 0, CAST('NaN' AS FLOAT), v))"))
+          .otherwise(col("embedding"))))
       .withColumn("__s", pmod(col("vec_id"), lit(nBatches)))
     val slices = (0 until nBatches).map(i => arrivals.filter(col("__s") === i).drop("__s"))
+    val ledger = s"$base/rejects"
 
     def manifests = Option(new java.io.File(idx).listFiles()).toSeq.flatten
       .count(_.getName.startsWith("manifest.v"))
@@ -232,12 +267,21 @@ object IvfSoak {
     }
 
     final case class S(batch: Int, rows: Long, sec: Double, manifests: Int,
-        vecDirs: Int, ckKb: Long, storeRows: Long, lastBatch: Long, recall: Option[Double])
+        vecDirs: Int, ckKb: Long, storeRows: Long, lastBatch: Long, recall: Option[Double],
+        rejects: Long, ledgerDirs: Int)
     val samples = scala.collection.mutable.ListBuffer.empty[S]
+
+    def rejectsNow(): Long =
+      if (!poison) 0L
+      else AnnIvf.rejectSummary(spark, ledger)
+        .agg(coalesce(sum("rejects"), lit(0L))).collect()(0).getLong(0)
+    def ledgerDirsNow(): Int =
+      Option(new java.io.File(ledger).listFiles()).toSeq.flatten.count(_.isDirectory)
 
     SoakBench.land(spark, slices.head, landing, 0)
     val q = EventStream.ivfIngest(
-      EventStream.readEmbeddings(spark, landing), idx, ck, compactEvery)
+      EventStream.readEmbeddings(spark, landing), idx, ck, compactEvery,
+      rejectDir = if (poison) ledger else "")
     try {
       var progressSeen = 0
       for (i <- 0 until nBatches) {
@@ -257,16 +301,38 @@ object IvfSoak {
           SoakBench.dirSizeKb(new java.io.File(ck)),
           p.get("rows").map(_.toLong).getOrElse(-1L),
           p.get("last_batch").map(_.toLong).getOrElse(-1L),
-          if (rebuilt) Some(recallNow()) else None)
+          if (rebuilt) Some(recallNow()) else None,
+          rejectsNow(), ledgerDirsNow())
       }
     } finally q.stop()
     AnnIvf.validateIndex(spark, idx) // carried counts must reconcile cold
 
+    if (poison) {
+      // EXACTNESS, loudly: the store holds exactly base corpus + valid
+      // feed rows (derived by arithmetic, not by the path under test)...
+      val expectedStore = corpus.count() + feed.filter(!isPoisoned).count()
+      val storeRows = snapProps.get("rows").map(_.toLong).getOrElse(-1L)
+      require(storeRows == expectedStore,
+        s"poisoned soak: store rows $storeRows != expected $expectedStore")
+      // ...and the ledger accounts every malformed row under its reason
+      val expectedByReason = feed.filter(isPoisoned)
+        .groupBy((col("vec_id") % 23).cast("int").as("m")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val reasonOf = Map(0 -> "null_embedding", 1 -> "wrong_dim",
+        2 -> "null_element", 3 -> "non_finite")
+      val gotByReason = AnnIvf.rejectSummary(spark, ledger)
+        .groupBy("reason").agg(sum("rejects").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = expectedByReason.map { case (m, n) => reasonOf(m) -> n }
+      require(gotByReason == expected,
+        s"poisoned soak: ledger $gotByReason != expected $expected")
+    }
+
     val items = samples.map { s =>
       val rec = s.recall.map(r => Bench.jnum(r)).getOrElse("null")
-      s"""{"batch":${s.batch},"rows":${s.rows},"sec":${Bench.jnum(s.sec)},"manifests":${s.manifests},"vec_dirs":${s.vecDirs},"ck_kb":${s.ckKb},"store_rows":${s.storeRows},"last_batch":${s.lastBatch},"recall":$rec}"""
+      s"""{"batch":${s.batch},"rows":${s.rows},"sec":${Bench.jnum(s.sec)},"manifests":${s.manifests},"vec_dirs":${s.vecDirs},"ck_kb":${s.ckKb},"store_rows":${s.storeRows},"last_batch":${s.lastBatch},"recall":$rec,"rejects":${s.rejects},"ledger_dirs":${s.ledgerDirs}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"ivf_soak","emb_dir":"$embDir","compact_every":$compactEvery,"rebuild_every":$rebuildEvery,"nlist":$nlist,"batches":$items}""")
+    println(s"""{"metric":"ivf_soak","emb_dir":"$embDir","compact_every":$compactEvery,"rebuild_every":$rebuildEvery,"nlist":$nlist,"poison":$poison,"batches":$items}""")
     spark.stop()
   }
 }
