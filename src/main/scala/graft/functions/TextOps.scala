@@ -51,4 +51,29 @@ object TextOps {
   /** DuckDB twin of piiCount. */
   def piiCountSql(c: String): String =
     s"len(regexp_extract_all($c, '$EmailRe')) + len(regexp_extract_all($c, '$PhoneRe'))"
+
+  /** IPv4-shaped spans (10.0.42.1). \d{1,3} per octet — a redactor
+    * over-matches on purpose (255+ "octets" still redact); validation
+    * is not its job. */
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** US-SSN-shaped national-id spans (123-45-6789). Disjoint from
+    * PhoneRe by construction (3-2-4 vs 3-3-4 digit groups), so the two
+    * can be counted independently on the same raw text. */
+  val SsnRe: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** The full scrub: every email / phone / IPv4 / SSN-shaped span
+    * replaced with its typed placeholder, in that fixed order (the
+    * order is part of the contract — counts are taken per pattern on
+    * the RAW text, then the redactions compose; the patterns are
+    * pairwise disjoint on any single span, so order only matters for
+    * byte-identical output, not for what gets caught). */
+  def redactAllPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(redactPii(text), lit(Ipv4Re), lit("<IP>")),
+      lit(SsnRe), lit("<ID>"))
+
+  /** DuckDB twin of redactAllPii (same fixed order, 'g' = all matches). */
+  def redactAllPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace(${redactPiiSql(c)}, '$Ipv4Re', '<IP>', 'g'), '$SsnRe', '<ID>', 'g')"
 }

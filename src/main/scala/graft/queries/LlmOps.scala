@@ -4661,6 +4661,78 @@ object LlmOps {
       .orderBy("source", "bucket")
   }
 
+  /** PII SCRUB as a first-class gated operator (t31): detect and redact
+    * email / phone / IPv4 / national-id-shaped spans across the corpus —
+    * the compliance pass every training-data pipeline runs before
+    * anything ships. The kernels ([[graft.functions.TextOps]]) predate
+    * this query (t10 composes the email/phone pair into its clean step),
+    * but the corpus testdata contains no PII, so until now the full
+    * scrub was proven only on unit fixtures. Here ~2/3 of the docs get
+    * PII spans INJECTED in-plan by deterministic doc_id arithmetic —
+    * both engines derive the identical dirty text from the same parquet
+    * (the e20 poisoning discipline, text edition) — then each pattern is
+    * counted independently on the raw text and the composed redaction is
+    * hash-compared byte-for-byte cross-engine (md5 of the scrubbed doc):
+    * a pattern drifting between Java regex and RE2 semantics, a
+    * placeholder misorder, or a span the scrub misses fails CORRECTNESS
+    * on that document's own row. The doc_id % 3 == 0 docs stay clean so
+    * the zero-count path is represented in the gate too.
+    *
+    * Scale: a pure row-local projection — no shuffle, no state, no
+    * join; the patterns are literal, so codegen compiles each regex once
+    * per task, and the scan prunes to (doc_id, text). At 100 TB this is
+    * the embarrassingly-parallel shape Spark is best at; the only sort
+    * is the gate's deterministic output order. */
+  val t31 = Q(
+    "t31_pii_scrub",
+    Some(s"""
+      WITH dirty AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN text
+               ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call 555-'
+                    || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+                    || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                    || ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          END AS dirty
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(dirty, '${graft.functions.TextOps.EmailRe}')) AS INTEGER) AS n_email,
+        CAST(len(regexp_extract_all(dirty, '${graft.functions.TextOps.PhoneRe}')) AS INTEGER) AS n_phone,
+        CAST(len(regexp_extract_all(dirty, '${graft.functions.TextOps.Ipv4Re}')) AS INTEGER) AS n_ipv4,
+        CAST(len(regexp_extract_all(dirty, '${graft.functions.TextOps.SsnRe}')) AS INTEGER) AS n_id,
+        md5(${graft.functions.TextOps.redactAllPiiSql("dirty")}) AS clean_md5
+      FROM dirty ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.functions.TextOps
+    val id = col("doc_id")
+    val dirty = when(id % 3 === 0, col("text")).otherwise(concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"), lit("@example.com call 555-"),
+      lpad(((id * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+      (lit(1000) + id % 9000).cast("string"),
+      lit(" from 10."), (id % 256).cast("string"),
+      lit(".0."), ((id * 3) % 256).cast("string"),
+      lit(" id "), lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((id % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((id % 10000).cast("string"), 4, "0")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(TextOps.EmailRe)).cast("int").as("n_email"),
+        regexp_count(col("dirty"), lit(TextOps.PhoneRe)).cast("int").as("n_phone"),
+        regexp_count(col("dirty"), lit(TextOps.Ipv4Re)).cast("int").as("n_ipv4"),
+        regexp_count(col("dirty"), lit(TextOps.SsnRe)).cast("int").as("n_id"),
+        md5(TextOps.redactAllPii(col("dirty"))).as("clean_md5")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -6402,5 +6474,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31)
 }
