@@ -354,12 +354,27 @@ object Graft {
   def gopherRules(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.gopherRulesOf(documents)
 
+  /** t31's compliance pass: every email / phone / IPv4 / national-id-
+    * shaped span replaced with its typed placeholder (fixed composition
+    * order — see [[graft.functions.TextOps.redactAllPii]]). A pure
+    * row-local projection: no shuffle, regexes compiled once per task. */
+  def piiScrub(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextOps.redactAllPii(text)
+
   /** t28's mixture: temperature-weighted (α = 1/2) per-source target
     * allocation + deterministic membership — per source the √n weight,
     * target, kept count, and membership checksum. Input needs
     * (doc_id, source, text). */
   def temperatureMixing(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.temperatureMixingOf(documents)
+
+  /** t32's manifest: deterministic shuffle key (salted content-stable
+    * md5) + first-nibble shard per document, aggregated to one manifest
+    * row per shard (counts, membership checksum, key range — the range-
+    * partition boundaries the physical shard write uses). Input needs
+    * (doc_id, n_chars). */
+  def shardManifest(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.shardManifestOf(documents)
 
   /** t27's report: CCNet-style head/middle/tail buckets BY bigram-LM NLL
     * WITHIN each source (per-group percentile cuts, ranked by the

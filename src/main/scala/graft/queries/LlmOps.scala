@@ -4733,6 +4733,69 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** t32's frame-parameterized body — (doc_id, n_chars) in, one manifest
+    * row per shard out. Facade: Graft.shardManifest. */
+  private[graft] def shardManifestOf(documents: DataFrame): DataFrame = {
+    val key = md5(concat(lit("shard1|"), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), col("n_chars"), key.as("key"))
+      .groupBy(substring(col("key"), 1, 1).as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("doc_id").as("sum_doc_id"),
+        min("key").as("first_key"),
+        max("key").as("last_key")
+      )
+      .orderBy("shard")
+  }
+
+  /** SHUFFLE + SHARD MANIFEST (t32): the last stage of a corpus build —
+    * assign every kept document a deterministic training-order key and a
+    * shard, and emit the per-shard manifest a trainer consumes. The key
+    * is a SALTED content-stable hash (md5 of 'shard1|' + doc_id), so the
+    * global training order is a reproducible permutation: independent of
+    * cluster size, partition count, and input file order — everything
+    * `rand()`-based shuffling is not — and the salt decorrelates it from
+    * every other md5-keyed decision in the pipeline (dedup buckets,
+    * split tags, sampling thresholds all hash different prefixes).
+    * Shard = the key's first hex nibble: 16 uniform shards by md5
+    * uniformity, and the manifest's n_docs spread IS the balance
+    * evidence, cross-engine. sum(doc_id) is the membership checksum
+    * (which docs, not just how many); min/max key are the shard's key
+    * range — exactly the range-partition boundaries the physical write
+    * uses.
+    *
+    * Scale: one aggregate over 16 groups — no hot reducer, and the
+    * map-side PARTIAL combine does almost all of it (each task ships
+    * ≤ 16 rows). The string min/max buffers force SortAggregate rather
+    * than HashAggregate, so the partial pass sorts each partition by
+    * the shard nibble first — a single-byte prefix sort (radix-
+    * friendly, effectively linear), paid once per task, not a shuffle
+    * of data rows. The WRITE path this manifests for is
+    * `docs.repartitionByRange(col("shard"), col("key")).write.partitionBy("shard")`
+    * — one range shuffle, within-shard training order free from the
+    * range sort, one output dir per shard. At 16 shards per hex nibble,
+    * two nibbles give 256, three 4096 — the shard count scales by key
+    * prefix length with no new machinery. */
+  val t32 = Q(
+    "t32_shard_manifest",
+    Some("""
+      WITH k AS (
+        SELECT doc_id, n_chars,
+               md5('shard1|' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents)
+      SELECT substr(key, 1, 1) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             MIN(key) AS first_key,
+             MAX(key) AS last_key
+      FROM k GROUP BY 1 ORDER BY shard""")
+  ) { (s, d) =>
+    shardManifestOf(Tables.documents(s, d).select("doc_id", "n_chars"))
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -6474,5 +6537,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32)
 }
