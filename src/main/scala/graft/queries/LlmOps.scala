@@ -471,6 +471,63 @@ object LlmOps {
       .orderBy("cluster_id")
   }
 
+  /** CLUSTER-AWARE SPLIT ASSIGNMENT (d24): the FIX for the leakage d07
+    * audits. A per-doc hash split (t06's rule) can put two near-
+    * duplicates on opposite sides of the train/eval fence — d07 finds
+    * exactly those pairs after the fact. The right assignment hashes the
+    * CLUSTER, not the doc: every member of a d06 near-dup component gets
+    * the split of the component's canonical id (docs in no pair are
+    * their own singleton cluster, so their tag is unchanged), which
+    * makes cross-split leakage impossible BY CONSTRUCTION rather than
+    * something to audit away. The output carries both assignments per
+    * doc — `split` (cluster-aware) and `naive_split` (per-doc) — and
+    * `moved` marks the docs whose naive tag would have leaked; DuckDB
+    * re-derives the components via the same recursive closure as d06,
+    * so a drifted cluster boundary or tag fails on that doc's own row.
+    *
+    * Scale: the components come from the iterative hash-min label
+    * propagation (bounded rounds, no driver adjacency — d06's operator);
+    * pair-members then LEFT-join the corpus on doc_id — one equi-join
+    * shuffle the dedup pass already pays, no window, no broadcast of
+    * anything corpus-sized. The split tags are pure projections riding
+    * the join output. */
+  val d24 = Q(
+    "d24_cluster_split",
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM mh_pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT doc_id, cluster_id,
+             ${splitTagSqlOver("cluster_id")} AS split,
+             ${splitTagSqlOver("doc_id")} AS naive_split,
+             (${splitTagSqlOver("cluster_id")}) <> (${splitTagSqlOver("doc_id")}) AS moved
+      FROM assigned ORDER BY doc_id""")
+  ) { (s, d) =>
+    val comp = graft.operators.ConnectedComponents
+      .components(minhashPairs(s, d), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+    Tables.documents(s, d)
+      .select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        splitOf(col("cluster_id")).as("split"),
+        splitOf(col("doc_id")).as("naive_split")
+      )
+      .withColumn("moved", col("split") =!= col("naive_split"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
     * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
     * i.e. eval documents with a near-duplicate in training data. This is
@@ -490,10 +547,11 @@ object LlmOps {
       .when(nib.isin("e", "f"), "test")
       .otherwise("train")
   }
-  private val splitTagSql =
-    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+  private def splitTagSqlOver(c: String): String =
+    s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substr(md5(CAST($c AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
             ELSE 'train' END"""
+  private val splitTagSql = splitTagSqlOver("doc_id")
 
   val d07 = Q(
     "d07_split_leakage",
@@ -6535,7 +6593,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32)
 }
