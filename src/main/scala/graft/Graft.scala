@@ -376,6 +376,12 @@ object Graft {
   def shardManifest(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.shardManifestOf(documents)
 
+  /** The physical write behind [[shardManifest]]: the corpus on disk as
+    * deterministic shards (one dir per shard, training order within
+    * files; re-runs are byte-deterministic). */
+  def writeShards(documents: DataFrame, dir: String): Unit =
+    graft.queries.LlmOps.writeShards(documents, dir)
+
   /** t27's report: CCNet-style head/middle/tail buckets BY bigram-LM NLL
     * WITHIN each source (per-group percentile cuts, ranked by the
     * distributed groupedRank kernel — no per-source hot reducer).

@@ -4836,6 +4836,26 @@ object LlmOps {
     * range sort, one output dir per shard. At 16 shards per hex nibble,
     * two nibbles give 256, three 4096 — the shard count scales by key
     * prefix length with no new machinery. */
+  /** The physical write [[t32]] manifests for: the corpus on disk as 16
+    * deterministic shards, one directory per shard, rows in training
+    * order (ascending key) within each file. `repartitionByRange(shard,
+    * key)` gives each task one contiguous key range (so a task writes to
+    * ~one shard directory — no writer fan-out), the within-partition
+    * sort makes file order the training order, and because the range
+    * sort already clusters by the partition column, the dynamic-
+    * partition writer inserts no second sort. Re-running the write is
+    * byte-deterministic: same corpus, same keys, same order.
+    * ShardWriteSpec pins the on-disk shards against the t32 manifest —
+    * per-shard counts, key ranges, and in-file order. */
+  private[graft] def writeShards(documents: DataFrame, dir: String): Unit =
+    documents
+      .withColumn(
+        "key", md5(concat(lit("shard1|"), col("doc_id").cast("string"))))
+      .withColumn("shard", substring(col("key"), 1, 1))
+      .repartitionByRange(col("shard"), col("key"))
+      .sortWithinPartitions("shard", "key")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   val t32 = Q(
     "t32_shard_manifest",
     Some("""
