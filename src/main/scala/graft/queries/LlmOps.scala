@@ -4874,6 +4874,81 @@ object LlmOps {
     shardManifestOf(Tables.documents(s, d).select("doc_id", "n_chars"))
   }
 
+  /** SKETCHED HEAVY HITTERS (t33): Count-Min-Sketch phrase counting with
+    * its PROVABLE bounds as per-row gated verdicts. At 100 TB the exact
+    * per-gram count is a shuffle of billions of distinct grams; the CMS
+    * is a fixed ~11 KB counter grid per partition (depth 5 × width 272
+    * at ε=0.01/δ=0.01), merged associatively by the aggregate, and then
+    * answers AD-HOC point queries ("how often does this phrase occur")
+    * from the driver with no further corpus pass — the sketch classic
+    * the brief names, Spark-first via the built-in `count_min_sketch`
+    * aggregate + `util.sketch.CountMinSketch` reader. Counters are sums,
+    * so the sketch is bit-deterministic for a fixed seed regardless of
+    * partitioning or merge order.
+    *
+    * The gate: the exact top-20 bigrams (t11's partial-agg top-k — the
+    * ground truth the gate needs anyway) each carry two verdicts from
+    * the REAL sketch estimate: `no_undercount` (CMS can never
+    * undercount — structural, must hold for every row) and `bound_ok`
+    * (estimate ≤ exact + ⌈ε·N⌉, the CMS guarantee at confidence 1−δ —
+    * deterministic under the fixed seed, verified green at all three
+    * tiers). DuckDB recomputes the exact side and pins both verdicts
+    * TRUE per row, so a broken sketch path (seed drift, merge bug, a
+    * lossy serialization) fails CORRECTNESS on the exact gram it broke.
+    * The two driver-side reads are metadata-sized: the ~11 KB sketch
+    * blob and the 20-row top-k. */
+  val t33 = Q(
+    "t33_heavy_hitters",
+    Some(s"""
+      WITH t AS (SELECT $toksSql AS t FROM documents),
+      b AS (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM t WHERE len(t) >= 2)
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             TRUE AS no_undercount, TRUE AS bound_ok
+      FROM b GROUP BY bigram ORDER BY n_exact DESC, bigram LIMIT 20""")
+  ) { (s, d) =>
+    val t = col("t")
+    val grams = Tables
+      .documents(s, d)
+      .select(toks(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
+          )
+        ).as("bigram")
+      )
+    // two passes over the gram stream (sketch aggregate, exact top-k):
+    // deliberate — at scale recomputing a projection beats caching a
+    // corpus-sized exploded column, and the production path runs ONLY
+    // the sketch pass
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(
+        grams
+          .agg(expr(
+            "count_min_sketch(bigram, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+          .collect()(0).getAs[Array[Byte]](0)))
+    val bound = math.ceil(sk.relativeError() * sk.totalCount()).toLong
+    val top = grams
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("bigram"))
+      .limit(20)
+      .collect()
+    import s.implicits._
+    top.toSeq
+      .map { r =>
+        val g = r.getString(0)
+        val n = r.getLong(1)
+        val est = sk.estimateCount(g)
+        (g, n, est >= n, est <= n + bound)
+      }
+      .toDF("bigram", "n_exact", "no_undercount", "bound_ok")
+      .orderBy(col("n_exact").desc, col("bigram"))
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -6615,5 +6690,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }
