@@ -191,7 +191,10 @@ object VectorFunctions {
       exprs => IntArgminSqdistExpr(exprs(0), exprs(1))),
     ("cosine_top_clusters", classOf[CosineTopClustersExpr],
       "cosine_top_clusters(e, centroids, topn) - topn cluster ids by descending cosine",
-      exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2)))
+      exprs => CosineTopClustersExpr(exprs(0), exprs(1), exprs(2))),
+    ("bloom_might_contain", classOf[BloomMightContainExpr],
+      "bloom_might_contain(s, filter) - Bloom membership probe of a string against a serialized filter literal",
+      exprs => BloomMightContainExpr(exprs(0), exprs(1)))
   )
 
   /** Register SQL-callable vector functions on this session (idempotent —

@@ -528,6 +528,70 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** BLOOM PRE-FILTER for incremental dedup admission (d25): the classic
+    * fast path in front of the exact seen-set join. At 10^9+ seen hashes
+    * the d08/d16 admission join shuffles EVERY arrival batch against the
+    * index; a 1%-fpp Bloom of the seen keys (~1.2 GB at 10^9 items —
+    * past that, shard the filter by key range) answers "definitely new"
+    * from a broadcast-resident bitset, so the typical arrival (new) skips
+    * the join entirely and only Bloom-positives pay the exact check.
+    * Correctness hinges on ONE property: the filter can never answer
+    * "new" for a seen key (a false negative would silently ADMIT a
+    * duplicate past dedup — corpus corruption; a false positive merely
+    * wastes one exact probe). That property is gated per row: the
+    * arrival stream mixes genuinely-new docs (nibbles 0-1) with REPLAYED
+    * corpus docs (nibbles 2-3 — the re-crawl case that makes the check
+    * non-vacuous, since the synthetic corpus has almost no cross-set
+    * exact dups), and `no_false_negative` = (dup → bloom-positive) is
+    * computed from the REAL probe ([[graft.functions.BloomMightContainExpr]],
+    * a compiled codegen expression — no UDF) and pinned TRUE on every
+    * row by the oracle. Spark's Bloom hashes are fixed-seed, so the
+    * probe is deterministic for a given build set. The false-positive
+    * RATE (the efficiency side) is measured in BloomKernelsSpec, not
+    * here — it is probabilistic by design and not a correctness bound.
+    *
+    * Scale: building the filter is one pass with associative merges
+    * (`stat.bloomFilter`); the probe is a per-row projection; the exact
+    * side here exists as the gate's ground truth and is the join the
+    * production path runs only for positives. */
+  val d25 = Q(
+    "d25_bloom_prefilter",
+    Some("""
+      WITH k AS (SELECT doc_id, md5(text) AS h,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+                 FROM documents),
+      seen AS (SELECT h FROM k WHERE nib NOT IN ('0', '1')),
+      arrivals AS (
+        SELECT doc_id, h, FALSE AS is_replay FROM k WHERE nib IN ('0', '1')
+        UNION ALL
+        SELECT doc_id, h, TRUE AS is_replay FROM k WHERE nib IN ('2', '3'))
+      SELECT doc_id, is_replay,
+             (h IN (SELECT h FROM seen)) AS is_dup,
+             TRUE AS no_false_negative
+      FROM arrivals ORDER BY doc_id""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val seen = docs.filter(!nib.isin("0", "1"))
+    val arrivals = docs.filter(nib.isin("0", "1")).withColumn("is_replay", lit(false))
+      .unionByName(seen.filter(nib.isin("2", "3")).withColumn("is_replay", lit(true)))
+    graft.functions.VectorFunctions.register(s)
+    val bloom = seen.stat.bloomFilter("h", 100000L, 0.01)
+    arrivals
+      .withColumn("bloom_positive",
+        graft.functions.BloomKernels.mightContain(
+          graft.functions.BloomKernels.serialize(bloom), col("h")))
+      .join(seen.select("h").distinct().withColumn("is_dup", lit(true)), Seq("h"), "left")
+      .select(
+        col("doc_id"),
+        col("is_replay"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("is_dup"), lit(false)) || col("bloom_positive"))
+          .as("no_false_negative")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
     * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
     * i.e. eval documents with a near-duplicate in training data. This is
@@ -6688,7 +6752,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }
