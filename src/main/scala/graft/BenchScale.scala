@@ -154,7 +154,13 @@ object BenchScale {
       // exchange of 4-column rows + metadata offsets), t28 (per-source
       // counts + scan-stage membership, t14's shape), t29 (pure
       // projection rule battery)
-      "t27" -> 1, "t28" -> 1, "t29" -> 1
+      "t27" -> 1, "t28" -> 1, "t29" -> 1,
+      // r12 additions, all linear: t31 (pure scrub projection), t32
+      // (16-group partial-combined manifest agg), t33 (sketch aggregate
+      // + exact top-k — two linear passes over the exploded grams), d24
+      // (d06's bounded-round components + one corpus equi-join), d25
+      // (bloom build pass + per-row probe + ground-truth equi-join)
+      "t31" -> 1, "t32" -> 1, "t33" -> 1, "d24" -> 1, "d25" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
