@@ -1218,9 +1218,67 @@ object Relational {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** APPROXIMATE PERCENTILES WITH THEIR GUARANTEE GATED (q43): Spark's
+    * `approx_percentile` is the Greenwald-Khanna summary — fixed
+    * O(1/ε · log εN) state per partition, associative merges, and a
+    * DETERMINISTIC (not probabilistic) rank guarantee: the returned
+    * element's rank is within ε·n of ⌊p·n⌋..⌈p·n⌉, for every run, any
+    * partitioning. That is the sketch a 100 TB percentile runs (q22's
+    * exact interpolated path pays a full range exchange; the GK summary
+    * is one map-side pass) — so like t33, the gate pins the guarantee
+    * itself: the approximate values are joined BACK against the corpus
+    * (broadcast — 15 rows) to measure each value's true rank interval
+    * (tie-robust: [count(< v)+1, count(≤ v)]), and `rank_ok` asserts the
+    * interval overlaps the guaranteed window. DuckDB recomputes n per
+    * group and pins the verdict TRUE per (group, p) row — a broken
+    * summary merge or accuracy regression fails on the exact quantile
+    * it broke. The estimates themselves are deliberately NOT emitted
+    * (they are implementation-defined within the bound; only the bound
+    * is the contract). */
+  val q43 = Q(
+    "q43_approx_percentile_bounds",
+    Some("""
+      SELECT l_returnflag, p, CAST(COUNT(*) AS BIGINT) AS n,
+             TRUE AS rank_ok
+      FROM lineitem CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS p) ps
+      GROUP BY l_returnflag, p ORDER BY l_returnflag, p""")
+  ) { (s, d) =>
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val accuracy = 100 // eps = 1/accuracy = 1% rank error
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = li
+      .groupBy("l_returnflag")
+      .agg(expr(
+        s"approx_percentile(l_extendedprice, array(${ps.mkString(",")}), $accuracy)")
+        .as("vs"))
+      .select(col("l_returnflag"), posexplode(col("vs")).as(Seq("i", "v")))
+      .select(col("l_returnflag"),
+        element_at(lit(ps.toArray), col("i") + 1).as("p"), col("v"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(
+        // the join fans each lineitem row out to its group's 5 quantile
+        // rows, so within one (flag, p) group every corpus row appears
+        // exactly once: one grouped pass measures n and the tie-robust
+        // rank interval of that p's value
+        count(lit(1)).as("n"),
+        (sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)) + 1)
+          .cast("long").as("rank_lo"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L))
+          .cast("long").as("rank_hi")
+      )
+      .select(
+        col("l_returnflag"), col("p"), col("n"),
+        (col("rank_lo") <= ceil(col("p") * col("n")) + ceil(col("n") / accuracy) &&
+          col("rank_hi") >= floor(col("p") * col("n")) - ceil(col("n") / accuracy))
+          .as("rank_ok")
+      )
+      .orderBy("l_returnflag", "p")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43
   )
 }
