@@ -5013,6 +5013,83 @@ object LlmOps {
       .orderBy(col("n_exact").desc, col("bigram"))
   }
 
+  /** MERGEABLE DISTINCT-COUNT SKETCHES (t34): per-source distinct-bigram
+    * cardinality via Datasketches HLL, with BOTH halves of the sketch
+    * contract gated — the estimate bound AND mergeability. At 100 TB,
+    * "distinct tokens per source" is recomputed constantly as shards
+    * land; the right shape is one HLL blob per (source, shard) persisted
+    * beside the data, with corpus-level answers from a register-wise
+    * UNION of blobs — no rescan of old shards, ever. The gate builds the
+    * per-shard sketches through the real path (aggregate → parquet blobs
+    * under the shared-artifact latch → reload → `hll_union_agg`) and
+    * pins per source: `est_ok` (|estimate/exact − 1| ≤ 5%; lgK=12 ⇒
+    * ~1.6% standard error, deterministic for a given corpus) and
+    * `merged_est_ok` (the estimate from the blob-union path obeys the
+    * SAME bound — Datasketches' union gadget may transition sketch
+    * modes, so bit-equality with the single-pass estimate is not part
+    * of its contract and measured FALSE here; the bound is — a lossy
+    * blob round-trip or a union bug blows straight through 5%).
+    * DuckDB recomputes the exact distinct counts and
+    * pins both verdicts TRUE per source row. The exact side is the
+    * gate's ground truth, as in t33/q43. */
+  val t34 = Q(
+    "t34_distinct_sketch",
+    Some(s"""
+      WITH t AS (SELECT source, $toksSql AS t FROM documents),
+      b AS (SELECT source,
+                   UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM t WHERE len(t) >= 2)
+      SELECT source, CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_exact,
+             TRUE AS est_ok, TRUE AS merged_est_ok
+      FROM b GROUP BY source ORDER BY source""")
+  ) { (s, d) =>
+    val t = col("t")
+    val grams = Tables
+      .documents(s, d)
+      .select(col("source"), col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        col("source"),
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
+          )
+        ).as("bigram")
+      )
+    val direct = grams
+      .groupBy("source")
+      .agg(
+        countDistinct(col("bigram")).as("n_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(bigram, 12))").as("est"))
+    // the production path: per-(source, shard) blobs persisted once,
+    // answers from a union of blobs — new shards union in, old shards
+    // never rescan
+    val blobs = scratchDir("t34_hll", d)
+    buildSharedOnce(blobs) {
+      grams
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .groupBy("source", "shard")
+        .agg(expr("hll_sketch_agg(bigram, 12)").as("sk"))
+        .write.mode("overwrite").parquet(blobs)
+    }
+    val merged = s.read.parquet(blobs)
+      .groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    direct
+      .join(merged, Seq("source"))
+      .select(
+        col("source"),
+        col("n_exact"),
+        (abs(col("est").cast("double") / col("n_exact").cast("double") - 1) <= 0.05)
+          .as("est_ok"),
+        (abs(col("est_merged").cast("double") / col("n_exact").cast("double") - 1) <= 0.05)
+          .as("merged_est_ok")
+      )
+      .orderBy("source")
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -6754,5 +6831,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
 }
