@@ -160,7 +160,11 @@ object BenchScale {
       // + exact top-k — two linear passes over the exploded grams), d24
       // (d06's bounded-round components + one corpus equi-join), d25
       // (bloom build pass + per-row probe + ground-truth equi-join)
-      "t31" -> 1, "t32" -> 1, "t33" -> 1, "d24" -> 1, "d25" -> 1
+      "t31" -> 1, "t32" -> 1, "t33" -> 1, "d24" -> 1, "d25" -> 1,
+      // t34: exact grouped distinct + HLL aggregate + blob union — all
+      // linear passes over the exploded grams (q43 is lineitem-based and
+      // the derived corpora carry only documents/embeddings)
+      "t34" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
