@@ -172,6 +172,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("round-12 surface: piiScrub, shardManifest, writeShards, vectorRejects route through the engine") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // piiScrub is the t31 kernel
+    val scrubbed = Seq("mail a@b.co from 10.0.0.1").toDF("text")
+      .select(Graft.piiScrub(col("text"))).collect()(0).getString(0)
+    assert(scrubbed == "mail <EMAIL> from <IP>")
+    // shardManifest + writeShards agree on membership
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "n_chars")
+    val manifest = Graft.shardManifest(docs)
+    assert(manifest.columns.toSeq ==
+      Seq("shard", "n_docs", "n_chars", "sum_doc_id", "first_key", "last_key"))
+    val dir = java.nio.file.Files.createTempDirectory("facade-shards").toString + "/out"
+    Graft.writeShards(docs, dir)
+    val written = spark.read.parquet(dir).count()
+    assert(written == docs.count())
+    // vectorRejects over a missing ledger is an empty frame, not an error
+    val empty = Graft.vectorRejects(spark, dir + "/no-such-ledger")
+    assert(empty.columns.toSeq == Seq("batch_id", "reason", "rejects") && empty.count() == 0)
+    Hygiene.release(spark)
+  }
+
   test("storage surface: parquet round trip via the facade") {
     val dir = java.nio.file.Files.createTempDirectory("facade-io").toString + "/t"
     val df = Tables.nation(spark, TestSpark.sf0001)
