@@ -110,11 +110,15 @@ object Bench {
     }
   }
 
-  private[graft] def baselineRows(path: String = "BASELINE.md"): Map[String, (Double, Double)] =
-    baselineRefs(path).view.mapValues(r => (r.warm, r.cold)).toMap
-
-  private[graft] def baselineWarm(path: String = "BASELINE.md"): Map[String, Double] =
-    baselineRefs(path).view.mapValues(_.warm).toMap
+  /** A cpu DIFFERENCE is only meaningful when the MXBean is present and
+    * ticking: on a JVM without com.sun.management (or a bean returning
+    * -1), cpuS() is a constant -1.0 and a naive `after - before` reads
+    * 0.0 — "telemetry present, zero own work" — which would silently
+    * refute every genuine regression through the own-CPU gate.
+    * Unavailable telemetry must surface as -1 so [[confirmDrift]] takes
+    * its documented wall-only fallback. */
+  private[graft] def cpuDiff(before: Double, after: Double): Double =
+    if (before < 0 || after < 0) -1.0 else after - before
 
   /** Is a first-pass drift flag CONFIRMED by its recheck leg?
     *
@@ -210,11 +214,11 @@ object Bench {
       def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
       val cpuC0 = cpuS()
       val (cold, okC) = time(exec())
-      val cpuCold = cpuS() - cpuC0
+      val cpuCold = cpuDiff(cpuC0, cpuS())
       val stCold = Hygiene.storageBytes(spark)
       val cpu0 = cpuS()
       val (warm, okW) = time(exec())
-      val cpuWarm = cpuS() - cpu0
+      val cpuWarm = cpuDiff(cpu0, cpuS())
       val stWarm = Hygiene.storageBytes(spark)
       Hygiene.release(spark)
       if (okC && okW) {

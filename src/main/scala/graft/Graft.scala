@@ -378,7 +378,8 @@ object Graft {
 
   /** The physical write behind [[shardManifest]]: the corpus on disk as
     * deterministic shards (one dir per shard, training order within
-    * files; re-runs are byte-deterministic). */
+    * files; re-runs are content-deterministic — membership and order,
+    * not file-split bytes). */
   def writeShards(documents: DataFrame, dir: String): Unit =
     graft.queries.LlmOps.writeShards(documents, dir)
 

@@ -2616,9 +2616,16 @@ object LlmOps {
     * every caller — installer and latecomers alike — waits on THAT task,
     * so a concurrent constructor of the same path blocks instead of
     * reading a half-written artifact while builds of unrelated paths
-    * proceed in parallel. A failed build removes its own latch
+    * proceed in parallel. A FAILED build removes its own latch
     * (conditionally, so it cannot clobber a retry's fresh latch) and
-    * rethrows the cause; the next call retries. */
+    * rethrows the cause; the next call retries. An interrupted WAITER,
+    * by contrast, must NOT remove the latch: the installer's build is
+    * still running and may well succeed — removal would let a later
+    * constructor install a fresh task and re-run the build over an
+    * artifact a returned caller is already reading (for e20's batch
+    * lifecycle the re-run even trips the replay high-water-mark
+    * refusal). The waiter just rethrows; the latch stays until the
+    * build itself resolves. */
   private[graft] def buildSharedOnce(path: String)(build: => Unit): Unit = {
     val mine = new java.util.concurrent.FutureTask[Unit](() => build)
     val latch = sharedArtifactBuilds.computeIfAbsent(path, _ => mine)
@@ -2626,10 +2633,12 @@ object LlmOps {
     try latch.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>
+        // the BUILD failed — terminal for this latch, retryable for the path
         sharedArtifactBuilds.remove(path, latch)
         throw e.getCause
-      case e: Throwable =>
-        sharedArtifactBuilds.remove(path, latch)
+      case e: InterruptedException =>
+        // this WAITER was interrupted — the build is unaffected
+        Thread.currentThread().interrupt()
         throw e
     }
   }
@@ -3548,28 +3557,40 @@ object LlmOps {
     * build runs. Scale: explode + one grouped count; the global top-k is
     * a TakeOrderedAndProject (per-partition partial top-k, no full sort
     * shuffle). Ties break on the bigram itself for determinism. */
-  val t11 = Q(
-    "t11_ngram_freq",
-    Some(s"""
-      WITH t AS (SELECT $toksSql AS t FROM documents),
-      b AS (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-            FROM t WHERE len(t) >= 2)
-      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
-      FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
-  ) { (s, d) =>
+  /** The exploded word-bigram stream shared by t11/t33/t34: keeps the
+    * tokenized frame's OTHER columns, emits one row per adjacent token
+    * pair. One derivation, three consumers — a tokenization or window
+    * off-by-one fix lands everywhere or nowhere. Keep in LOCKSTEP with
+    * [[bigramCtesSql]]. */
+  private def explodeBigrams(withToks: DataFrame): DataFrame = {
     val t = col("t")
-    Tables
-      .documents(s, d)
-      .select(toks(col("text")).as("t"))
+    withToks
       .filter(size(t) >= 2)
-      .select(
+      .withColumn(
+        "bigram",
         explode(
           transform(
             sequence(lit(1), size(t) - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
-          )
-        ).as("bigram")
-      )
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))))
+      .drop("t")
+  }
+
+  /** DuckDB twin of [[explodeBigrams]]: the `t`/`b` CTE pair ending in
+    * b(bigram[, carried]). `carried` is "" or a trailing-comma column
+    * list ("source, "). */
+  private def bigramCtesSql(carried: String): String =
+    s"""t AS (SELECT $carried$toksSql AS t FROM documents),
+      b AS (SELECT ${carried}UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM t WHERE len(t) >= 2)"""
+
+  val t11 = Q(
+    "t11_ngram_freq",
+    Some(s"""
+      WITH ${bigramCtesSql("")}
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+  ) { (s, d) =>
+    explodeBigrams(Tables.documents(s, d).select(toks(col("text")).as("t")))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -4907,10 +4928,13 @@ object LlmOps {
     * ~one shard directory — no writer fan-out), the within-partition
     * sort makes file order the training order, and because the range
     * sort already clusters by the partition column, the dynamic-
-    * partition writer inserts no second sort. Re-running the write is
-    * byte-deterministic: same corpus, same keys, same order.
-    * ShardWriteSpec pins the on-disk shards against the t32 manifest —
-    * per-shard counts, key ranges, and in-file order. */
+    * partition writer inserts no second sort. Re-runs are
+    * CONTENT-deterministic — same per-shard membership, same training
+    * order within every file (what ShardWriteSpec pins against the t32
+    * manifest) — but not byte-identical: repartitionByRange samples its
+    * boundaries with an rdd.id-derived seed, so the part-file SPLITS
+    * within a shard directory may differ across runs. Consumers verify
+    * shards by manifest (counts/checksum/key range), not file bytes. */
   private[graft] def writeShards(documents: DataFrame, dir: String): Unit =
     documents
       .withColumn(
@@ -4964,26 +4988,13 @@ object LlmOps {
   val t33 = Q(
     "t33_heavy_hitters",
     Some(s"""
-      WITH t AS (SELECT $toksSql AS t FROM documents),
-      b AS (SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-            FROM t WHERE len(t) >= 2)
+      WITH ${bigramCtesSql("")}
       SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_exact,
              TRUE AS no_undercount, TRUE AS bound_ok
       FROM b GROUP BY bigram ORDER BY n_exact DESC, bigram LIMIT 20""")
   ) { (s, d) =>
-    val t = col("t")
-    val grams = Tables
-      .documents(s, d)
-      .select(toks(col("text")).as("t"))
-      .filter(size(t) >= 2)
-      .select(
-        explode(
-          transform(
-            sequence(lit(1), size(t) - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
-          )
-        ).as("bigram")
-      )
+    val grams =
+      explodeBigrams(Tables.documents(s, d).select(toks(col("text")).as("t")))
     // two passes over the gram stream (sketch aggregate, exact top-k):
     // deliberate — at scale recomputing a projection beats caching a
     // corpus-sized exploded column, and the production path runs ONLY
@@ -5035,29 +5046,13 @@ object LlmOps {
   val t34 = Q(
     "t34_distinct_sketch",
     Some(s"""
-      WITH t AS (SELECT source, $toksSql AS t FROM documents),
-      b AS (SELECT source,
-                   UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-            FROM t WHERE len(t) >= 2)
+      WITH ${bigramCtesSql("source, ")}
       SELECT source, CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_exact,
              TRUE AS est_ok, TRUE AS merged_est_ok
       FROM b GROUP BY source ORDER BY source""")
   ) { (s, d) =>
-    val t = col("t")
-    val grams = Tables
-      .documents(s, d)
-      .select(col("source"), col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(t) >= 2)
-      .select(
-        col("source"),
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(t) - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
-          )
-        ).as("bigram")
-      )
+    val grams = explodeBigrams(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), toks(col("text")).as("t")))
     val direct = grams
       .groupBy("source")
       .agg(

@@ -84,13 +84,20 @@ class BenchDriftSpec extends AnyFunSuite {
       assert(refs("d01_dedup_exact") == Bench.Ref(1.2, 2.8, Some(14.25), Some(30.1)))
       assert(refs("e05_ann_recall") == Bench.Ref(1.0, 2.0, Some(12.0), None))
       assert(refs("t01_text_stats") == Bench.Ref(0.4, 0.9, None, None))
-      // the legacy two-column accessors still read the wall columns
-      assert(Bench.baselineWarm(f.toString)("d01_dedup_exact") == 1.2)
-      assert(Bench.baselineRows(f.toString)("t01_text_stats") == ((0.4, 0.9)))
     } finally java.nio.file.Files.delete(f)
   }
 
   test("baseline parse: missing file yields no references (no flags)") {
     assert(Bench.baselineRefs("/nonexistent/BASELINE.md").isEmpty)
+  }
+
+  test("cpuDiff surfaces unavailable telemetry as -1, never as zero own-work") {
+    // on a JVM without com.sun.management, cpuS() is a constant -1.0;
+    // a naive after-before would read 0.0 = "present, zero work" and
+    // the own-CPU gate would silently refute every genuine regression
+    assert(Bench.cpuDiff(-1.0, -1.0) == -1.0)
+    assert(Bench.cpuDiff(-1.0, 5.0) == -1.0)
+    assert(Bench.cpuDiff(5.0, -1.0) == -1.0)
+    assert(Bench.cpuDiff(2.0, 7.5) == 5.5)
   }
 }

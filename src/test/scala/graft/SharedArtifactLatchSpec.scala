@@ -105,4 +105,34 @@ class SharedArtifactLatchSpec extends AnyFunSuite {
     queries.LlmOps.buildSharedOnce(path) { built = true }
     assert(built || waiterBuilt)
   }
+
+  test("an interrupted WAITER does not evict the in-flight latch (no double build)") {
+    val path = uniq("interrupt")
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val builds = new AtomicInteger(0)
+    @volatile var waiterInterrupted = false
+    val installer = new Thread(() =>
+      queries.LlmOps.buildSharedOnce(path) {
+        builds.incrementAndGet(); entered.countDown(); release.await()
+      })
+    installer.start()
+    assert(entered.await(10, TimeUnit.SECONDS))
+    val waiter = new Thread(() =>
+      try queries.LlmOps.buildSharedOnce(path) { builds.incrementAndGet() }
+      catch { case _: InterruptedException => waiterInterrupted = true })
+    waiter.start()
+    Thread.sleep(100) // let the waiter block on the latch
+    waiter.interrupt()
+    waiter.join(10000)
+    assert(waiterInterrupted, "waiter did not surface its interruption")
+    // the installer's build is STILL the one latch: finishing it must
+    // satisfy every later caller without a second build — under the old
+    // catch-all the interrupted waiter evicted the latch and the next
+    // caller re-ran the build over a possibly-published artifact
+    release.countDown()
+    installer.join(10000)
+    queries.LlmOps.buildSharedOnce(path) { builds.incrementAndGet() }
+    assert(builds.get() == 1, s"build ran ${builds.get()} times; the latch was evicted")
+  }
 }
