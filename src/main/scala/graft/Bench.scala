@@ -87,10 +87,16 @@ object Bench {
 
   /** Reference rows per query from BASELINE.md's recorded tables.
     * Tolerant parse: any `| <query_id> | <num> | <num> |` row anywhere in
-    * the file, with up to two further numeric columns read as
-    * (cpu_warm_s, cpu_cold_s); the last occurrence of a query wins.
-    * Missing file or unparseable rows → no reference → no flag (new
-    * queries are unflagged until their first committed row). */
+    * the file; the last occurrence of a query wins. Up to two further
+    * numeric columns are read as (cpu_warm_s, cpu_cold_s) — but ONLY
+    * under a table whose HEADER declares cpu columns (r13, closing the
+    * ADVICE hole: the bare positional read meant any future table with
+    * extra numeric columns that are not CPU seconds — a ratio, a row
+    * count — would silently poison the own-CPU drift gate through
+    * last-row-wins). Rows under a cpu-less header keep cpu = None and
+    * the confirmation takes its documented wall-only fallback. Missing
+    * file or unparseable rows → no reference → no flag (new queries are
+    * unflagged until their first committed row). */
   private[graft] def baselineRefs(path: String = "BASELINE.md"): Map[String, Ref] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Map.empty
@@ -100,13 +106,24 @@ object Bench {
         (s"""\\|\\s*([a-z]\\d{2}_[a-z0-9_]+)\\s*\\|\\s*$num\\s*\\|\\s*$num\\s*\\|""" +
           s"""(?:\\s*$num\\s*\\|(?:\\s*$num\\s*\\|)?)?""").r
       val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      row.findAllMatchIn(src).map { m =>
-        m.group(1) -> Ref(
-          m.group(2).toDouble,
-          m.group(3).toDouble,
-          Option(m.group(4)).map(_.toDouble),
-          Option(m.group(5)).map(_.toDouble))
-      }.toMap
+      val out = scala.collection.mutable.Map.empty[String, Ref]
+      // header state: a `| query | ... warm ... |` line opens a table and
+      // declares whether its 4th/5th columns are CPU seconds
+      var cpuHeader = false
+      for (line <- src.linesIterator) {
+        val t = line.trim
+        if (t.startsWith("|") && t.contains("query") && t.contains("warm"))
+          cpuHeader = t.replace('_', ' ').contains("cpu warm")
+        else
+          row.findFirstMatchIn(t).foreach { m =>
+            out(m.group(1)) = Ref(
+              m.group(2).toDouble,
+              m.group(3).toDouble,
+              if (cpuHeader) Option(m.group(4)).map(_.toDouble) else None,
+              if (cpuHeader) Option(m.group(5)).map(_.toDouble) else None)
+          }
+      }
+      out.toMap
     }
   }
 
@@ -119,6 +136,27 @@ object Bench {
     * its documented wall-only fallback. */
   private[graft] def cpuDiff(before: Double, after: Double): Double =
     if (before < 0 || after < 0) -1.0 else after - before
+
+  /** Adjudication of a first-pass drift flag by its recheck leg. */
+  private[graft] sealed trait DriftVerdict
+  private[graft] object DriftVerdict {
+    /** The regression reproduced under a clean-enough window — ship it. */
+    case object Confirmed extends DriftVerdict
+    /** The recheck did not reproduce the regression (or refuted it
+      * through the own-CPU gate) — an environmental burst, not a flag. */
+    case object Refuted extends DriftVerdict
+    /** The regression reproduced but the CAPTURE overlapped foreign
+      * load — neither confirmable nor refutable from this run; a quiet
+      * re-capture must adjudicate. */
+    case object NeedsRerun extends DriftVerdict
+  }
+
+  /** Foreign-load ceiling for drift confirmation: this suite's OWN work
+    * peaks around load1 ≈ 5.5 on the 32-core bench host (the r12
+    * authoritative capture's load1_max); every observed foreign-load
+    * window read ≥ 8.5 (r11 18.67, r12 driver captures 8.58 / 15.05).
+    * 8.0 splits the two populations with margin on both sides. */
+  private[graft] val Load1Ceiling = 8.0
 
   /** Is a first-pass drift flag CONFIRMED by its recheck leg?
     *
@@ -140,22 +178,46 @@ object Bench {
     * than silently never confirming. A recheck that itself ERRORS keeps
     * the flag — an error must never read as "refuted". cpu telemetry
     * that is unavailable on this JVM (cpu < 0) also falls back to
-    * wall-only. */
+    * wall-only.
+    *
+    * r13 — the load ceiling, the second contention defense the r12 rule
+    * still needed: under heavy foreign load, own-CPU itself inflates
+    * (GC threads and memory-bus stalls bill to the process — the r12
+    * driver capture's t20 recheck burned 53.5 own-CPU-s against a
+    * 17.8 s reference through pure thrash, so wall-AND-own-CPU passed
+    * and 12 environmental flags shipped as confirmed; a same-day quiet
+    * A/B refuted every one). A reproduced regression measured in a
+    * capture that OVERLAPPED foreign load (either the recheck's own
+    * load1 sample or the capture-wide load1 maximum above
+    * [[Load1Ceiling]]) is therefore NEITHER confirmable nor refutable —
+    * it returns [[DriftVerdict.NeedsRerun]] and only a quiet re-capture
+    * may confirm. The capture-wide max matters because load1 is a
+    * one-minute EWMA sampled once per query: the r12 driver capture's
+    * per-recheck samples read 1.3–2.6 while its capture max read 15.05
+    * — bursty foreign load hides from the point samples but not from
+    * the max. Missing telemetry (load < 0) cannot gate and falls
+    * through to the legacy confirm — on hosts without /proc/loadavg the
+    * defense is simply absent, never falsely reassuring. */
   private[graft] def confirmDrift(
       refWall: Option[Double],
       refCpu: Option[Double],
       recheckOk: Boolean,
       recheckWall: Double,
-      recheckCpu: Double
-  ): Boolean = {
-    if (!recheckOk) true
+      recheckCpu: Double,
+      recheckLoad1: Double,
+      captureLoad1Max: Double
+  ): DriftVerdict = {
+    if (!recheckOk) DriftVerdict.Confirmed
     else {
       val wallRegressed = refWall.exists(recheckWall > 2 * _)
       val ownWorkRegressed = refCpu match {
         case Some(rc) if rc > 0 && recheckCpu >= 0 => recheckCpu > 2 * rc
         case _                                     => true
       }
-      wallRegressed && ownWorkRegressed
+      if (!(wallRegressed && ownWorkRegressed)) DriftVerdict.Refuted
+      else if (math.max(recheckLoad1, captureLoad1Max) > Load1Ceiling)
+        DriftVerdict.NeedsRerun
+      else DriftVerdict.Confirmed
     }
   }
 
@@ -208,6 +270,12 @@ object Bench {
         coldDrift: Boolean,
         cpuWarm: Double,
         cpuCold: Double,
+        // cpu of the LEG whose wall became `warm` (= min of the two
+        // executions): confirmDrift must compare a wall and a cpu from
+        // the SAME execution — r12 paired the min wall with the warm
+        // leg's cpu, so when the cold leg was the minimum a borderline
+        // flag was adjudicated on mismatched signals (ADVICE r12)
+        cpuBest: Double,
         load: Double
     )
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
@@ -223,11 +291,12 @@ object Bench {
       Hygiene.release(spark)
       if (okC && okW) {
         val best = math.min(cold, warm)
+        val cpuBest = if (cold <= warm) cpuCold else cpuWarm
         R(name, best, cold, ok = true, stCold, stWarm,
           refs.get(name).exists(best > 2 * _.warm),
-          refs.get(name).exists(cold > 2 * _.cold), cpuWarm, cpuCold, load1())
+          refs.get(name).exists(cold > 2 * _.cold), cpuWarm, cpuCold, cpuBest, load1())
       } else R(name, -1.0, -1.0, ok = false, stCold, stWarm,
-        drift = false, coldDrift = false, cpuWarm, cpuCold, load1())
+        drift = false, coldDrift = false, cpuWarm, cpuCold, cpuBest = -1.0, load1())
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) => measure(name, fn) }
     // End-of-suite recheck: every first-pass drift flag — WARM OR COLD —
@@ -254,21 +323,39 @@ object Bench {
       .filter(r => (r.drift || r.coldDrift) && r.ok)
       .map(r => r.name -> measure(r.name, SparkEntry.queries(r.name)))
       .toMap
-    val results = firstPass.map { r =>
+    // Capture-wide load ceiling input: the max over EVERY load1 sample
+    // this run took (first pass + rechecks). Bursty foreign load hides
+    // from per-query point samples but not from the max (r12 driver
+    // capture: recheck samples 1.3-2.6, capture max 15.05).
+    val captureLoad1Max =
+      (firstPass.map(_.load) ++ recheck.values.map(_.load)).max
+    import DriftVerdict._
+    case class Adjudicated(r: R, warmNeedsRerun: Boolean, coldNeedsRerun: Boolean)
+    val adjudicated = firstPass.map { r =>
       recheck.get(r.name) match {
         case Some(r2) =>
           val ref = refs.get(r.name)
-          r.copy(
-            drift = r.drift && confirmDrift(
-              ref.map(_.warm), ref.flatMap(_.cpuWarm), r2.ok, r2.warm, r2.cpuWarm),
-            coldDrift = r.coldDrift && confirmDrift(
-              ref.map(_.cold), ref.flatMap(_.cpuCold), r2.ok, r2.cold, r2.cpuCold),
-            // the steady-state number is the best honest measurement we have
-            warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
-            cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold)
-        case None => r
+          // warm leg: r2.warm is min(cold, warm) of the recheck — pair it
+          // with the cpu of that same minimal leg (r2.cpuBest)
+          val wv = confirmDrift(
+            ref.map(_.warm), ref.flatMap(_.cpuWarm), r2.ok, r2.warm, r2.cpuBest,
+            r2.load, captureLoad1Max)
+          val cv = confirmDrift(
+            ref.map(_.cold), ref.flatMap(_.cpuCold), r2.ok, r2.cold, r2.cpuCold,
+            r2.load, captureLoad1Max)
+          Adjudicated(
+            r.copy(
+              drift = r.drift && wv == Confirmed,
+              coldDrift = r.coldDrift && cv == Confirmed,
+              // the steady-state number is the best honest measurement we have
+              warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
+              cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold),
+            warmNeedsRerun = r.drift && wv == NeedsRerun,
+            coldNeedsRerun = r.coldDrift && cv == NeedsRerun)
+        case None => Adjudicated(r, warmNeedsRerun = false, coldNeedsRerun = false)
       }
     }
+    val results = adjudicated.map(_.r)
     val qs = results
       .map(r => "\"" + r.name.takeWhile(_ != '_') + "\":" + jnum(r.warm))
       .mkString("{", ",", "}")
@@ -277,19 +364,25 @@ object Bench {
     val coldTotal = ok.map(_.cold).sum
     val failed = results.count(!_.ok)
     val driftFlags = results.count(_.drift)
+    val driftNeedsRerun = adjudicated.count(_.warmNeedsRerun)
+    val coldDriftNeedsRerun = adjudicated.count(_.coldNeedsRerun)
     // flagged on the first pass but NOT reproduced at end of suite —
     // the signature of a competing-load burst, not a regression
-    val driftUnconfirmed = firstPass.count(_.drift) - driftFlags
+    // (needs_rerun rows are neither confirmed nor refuted: reproduced,
+    // but in a capture that overlapped foreign load)
+    val driftUnconfirmed = firstPass.count(_.drift) - driftFlags - driftNeedsRerun
     val coldDriftFlags = results.count(_.coldDrift)
-    val coldDriftUnconfirmed = firstPass.count(_.coldDrift) - coldDriftFlags
+    val coldDriftUnconfirmed =
+      firstPass.count(_.coldDrift) - coldDriftFlags - coldDriftNeedsRerun
     // Full-name detail artifact (not size-constrained): warm + cold +
     // end-of-run storage bytes + drift flag per query. ONLY full-suite
     // runs may write it — a subset run (`Bench d13 d14`) would otherwise
     // clobber the tracked record with a 2-query file that reads as a
     // clean full run (and the round snapshot commits the tree wholesale).
     if (args.isEmpty) {
-      val detail = results
-        .map { r =>
+      val detail = adjudicated
+        .map { a =>
+          val r = a.r
           val refPart = refs.get(r.name)
             .map { rf =>
               val cpuRefs = (rf.cpuWarm, rf.cpuCold) match {
@@ -308,18 +401,18 @@ object Bench {
               s""", "first_pass_warm": ${jnum(fp.warm)}, "recheck_warm": ${jnum(r2.warm)}, "first_pass_cold": ${jnum(fp.cold)}, "recheck_cold": ${jnum(r2.cold)}, "recheck_cpu_warm_s": ${jnum(r2.cpuWarm)}, "recheck_cpu_cold_s": ${jnum(r2.cpuCold)}, "recheck_load1": ${jnum(r2.load)}"""
             }
             .getOrElse("")
-          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "cpu_cold_s": ${jnum(r.cpuCold)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}$refPart$recheckPart}"""
+          s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "cpu_cold_s": ${jnum(r.cpuCold)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}, "drift_needs_rerun": ${a.warmNeedsRerun}, "cold_drift_needs_rerun": ${a.coldNeedsRerun}$refPart$recheckPart}"""
         }
         .mkString("{\n", ",\n", "\n}")
       val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
-        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "load1_max": ${jnum(results.map(_.load).max)}, "queries": $detail}"""
+        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "drift_needs_rerun": $driftNeedsRerun, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "cold_drift_needs_rerun": $coldDriftNeedsRerun, "load1_max": ${jnum(captureLoad1Max)}, "queries": $detail}"""
           .getBytes("UTF-8")
       )
     }
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"drift_needs_rerun":$driftNeedsRerun,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"cold_drift_needs_rerun":$coldDriftNeedsRerun,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
