@@ -36,7 +36,20 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (left.dataType, right.dataType) match {
       case (StringType, BinaryType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // a null or empty serialized-filter literal would otherwise NPE
+        // in BloomFilter.readFrom at the first eval/codegen probe — an
+        // opaque executor-side error; misuse must fail AT ANALYSIS with
+        // this expression's own message (r13, ADVICE closure). Safe to
+        // eval here: the operand is foldable by the guard above.
+        right.eval(null) match {
+          case null =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: the serialized filter literal is null")
+          case b: Array[Byte] if b.isEmpty =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: the serialized filter literal is empty")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects (string, foldable binary filter), got " +

@@ -576,7 +576,28 @@ object LlmOps {
     val arrivals = docs.filter(nib.isin("0", "1")).withColumn("is_replay", lit(false))
       .unionByName(seen.filter(nib.isin("2", "3")).withColumn("is_replay", lit(true)))
     graft.functions.VectorFunctions.register(s)
-    val bloom = seen.stat.bloomFilter("h", 100000L, 0.01)
+    // capacity from the ACTUAL seen-set size (one count over the md5
+    // projection — r13, ADVICE closure: the previous hardcoded 10^5
+    // saturated at larger derived tiers, silently inflating the fp rate
+    // far past the documented ~1%; no-false-negative is unaffected by
+    // saturation, but the prefilter's efficiency claim is). The floor
+    // keeps a degenerate tiny tier from building a filter whose bit
+    // array is too small to be probabilistically meaningful.
+    val bloom = seen.stat.bloomFilter("h", math.max(seen.count(), 1000L), 0.01)
+    bloomAdmissionVerdicts(seen, arrivals, bloom)
+  }
+
+  /** d25's probe + verdict tail, factored so the poisoned-path spec can
+    * feed it a filter built with keys OMITTED (BloomKernelsSpec: a seen
+    * key missing from the build probes negative → that replayed dup's
+    * `no_false_negative` reads FALSE — the gate is falsifiable on the
+    * exact corruption it guards against). The probe is the REAL compiled
+    * [[graft.functions.BloomMightContainExpr]] path. */
+  private[graft] def bloomAdmissionVerdicts(
+      seen: DataFrame, // h
+      arrivals: DataFrame, // doc_id, h, is_replay
+      bloom: org.apache.spark.util.sketch.BloomFilter
+  ): DataFrame =
     arrivals
       .withColumn("bloom_positive",
         graft.functions.BloomKernels.mightContain(
@@ -590,7 +611,6 @@ object LlmOps {
           .as("no_false_negative")
       )
       .orderBy("doc_id")
-  }
 
   /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
     * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
@@ -2250,7 +2270,10 @@ object LlmOps {
     * detected by any of them) — what it caps is the REPORTED n_hits /
     * hit_id_sum for such extreme vecs, which is rows-only information;
     * d14 gates detection recall only. */
-  val d13 = Q("d13_semantic_decontam_ivf", None) { (s, d) =>
+  /** The IVF decontamination hit frame itself (qid = eval vec, vid =
+    * train vec, cosine >= 0.35) — d13's data path, also d14's detected
+    * side (ONE body, no drifting copy). */
+  private[graft] def decontamIvfRaw(s: SparkSession, d: String): DataFrame = {
     val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val evalSet = emb.filter(nib.isin("e", "f"))
@@ -2258,9 +2281,58 @@ object LlmOps {
     graft.operators.AnnIvf
       .topK(s, trainSet, evalSet, k = 50, nlist = 16, nprobe = 6)
       .filter(col("cosine") >= 0.35)
+  }
+
+  /** Registered emission (r13, closing the last no_oracle rows — the e19
+    * pattern): one row per EVAL vec (deterministic row set — the full
+    * nibble-e/f split, whether or not anything was detected) with
+    * structural verdicts computed from the REAL hit frame:
+    *   - hits_bounded_ok: at most the k=50 candidate cap came back;
+    *   - hits_from_train_ok: every reported hit is a TRAIN vec and not
+    *     the query itself (the eval/train split cannot leak into its own
+    *     detection output);
+    *   - threshold_ok: every reported hit cleared the 0.35 cosine bar.
+    * Each reads FALSE on the regression it names (poisoned-path specs in
+    * RecallGateSpec); which eval vecs get DETECTED stays approximate by
+    * construction and is gated by d14's oracle-green recall floors. */
+  val d13 = Q(
+    "d13_semantic_decontam_ivf",
+    Some("""
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             TRUE AS hits_bounded_ok, TRUE AS hits_from_train_ok,
+             TRUE AS threshold_ok
+      FROM embeddings
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+      ORDER BY vec_id""")
+  ) { (s, d) =>
+    val nib = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val evalSet = Tables.embeddings(s, d).select(col("vec_id")).filter(nib.isin("e", "f"))
+    decontamVerdicts(evalSet, decontamIvfRaw(s, d))
+  }
+
+  /** d13's verdict tail, factored so the poisoned-path spec can feed it
+    * a hit frame carrying an EVAL-side hit, an over-cap qid, or a
+    * below-threshold cosine and watch the matching verdict read FALSE
+    * (RecallGateSpec). `evalSet` fixes the emitted row set; `hits` is
+    * (qid, vid, cosine). */
+  private[graft] def decontamVerdicts(evalSet: DataFrame, hits: DataFrame): DataFrame = {
+    val vidNib = substring(md5(col("vid").cast("string")), 1, 1)
+    val agg = hits
       .groupBy("qid")
-      .agg(count(lit(1)).as("n_hits"), sum(col("vid")).as("hit_id_sum"))
-      .select(col("qid").as("vec_id"), col("n_hits"), col("hit_id_sum"))
+      .agg(
+        count(lit(1)).as("__n"),
+        max((vidNib.isin("e", "f") || col("vid") === col("qid")).cast("int")).as("__leak"),
+        min(col("cosine")).as("__minc")
+      )
+    evalSet
+      .select(col("vec_id").cast("long").as("vec_id"))
+      .join(agg.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        (coalesce(col("__n"), lit(0L)) <= 50).as("hits_bounded_ok"),
+        (coalesce(col("__leak"), lit(0)) === 0).as("hits_from_train_ok"),
+        (col("__minc").isNull || col("__minc") >= 0.35).as("threshold_ok")
+      )
       .orderBy("vec_id")
   }
 
@@ -2330,7 +2402,7 @@ object LlmOps {
       }
     detectionGate(
       labeled,
-      d13.run(s, d).select("vec_id"),
+      decontamIvfRaw(s, d).select(col("qid").as("vec_id")),
       meanBar = 0.7,
       bucketFloor = 0.3
     )
@@ -2421,26 +2493,93 @@ object LlmOps {
       .select(col("x"), col("y"))
   }
 
-  /** LSH-bucketed ANN — the sub-linear scale path beside e01's exact
-    * baseline. Approximate by construction, so no SQL oracle (rows-only
-    * check); AnnLshSpec asserts recall against the oracle-verified e01.
-    * nprobe = 4 multi-probe (flip the most marginal sign bits — see
-    * AnnLsh.probeBuckets): production recall without more tables, i.e.
-    * without growing the CORPUS-side index — only the broadcast query
-    * side fans out. */
-  val e04 = Q("e04_ann_topk_lsh", None) { (s, d) =>
+  /** Structural verdicts over an ANN top-k frame — what an approximate-
+    * by-construction search can still PIN cross-engine (r13, the e19
+    * pattern: the result SET is centroid/bucket-dependent, but these
+    * invariants hold for ANY correct index, so DuckDB pins one all-TRUE
+    * row per query). One row per query vec (left join — a query the
+    * search dropped entirely still emits its row), verdicts computed
+    * from the REAL top-k frame:
+    *   - k_bounded_ok: at most k neighbors came back (top-k selection);
+    *   - no_self_ok: the query never returns itself (self-filter);
+    *   - no_dup_ok: no neighbor appears twice (candidate dedup);
+    *   - cosine_ok: every score within [-1, 1] (+1e-6 float headroom —
+    *     the kernel's dot/norm quotient, not a clamped copy).
+    * Each reads FALSE on the exact regression it names (poisoned-path
+    * specs in RecallGateSpec prove non-vacuity); RECALL stays delegated
+    * to the oracle-green gates (e05/e07) — this surface makes the search
+    * itself hash-comparable without pretending its ranking is exact. */
+  private[graft] def annStructuralVerdicts(
+      querySet: DataFrame, // vec_id
+      topk: DataFrame, // qid, vid, cosine
+      k: Int
+  ): DataFrame = {
+    val agg = topk
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("__n"),
+        countDistinct(col("vid")).as("__nd"),
+        max((col("vid") === col("qid")).cast("int")).as("__self"),
+        max((abs(col("cosine")) > 1.0 + 1e-6).cast("int")).as("__oob")
+      )
+    querySet
+      .select(col("vec_id").cast("long").as("qid"))
+      .join(agg, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        (coalesce(col("__n"), lit(0L)) <= k).as("k_bounded_ok"),
+        (coalesce(col("__self"), lit(0)) === 0).as("no_self_ok"),
+        (coalesce(col("__nd"), lit(0L)) === coalesce(col("__n"), lit(0L))).as("no_dup_ok"),
+        (coalesce(col("__oob"), lit(0)) === 0).as("cosine_ok")
+      )
+      .orderBy("qid")
+  }
+
+  /** The oracle twin of [[annStructuralVerdicts]] for the vec_id < 10
+    * query set: one all-TRUE verdict row per query vec. */
+  private def annVerdictOracleSql: String = """
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             TRUE AS k_bounded_ok, TRUE AS no_self_ok,
+             TRUE AS no_dup_ok, TRUE AS cosine_ok
+      FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
+
+  /** The LSH top-k frame itself (qid, rnk, vid, cosine) — e04's data
+    * path, also e05's approx side (ONE body, no drifting copy). */
+  private[graft] def annLshRaw(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     graft.operators.AnnLsh
       .topK(s, emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5, nprobe = 4)
   }
 
-  /** IVF-Flat ANN — the coarse-quantization scale path (cluster-probe
-    * candidate generation + exact rescore; operators/AnnIvf). Approximate
-    * by construction (no cross-engine oracle); gated by e07's recall
-    * assertion against the oracle-verified e01. */
-  val e06 = Q("e06_ann_topk_ivf", None) { (s, d) =>
+  /** LSH-bucketed ANN — the sub-linear scale path beside e01's exact
+    * baseline. Approximate by construction, so the registered emission
+    * is the structural-verdict surface over the real search
+    * ([[annStructuralVerdicts]] — r13, closing the last no_oracle rows);
+    * recall itself is gated by e05 against the oracle-verified e01, and
+    * AnnLshSpec asserts it again operator-level. nprobe = 4 multi-probe
+    * (flip the most marginal sign bits — see AnnLsh.probeBuckets):
+    * production recall without more tables, i.e. without growing the
+    * CORPUS-side index — only the broadcast query side fans out. */
+  val e04 = Q("e04_ann_topk_lsh", Some(annVerdictOracleSql)) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    annStructuralVerdicts(emb.filter(col("vec_id") < 10), annLshRaw(s, d), k = 5)
+  }
+
+  /** The IVF top-k frame (qid, rnk, vid, cosine) — e06's data path, also
+    * e07's approx side. */
+  private[graft] def annIvfRaw(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     graft.operators.AnnIvf.topK(s, emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** IVF-Flat ANN — the coarse-quantization scale path (cluster-probe
+    * candidate generation + exact rescore; operators/AnnIvf). Approximate
+    * by construction, so the registered emission is the structural-
+    * verdict surface over the real search (r13); recall is gated by e07
+    * against the oracle-verified e01. */
+  val e06 = Q("e06_ann_topk_ivf", Some(annVerdictOracleSql)) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    annStructuralVerdicts(emb.filter(col("vec_id") < 10), annIvfRaw(s, d), k = 5)
   }
 
   /** Recall gate for the IVF path, same contract as e05. */
@@ -2449,7 +2588,7 @@ object LlmOps {
     Some(recallGateOracleSql)
   ) { (s, d) =>
     val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
-    val approx = e06.run(s, d).select(col("qid"), col("vid"))
+    val approx = annIvfRaw(s, d).select(col("qid"), col("vid"))
     // floor 0.2 = every query keeps >= 1 of its 5 true neighbors (the
     // per-qid minimum measured at the oracle tier IS 0.2 — IVF at e06's
     // probe budget legitimately misses 4/5 on its worst query)
@@ -2606,8 +2745,15 @@ object LlmOps {
     * the t20/t24 persisted-artifact discipline applied to the gates'
     * shared denominator); the returned frame is a tiny parquet read, so
     * no cache is needed even though each gate references it twice. */
+  /** One per-path latch: the build task plus the thread that installed
+    * (and therefore runs) it — consulted by the same-thread reentry
+    * guard below. */
+  private final class SharedBuild(body: () => Unit) {
+    val task = new java.util.concurrent.FutureTask[Unit](() => body())
+    val installer: Thread = Thread.currentThread()
+  }
   private val sharedArtifactBuilds =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
+    new java.util.concurrent.ConcurrentHashMap[String, SharedBuild]()
   /** Build `path` once per JVM. PER-PATH latch (r12 — the r11 shape held
     * one global monitor through any build, so concurrent constructors of
     * DIFFERENT artifacts, e01's top-k vs e16's MMR under parallel spec
@@ -2625,12 +2771,27 @@ object LlmOps {
     * artifact a returned caller is already reading (for e20's batch
     * lifecycle the re-run even trips the replay high-water-mark
     * refusal). The waiter just rethrows; the latch stays until the
-    * build itself resolves. */
+    * build itself resolves.
+    *
+    * REENTRANCY (r13, ADVICE closure): a build closure that
+    * (transitively) calls buildSharedOnce for the SAME path would block
+    * forever on its own still-running FutureTask — the pre-r12
+    * synchronized implementation's reentrant monitor made that call a
+    * benign no-op, so the primitive's failure mode had silently changed
+    * from no-op to deadlock. No current caller recurses; the guard
+    * makes the contract explicit by FAILING FAST (an IllegalStateException
+    * naming the path) rather than restoring the no-op — a reentrant
+    * caller would otherwise read an artifact its own outer build has
+    * not finished writing. */
   private[graft] def buildSharedOnce(path: String)(build: => Unit): Unit = {
-    val mine = new java.util.concurrent.FutureTask[Unit](() => build)
+    val mine = new SharedBuild(() => build)
     val latch = sharedArtifactBuilds.computeIfAbsent(path, _ => mine)
-    if (latch eq mine) latch.run()
-    try latch.get()
+    if (latch eq mine) latch.task.run()
+    else if ((latch.installer eq Thread.currentThread()) && !latch.task.isDone)
+      throw new IllegalStateException(
+        s"buildSharedOnce reentered for '$path' from inside its own build — " +
+          "the artifact is not finished; restructure the build to not recurse")
+    try latch.task.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>
         // the BUILD failed — terminal for this latch, retryable for the path
@@ -2675,7 +2836,7 @@ object LlmOps {
     Some(recallGateOracleSql)
   ) { (s, d) =>
     val exact = exactTopKShared(s, d) // e01's frame, built once per dataset
-    val approx = e04.run(s, d).select(col("qid"), col("vid"))
+    val approx = annLshRaw(s, d).select(col("qid"), col("vid"))
     // floor 0.4: per-qid minimum measured 0.8 at the oracle tier
     recallGate(exact, approx, 0.7, floor = 0.4)
   }
@@ -3806,7 +3967,17 @@ object LlmOps {
       lm: DataFrame,
       groupKeys: Seq[Column] = Seq(col("doc_id"))
   ): DataFrame =
-    oc.join(lm, "tok")
+    // The LM is the broadcast side, PINNED (r13): it is vocab-sized
+    // (distinct tokens — bounded by the language, not the corpus) while
+    // `oc` is corpus-token-sized. Catalyst's plan-time size estimate for
+    // an aggregation keeps its CHILD's size, so left unhinted it read
+    // the (oc -> groupBy tok) LM subtree as the LARGER side and
+    // broadcast the occurrence frame instead — t18's 1.4-1.6x quiet-host
+    // regression at sf0.1, and an executor-OOM broadcast of the whole
+    // tokenized corpus at scale. With the hint the occurrences never
+    // move for the join; the per-doc groupBy below is the plan's one
+    // corpus-sized shuffle.
+    oc.join(broadcast(lm), "tok")
       .groupBy(groupKeys: _*)
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -4026,7 +4197,11 @@ object LlmOps {
     * quartile by t21's distributed global exact rank. */
   private[graft] def dsirSelect(s: SparkSession, f: DataFrame, lm: DataFrame): DataFrame = {
     val scored = f
-      .join(lm, "tok")
+      // vocab-sized ratio table broadcast, pinned for the same reason as
+      // scoreAgainstLm: the aggregate's plan-time size estimate reads as
+      // its corpus-sized child, so left unhinted Catalyst can broadcast
+      // the OCCURRENCE side (t18's r13 regression shape)
+      .join(broadcast(lm), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("d").as("sd"))
       .select(
@@ -5012,17 +5187,30 @@ object LlmOps {
       .orderBy(col("n_exact").desc, col("bigram"))
       .limit(20)
       .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
     import s.implicits._
-    top.toSeq
-      .map { r =>
-        val g = r.getString(0)
-        val n = r.getLong(1)
-        val est = sk.estimateCount(g)
-        (g, n, est >= n, est <= n + bound)
-      }
+    cmsVerdictRows(sk, top, bound)
       .toDF("bigram", "n_exact", "no_undercount", "bound_ok")
       .orderBy(col("n_exact").desc, col("bigram"))
   }
+
+  /** t33's verdict computation, factored so the poisoned-path spec can
+    * feed it a BROKEN sketch and watch each verdict read FALSE
+    * (SketchSpec: a sketch missing part of the stream under-counts →
+    * `no_undercount` false; a sketch merged with itself doubles every
+    * estimate → `bound_ok` false). One (gram, exact, est>=exact,
+    * est<=exact+bound) tuple per ground-truth row, from the REAL
+    * `estimateCount` probe. */
+  private[graft] def cmsVerdictRows(
+      sk: org.apache.spark.util.sketch.CountMinSketch,
+      top: Seq[(String, Long)],
+      bound: Long
+  ): Seq[(String, Long, Boolean, Boolean)] =
+    top.map { case (g, n) =>
+      val est = sk.estimateCount(g)
+      (g, n, est >= n, est <= n + bound)
+    }
 
   /** MERGEABLE DISTINCT-COUNT SKETCHES (t34): per-source distinct-bigram
     * cardinality via Datasketches HLL, with BOTH halves of the sketch
@@ -5072,6 +5260,18 @@ object LlmOps {
     val merged = s.read.parquet(blobs)
       .groupBy("source")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    distinctSketchVerdicts(direct, merged)
+  }
+
+  /** t34's verdict tail, factored so the poisoned-path spec can feed it
+    * a blob union MISSING a shard and watch `merged_est_ok` read FALSE
+    * (SketchSpec — the 5% bound is the contract; a dropped blob's
+    * distinct mass blows straight through it). `direct` carries
+    * (source, n_exact, est); `merged` carries (source, est_merged). */
+  private[graft] def distinctSketchVerdicts(
+      direct: DataFrame,
+      merged: DataFrame
+  ): DataFrame =
     direct
       .join(merged, Seq("source"))
       .select(
@@ -5083,7 +5283,6 @@ object LlmOps {
           .as("merged_est_ok")
       )
       .orderBy("source")
-  }
 
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style

@@ -1254,6 +1254,20 @@ object Relational {
       .select(col("l_returnflag"), posexplode(col("vs")).as(Seq("i", "v")))
       .select(col("l_returnflag"),
         element_at(lit(ps.toArray), col("i") + 1).as("p"), col("v"))
+    rankBoundVerdicts(li, approx, accuracy)
+  }
+
+  /** q43's verdict tail, factored so the poisoned-path spec can feed it
+    * quantile values that VIOLATE the GK window (the gate must be able
+    * to read FALSE — SketchSpec): measure each claimed quantile value's
+    * true tie-robust rank interval against the corpus and assert it
+    * overlaps the guaranteed ⌊p·n⌋±⌈ε·n⌉ window. `approx` carries one
+    * (l_returnflag, p, v) row per claimed quantile. */
+  private[graft] def rankBoundVerdicts(
+      li: DataFrame, // l_returnflag, l_extendedprice
+      approx: DataFrame, // l_returnflag, p, v
+      accuracy: Int
+  ): DataFrame =
     li.join(broadcast(approx), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("p"))
       .agg(
@@ -1274,7 +1288,6 @@ object Relational {
           .as("rank_ok")
       )
       .orderBy("l_returnflag", "p")
-  }
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,

@@ -74,4 +74,54 @@ class BloomKernelsSpec extends AnyFunSuite {
     }
     Hygiene.release(spark)
   }
+
+  test("a null or empty filter literal fails at ANALYSIS, not executor-side (r13)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // BloomFilter.readFrom would NPE at the first probe — opaque,
+    // executor-side. Misuse must fail analysis with the expression's own
+    // message instead.
+    val df = Seq("a").toDF("h")
+    // a TYPED binary null (lit(null) alone is NullType and already fails
+    // the type guard; the cast exercises the new null-literal branch)
+    val nullBinary = call_function("bloom_might_contain", col("h"), lit(null).cast("binary"))
+    val emptyBinary = BloomKernels.mightContain(Array.empty[Byte], col("h"))
+    for (bad <- Seq(nullBinary, emptyBinary)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(bad).collect()
+      }
+      assert(e.getMessage.contains("bloom_might_contain"), e.getMessage)
+    }
+  }
+
+  /** r13 poisoned path: d25's `no_false_negative` verdict must be able
+    * to read FALSE — build the filter with a seen key OMITTED (the
+    * corruption the gate guards against: an admission filter that lost
+    * part of the seen set silently admits duplicates) and drive the REAL
+    * d25 tail ([[graft.queries.LlmOps.bloomAdmissionVerdicts]]) over a
+    * replay of that key. */
+  test("d25 poisoned path: a seen key omitted from the build reads no_false_negative FALSE") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val seenKeys = (0 until 500).map(i => s"key-$i")
+    val seen = seenKeys.toDF("h")
+    // arrivals replay key-7 (a dup) and bring one genuinely new key
+    val arrivals = Seq(
+      (1L, "key-7", true),
+      (2L, "brand-new", false)
+    ).toDF("doc_id", "h", "is_replay")
+    def verdicts(buildKeys: Seq[String]) = {
+      val bloom = buildKeys.toDF("h").stat
+        .bloomFilter("h", math.max(buildKeys.size.toLong, 1000L), 0.01)
+      graft.queries.LlmOps.bloomAdmissionVerdicts(seen, arrivals, bloom)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    }
+    val healthy = verdicts(seenKeys)
+    assert(healthy(1L) && healthy(2L), "a complete build must pass every row")
+    val poisoned = verdicts(seenKeys.filterNot(_ == "key-7"))
+    assert(!poisoned(1L),
+      "a replayed dup whose key was omitted from the build must read FALSE")
+    assert(poisoned(2L), "the genuinely-new arrival is unaffected")
+    Hygiene.release(spark)
+  }
 }

@@ -158,6 +158,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Scan ExistingRDD"), "t18 re-parallelizes driver data")
     // scoring needs doc_id + text only
     assert(!p.contains("lang") && !p.contains("n_chars"), "scan reads unused columns")
+    // r13: the scoring join's broadcast side must be the VOCAB-sized LM,
+    // never the corpus-token-sized occurrence frame. Catalyst's plan-time
+    // size estimate for an aggregation inherits its child's size, so left
+    // unhinted it read the LM subtree as the larger side and broadcast
+    // the occurrences — t18's 1.4-1.6x quiet-host regression at sf0.1, an
+    // executor-OOM broadcast at scale. scoreAgainstLm keeps the
+    // occurrences on the LEFT, so the tok-keyed scoring join must build
+    // RIGHT (the hinted LM side).
+    val tokJoins = """BroadcastHashJoin \[tok#[^\]]*\], \[tok#[^\]]*\], Inner, (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(tokJoins.nonEmpty, s"no tok-keyed broadcast scoring join found:\n$p")
+    assert(tokJoins.forall(_ == "BuildRight"),
+      s"occurrence frame is the broadcast build side (BuildLeft):\n$p")
   }
 
   test("t21: global rank rides a range exchange; offsets broadcast back; no corpus-wide window") {

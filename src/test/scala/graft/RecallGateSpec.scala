@@ -114,4 +114,77 @@ class RecallGateSpec extends AnyFunSuite {
     assert(out.length === 100)
     assert(out.forall(r => r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("recall_floor_ok")))
   }
+
+  // ---- r13 poisoned paths for the structural-verdict surfaces that
+  // closed the last no_oracle rows (e04/e06 via annStructuralVerdicts,
+  // d13 via decontamVerdicts): each verdict must read FALSE on the exact
+  // regression it names, or the oracle's pinned TRUE is vacuous.
+
+  test("ANN structural verdicts: each poison flips exactly its own verdict") {
+    val queries = (0L until 5L).toDF("vec_id")
+    val healthyRows = for { q <- 0L until 5L; i <- 1L to 5L }
+      yield (q, q * 100 + i, 0.9 - i * 0.01)
+    val poison = Seq(
+      (0L, 0L * 100 + 6L, 0.5), // qid 0: 6th neighbor -> k_bounded_ok false
+      (1L, 1L, 0.99), // qid 1: returns itself -> no_self_ok false
+      (2L, 2L * 100 + 1L, 0.89), // qid 2: duplicate vid -> no_dup_ok false
+      (3L, 3L * 100 + 9L, 1.5) // qid 3: cosine out of range -> cosine_ok false
+    )
+    // each poison row also bumps its qid's count to 6 — drop one healthy
+    // row from qids 1-3 so ONLY the named verdict flips there (qid 0 IS
+    // the over-cap poison, so it keeps all 5 + the 6th)
+    val rows = healthyRows.filterNot(r =>
+      (r._1 == 1L && r._2 == 105L) ||
+        (r._1 == 2L && r._2 == 205L) ||
+        (r._1 == 3L && r._2 == 305L)) ++ poison
+    def verdicts(tk: Seq[(Long, Long, Double)]) = graft.queries.LlmOps
+      .annStructuralVerdicts(queries, tk.toDF("qid", "vid", "cosine"), k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    val healthy = verdicts(healthyRows)
+    assert(healthy.values.forall(v => v._1 && v._2 && v._3 && v._4),
+      "healthy top-k must pass every verdict")
+    val v = verdicts(rows)
+    assert(v(0L) == ((false, true, true, true)), s"qid 0 over-cap: ${v(0L)}")
+    assert(v(1L) == ((true, false, true, true)), s"qid 1 self-hit: ${v(1L)}")
+    assert(v(2L) == ((true, true, false, true)), s"qid 2 dup vid: ${v(2L)}")
+    assert(v(3L)._1 && v(3L)._2 && v(3L)._3 && !v(3L)._4, s"qid 3 cosine oob: ${v(3L)}")
+    assert(v(4L) == ((true, true, true, true)), "untouched qid stays green")
+  }
+
+  test("d13 decontam verdicts: eval-side hit, over-cap qid, sub-threshold cosine each read FALSE") {
+    // deterministic eval ids: vec_ids whose md5 first nibble is e/f —
+    // the same split rule d13 uses, computed here driver-side
+    def nib(i: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val ids = (0L until 200L)
+    val evalIds = ids.filter(i => nib(i) == 'e' || nib(i) == 'f').take(4)
+    val trainIds = ids.filter(i => nib(i) != 'e' && nib(i) != 'f').take(60)
+    assert(evalIds.size == 4 && trainIds.size == 60)
+    val Seq(e0, e1, e2, e3) = evalIds
+    val evalSet = evalIds.toDF("vec_id")
+    val healthyHits = Seq((e0, trainIds(0), 0.9), (e1, trainIds(1), 0.8))
+    val poison =
+      Seq((e0, e1, 0.9)) ++ // eval-side hit: split leaked into detection
+        (0 until 51).map(i => (e1, trainIds(i % 60), 0.5 + i * 0.001)) ++ // 53 hits > cap
+        Seq((e2, trainIds(2), 0.2)) // below the 0.35 bar
+    def verdicts(hits: Seq[(Long, Long, Double)]) = graft.queries.LlmOps
+      .decontamVerdicts(evalSet, hits.toDF("qid", "vid", "cosine"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    val healthy = verdicts(healthyHits)
+    assert(healthy.values.forall(v => v._1 && v._2 && v._3),
+      "healthy hits must pass every verdict (including undetected eval rows)")
+    assert(healthy.size == 4, "every eval vec emits a row, detected or not")
+    val v = verdicts(healthyHits ++ poison)
+    assert(!v(e0)._2 && v(e0)._1 && v(e0)._3, s"e0 eval-side hit: ${v(e0)}")
+    assert(!v(e1)._1, s"e1 over-cap: ${v(e1)}")
+    assert(!v(e2)._3 && v(e2)._1 && v(e2)._2, s"e2 sub-threshold: ${v(e2)}")
+    assert(v(e3) == ((true, true, true)), "untouched eval vec stays green")
+  }
 }

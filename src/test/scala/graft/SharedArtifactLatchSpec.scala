@@ -135,4 +135,37 @@ class SharedArtifactLatchSpec extends AnyFunSuite {
     queries.LlmOps.buildSharedOnce(path) { builds.incrementAndGet() }
     assert(builds.get() == 1, s"build ran ${builds.get()} times; the latch was evicted")
   }
+
+  test("same-thread reentry for the same path fails fast instead of deadlocking (r13)") {
+    // pre-r12 the reentrant monitor made this a silent no-op; the r12
+    // FutureTask latch turned it into a DEADLOCK (the build waits on its
+    // own still-running task). The r13 contract: fail fast, naming the
+    // path — a reentrant caller must not read a half-written artifact.
+    val path = uniq("reenter")
+    val builds = new AtomicInteger(0)
+    val caught = intercept[IllegalStateException] {
+      queries.LlmOps.buildSharedOnce(path) {
+        builds.incrementAndGet()
+        queries.LlmOps.buildSharedOnce(path) { builds.incrementAndGet() }
+      }
+    }
+    assert(caught.getMessage.contains(path))
+    assert(builds.get() == 1, "the inner call must not re-run the build")
+    // the failed OUTER build removed its latch: the path stays retryable
+    queries.LlmOps.buildSharedOnce(path) { builds.incrementAndGet() }
+    assert(builds.get() == 2, "path not retryable after the reentrant failure")
+  }
+
+  test("a DIFFERENT thread's build may itself build another path (no cross-path reentry trip)") {
+    // the reentry guard keys on (installer thread, path): a build that
+    // builds a DIFFERENT path nests fine
+    val outer = uniq("outer")
+    val inner = uniq("inner")
+    val builds = new AtomicInteger(0)
+    queries.LlmOps.buildSharedOnce(outer) {
+      builds.incrementAndGet()
+      queries.LlmOps.buildSharedOnce(inner) { builds.incrementAndGet() }
+    }
+    assert(builds.get() == 2)
+  }
 }

@@ -43,4 +43,93 @@ class SketchSpec extends AnyFunSuite {
     }
     Hygiene.release(spark)
   }
+
+  // ---- poisoned-path tests (r13): each verdict column must be able to
+  // read FALSE on the exact corruption it guards against — otherwise the
+  // oracle's pinned TRUE proves nothing (the RecallGateSpec discipline
+  // applied to the sketch gates).
+
+  private def cmsOf(items: Seq[String], parts: Int = 4) = {
+    import spark.implicits._
+    val bytes = items.toDF("g").repartition(parts).agg(expr(agg))
+      .collect()(0).getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  test("t33 poisoned path: a sketch missing part of the stream reads no_undercount FALSE") {
+    val full = (1 to 50).flatMap(k => Seq.fill(20)(s"item$k"))
+    // the broken path: a dropped merge — the sketch saw only half the stream
+    val sk = cmsOf(full.take(full.size / 2))
+    val bound = math.ceil(sk.relativeError() * sk.totalCount()).toLong
+    val exactTop = full.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(-_._2).take(20)
+    val verdicts = graft.queries.LlmOps.cmsVerdictRows(sk, exactTop, bound)
+    assert(verdicts.exists(v => !v._3),
+      "a half-stream sketch must under-count at least one heavy hitter")
+    Hygiene.release(spark)
+  }
+
+  test("t33 poisoned path: an estimate-inflating merge bug reads bound_ok FALSE") {
+    val full = (1 to 50).flatMap(k => Seq.fill(20)(s"item$k"))
+    // the broken path: the sketch merged with itself — every counter
+    // doubles (a double-applied partition), estimates 2x the truth
+    val sk = cmsOf(full)
+    sk.mergeInPlace(cmsOf(full))
+    // the bound the gate WOULD claim for the honest stream (the doubled
+    // totalCount would also double the claimed bound and hide the bug)
+    val honest = cmsOf(full)
+    val bound = math.ceil(honest.relativeError() * honest.totalCount()).toLong
+    val exactTop = full.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(-_._2).take(20)
+    val verdicts = graft.queries.LlmOps.cmsVerdictRows(sk, exactTop, bound)
+    assert(verdicts.forall(_._3), "doubling never under-counts")
+    assert(verdicts.exists(v => !v._4),
+      "a doubled sketch must blow the eps*N bound on at least one heavy hitter")
+    Hygiene.release(spark)
+  }
+
+  test("t34 poisoned path: a blob dropped from the union reads merged_est_ok FALSE") {
+    import spark.implicits._
+    // 4 shards x 250 unique grams each: dropping one shard loses 25% of
+    // the distinct mass — far past the 5% bound
+    val grams = (0 until 1000).map(i => ("web", i % 4, s"gram$i")).toDF("source", "shard", "bigram")
+    val direct = grams
+      .groupBy("source")
+      .agg(
+        countDistinct(col("bigram")).as("n_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(bigram, 12))").as("est"))
+    val blobs = grams
+      .groupBy("source", "shard")
+      .agg(expr("hll_sketch_agg(bigram, 12)").as("sk"))
+    def mergedOf(b: org.apache.spark.sql.DataFrame) = b
+      .groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val healthy = graft.queries.LlmOps
+      .distinctSketchVerdicts(direct, mergedOf(blobs)).collect()
+    assert(healthy.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "healthy union must pass both bounds")
+    val poisoned = graft.queries.LlmOps
+      .distinctSketchVerdicts(direct, mergedOf(blobs.filter(col("shard") =!= 0)))
+      .collect()
+    assert(poisoned.forall(r => r.getBoolean(2)), "est_ok is the single-pass side — unaffected")
+    assert(poisoned.exists(r => !r.getBoolean(3)),
+      "a union missing 25% of the distinct mass must read merged_est_ok FALSE")
+    Hygiene.release(spark)
+  }
+
+  test("q43 poisoned path: a quantile value outside the GK window reads rank_ok FALSE") {
+    import spark.implicits._
+    val li = (1 to 1000).map(i => ("A", i.toDouble)).toDF("l_returnflag", "l_extendedprice")
+    // healthy claim: the true median; poisoned claim: the minimum passed
+    // off as the p=0.5 quantile (a broken summary merge's failure shape)
+    val healthy = Seq(("A", 0.5, 500.0)).toDF("l_returnflag", "p", "v")
+    val poisoned = Seq(("A", 0.5, 1.0)).toDF("l_returnflag", "p", "v")
+    val ok = graft.queries.Relational.rankBoundVerdicts(li, healthy, 100).collect()
+    assert(ok.forall(_.getBoolean(3)), "the true median must pass its own window")
+    val bad = graft.queries.Relational.rankBoundVerdicts(li, poisoned, 100).collect()
+    assert(bad.forall(r => !r.getBoolean(3)),
+      "rank 1 claimed as the median must read rank_ok FALSE")
+    Hygiene.release(spark)
+  }
 }
