@@ -6914,13 +6914,26 @@ object LlmOps {
       .probeRecallCurve(s, emb, queries, cs, k = 5)
       .orderBy("nprobe")
       .collect()
-    val rs = curve.map(_.getDouble(1))
-    val exactAtFull = rs.last == 1.0
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .toSeq
     import s.implicits._
-    curve.indices
-      .map(i => (curve(i).getInt(0), i == 0 || rs(i) >= rs(i - 1), exactAtFull))
+    probeCurveVerdicts(curve)
       .toDF("nprobe", "monotone_ok", "exact_at_full")
       .orderBy("nprobe")
+  }
+
+  /** e19's verdict computation, factored so the poisoned-path spec can
+    * feed it a DIPPED curve (monotone_ok must read FALSE on the dip's
+    * row) or one truncated below 1.0 at full probe (exact_at_full must
+    * read FALSE on every row) — the falsifiability discipline applied to
+    * the calibration gate (AnnIvfSpec). `curve` is the ordered
+    * (nprobe, recall) sequence. */
+  private[graft] def probeCurveVerdicts(
+      curve: Seq[(Int, Double)]): Seq[(Int, Boolean, Boolean)] = {
+    val rs = curve.map(_._2)
+    val exactAtFull = rs.last == 1.0
+    curve.indices
+      .map(i => (curve(i)._1, i == 0 || rs(i) >= rs(i - 1), exactAtFull))
   }
 
   /** VECTOR-INGEST REJECT ACCOUNTING as a gated query (e20): drive the

@@ -381,4 +381,24 @@ class AnnIvfSpec extends AnyFunSuite {
     AnnIvf.validateIndex(spark, idx)
     Hygiene.release(spark)
   }
+
+  test("e19 poisoned paths: a dipped curve and a sub-1.0 tail each flip their verdict (r13)") {
+    // the falsifiability discipline applied to the calibration gate: the
+    // oracle pins TRUE per row, so the verdicts must be able to read
+    // FALSE on the exact calibration bug they name
+    val healthy = Seq(1 -> 0.4, 2 -> 0.7, 3 -> 0.9, 4 -> 1.0)
+    val h = graft.queries.LlmOps.probeCurveVerdicts(healthy)
+    assert(h.forall(v => v._2 && v._3), h.toString)
+    // a dip at nprobe=3 (a broken position histogram): exactly that row's
+    // monotone_ok reads FALSE
+    val dipped = graft.queries.LlmOps.probeCurveVerdicts(
+      Seq(1 -> 0.4, 2 -> 0.7, 3 -> 0.6, 4 -> 1.0))
+    assert(dipped.map(v => v._1 -> v._2).toMap == Map(1 -> true, 2 -> true, 3 -> false, 4 -> true))
+    // probing every cluster IS exact search: a curve ending below 1.0
+    // (a dropped true neighbor) reads exact_at_full FALSE on every row
+    val truncated = graft.queries.LlmOps.probeCurveVerdicts(
+      Seq(1 -> 0.4, 2 -> 0.7, 3 -> 0.9, 4 -> 0.95))
+    assert(truncated.forall(v => !v._3), truncated.toString)
+    assert(truncated.forall(v => v._2), "monotonicity is independent of the tail value")
+  }
 }
