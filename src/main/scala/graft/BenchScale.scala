@@ -164,7 +164,11 @@ object BenchScale {
       // t34: exact grouped distinct + HLL aggregate + blob union — all
       // linear passes over the exploded grams (q43 is lineitem-based and
       // the derived corpora carry only documents/embeddings)
-      "t34" -> 1
+      "t34" -> 1,
+      // t35 (r13): per-shard CMS blobs + driver merge + the same exact
+      // top-k ground-truth pass as t33 — linear in the exploded grams;
+      // the blob/merge side is corpus-size-independent metadata
+      "t35" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

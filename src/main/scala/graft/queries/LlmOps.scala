@@ -5284,6 +5284,88 @@ object LlmOps {
       )
       .orderBy("source")
 
+  /** t35's verdict computation — t33's two CMS guarantees measured
+    * through the MERGED-from-blobs sketch, plus the merge-exactness
+    * claim itself: CMS counter grids are long sums at a fixed seed, so
+    * the blob-merged estimate must EQUAL the single-pass estimate for
+    * every gram — any difference is a lossy blob round-trip, a dropped
+    * shard, or a double merge. Factored so the poisoned-path spec can
+    * feed broken merges (SketchSpec). */
+  private[graft] def cmsMergedVerdictRows(
+      merged: org.apache.spark.util.sketch.CountMinSketch,
+      single: org.apache.spark.util.sketch.CountMinSketch,
+      top: Seq[(String, Long)],
+      bound: Long
+  ): Seq[(String, Long, Boolean, Boolean, Boolean)] =
+    top.map { case (g, n) =>
+      val est = merged.estimateCount(g)
+      (g, n, est >= n, est <= n + bound, est == single.estimateCount(g))
+    }
+
+  /** SHARDED HEAVY-HITTER SKETCHES (t35): t33's Count-Min contract
+    * through the PERSISTED PER-SHARD blob path — the production layout
+    * at 100 TB: each landed shard writes its own ~11 KB CMS blob beside
+    * the data (one grouped aggregate, built once under the
+    * shared-artifact latch), and every later heavy-hitter question is
+    * answered by MERGING blobs — never by rescanning old shards. This is
+    * the t34 mergeable-sketch shape applied to COUNTS, and together they
+    * close the pair a shard-incremental corpus needs (how many distinct
+    * / how often). Three verdicts per exact-top-20 row, all computed
+    * from the REAL blob path ([[cmsMergedVerdictRows]]): t33's
+    * `no_undercount` and `bound_ok` now measured through the blob
+    * round-trip + merge, plus `merge_exact_ok` — the merged estimate
+    * equals the single-pass estimate (counter grids are long sums at a
+    * fixed seed, so merge is EXACT; a lossy serialization, a dropped
+    * blob, or a double merge each break it — poisoned-path spec in
+    * SketchSpec). DuckDB recomputes the exact side and pins all three
+    * TRUE per row. Driver-side reads are metadata: 4 blobs (~44 KB) and
+    * the 20-row top-k. The exact side and the single-pass sketch exist
+    * as the gate's ground truth; the production path runs only the blob
+    * build + merge. */
+  val t35 = Q(
+    "t35_heavy_hitters_sharded",
+    Some(s"""
+      WITH ${bigramCtesSql("")}
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             TRUE AS no_undercount, TRUE AS bound_ok, TRUE AS merge_exact_ok
+      FROM b GROUP BY bigram ORDER BY n_exact DESC, bigram LIMIT 20""")
+  ) { (s, d) =>
+    val cmsAgg =
+      "count_min_sketch(bigram, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"
+    def readCms(b: Array[Byte]) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    val grams = explodeBigrams(
+      Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("t")))
+    val blobs = scratchDir("t35_cms", d)
+    buildSharedOnce(blobs) {
+      grams
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .groupBy("shard")
+        .agg(expr(cmsAgg).as("sk"))
+        .write.mode("overwrite").parquet(blobs)
+    }
+    val shardSketches = s.read.parquet(blobs).select("sk").collect()
+      .map(r => readCms(r.getAs[Array[Byte]](0)))
+    require(shardSketches.nonEmpty, "t35: no shard blobs")
+    val merged = shardSketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val single = readCms(
+      grams.agg(expr(cmsAgg)).collect()(0).getAs[Array[Byte]](0))
+    val bound = math.ceil(merged.relativeError() * merged.totalCount()).toLong
+    val top = grams
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("bigram"))
+      .limit(20)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    import s.implicits._
+    cmsMergedVerdictRows(merged, single, top, bound)
+      .toDF("bigram", "n_exact", "no_undercount", "bound_ok", "merge_exact_ok")
+      .orderBy(col("n_exact").desc, col("bigram"))
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -7038,5 +7120,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

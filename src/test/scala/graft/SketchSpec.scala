@@ -118,6 +118,39 @@ class SketchSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("t35 poisoned paths: a dropped blob and a double merge each read their verdict FALSE") {
+    // the sharded heavy-hitter path answers from per-shard blobs; the
+    // merge-exactness verdict must catch exactly the two blob-ledger
+    // corruptions possible at that layer
+    val shards = (0 until 4).map(sh =>
+      (1 to 50).flatMap(k => Seq.fill(10)(s"shard$sh-item$k")))
+    val full = shards.flatten
+    val single = cmsOf(full)
+    def mergeAll(parts: Seq[Seq[String]]) =
+      parts.map(p => cmsOf(p)).reduce { (a, b) => a.mergeInPlace(b); a }
+    val bound = math.ceil(single.relativeError() * single.totalCount()).toLong
+    val exactTop = full.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    val healthy = graft.queries.LlmOps
+      .cmsVerdictRows(mergeAll(shards), exactTop, bound)
+    assert(healthy.forall(v => v._3 && v._4), "healthy merge must hold both bounds")
+    val healthyExact = graft.queries.LlmOps
+      .cmsMergedVerdictRows(mergeAll(shards), single, exactTop, bound)
+    assert(healthyExact.forall(_._5),
+      "CMS merge is counter addition — merged must EQUAL single-pass")
+    // dropped blob: estimates for that shard's grams fall under exact
+    val dropped = graft.queries.LlmOps
+      .cmsMergedVerdictRows(mergeAll(shards.tail), single, exactTop, bound)
+    assert(dropped.exists(v => !v._3), "a dropped blob must under-count")
+    assert(dropped.exists(v => !v._5), "a dropped blob must break merge-exactness")
+    // double merge: one shard applied twice over-counts past the bound
+    val doubled = graft.queries.LlmOps
+      .cmsMergedVerdictRows(mergeAll(shards :+ shards.head), single, exactTop, bound)
+    assert(doubled.forall(_._3), "doubling never under-counts")
+    assert(doubled.exists(v => !v._5), "a double merge must break merge-exactness")
+    Hygiene.release(spark)
+  }
+
   test("q43 poisoned path: a quantile value outside the GK window reads rank_ok FALSE") {
     import spark.implicits._
     val li = (1 to 1000).map(i => ("A", i.toDouble)).toDF("l_returnflag", "l_extendedprice")
