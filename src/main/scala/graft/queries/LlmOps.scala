@@ -2892,7 +2892,28 @@ object LlmOps {
       pfx: String = "",
       posLo: Int = 1,
       posHi: Int = Int.MaxValue
+  ): String = kmeansCtesWithK(k.toString, iters, pfx, posLo, posHi)
+
+  /** kmeansCtes with k as an arbitrary SQL scalar expression — the form
+    * d10 needs: its Spark side derives k from the corpus
+    * ([[kForCorpus]]), so a FIXED oracle k silently diverges on any tier
+    * whose embedding count differs from the one the literal was sized
+    * for (r13: the first full sf0.1 sweep caught exactly that — 2000
+    * vecs → Spark k=32 vs the oracle's hardcoded 8, a 712-vs-1206-row
+    * mismatch invisible at the 500-vec tiers). Every use of k below is
+    * numeric (pack/unpack arithmetic and the seed cutoff — the old
+    * `LIMIT k` is a `WHERE c < k` on the already-ranked seeds so a
+    * subquery works), so `(SELECT CEIL(COUNT(*)/64.0) FROM embeddings)`
+    * drops in and the oracle re-derives k per tier exactly like the
+    * engine. */
+  private def kmeansCtesWithK(
+      kExpr: String,
+      iters: Int,
+      pfx: String = "",
+      posLo: Int = 1,
+      posHi: Int = Int.MaxValue
   ): String = {
+    val k = s"($kExpr)"
     def assignCte(cp: String, name: String) =
       s"""$name AS (SELECT vec_id, MIN(dist * $k + c) AS packed FROM (
             SELECT x.vec_id, cp.c, SUM((x.x - cp.cd) * (x.x - cp.cd)) AS dist
@@ -2919,9 +2940,10 @@ object LlmOps {
     s"""${pfx}xx AS (SELECT vec_id, pos,
                     CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT) AS x
                   FROM ($flatSql)$posFilter),
-      ${pfx}seeds AS (SELECT vec_id,
-                  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS c
-                FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+      ${pfx}seeds AS (SELECT vec_id, c FROM (
+                  SELECT vec_id,
+                         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS c
+                  FROM embeddings) WHERE c < $k),
       ${pfx}c0 AS (SELECT s.c, x.pos, x.x AS cd FROM ${pfx}seeds s JOIN ${pfx}xx x ON x.vec_id = s.vec_id),
       $iterCtes,
       ${assignCte(s"${pfx}c$iters", s"${pfx}afin")},
@@ -3128,6 +3150,14 @@ object LlmOps {
   private[graft] def kForCorpus(n: Long, target: Long): Int =
     math.max(1L, (n + target - 1) / target).toInt
 
+  /** [[kForCorpus]] restated in SQL over the embeddings table — d10's
+    * oracle k. BIGINT cast is load-bearing: CEIL returns DOUBLE and the
+    * k-means CTE packs `dist * k + c` in integers (a double k would
+    * silently round past 2^53). GREATEST(1, ...) mirrors kForCorpus's
+    * empty-corpus floor. */
+  private[graft] def kForCorpusSql: String =
+    s"SELECT CAST(GREATEST(1, CEIL(COUNT(*) / $semTargetClusterSize.0)) AS BIGINT) FROM embeddings"
+
   /** Within-cluster exact-cosine near-dup pairs with bounded per-reducer
     * work at ANY cluster-size skew — the engine behind d10.
     *
@@ -3275,13 +3305,17 @@ object LlmOps {
     * Scale: this is THE sub-quadratic exact-cosine path for corpus-level
     * semantic dedup. k scales with the corpus and hot clusters fall back
     * to cluster-keyed triangle blocking (semanticDedupPairs above), so
-    * per-reducer work stays bounded under any skew. The oracle CTE pins
-    * k = 8 because the sf0.01 verification tier has 500 embeddings and
-    * kForCorpus(500, 64) = 8 — SemanticDedupSpec asserts that coupling. */
+    * per-reducer work stays bounded under any skew. The oracle derives k
+    * the same way the engine does — ceil(count/targetClusterSize) as a
+    * scalar subquery over the embeddings table (r13: the oracle
+    * previously hardcoded k = 8, which matches kForCorpus only on
+    * 500-vec tiers; the first full sf0.1 sweep — 2000 vecs, engine
+    * k = 32 — caught the divergence as a 712-vs-1206-row mismatch).
+    * SemanticDedupSpec pins the Scala/SQL k-derivation coupling. */
   val d10 = Q(
     "d10_semantic_dedup",
     Some(s"""
-      WITH ${kmeansCtes(8, 2)},
+      WITH ${kmeansCtesWithK(kForCorpusSql, 2)},
       f AS ($flatSql),
       n AS ($normsSql),
       dot AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${dprodSql("a.v", "b.v")} AS dot

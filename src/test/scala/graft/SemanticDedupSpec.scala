@@ -14,9 +14,6 @@ class SemanticDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("kForCorpus: k scales with the corpus; oracle-tier coupling pinned") {
-    // sf0.01 (the driver's verification tier) has 500 embeddings and the
-    // d10 oracle CTE hardcodes k = 8: if either side of this equation
-    // moves, the oracle must move with it
     assert(LlmOps.kForCorpus(500, LlmOps.semTargetClusterSize) == 8)
     assert(LlmOps.kForCorpus(0, 64) == 1)
     assert(LlmOps.kForCorpus(1, 64) == 1)
@@ -26,6 +23,25 @@ class SemanticDedupSpec extends AnyFunSuite {
     // within-cluster pair cost
     assert(LlmOps.kForCorpus(5000, 64) == 79)
     assert(LlmOps.kForCorpus(500000, 64) == 7813)
+  }
+
+  test("kForCorpusSql mirrors kForCorpus for any corpus size (r13)") {
+    // r13: the d10 oracle previously hardcoded k = 8, valid only on
+    // 500-vec tiers — the first full sf0.1 sweep (2000 vecs, engine
+    // k = 32) caught the divergence. The oracle now derives k in SQL;
+    // this pins the two derivations to the same function: the SQL is
+    // GREATEST(1, CEIL(n / target)) and must equal kForCorpus everywhere
+    // (including the empty-corpus floor), and it must carry the same
+    // target constant the Scala side uses.
+    val t = LlmOps.semTargetClusterSize
+    for (n <- Seq(0L, 1L, 63L, 64L, 65L, 128L, 500L, 2000L, 5000L, 500000L)) {
+      val sqlK = math.max(1L, math.ceil(n.toDouble / t).toLong)
+      assert(sqlK == LlmOps.kForCorpus(n, t), s"n=$n")
+    }
+    assert(LlmOps.kForCorpusSql.contains(s"/ $t.0"),
+      "the SQL derivation must use semTargetClusterSize")
+    assert(LlmOps.kForCorpusSql.contains("AS BIGINT"),
+      "k must stay integer in SQL — a double k breaks the dist*k+c packing")
   }
 
   test("adversarial one-cluster corpus routes hot path; pairs complete and exact") {
