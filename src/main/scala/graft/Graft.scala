@@ -500,6 +500,65 @@ object Graft {
   def usageDaily(spark: SparkSession): DataFrame =
     graft.operators.JobTracker.usageDaily(spark)
 
+  // ---- mergeable sketch family (the t33/t34/t35 layouts) ----
+
+  /** Per-shard Count-Min sketch blobs over a key column — t35's layout:
+    * each shard persists its own ~11 KB blob beside the data; later
+    * heavy-hitter questions merge blobs ([[cmsMerge]]) instead of
+    * rescanning shards. Fixed seed → deterministic for a given (data,
+    * shard) split; counters are sums, so blobs from any partitioning
+    * merge to the identical grid. Returns (shard, sk) rows. */
+  def cmsShardSketches(
+      df: DataFrame,
+      key: org.apache.spark.sql.Column,
+      shard: org.apache.spark.sql.Column,
+      eps: Double = 0.01,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): DataFrame =
+    df.select(shard.as("shard"), key.as("__k"))
+      .groupBy("shard")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"count_min_sketch(__k, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
+        .as("sk"))
+
+  /** Deserialize one Count-Min blob. */
+  def cmsRead(blob: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(blob))
+
+  /** Merge Count-Min blobs (same eps/confidence/seed) into one queryable
+    * sketch — exact: counter grids are long sums, so the merged estimate
+    * equals the single-pass estimate for every key (t35 gates that
+    * cross-engine; SketchSpec proves a dropped/doubled blob breaks it). */
+  def cmsMerge(blobs: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
+    require(blobs.nonEmpty, "cmsMerge: no blobs")
+    blobs.map(cmsRead).reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Per-(group, shard) HLL sketch blobs over a key column — t34's
+    * layout for distinct counts. Returns (groupCols..., shard, sk). */
+  def hllShardSketches(
+      df: DataFrame,
+      key: org.apache.spark.sql.Column,
+      shard: org.apache.spark.sql.Column,
+      groupCols: Seq[String] = Nil,
+      lgK: Int = 12
+  ): DataFrame =
+    df.select((groupCols.map(org.apache.spark.sql.functions.col) :+ shard.as("shard") :+ key.as("__k")): _*)
+      .groupBy((groupCols :+ "shard").map(org.apache.spark.sql.functions.col): _*)
+      .agg(org.apache.spark.sql.functions.expr(s"hll_sketch_agg(__k, $lgK)").as("sk"))
+
+  /** Distinct-count estimates from a blob table by register-wise union —
+    * answers arrive without rescanning any shard (new shards union in).
+    * Returns (groupCols..., est). */
+  def hllMergedEstimates(blobs: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val est = org.apache.spark.sql.functions
+      .expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est")
+    if (groupCols.isEmpty) blobs.agg(est)
+    else blobs.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*).agg(est)
+  }
+
   // ---- streaming (graft.streaming.EventStream passthroughs) ----
 
   /** File-source stream over an events parquet directory. */
