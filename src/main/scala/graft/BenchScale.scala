@@ -168,7 +168,13 @@ object BenchScale {
       // t35 (r13): per-shard CMS blobs + driver merge + the same exact
       // top-k ground-truth pass as t33 — linear in the exploded grams;
       // the blob/merge side is corpus-size-independent metadata
-      "t35" -> 1
+      "t35" -> 1,
+      // e04/e06 (r13): the ANN search paths, linear in the corpus for a
+      // fixed query set — e04's bucketing + candidate equi-join touch
+      // each corpus row O(tables) times; e06's 2-round Lloyd fit + the
+      // nprobe/nlist-fraction probe join are both single-corpus-pass
+      // shapes. Empirical rows back the index-shape scale argument.
+      "e04" -> 1, "e06" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 
