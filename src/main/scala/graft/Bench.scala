@@ -327,8 +327,10 @@ object Bench {
     // this run took (first pass + rechecks). Bursty foreign load hides
     // from per-query point samples but not from the max (r12 driver
     // capture: recheck samples 1.3-2.6, capture max 15.05).
+    // maxOption: a subset invocation matching no query names must print
+    // the empty result line, not crash on max of an empty capture
     val captureLoad1Max =
-      (firstPass.map(_.load) ++ recheck.values.map(_.load)).max
+      (firstPass.map(_.load) ++ recheck.values.map(_.load)).maxOption.getOrElse(-1.0)
     import DriftVerdict._
     case class Adjudicated(r: R, warmNeedsRerun: Boolean, coldNeedsRerun: Boolean)
     val adjudicated = firstPass.map { r =>
