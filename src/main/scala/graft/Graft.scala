@@ -500,6 +500,15 @@ object Graft {
   def usageDaily(spark: SparkSession): DataFrame =
     graft.operators.JobTracker.usageDaily(spark)
 
+  /** Structural validity checks over ANY ANN top-k frame (qid, vid,
+    * cosine) against its query set (vec_id) — one row per query with
+    * k_bounded_ok / no_self_ok / no_dup_ok / cosine_ok verdicts, the
+    * invariants that hold for every correct index regardless of
+    * centroids or buckets (e04/e06 gate exactly this cross-engine;
+    * recall needs a ground-truth side and lives in the recall gates). */
+  def annStructuralChecks(querySet: DataFrame, topk: DataFrame, k: Int): DataFrame =
+    graft.queries.LlmOps.annStructuralVerdicts(querySet, topk, k)
+
   // ---- mergeable sketch family (the t33/t34/t35 layouts) ----
 
   /** Per-shard Count-Min sketch blobs over a key column — t35's layout:

@@ -201,6 +201,16 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.readParquet(spark, dir).count() == df.count())
   }
 
+  test("annStructuralChecks validates a user's own top-k frame") {
+    import spark.implicits._
+    val queries = Seq(0L, 1L).toDF("vec_id")
+    val topk = Seq((0L, 10L, 0.9), (0L, 11L, 0.8), (1L, 1L, 0.99)).toDF("qid", "vid", "cosine")
+    val v = Graft.annStructuralChecks(queries, topk, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap // no_self_ok
+    assert(v(0L) && !v(1L), v.toString) // qid 1 returned itself
+    Hygiene.release(spark)
+  }
+
   test("mergeable sketch family: CMS shard blobs merge exactly; HLL union answers without rescans") {
     import spark.implicits._
     val rows = (0 until 2000).map(i => (i.toLong, s"src${i % 2}", s"key${i % 100}"))
