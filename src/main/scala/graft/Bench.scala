@@ -221,6 +221,72 @@ object Bench {
     }
   }
 
+  /** One measured query: both legs' walls, cpu, storage and load
+    * telemetry plus the first-pass flag state. Object-scoped (not local
+    * to main) so the adjudication wiring below is spec-drivable. */
+  private[graft] case class R(
+      name: String,
+      warm: Double,
+      cold: Double,
+      ok: Boolean,
+      stCold: Long,
+      stWarm: Long,
+      drift: Boolean,
+      coldDrift: Boolean,
+      cpuWarm: Double,
+      cpuCold: Double,
+      // cpu of the LEG whose wall became `warm` (= min of the two
+      // executions): confirmDrift must compare a wall and a cpu from
+      // the SAME execution — r12 paired the min wall with the warm
+      // leg's cpu, so when the cold leg was the minimum a borderline
+      // flag was adjudicated on mismatched signals (ADVICE r12)
+      cpuBest: Double,
+      load: Double
+  )
+
+  private[graft] case class Adjudicated(
+      r: R, warmNeedsRerun: Boolean, coldNeedsRerun: Boolean)
+
+  /** Apply [[confirmDrift]] to every first-pass flag: a flag survives as
+    * `drift`/`coldDrift` only when its recheck CONFIRMS it; a reproduced
+    * flag in a foreign-load capture surfaces as needs_rerun instead.
+    * Un-flagged and un-rechecked rows pass through untouched. Factored
+    * out of main so BenchDriftSpec can drive the WIRING (flag ∧ verdict
+    * composition, leg pairing, steady-state min) with synthetic
+    * telemetry, not just the rule. */
+  private[graft] def adjudicate(
+      firstPass: Seq[R],
+      recheck: Map[String, R],
+      refs: Map[String, Ref],
+      captureLoad1Max: Double
+  ): Seq[Adjudicated] = {
+    import DriftVerdict._
+    firstPass.map { r =>
+      recheck.get(r.name) match {
+        case Some(r2) =>
+          val ref = refs.get(r.name)
+          // warm leg: r2.warm is min(cold, warm) of the recheck — pair it
+          // with the cpu of that same minimal leg (r2.cpuBest)
+          val wv = confirmDrift(
+            ref.map(_.warm), ref.flatMap(_.cpuWarm), r2.ok, r2.warm, r2.cpuBest,
+            r2.load, captureLoad1Max)
+          val cv = confirmDrift(
+            ref.map(_.cold), ref.flatMap(_.cpuCold), r2.ok, r2.cold, r2.cpuCold,
+            r2.load, captureLoad1Max)
+          Adjudicated(
+            r.copy(
+              drift = r.drift && wv == Confirmed,
+              coldDrift = r.coldDrift && cv == Confirmed,
+              // the steady-state number is the best honest measurement we have
+              warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
+              cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold),
+            warmNeedsRerun = r.drift && wv == NeedsRerun,
+            coldNeedsRerun = r.coldDrift && cv == NeedsRerun)
+        case None => Adjudicated(r, warmNeedsRerun = false, coldNeedsRerun = false)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -259,25 +325,6 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => args.exists(n.contains) }
-    case class R(
-        name: String,
-        warm: Double,
-        cold: Double,
-        ok: Boolean,
-        stCold: Long,
-        stWarm: Long,
-        drift: Boolean,
-        coldDrift: Boolean,
-        cpuWarm: Double,
-        cpuCold: Double,
-        // cpu of the LEG whose wall became `warm` (= min of the two
-        // executions): confirmDrift must compare a wall and a cpu from
-        // the SAME execution — r12 paired the min wall with the warm
-        // leg's cpu, so when the cold leg was the minimum a borderline
-        // flag was adjudicated on mismatched signals (ADVICE r12)
-        cpuBest: Double,
-        load: Double
-    )
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
       def exec(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
       val cpuC0 = cpuS()
@@ -331,32 +378,7 @@ object Bench {
     // the empty result line, not crash on max of an empty capture
     val captureLoad1Max =
       (firstPass.map(_.load) ++ recheck.values.map(_.load)).maxOption.getOrElse(-1.0)
-    import DriftVerdict._
-    case class Adjudicated(r: R, warmNeedsRerun: Boolean, coldNeedsRerun: Boolean)
-    val adjudicated = firstPass.map { r =>
-      recheck.get(r.name) match {
-        case Some(r2) =>
-          val ref = refs.get(r.name)
-          // warm leg: r2.warm is min(cold, warm) of the recheck — pair it
-          // with the cpu of that same minimal leg (r2.cpuBest)
-          val wv = confirmDrift(
-            ref.map(_.warm), ref.flatMap(_.cpuWarm), r2.ok, r2.warm, r2.cpuBest,
-            r2.load, captureLoad1Max)
-          val cv = confirmDrift(
-            ref.map(_.cold), ref.flatMap(_.cpuCold), r2.ok, r2.cold, r2.cpuCold,
-            r2.load, captureLoad1Max)
-          Adjudicated(
-            r.copy(
-              drift = r.drift && wv == Confirmed,
-              coldDrift = r.coldDrift && cv == Confirmed,
-              // the steady-state number is the best honest measurement we have
-              warm = if (r2.ok) math.min(r.warm, r2.warm) else r.warm,
-              cold = if (r2.ok) math.min(r.cold, r2.cold) else r.cold),
-            warmNeedsRerun = r.drift && wv == NeedsRerun,
-            coldNeedsRerun = r.coldDrift && cv == NeedsRerun)
-        case None => Adjudicated(r, warmNeedsRerun = false, coldNeedsRerun = false)
-      }
-    }
+    val adjudicated = adjudicate(firstPass, recheck, refs, captureLoad1Max)
     val results = adjudicated.map(_.r)
     val qs = results
       .map(r => "\"" + r.name.takeWhile(_ != '_') + "\":" + jnum(r.warm))

@@ -149,6 +149,66 @@ class BenchDriftSpec extends AnyFunSuite {
       recheckLoad1 = -1.0, captureLoad1Max = -1.0) == Confirmed)
   }
 
+  // ---- the WIRING, not just the rule: Bench.adjudicate composes the
+  // first-pass flag with the recheck verdict and routes needs_rerun ----
+
+  private def row(
+      name: String, warm: Double, cold: Double,
+      drift: Boolean = false, coldDrift: Boolean = false,
+      cpuWarm: Double = 1.0, cpuCold: Double = 1.0, cpuBest: Double = 1.0,
+      load: Double = 1.5, ok: Boolean = true) =
+    Bench.R(name, warm, cold, ok, 0L, 0L, drift, coldDrift,
+      cpuWarm, cpuCold, cpuBest, load)
+
+  test("adjudicate: confirmed, refuted and needs_rerun flags route to the right buckets") {
+    val refs = Map(
+      "q1" -> Bench.Ref(1.0, 2.0, Some(10.0), Some(20.0)),
+      "q2" -> Bench.Ref(1.0, 2.0, Some(10.0), Some(20.0)),
+      "q3" -> Bench.Ref(1.0, 2.0, Some(10.0), Some(20.0)))
+    val fp = Seq(
+      row("q1", 3.0, 2.0, drift = true), // recheck reproduces, quiet -> confirmed
+      row("q2", 3.0, 2.0, drift = true), // recheck recovered -> refuted
+      row("q3", 3.0, 2.0, drift = true), // reproduces but contended -> needs_rerun
+      row("q4", 0.5, 1.0)) // never flagged -> untouched
+    val rechecks = Map(
+      "q1" -> row("q1", 2.9, 2.1, cpuBest = 25.0),
+      "q2" -> row("q2", 1.0, 1.9, cpuBest = 25.0),
+      "q3" -> row("q3", 2.9, 2.1, cpuBest = 25.0, load = 12.0))
+    val out = Bench.adjudicate(fp, rechecks, refs, captureLoad1Max = 12.0)
+      .map(a => a.r.name -> a).toMap
+    // q3's contended sample raises the CAPTURE max, so q1's confirmation
+    // also defers: under foreign load the whole capture cannot confirm
+    assert(!out("q1").r.drift && out("q1").warmNeedsRerun,
+      "a reproduced flag inside a contended capture must defer, not confirm")
+    assert(!out("q2").r.drift && !out("q2").warmNeedsRerun, "recovered -> refuted")
+    assert(!out("q3").r.drift && out("q3").warmNeedsRerun)
+    assert(!out("q4").r.drift && !out("q4").warmNeedsRerun, "unflagged passes through")
+    // on a QUIET capture the same q1 telemetry confirms
+    val quiet = Bench.adjudicate(
+      fp.take(1), rechecks.take(1).map { case (k, v) => k -> v }, refs, captureLoad1Max = 3.0)
+    assert(quiet.head.r.drift && !quiet.head.warmNeedsRerun)
+  }
+
+  test("adjudicate: the steady-state wall is the min of first pass and recheck") {
+    val fp = Seq(row("q1", 3.0, 5.0, drift = true))
+    val rc = Map("q1" -> row("q1", 1.2, 2.5))
+    val out = Bench.adjudicate(fp, rc, refs = Map.empty, captureLoad1Max = 1.5)
+    assert(out.head.r.warm == 1.2 && out.head.r.cold == 2.5)
+    // no reference row -> never flagged as confirmed regardless
+    assert(!out.head.r.drift && !out.head.warmNeedsRerun)
+  }
+
+  test("adjudicate: a cold-leg flag is judged on the cold leg's own cpu") {
+    val refs = Map("q1" -> Bench.Ref(1.0, 2.0, Some(10.0), Some(20.0)))
+    val fp = Seq(row("q1", 0.5, 9.0, coldDrift = true))
+    // recheck: cold wall reproduces (>2x ref cold), cold cpu FLAT
+    // (starved) while the best-leg cpu is huge — the cold confirmation
+    // must consult cpuCold, not cpuBest, so this refutes
+    val rc = Map("q1" -> row("q1", 0.5, 8.8, cpuCold = 5.0, cpuBest = 99.0))
+    val out = Bench.adjudicate(fp, rc, refs, captureLoad1Max = 1.5)
+    assert(!out.head.r.coldDrift && !out.head.coldNeedsRerun)
+  }
+
   test("baseline parse: 3-, 4- and 5-column rows; last occurrence wins") {
     val md =
       """
