@@ -132,6 +132,25 @@ object Graft {
   def writeBucketed(df: DataFrame, table: String, col: String, buckets: Int): Unit =
     Io.writeBucketed(df, table, col, buckets)
 
+  /** Morton (Z-curve) interleave of two 8-bit coordinates — the q44
+    * multi-dimensional clustering key. Pure codegen'd bit arithmetic. */
+  def mortonInterleave(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.queries.Relational.morton8(x, y)
+
+  /** Z-ordered parquet layout (q44's write): files are contiguous
+    * z-ranges of (xCol & 255, yCol & 255), so per-file zone maps prune on
+    * BOTH predicate columns — see Io.writeZOrdered. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String): Unit =
+    Io.writeZOrdered(df, path, xCol, yCol)
+
+  /** Small-file compaction planner (t37's next-fit-by-start-offset rule)
+    * over a (groupCol, fileCol, bytes) manifest: per (group, bin) the
+    * plan row plus the provable `fill_ok` utilization bound. */
+  def compactionPlan(files: DataFrame, groupCol: String, fileCol: String,
+      targetBytes: Long): DataFrame =
+    graft.queries.LlmOps.compactionPlan(files, groupCol, fileCol, targetBytes)
+
   // ---- relational extras ----
 
   def asofJoinLatestAtOrBefore(
@@ -413,6 +432,21 @@ object Graft {
   def ntileFromRank(grank: org.apache.spark.sql.Column,
       gn: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     graft.operators.Ranks.ntileFromRank(grank, gn, k)
+
+  /** nDCG@10 / MRR@10 / P@10 / R@10 over an arbitrary retrieval run
+    * (t36's kernel): `run` has one row per (qid, doc_id) with a `score`
+    * and boolean `rel`; candidate sets may be corpus-sized (top-10 via
+    * groupedRank, no per-qid reducer); decimal discounts make the
+    * numbers bit-stable across cluster sizes. */
+  def retrievalMetrics10(spark: SparkSession, run: DataFrame): DataFrame =
+    graft.queries.LlmOps.retrievalMetrics10(spark, run)
+
+  /** Bounded posting-list builder (t38's kernel): (term, doc_id)
+    * occurrences → per mid-band term (minDf ≤ df ≤ maxDf) its df, cf,
+    * and complete sorted posting list; reducer state O(maxDf) per key
+    * under any skew. */
+  def boundedPostings(occ: DataFrame, minDf: Int, maxDf: Int): DataFrame =
+    graft.queries.LlmOps.boundedPostings(occ, minDf, maxDf)
 
   // ---- bigram LM + gram-set artifacts (the streaming gates' statics) ----
 

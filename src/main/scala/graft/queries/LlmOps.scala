@@ -3880,9 +3880,11 @@ object LlmOps {
              FROM s GROUP BY doc_id)"""
   }
 
-  /** Per-doc BM25 score frame (doc_id, n_terms, bm25) — the Spark twin of
-    * `bm25CtesSql`, shared by t13 and t17. */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  /** Per-(term, doc) BM25 score frame (tok, doc_id, tf, sc) — the shared
+    * trunk of every BM25 consumer: [[bm25Scored]] (t13/t17) sums it per
+    * doc, t36 ranks it per term. Keeping ONE implementation of the score
+    * formula means the metrics in t36 grade exactly the run t13 serves. */
+  private[graft] def termScored(s: SparkSession, d: String): DataFrame = {
     // (doc_id, dl) is the one reused intermediate: tiny (two longs/doc),
     // cached so the tokenizer runs exactly twice (lengths + term counts),
     // not once per consumer.
@@ -3908,7 +3910,13 @@ object LlmOps {
     tf.join(lens, "doc_id")
       .join(broadcast(dfT), "tok")
       .crossJoin(broadcast(g))
-      .select(col("doc_id"), (idf * w).cast(dec28).as("sc"))
+      .select(col("tok"), col("doc_id"), col("tf"), (idf * w).cast(dec28).as("sc"))
+  }
+
+  /** Per-doc BM25 score frame (doc_id, n_terms, bm25) — the Spark twin of
+    * `bm25CtesSql`, shared by t13 and t17. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame =
+    termScored(s, d)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_terms"),
@@ -3916,7 +3924,6 @@ object LlmOps {
         // stays far under 2^53 (score ~O(1) per term, 3 terms)
         sum(col("sc")).cast("double").as("bm25")
       )
-  }
 
   val t13 = Q(
     "t13_bm25",
@@ -5399,6 +5406,307 @@ object LlmOps {
       .toDF("bigram", "n_exact", "no_undercount", "bound_ok", "merge_exact_ok")
       .orderBy(col("n_exact").desc, col("bigram"))
   }
+
+  // ---- retrieval quality metrics (nDCG / MRR / P@k / R@k) ----
+
+  /** 1/log2(rank+1) DCG discounts for ranks 1..10, and their prefix sums
+    * (the ideal DCG at 1..10 relevant), as 15-dp decimal literal STRINGS.
+    * Both engines parse the same literal text into the same exact decimal,
+    * so the metric arithmetic never touches a transcendental at query
+    * time: log2 differs by engine (java Math.log vs libm log2), a baked
+    * literal cannot. Decimal sums are order-independent, so the DCG is
+    * cluster-size-invariant like every Parity aggregate. */
+  private[graft] val dcgDiscount: IndexedSeq[String] = (1 to 10).map { i =>
+    new java.math.BigDecimal(math.log(2) / math.log(i + 1))
+      .setScale(15, java.math.RoundingMode.HALF_EVEN).toPlainString
+  }
+  private[graft] val idcgAt: IndexedSeq[String] = dcgDiscount
+    .scanLeft(java.math.BigDecimal.ZERO)((a, s) => a.add(new java.math.BigDecimal(s)))
+    .tail.map(_.toPlainString)
+
+  /** Retrieval-quality metrics for the engine's own BM25 runs — the eval
+    * half of a retrieval stack (t13 scores, t17 fuses; t36 grades). Each
+    * BM25 term is a query; its run is the top-10 docs by the SAME
+    * per-term score t13 sums ([[termScored]] — one formula, shared); its
+    * qrels are deterministic (relevant ⇔ tf ≥ 3, so DuckDB re-derives
+    * them exactly). Emits per query: n_rel, hits@10, P@10, R@10, MRR@10,
+    * DCG@10 / ideal DCG@10 / nDCG@10 (binary gain, baked-literal
+    * discounts — see [[dcgDiscount]]).
+    *
+    * Scale: the candidate set per term is corpus-sized, so the top-10 is
+    * NOT a `row_number over (partition by tok)` window (one reducer per
+    * term — WindowBoundSpec bans it); it is [[graft.operators.Ranks.groupedRank]],
+    * the range-exchange in-group rank whose partition count is the
+    * parallelism knob. Everything after the grank≤10 filter is ≤ 10 rows
+    * per query — metrics are metadata-sized aggregations, and n_rel is a
+    * broadcast 3-row dimension. One corpus pass beyond what t13 already
+    * pays. */
+  val t36 = Q(
+    "t36_retrieval_metrics",
+    Some {
+      val termsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
+      val discCase = (1 to 10)
+        .map(i => s"WHEN ${i} THEN CAST('${dcgDiscount(i - 1)}' AS DECIMAL(18,15))")
+        .mkString(" ")
+      val idcgCase = (1 to 10)
+        .map(k => s"WHEN ${k} THEN CAST('${idcgAt(k - 1)}' AS DECIMAL(28,15))")
+        .mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t),
+      g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sl, COUNT(*) AS n FROM l),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, UNNEST(t) AS tok FROM t)
+             WHERE tok IN ($termsSql) GROUP BY doc_id, tok),
+      df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      s AS (SELECT tf.tok, tf.doc_id, tf.tf,
+              CAST(
+                ln((CAST(g.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(22 * tf.tf * g.sl AS DOUBLE)
+                   / CAST(10 * tf.tf * g.sl + 3 * g.sl + 9 * l.dl * g.n AS DOUBLE))
+                AS DECIMAL(28,12)) AS sc
+            FROM tf JOIN l USING (doc_id) JOIN df USING (tok) CROSS JOIN g),
+      r AS (SELECT tok, tf,
+              ROW_NUMBER() OVER (PARTITION BY tok ORDER BY sc DESC, doc_id) AS rnk
+            FROM s),
+      nr AS (SELECT tok, CAST(SUM(CASE WHEN tf >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+             FROM s GROUP BY tok),
+      top AS (SELECT tok, rnk, (tf >= 3) AS rel FROM r WHERE rnk <= 10),
+      m AS (SELECT tok,
+              CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+              MAX(CASE WHEN rel THEN CAST(1 AS DOUBLE) / rnk ELSE CAST(0 AS DOUBLE) END) AS mrr10,
+              CAST(SUM(CASE WHEN rel THEN (CASE rnk $discCase END)
+                            ELSE CAST(0 AS DECIMAL(18,15)) END) AS DECIMAL(28,15)) AS dcg
+            FROM top GROUP BY tok),
+      mm AS (SELECT m.tok AS query, nr.n_rel, m.hits10, m.mrr10,
+               CAST(m.dcg AS DOUBLE) AS dcg10,
+               CAST(CASE LEAST(10, nr.n_rel) $idcgCase
+                    ELSE CAST('0' AS DECIMAL(28,15)) END AS DOUBLE) AS idcg10
+             FROM m JOIN nr USING (tok))
+      SELECT query, n_rel, hits10,
+        CAST(hits10 AS DOUBLE) / CAST(10 AS DOUBLE) AS precision10,
+        CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(hits10 AS DOUBLE) / CAST(n_rel AS DOUBLE) END AS recall10,
+        mrr10, dcg10, idcg10,
+        CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE) ELSE dcg10 / idcg10 END AS ndcg10
+      FROM mm ORDER BY query"""
+    }
+  ) { (s, d) =>
+    retrievalMetrics10(s,
+      termScored(s, d).select(
+        col("tok").as("qid"), col("doc_id"),
+        col("sc").as("score"), (col("tf") >= 3).as("rel")))
+      .orderBy("query")
+  }
+
+  /** nDCG@10 / MRR@10 / P@10 / R@10 over an arbitrary RUN: one row per
+    * (qid, doc_id) with a `score` (any comparable type; ties broken by
+    * doc_id asc) and a boolean `rel` qrel. The metric arithmetic rides the
+    * baked decimal discount literals ([[dcgDiscount]]), so results are
+    * bit-stable across cluster sizes and engines. Candidate sets may be
+    * corpus-sized: the top-10 cut is [[graft.operators.Ranks.groupedRank]]
+    * (range-exchange rank — no per-qid reducer); everything after the
+    * grank ≤ 10 filter is ≤ 10 rows per query. The run is read twice
+    * (ranking + qrel totals) and cached via Hygiene. */
+  def retrievalMetrics10(s: SparkSession, runRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec1815 = DecimalType(18, 15)
+    val dec2815 = DecimalType(28, 15)
+    def dl(v: String) = lit(v).cast(dec1815)
+    val run = runRaw.cacheOnce()
+    val ranked = graft.operators.Ranks.groupedRank(
+      run, "qid", s.sparkContext.defaultParallelism,
+      col("score").desc, col("doc_id"))
+    val disc = (1 to 10).foldLeft(lit(null).cast(dec1815)) { (acc, i) =>
+      when(col("grank") === i, dl(dcgDiscount(i - 1))).otherwise(acc)
+    }
+    val top = ranked.filter(col("grank") <= 10)
+    val nRel = run
+      .groupBy("qid")
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+    val m = top
+      .groupBy("qid")
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits10"),
+        max(when(col("rel"), lit(1.0) / col("grank")).otherwise(0.0)).as("mrr10"),
+        sum(when(col("rel"), disc).otherwise(dl("0"))).cast(dec2815).as("dcg")
+      )
+    val idcgDec = (1 to 10).foldLeft(lit("0").cast(dec2815)) { (acc, k) =>
+      when(least(lit(10L), col("n_rel")) === k, lit(idcgAt(k - 1)).cast(dec2815))
+        .otherwise(acc)
+    }
+    m.join(broadcast(nRel), "qid")
+      .select(
+        col("qid").as("query"), col("n_rel"), col("hits10"),
+        (col("hits10").cast("double") / lit(10L).cast("double")).as("precision10"),
+        when(col("n_rel") === 0, 0.0)
+          .otherwise(col("hits10").cast("double") / col("n_rel").cast("double"))
+          .as("recall10"),
+        col("mrr10"),
+        col("dcg").cast("double").as("dcg10"),
+        idcgDec.cast("double").as("idcg10"),
+        when(col("n_rel") === 0, 0.0)
+          .otherwise(col("dcg").cast("double") / idcgDec.cast("double"))
+          .as("ndcg10")
+      )
+  }
+
+  // ---- storage maintenance: small-file compaction planning (t37) ----
+
+  /** COMPACTION PLAN (t37): bin-pack small files into target-sized
+    * rewrite groups — the "small files problem" maintenance pass every
+    * long-lived 100 TB table needs (streaming ingest and per-partition
+    * writes leave thousands of KB-scale files; readers want ~target-size
+    * objects). Files here are the (source, md5-nibble) micro-shards of
+    * the corpus with bytes = Σ n_chars; the packing rule is
+    * next-fit-by-start-offset over the size-descending order: a file
+    * whose exclusive running sum starts in [k·T, (k+1)·T) joins bin k.
+    * That rule is one window over the MANIFEST (not the data), fully
+    * deterministic, and carries a provable utilization bound emitted as
+    * the gated verdict `fill_ok`: a bin's total is < T + its largest
+    * file (every member starts inside the bin's T-wide offset span, so
+    * only the last-starting member can overhang). DuckDB re-derives the
+    * identical plan and pins every (source, bin) row.
+    *
+    * Scale: the docs are touched by exactly one GROUP BY (the manifest
+    * build — one shuffle, map-side combined to ≤ 16·|sources| rows);
+    * planning runs on manifest rows only, windowed PER SOURCE (bounded
+    * by files-per-source, never corpus-sized). The rewrite this plans is
+    * `repartitionByRange(source, bin) + write` — the t32 shard-write
+    * shape keyed by the plan. */
+  private val compactTarget = 4000L
+  val t37 = Q(
+    "t37_compaction_plan",
+    Some(s"""
+      WITH f AS (SELECT source, substr(md5('file|' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib,
+                        CAST(SUM(n_chars) AS BIGINT) AS bytes
+                 FROM documents GROUP BY 1, 2),
+      p AS (SELECT source, nib, bytes,
+                   CAST(SUM(bytes) OVER (PARTITION BY source
+                                         ORDER BY bytes DESC, nib
+                                         ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS start
+            FROM f),
+      b AS (SELECT source, start // $compactTarget AS bin, bytes FROM p)
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS bytes,
+             CAST(MAX(bytes) AS BIGINT) AS largest_file,
+             (SUM(bytes) < $compactTarget + MAX(bytes)) AS fill_ok
+      FROM b GROUP BY source, bin ORDER BY source, bin""")
+  ) { (s, d) =>
+    val files = Tables
+      .documents(s, d)
+      .groupBy(
+        col("source"),
+        substring(md5(concat(lit("file|"), col("doc_id").cast("string"))), 1, 1)
+          .as("nib")
+      )
+      .agg(sum(col("n_chars")).as("bytes"))
+    compactionPlan(files, "source", "nib", compactTarget)
+      .orderBy("source", "bin")
+  }
+
+  /** Next-fit-by-start-offset bin packing over a file MANIFEST (t37's
+    * rule as a reusable planner): `files` has one row per file —
+    * `groupCol` (plan is per group, e.g. a table partition), `fileCol`
+    * (unique id, the size tiebreak), and a `bytes` column. Emits per
+    * (group, bin): n_files, bytes, largest_file, and the utilization
+    * verdict `fill_ok` (bin total < target + its largest member — the
+    * provable bound of the start-offset rule). The window runs over
+    * manifest rows partitioned by group — callers keep groups
+    * manifest-sized (files per table partition), never data-sized. */
+  def compactionPlan(files: DataFrame, groupCol: String, fileCol: String,
+      targetBytes: Long): DataFrame = {
+    val w = Window
+      .partitionBy(groupCol)
+      .orderBy(col("bytes").desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("start", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("bin", floor(col("start") / targetBytes))
+      .groupBy(groupCol, "bin")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bytes"),
+        max(col("bytes")).as("largest_file"),
+        (sum(col("bytes")) < lit(targetBytes) + max(col("bytes"))).as("fill_ok")
+      )
+  }
+
+  // ---- inverted index: bounded posting lists (t38) ----
+
+  /** BOUNDED POSTING LISTS (t38): the inverted-index build — per term its
+    * document-frequency, collection-frequency, and the full sorted
+    * posting list — restricted to the mid-frequency band (2 ≤ df ≤ 64)
+    * that point-lookup indexes actually serve (df ≫ heads are
+    * scan-better-than-seek). Terms are word bigrams (the corpus's unigram
+    * vocabulary is a ~31-word closed set where every word is a head
+    * term — phrase postings are where a seek index earns its keep). The
+    * posting list is built with [[graft.functions.BoundedCollectSet]] —
+    * the skew-proof capped set aggregate: a stop-phrase key stops
+    * accumulating at 65 distinct docs and emits empty in O(1), so no
+    * reducer ever materializes a corpus-sized list; the df ≤ 64 filter is
+    * still EXACT because a non-overflowed set is complete and an
+    * overflowed key provably has df > 64 (both populations exist at
+    * sf0.1 — 900 head phrases capped out, 31 kept; the smaller tiers
+    * have no over-cap phrase, max true df 46 at sf0.01 — so
+    * PostingsSpec pins the cap-exercised claim at sf0.1).
+    *
+    * Scale: the (doc, term) pre-aggregation is the vocabulary shuffle any
+    * index build pays once; bounded buffers make reducer state O(cap) per
+    * key regardless of skew; the final top-200-by-df is a
+    * TakeOrderedAndProject (partial per-partition top-k, no global
+    * sort). DuckDB rebuilds every posting string exactly (sorted,
+    * comma-joined), so list CONTENT — not just counts — is hash-gated. */
+  val t38 = Q(
+    "t38_postings",
+    Some(s"""
+      WITH ${bigramCtesSql("doc_id, ")},
+      tf AS (SELECT bigram, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM b GROUP BY bigram, doc_id),
+      post AS (SELECT bigram,
+                      CAST(COUNT(*) AS BIGINT) AS df,
+                      CAST(SUM(tf) AS BIGINT) AS cf,
+                      string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+               FROM tf GROUP BY bigram
+               HAVING COUNT(*) BETWEEN 2 AND 64)
+      SELECT bigram, df, cf, postings FROM post
+      ORDER BY df DESC, bigram LIMIT 200""")
+  ) { (s, d) =>
+    val occ = explodeBigrams(
+      Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("t")))
+      .select(col("bigram").as("term"), col("doc_id"))
+    boundedPostings(occ, 2, 64)
+      .select(col("term").as("bigram"), col("df"), col("cf"), col("postings"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(200)
+  }
+
+  /** Bounded posting-list builder (t38's kernel as a reusable index
+    * stage): `occ` has one row per term OCCURRENCE — columns `term` and
+    * `doc_id` — and the result has, per term in the df band [minDf,
+    * maxDf], its document frequency, collection frequency, and the
+    * complete sorted posting list as a comma-joined string. Reducer
+    * state is O(maxDf) per key regardless of skew
+    * ([[graft.functions.BoundedCollectSet]]): a head term stops
+    * accumulating at maxDf+1 docs and is then excluded EXACTLY, because
+    * overflow proves df > maxDf without the list. */
+  def boundedPostings(occ: DataFrame, minDf: Int, maxDf: Int): DataFrame =
+    occ
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        graft.functions.BoundedCollectSet.boundedSet(col("doc_id"), maxDf).as("docs")
+      )
+      .filter(col("df").between(minDf, maxDf))
+      .select(
+        col("term"), col("df"), col("cf"),
+        concat_ws(",", transform(array_sort(col("docs")), _.cast("string")))
+          .as("postings")
+      )
 
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
@@ -7154,5 +7462,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }

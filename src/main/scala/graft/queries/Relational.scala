@@ -1289,9 +1289,187 @@ object Relational {
       )
       .orderBy("l_returnflag", "p")
 
+  // ---- data layout: Z-order (Morton) clustering + zone maps (q44) ----
+
+  /** Morton interleave of two 8-bit coordinates, as a Spark Column. Bit i
+    * of x lands at position 2i, bit i of y at 2i+1 — the standard Z-curve
+    * linearization (public layout technique; Delta/Iceberg OPTIMIZE
+    * ZORDER, Hudi space-filling curves). Pure integer bit arithmetic,
+    * fully codegen'd. */
+  private[graft] def morton8(x: Column, y: Column): Column =
+    (0 to 7).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as DuckDB SQL text (operators, not functions —
+    * DuckDB has no shiftleft()). */
+  private def morton8Sql(x: String, y: String): String =
+    (0 to 7).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT (q44): multi-dimensional clustering for scan pruning —
+    * the data-layout tool a 100 TB table needs when queries filter on TWO
+    * columns and a single sort key can only serve one of them. Rows get a
+    * Morton code z interleaving (l_partkey & 255, l_suppkey & 255); files
+    * (here: the 16 z-buckets of the top interleaved byte) are contiguous
+    * z-ranges. The defining guarantee — and the gated verdict — is that a
+    * fixed z-prefix fixes the HIGH BITS OF BOTH dimensions: within every
+    * bucket, x >> 4 and y >> 4 are constant (`x_aligned`/`y_aligned`), so
+    * per-file min/max zone maps are tight on x AND y simultaneously and a
+    * reader prunes on either predicate column. A linear layout gives this
+    * for one dimension only.
+    *
+    * Scale: the z column is a codegen'd projection (no shuffle); the zone
+    * map is one aggregate over ≤ 256 groups (map-side partial does it).
+    * The physical write this manifests for is
+    * `repartitionByRange(z) + sortWithinPartitions(z) + write` — one range
+    * shuffle, exactly the t32 shard-write shape with z as the key
+    * (LayoutSpec drives the real write and measures per-file spans).
+    * DuckDB recomputes the interleave bit-for-bit (integer ops), so every
+    * zone-map row and both alignment verdicts are hash-gated. */
+  val q44 = Q(
+    "q44_zorder_layout",
+    Some(s"""
+      WITH c AS (SELECT (l_partkey & 255) AS x, (l_suppkey & 255) AS y
+                 FROM lineitem),
+      z AS (SELECT x, y, ${morton8Sql("x", "y")} AS z FROM c),
+      m AS (SELECT z >> 12 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(x) AS min_x, MAX(x) AS max_x,
+                   MIN(y) AS min_y, MAX(y) AS max_y,
+                   CAST(SUM(z) AS BIGINT) AS sum_z
+            FROM z GROUP BY 1)
+      SELECT bucket, n_rows, min_x, max_x, min_y, max_y, sum_z,
+             ((min_x >> 6) = (max_x >> 6)) AS x_aligned,
+             ((min_y >> 6) = (max_y >> 6)) AS y_aligned
+      FROM m ORDER BY bucket""")
+  ) { (s, d) =>
+    val z = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_partkey").bitwiseAND(255).as("x"),
+        col("l_suppkey").bitwiseAND(255).as("y")
+      )
+      .withColumn("z", morton8(col("x"), col("y")))
+    z.groupBy(shiftright(col("z"), 12).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        sum(col("z")).as("sum_z")
+      )
+      .select(
+        col("bucket"), col("n_rows"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"), col("sum_z"),
+        (shiftright(col("min_x"), 6) === shiftright(col("max_x"), 6)).as("x_aligned"),
+        (shiftright(col("min_y"), 6) === shiftright(col("max_y"), 6)).as("y_aligned")
+      )
+      .orderBy("bucket")
+  }
+
+  // ---- dimension maintenance: CDC upsert merge with SCD2 history (q45) ----
+
+  /** UPSERT/MERGE with SCD-type-2 history (q45): fold a change batch into
+    * a dimension snapshot, attributing every key to exactly one action and
+    * emitting effective-dated version rows — the MERGE INTO shape every
+    * warehouse dimension needs. The snapshot is customers with
+    * c_custkey % 4 <> 0 (a dim that predates 1/4 of the keys); the batch
+    * is the per-customer ledger of RECENT orders (the CDC window:
+    * activity since 2001-01-01 — last activity date + exact decimal
+    * spend). Keys in both produce a closed v1 (validity ended at the
+    * batch date) plus an open v2 with the merged balance; dim-only keys
+    * pass through `unchanged`; batch-only keys become `insert` rows —
+    * all three actions populated at every tier (the window covers ~60%
+    * of customers; the %4 snapshot gap supplies the inserts).
+    *
+    * Scale: ONE full-outer sort-merge join on the dimension key (the batch
+    * is pre-aggregated — one shuffle — and at 100 TB a bucketed dim makes
+    * the join shuffle-free on its side), then version rows come from
+    * explode-of-struct-array on the joined row: no window, no second pass,
+    * no driver data. History grows only for keys the batch touches.
+    * Balance arithmetic is exact DECIMAL(18,2) (Parity discipline), cast
+    * to double only at the output boundary, so the merge is bit-identical
+    * at any cluster size and hash-gated per row. */
+  val q45 = Q(
+    "q45_dim_merge_scd2",
+    Some("""
+      WITH dim AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 <> 0),
+      batch AS (SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_dt,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+                FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+                GROUP BY 1)
+      SELECT d.c_custkey, 1 AS version, 'close' AS action,
+             d.c_acctbal AS acctbal,
+             CAST(TIMESTAMP '1992-01-01' AS VARCHAR) AS valid_from,
+             CAST(b.last_dt AS VARCHAR) AS valid_to
+      FROM dim d JOIN batch b USING (c_custkey)
+      UNION ALL
+      SELECT d.c_custkey, 2, 'update',
+             CAST(CAST(d.c_acctbal AS DECIMAL(18,2)) + b.spend AS DOUBLE),
+             CAST(b.last_dt AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM dim d JOIN batch b USING (c_custkey)
+      UNION ALL
+      SELECT d.c_custkey, 1, 'unchanged', d.c_acctbal,
+             CAST(TIMESTAMP '1992-01-01' AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM dim d ANTI JOIN batch b USING (c_custkey)
+      UNION ALL
+      SELECT b.c_custkey, 1, 'insert', CAST(b.spend AS DOUBLE),
+             CAST(b.last_dt AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM batch b ANTI JOIN dim d USING (c_custkey)
+      ORDER BY c_custkey, version""")
+  ) { (s, d) =>
+    // validity bounds travel as strings: parquet timestamps are µs while
+    // DuckDB's compare frame reads ns — the text form is precision-proof
+    // (same discipline as the o_date casts above)
+    val epoch = lit("1992-01-01").cast("timestamp").cast("string")
+    val tsNull = lit(null).cast("string")
+    val dim = Tables
+      .customer(s, d)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val batch = Tables
+      .orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_dt"),
+        sum(dec(col("o_totalprice"), 2)).as("spend")
+      )
+    def v(version: Int, action: String, bal: Column, from: Column, to: Column) =
+      struct(
+        lit(version).as("version"), lit(action).as("action"),
+        bal.as("acctbal"),
+        from.cast("string").as("valid_from"), to.cast("string").as("valid_to")
+      )
+    val merged = dim
+      .withColumn("in_dim", lit(true))
+      .join(batch.withColumn("in_batch", lit(true)), Seq("c_custkey"), "full_outer")
+    val versions = when(
+      col("in_dim").isNotNull && col("in_batch").isNotNull,
+      array(
+        v(1, "close", col("c_acctbal"), epoch, col("last_dt")),
+        v(2, "update", (dec(col("c_acctbal"), 2) + col("spend")).cast("double"),
+          col("last_dt"), tsNull)
+      )
+    ).when(
+      col("in_dim").isNotNull,
+      array(v(1, "unchanged", col("c_acctbal"), epoch, tsNull))
+    ).otherwise(
+      array(v(1, "insert", col("spend").cast("double"), col("last_dt"), tsNull))
+    )
+    merged
+      .select(col("c_custkey"), explode(versions).as("r"))
+      .select(col("c_custkey"), col("r.version"), col("r.action"),
+        col("r.acctbal"), col("r.valid_from"), col("r.valid_to"))
+      .orderBy("c_custkey", "version")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q44, q45
   )
 }

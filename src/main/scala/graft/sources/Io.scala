@@ -57,4 +57,29 @@ object Io {
       .bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Z-ordered parquet layout (q44's write): rows are clustered by the
+    * Morton interleave of two 8-bit dimensions (xCol & 255, yCol & 255),
+    * files are contiguous z-ranges (one dir per top interleaved byte),
+    * and rows inside each file are z-sorted. Per-file min/max zone maps
+    * come out tight on BOTH dimensions simultaneously — a reader prunes
+    * on either predicate column, which a single-sort-key layout only
+    * gives for its own key (LayoutSpec measures both claims on disk).
+    * One range-style shuffle (repartition by bucket), no driver data. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val z = graft.queries.Relational.morton8(
+      col(xCol).bitwiseAND(255), col(yCol).bitwiseAND(255))
+    df.withColumn("__z", z)
+      .withColumn("__zbucket", shiftright(org.apache.spark.sql.functions.col("__z"), 12))
+      .repartition(col("__zbucket"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).partitionBy("__zbucket").parquet(path)
+  }
 }

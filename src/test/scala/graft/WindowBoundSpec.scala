@@ -44,10 +44,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *      domain windows);
   *  (d) METADATA-BOUNDED: the window's input is an aggregate whose
   *      grouping keys are the window's own partition keys plus a
-  *      metadata key (pid/bucket) — so each window partition receives at
-  *      most numParts/nBuckets rows (the offset frames of
+  *      metadata key (pid/bucket/nib) — so each window partition receives
+  *      at most numParts/nBuckets rows (the offset frames of
   *      t15/t21/Ranks.groupedRank: per-(pid, grp) counts rolled into
-  *      per-grp prefix offsets).
+  *      per-grp prefix offsets; t37's compaction planner, whose window
+  *      input is the per-(source, nib) file MANIFEST — nib is one md5
+  *      hex nibble, so a source's window partition holds ≤ 16 rows
+  *      regardless of corpus size).
   *
   * A new query that needs a genuinely new bounded key must add it to the
   * allowlist HERE, with the justification in this scaladoc — that review
@@ -66,7 +69,7 @@ class WindowBoundSpec extends AnyFunSuite {
   /** Metadata keys: an aggregate grouped by one of these (plus the
     * window's own partition keys) emits ≤ numParts rows per window
     * partition (case (d)). */
-  private val metadataKeys = Set("pid", "bucket")
+  private val metadataKeys = Set("pid", "bucket", "nib")
 
   /** Flatten the plan tree, crossing the boundaries `collect` treats as
     * leaves: AQE wrappers and cached (InMemoryRelation) plans. */
@@ -80,12 +83,15 @@ class WindowBoundSpec extends AnyFunSuite {
   }
 
   /** The text defining a projected attribute (`<expr> AS name#id`): the
-    * 80 chars preceding the alias in the plan string — enough to see a
-    * hash function or a literal, without parsing nested expressions. */
+    * 120 chars preceding the alias in the plan string — enough to see a
+    * hash function or a literal, without parsing nested expressions.
+    * (120, not 80: t37's md5-nibble grouping expression is ~80 chars and
+    * grows with attribute-id width — a late-suite 5-digit id pushed the
+    * leading `substring(md5` out of an 80-char window.) */
   private def defOf(planStr: String, attr: String): String = {
     val marker = s" AS $attr#"
     val i = planStr.indexOf(marker)
-    if (i < 0) "" else planStr.substring(math.max(0, i - 80), i)
+    if (i < 0) "" else planStr.substring(math.max(0, i - 120), i)
   }
 
   /** Is this window bounded per the (a)-(d) contract? None when bounded,
@@ -120,10 +126,16 @@ class WindowBoundSpec extends AnyFunSuite {
     if (keyBounded) return None
     // (d) input is an aggregate keyed by (window partition keys + a
     // metadata key): ≤ numParts rows per window partition
+    // a grouping attr is metadata-grade if named so, OR if its defining
+    // expression is a fixed-width hash prefix (substring(md5(..), 1, w):
+    // ≤ 16^w groups per window partition — t37's md5-nibble file key,
+    // which the optimizer renames to _groupingexpression#N)
+    def metaAttr(a: String): Boolean =
+      metadataKeys.contains(a) || defOf(wholePlanStr, a).contains("substring(md5")
     val metadataBounded = below.exists {
       case g: BaseAggregateExec =>
         val gk = g.groupingExpressions.flatMap(_.references.map(_.name)).toSet
-        gk.exists(metadataKeys.contains) && (gk -- metadataKeys -- effective).isEmpty
+        gk.exists(metaAttr) && (gk -- effective).forall(metaAttr)
       case _ => false
     }
     if (metadataBounded) return None
