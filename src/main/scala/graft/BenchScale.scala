@@ -174,7 +174,27 @@ object BenchScale {
       // each corpus row O(tables) times; e06's 2-round Lloyd fit + the
       // nprobe/nlist-fraction probe join are both single-corpus-pass
       // shapes. Empirical rows back the index-shape scale argument.
-      "e04" -> 1, "e06" -> 1
+      "e04" -> 1, "e06" -> 1,
+      // r13 in-round additions, all linear in the exploded tokens for a
+      // fixed qid/term space: t36 (termScored + groupedRank top-10 —
+      // everything after the grank filter is ≤10 rows/query), t37 (one
+      // 16·|sources|-group manifest agg; planning is manifest-sized),
+      // t38 (bigram explode + two bounded-state grouped aggs + partial
+      // top-200). q44/q45 are lineitem/orders-based and sit outside the
+      // documents-derived corpus, like q43.
+      "t36" -> 1, "t37" -> 1, "t38" -> 1,
+      // t39: one grouped bigram count + a 64-row limit-bounded curve —
+      // t11's linear shape plus metadata work. q46/q47/q48 are events/
+      // orders-based, outside the documents-derived corpus like q43.
+      "t39" -> 1,
+      // d26: d02's banded-LSH pair subplan + two source equi-joins + a
+      // |sources|^2-bounded aggregate — linear like d02. t40: groupedRank
+      // exact percentiles (q22's bounded-state shape) + one broadcast-
+      // bounds clip aggregate — two linear passes.
+      "d26" -> 1, "t40" -> 1,
+      // e21: e09's two-round Lloyd (linear passes) + nlist-sized health
+      // aggregates
+      "e21" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

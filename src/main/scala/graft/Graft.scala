@@ -278,6 +278,13 @@ object Graft {
   def vectorRejects(spark: SparkSession, rejectDir: String): DataFrame =
     graft.operators.AnnIvf.rejectSummary(spark, rejectDir)
 
+  /** IVF list-health diagnostics (e21's kernel): per-list sizes/shares
+    * over the integer-exact k-means geometry plus the FAISS-style
+    * imbalance factor (nlist·Σs²/n²) and an empty-list verdict — the
+    * measurement that schedules [[annIvfRebuildIndex]]. */
+  def ivfHealth(spark: SparkSession, emb: DataFrame, nlist: Int = 16): DataFrame =
+    graft.queries.LlmOps.ivfHealthOf(spark, emb, nlist)
+
   def annIvfSaveCentroids(spark: SparkSession, cs: Seq[Array[Double]], path: String): Unit =
     graft.operators.AnnIvf.saveCentroids(spark, cs, path)
   def annIvfLoadCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =
@@ -447,6 +454,39 @@ object Graft {
     * under any skew. */
   def boundedPostings(occ: DataFrame, minDf: Int, maxDf: Int): DataFrame =
     graft.queries.LlmOps.boundedPostings(occ, minDf, maxDf)
+
+  /** Vocabulary coverage curve (t39's kernel): term occurrences → top-k
+    * terms with rank and cumulative share of all occurrences — the
+    * vocab-size-for-X%-coverage curve tokenizer induction starts from. */
+  def vocabCoverage(occ: DataFrame, k: Int): DataFrame =
+    graft.queries.LlmOps.vocabCoverage(occ, k)
+
+  /** Sequential funnel (q46's kernel) over (user_id, event_type, ts_s)
+    * events: per ordered stage, users reached (first stage-k event at or
+    * after their stage-(k-1) entry) and conversion from the previous
+    * stage. No windows — chained conditional-min aggregates. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    graft.queries.Relational.funnel(events, stages)
+
+  /** Join-key skew audit (q47's kernel): group sizes of keyCol, global
+    * population stats, the topK heaviest keys with skew factors — the
+    * measured pre-join routing decision for [[saltedJoin]]/AQE skew. */
+  def skewAudit(df: DataFrame, keyCol: String, topK: Int): DataFrame =
+    graft.queries.Relational.skewAudit(df, keyCol, topK)
+
+  /** Near-dup source overlap matrix (d26's kernel) over (doc_id, text,
+    * source) documents: MinHash pair counts per unordered source pair —
+    * who mirrors whom, and each source's internal dup pressure. */
+  def sourceOverlap(documents: DataFrame): DataFrame =
+    graft.queries.LlmOps.sourceOverlapOf(documents)
+
+  /** Winsorized per-group stats (t40's kernel) over (source, v) with
+    * integer v: exact interpolated [pLo, pHi] clip bounds per source,
+    * tail clip counts, and the winsorized mean — no corpus-sized double
+    * accumulation (exact integer in-range sum + count×bound tails). */
+  def winsorizeStats(spark: SparkSession, df: DataFrame,
+      pLo: Double, pHi: Double): DataFrame =
+    graft.queries.LlmOps.winsorizeStats(spark, df, pLo, pHi)
 
   // ---- bigram LM + gram-set artifacts (the streaming gates' statics) ----
 

@@ -612,6 +612,47 @@ object LlmOps {
       )
       .orderBy("doc_id")
 
+  /** SOURCE OVERLAP MATRIX (d26): the near-dup graph (d02's MinHash
+    * pairs) aggregated to (source_a, source_b) — the provenance
+    * diagnostic that answers "which sources mirror each other, and how
+    * much dup pressure is internal". Within-source rows (source_a ==
+    * source_b) measure self-duplication; cross rows rank mirror
+    * relationships, which drives source-level curation decisions
+    * (drop/downweight a source that is 90% another source's content)
+    * the way d20's domain caps drive domain-level ones.
+    *
+    * Scale: pair generation is d02's banded-LSH subplan (linear, shared,
+    * oracle-verified); the two source lookups are equi-joins against a
+    * 2-column projection of documents; the final aggregate is
+    * |sources|²-bounded. Nothing here is all-pairs. */
+  val d26 = Q(
+    "d26_source_overlap",
+    Some(s"""
+      WITH $minhashPairCtes,
+      src AS (SELECT doc_id, source FROM documents)
+      SELECT LEAST(a.source, b.source) AS source_a,
+             GREATEST(a.source, b.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM mh_pairs p
+      JOIN src a ON p.doc_a = a.doc_id
+      JOIN src b ON p.doc_b = b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  ) { (s, d) =>
+    sourceOverlapOf(Tables.documents(s, d)).orderBy("source_a", "source_b")
+  }
+
+  /** Frame-parameterized body of d26 (facade: Graft.sourceOverlap). */
+  def sourceOverlapOf(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    minhashPairsOf(documents)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Cross-split decontamination report: near-dup pairs (the d02 MinHash
     * graph) whose endpoints land in DIFFERENT t06 train/val/test splits —
     * i.e. eval documents with a near-duplicate in training data. This is
@@ -5708,6 +5749,160 @@ object LlmOps {
           .as("postings")
       )
 
+  // ---- tokenizer vocabulary induction: coverage curve (t39) ----
+
+  /** VOCAB COVERAGE (t39): the tokenizer-design curve — rank phrase
+    * candidates (word bigrams) by occurrence count and emit, per rank,
+    * the cumulative share of ALL phrase occurrences a vocabulary cut at
+    * that rank would cover. The curve answers "how big must the merge
+    * table be for X% coverage" — the sizing question every BPE-style
+    * vocab induction starts from — and its complement at the cut is the
+    * OOV mass. Counts are exact longs; shares are exact-int IEEE
+    * divisions, bit-identical across engines and cluster sizes.
+    *
+    * Scale: one grouped count over the exploded bigrams (map-side
+    * combined — the t11 shape), a 1-row total, and a top-K cut via
+    * partial top-k. The running sum is a window over the ALREADY-CUT
+    * 64-row frame (WindowBoundSpec case (b): limit-bounded input) — the
+    * curve never ranks the full vocabulary through one reducer. */
+  private val vocabCurveK = 64
+  val t39 = Q(
+    "t39_vocab_coverage",
+    Some(s"""
+      WITH ${bigramCtesSql("")},
+      c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      g AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      top AS (SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT $vocabCurveK),
+      r AS (SELECT bigram, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank,
+                   CAST(SUM(n) OVER (ORDER BY n DESC, bigram
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+            FROM top)
+      SELECT rank, bigram, n, cum_n,
+             CAST(n AS DOUBLE) / total AS share,
+             CAST(cum_n AS DOUBLE) / total AS cum_share
+      FROM r CROSS JOIN g ORDER BY rank""")
+  ) { (s, d) =>
+    vocabCoverage(
+      explodeBigrams(
+        Tables.documents(s, d).select(toks(col("text")).as("t")))
+        .select(col("bigram").as("term")),
+      vocabCurveK)
+      .select(col("rank"), col("term").as("bigram"), col("n"), col("cum_n"),
+        col("share"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Vocabulary coverage curve (t39's kernel, reusable): `occ` has one
+    * row per term OCCURRENCE (column `term`); emits the top-k terms by
+    * count with rank, cumulative count, and per-rank/cumulative share of
+    * ALL occurrences. The running sum is a window over the already-cut
+    * k-row frame — never a full-vocabulary single-reducer rank. */
+  def vocabCoverage(occ: DataFrame, k: Int): DataFrame = {
+    val c = occ.groupBy("term").agg(count(lit(1)).as("n"))
+    val g = c.agg(sum(col("n")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    c.orderBy(col("n").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(g))
+      .select(
+        col("rank"), col("term"), col("n"), col("cum_n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("cum_n").cast("double") / col("total")).as("cum_share"))
+  }
+
+  // ---- per-source winsorization at exact quantiles (t40) ----
+
+  /** WINSORIZE (t40): per-source outlier clipping at the exact
+    * interpolated p05/p95 of doc length — the tail-taming pass a
+    * heavy-tailed corpus feature (length, scores, token counts) gets
+    * before it feeds mixing weights or quality thresholds. Emits per
+    * source the clip bounds, how many docs each tail clipped, and the
+    * winsorized mean. The mean is computed WITHOUT summing doubles over
+    * the corpus: the in-range mass is an exact integer sum and the two
+    * clipped tails contribute count × bound — three scalars per source,
+    * so the result is bit-stable at any cluster size and hash-matches
+    * quantile_cont-based DuckDB.
+    *
+    * Scale: the quantiles ride [[graft.operators.Ranks.groupedRank]]
+    * (q22's bounded-state exact-percentile shape — one range exchange,
+    * no per-source reducer); the clip pass is one aggregate against a
+    * broadcast |sources|-row bounds table. */
+  val t40 = Q(
+    "t40_winsorize",
+    Some("""
+      WITH q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                        quantile_cont(n_chars, 0.05) AS p05,
+                        quantile_cont(n_chars, 0.95) AS p95
+                 FROM documents GROUP BY 1),
+      a AS (SELECT d.source,
+                   CAST(SUM(CASE WHEN d.n_chars < q.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(SUM(CASE WHEN d.n_chars > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN d.n_chars >= q.p05 AND d.n_chars <= q.p95
+                            THEN d.n_chars ELSE 0 END) AS BIGINT) AS inner_sum
+            FROM documents d JOIN q USING (source) GROUP BY 1)
+      SELECT a.source, q.n, q.p05, q.p95, a.n_low, a.n_high,
+             (CAST(a.inner_sum AS DOUBLE) + a.n_low * q.p05 + a.n_high * q.p95) / q.n
+               AS win_mean
+      FROM a JOIN q USING (source) ORDER BY a.source""")
+  ) { (s, d) =>
+    winsorizeStats(s,
+      Tables.documents(s, d).select(col("source"), col("n_chars").as("v")),
+      0.05, 0.95)
+      .withColumnRenamed("p_lo", "p05")
+      .withColumnRenamed("p_hi", "p95")
+      .orderBy("source")
+  }
+
+  /** Winsorized per-group stats (t40's kernel, reusable): `df` has
+    * (source, v); returns per source the exact interpolated [pLo, pHi]
+    * clip bounds (quantile_cont semantics — the q22 formula), tail clip
+    * counts, and the winsorized mean, computed from an exact integer
+    * in-range sum plus count×bound tail terms (no corpus-sized double
+    * accumulation). `v` must be integer-typed for the in-range sum to be
+    * exact. */
+  def winsorizeStats(s: SparkSession, df: DataFrame,
+      pLo: Double, pHi: Double): DataFrame = {
+    val counts = df.groupBy("source")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("np"))
+    val ranked = graft.operators.Ranks
+      .groupedRank(
+        df.filter(col("v").isNotNull), "source",
+        s.sparkContext.defaultParallelism, col("v"))
+      .withColumn("rn", col("grank"))
+      .join(broadcast(counts), "source")
+    def h(p: Double): Column = (col("np").cast("double") - 1) * lit(p)
+    def lo(p: Double): Column = min(when(col("rn") === floor(h(p)) + 1, col("v")))
+    def hi(p: Double): Column = min(when(col("rn") === ceil(h(p)) + 1, col("v")))
+    def needed(p: Double): Column =
+      col("rn") === floor(h(p)) + 1 || col("rn") === ceil(h(p)) + 1
+    def interp(loC: Column, hiC: Column, p: Double): Column =
+      when(ceil(h(p)) === floor(h(p)), loC)
+        .otherwise(loC * (ceil(h(p)) - h(p)) + hiC * (h(p) - floor(h(p))))
+    val bounds = ranked
+      .filter(needed(pLo) || needed(pHi))
+      .groupBy(col("source"), col("n"), col("np"))
+      .agg(lo(pLo).as("loL"), hi(pLo).as("hiL"), lo(pHi).as("loH"), hi(pHi).as("hiH"))
+      .select(
+        col("source"), col("n"),
+        interp(col("loL"), col("hiL"), pLo).cast("double").as("p_lo"),
+        interp(col("loH"), col("hiH"), pHi).cast("double").as("p_hi"))
+    df.join(broadcast(bounds), "source")
+      .groupBy(col("source"), col("n"), col("p_lo"), col("p_hi"))
+      .agg(
+        sum(when(col("v") < col("p_lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("p_hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("v") >= col("p_lo") && col("v") <= col("p_hi"), col("v"))
+          .otherwise(0L)).as("inner_sum"))
+      .select(
+        col("source"), col("n"), col("p_lo"), col("p_hi"),
+        col("n_low"), col("n_high"),
+        ((col("inner_sum").cast("double") + col("n_low") * col("p_lo")
+          + col("n_high") * col("p_hi")) / col("n")).as("win_mean"))
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -7425,6 +7620,60 @@ object LlmOps {
     graft.operators.AnnIvf.rejectSummary(s, ledger)
   }
 
+  /** IVF INDEX HEALTH (e21): per-list occupancy diagnostics for the
+    * inverted-file geometry the e06/e18 searches probe — list sizes and
+    * shares, the FAISS-style imbalance factor (nlist · Σ sᵢ² / n²; 1.0 =
+    * perfectly balanced, ≫1 = probe cost concentrated in hot lists), and
+    * an empty-list verdict. This is the measurement that schedules an
+    * index REBUILD (e18's rebuild path): a drifted corpus shows up here
+    * as rising imbalance long before recall gates move. The list
+    * assignment is the integer-exact k-means (e09's kernel), so every
+    * size — and therefore the whole health row set — is bit-identical
+    * cross-engine and re-derived by DuckDB from the raw embeddings.
+    *
+    * Scale: the fit/assign is e09's two-round Lloyd (linear passes, no
+    * driver data beyond nlist centroids); the health aggregates are
+    * nlist-sized. Sizes are exact longs; the factor is one double
+    * division at the end. */
+  val e21 = Q(
+    "e21_ivf_health",
+    Some(s"""
+      WITH ${kmeansCtes(16, 2)},
+      g AS (SELECT CAST(SUM(size) AS BIGINT) AS n,
+                   CAST(MAX(size) AS BIGINT) AS max_size,
+                   CAST(SUM(size * size) AS BIGINT) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM agg)
+      SELECT cluster AS list_id, size,
+             CAST(size AS DOUBLE) / n AS share,
+             CAST(16 AS DOUBLE) * sq / n / n AS imbalance,
+             CAST(max_size AS DOUBLE) / n AS max_share,
+             (n_lists = 16) AS no_empty_lists
+      FROM agg CROSS JOIN g ORDER BY list_id""")
+  ) { (s, d) =>
+    ivfHealthOf(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 16)
+      .orderBy("list_id")
+  }
+
+  /** Frame-parameterized body of e21 (facade: Graft.ivfHealth). */
+  def ivfHealthOf(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
+    val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = nlist, iters = 2)
+    val agg = assigned.groupBy("cluster").agg(count(lit(1)).as("size"))
+    val g = agg.agg(
+      sum(col("size")).as("n"),
+      max(col("size")).as("max_size"),
+      sum(col("size") * col("size")).as("sq"),
+      count(lit(1)).as("n_lists"))
+    agg.crossJoin(broadcast(g))
+      .select(
+        col("cluster").as("list_id"), col("size"),
+        (col("size").cast("double") / col("n")).as("share"),
+        (lit(nlist.toDouble) * col("sq") / col("n") / col("n")).as("imbalance"),
+        (col("max_size").cast("double") / col("n")).as("max_share"),
+        (col("n_lists") === nlist).as("no_empty_lists"))
+  }
+
   /** exampleCosineTopC generalized to a SET of query vectors: per-qid
     * exact top-C with the double-prefilter + exact-decimal re-rank
     * discipline ([[topCCandidates]] — constant-state kth aggregate +
@@ -7460,7 +7709,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }

@@ -1466,10 +1466,230 @@ object Relational {
       .orderBy("c_custkey", "version")
   }
 
+  // ---- ordered funnel analysis (q46) ----
+
+  /** FUNNEL (q46): how many users progress view → click → purchase IN
+    * ORDER — the product-analytics staple sessionization (q36) feeds.
+    * Stage k's entry time is the user's first stage-k event AT OR AFTER
+    * their stage-(k-1) entry (the exact sequential-funnel semantics, not
+    * the min-per-type approximation that counts a click that preceded
+    * every view). Emits one row per stage: users reached + conversion
+    * from the previous stage.
+    *
+    * Scale: NO windows — each stage is one conditional-min aggregate
+    * keyed by user_id, chained through an equi-join on the previous
+    * stage's (user, entry-time) frame: three user-keyed linear shuffles,
+    * each strictly shrinking (stage k's frame ⊆ stage k-1's users). At
+    * 100 TB the events table pre-partitioned by user_id makes every leg
+    * co-located; the final stage counts are three 1-row aggregates
+    * cross-joined broadcast. Conversion ratios are int64/int64 IEEE
+    * division — bit-identical across engines. */
+  val q46 = Q(
+    "q46_funnel",
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+                 FROM events),
+      v AS (SELECT user_id, MIN(ts_s) AS t0 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(ts_s) AS t0 FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_s >= v.t0 GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(ts_s) AS t0 FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_s >= c.t0 GROUP BY 1),
+      n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+                   (SELECT COUNT(*) FROM c) AS nc,
+                   (SELECT COUNT(*) FROM p) AS np)
+      SELECT '1_view' AS stage, nv AS n_users, CAST(1 AS DOUBLE) AS conv FROM n
+      UNION ALL
+      SELECT '2_click', nc,
+             CASE WHEN nv = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(nc AS DOUBLE) / nv END FROM n
+      UNION ALL
+      SELECT '3_purchase', np,
+             CASE WHEN nc = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(np AS DOUBLE) / nc END FROM n
+      ORDER BY stage""")
+  ) { (s, d) =>
+    funnel(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s")),
+      Seq("view", "click", "purchase"))
+      .orderBy("stage")
+  }
+
+  /** Sequential funnel over an events frame (q46's kernel, reusable):
+    * `events` has (user_id, event_type, ts_s); `stages` is the ordered
+    * type list. Stage k's entry time per user is their first stage-k
+    * event at or after the stage-(k-1) entry — exact ordered semantics.
+    * Emits ("<k>_<type>", n_users, conv-from-previous), k 1-based.
+    * Each stage is one conditional-min aggregate chained through a
+    * user-keyed equi-join on a strictly shrinking frame; no windows. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    def stageAfter(prev: DataFrame, evType: String): DataFrame =
+      events.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts_s") >= col("t0"))
+        .groupBy("user_id")
+        .agg(min(col("ts_s")).as("t_next"))
+        .select(col("user_id"), col("t_next").as("t0"))
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts_s")).as("t0"))
+    val perStage = stages.tail.scanLeft(first)(stageAfter)
+    val counts = perStage.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as(s"n$i"))
+    }
+    val n = counts.tail.foldLeft(counts.head)((a, b) => a.crossJoin(broadcast(b)))
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      val conv =
+        if (i == 0) lit(1.0)
+        else when(col(s"n${i - 1}") === 0, 0.0)
+          .otherwise(col(s"n$i").cast("double") / col(s"n${i - 1}"))
+      n.select(lit(s"${i + 1}_$st").as("stage"), col(s"n$i").as("n_users"),
+        conv.as("conv"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  // ---- join-key skew audit (q47) ----
+
+  /** SKEW AUDIT (q47): the pre-join diagnostic a 100 TB shuffle plan
+    * starts from — per candidate join key, its group size against the
+    * key population's shape (max / mean / skew factor), with the top-5
+    * heaviest keys named. A skew factor ≫ 1 on the audit is the signal
+    * to route that join through [[graft.operators.SkewJoin]] (salting)
+    * or AQE's skew split; the audit itself is what makes that a measured
+    * decision instead of a post-mortem.
+    *
+    * Scale: one count-aggregate over the fact table (map-side combined),
+    * then everything downstream is key-population-sized: the global
+    * stats are a 1-row aggregate and the heavy-key cut is a partial
+    * top-k (TakeOrderedAndProject), never a sort of the counts. Ratios
+    * are exact-int IEEE divisions. */
+  val q47 = Q(
+    "q47_skew_audit",
+    Some("""
+      WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1),
+      g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_n,
+                   CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT key, n, n_keys, max_n,
+             CAST(total AS DOUBLE) / n_keys AS avg_n,
+             CAST(n AS DOUBLE) * n_keys / total AS skew
+      FROM c CROSS JOIN g
+      ORDER BY n DESC, key LIMIT 5""")
+  ) { (s, d) =>
+    skewAudit(Tables.orders(s, d), "o_custkey", 5)
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  /** Join-key skew audit (q47's kernel, reusable over any frame): group
+    * sizes of `keyCol`, global population stats, and the `topK` heaviest
+    * keys with their skew factor (group size / mean group size). One
+    * map-side-combined count aggregate over the data; everything after
+    * is key-population-sized with a partial top-k cut. */
+  def skewAudit(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val g = counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"),
+      sum(col("n")).as("total"))
+    counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(g))
+      .select(
+        col("key"), col("n"), col("n_keys"), col("max_n"),
+        (col("total").cast("double") / col("n_keys")).as("avg_n"),
+        (col("n").cast("double") * col("n_keys") / col("total")).as("skew"))
+  }
+
+  // ---- incremental rollup maintenance, gated against full recompute (q48) ----
+
+  /** INCREMENTAL ROLLUP REFRESH (q48): fold a late-arriving batch into a
+    * materialized monthly revenue rollup and PROVE the incremental path
+    * equals a from-scratch recompute, month by month. The snapshot is the
+    * rollup of orders before 2001-01-01; the delta is everything after
+    * (the late batch). The incremental path re-aggregates ONLY the
+    * delta's months and adds them onto the snapshot through one
+    * month-keyed outer merge — at 100 TB that's the difference between
+    * touching a handful of partitions and rescanning years. The gated
+    * verdict `match_ok` compares the merged result against the full
+    * recompute per month (exact DECIMAL revenue, so equality is
+    * bit-meaningful); `touched` marks the months the delta actually hit.
+    *
+    * Scale: snapshot + delta + full are each one map-side-combined
+    * aggregate to ≤ |months| rows; the merge and the audit join are
+    * metadata-sized. In production the snapshot is a persisted artifact
+    * (the SnapshotLog pattern) and only the delta aggregate runs per
+    * refresh; the full-recompute leg exists here as the in-plan gate. */
+  val q48 = Q(
+    "q48_incremental_rollup",
+    Some(s"""
+      WITH snap AS (SELECT date_trunc('month', o_orderdate) AS m,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                    FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1),
+      delta AS (SELECT date_trunc('month', o_orderdate) AS m,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1),
+      merged AS (SELECT COALESCE(s.m, d.m) AS m,
+                        COALESCE(s.n, 0) + COALESCE(d.n, 0) AS n,
+                        COALESCE(s.rev, CAST(0 AS DECIMAL(18,2)))
+                          + COALESCE(d.rev, CAST(0 AS DECIMAL(18,2))) AS rev,
+                        (d.m IS NOT NULL) AS touched
+                 FROM snap s FULL OUTER JOIN delta d ON s.m = d.m),
+      full_r AS (SELECT date_trunc('month', o_orderdate) AS m,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                 FROM orders GROUP BY 1)
+      SELECT CAST(CAST(merged.m AS DATE) AS VARCHAR) AS month,
+             merged.n, CAST(merged.rev AS DOUBLE) AS rev, merged.touched,
+             (merged.n = full_r.n AND merged.rev = full_r.rev) AS match_ok
+      FROM merged JOIN full_r ON merged.m = full_r.m
+      ORDER BY month""")
+  ) { (s, d) =>
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    // rev stays DECIMAL through the merge: snapshot and delta partition
+    // the orders disjointly, so decimal addition makes merged == full
+    // EXACTLY (associativity) — the double cast happens only at the
+    // output boundary, after the match_ok comparison
+    def rollup(src: DataFrame): DataFrame =
+      src
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"), 2)).as("rev"))
+    val orders = Tables.orders(s, d)
+    val snap = rollup(orders.filter(col("o_orderdate") < cutoff))
+    val delta = rollup(orders.filter(col("o_orderdate") >= cutoff))
+    val zeroDec = lit(0).cast("decimal(18,2)")
+    val merged = snap
+      .withColumnRenamed("n", "sn").withColumnRenamed("rev", "srev")
+      .join(
+        delta.withColumnRenamed("n", "dn").withColumnRenamed("rev", "drev")
+          .withColumn("touched", lit(true)),
+        Seq("m"), "full_outer")
+      .select(
+        col("m"),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("srev"), zeroDec) + coalesce(col("drev"), zeroDec)).as("rev"),
+        coalesce(col("touched"), lit(false)).as("touched"))
+    val full = rollup(orders)
+      .withColumnRenamed("n", "fn").withColumnRenamed("rev", "frev")
+    merged
+      .join(full, "m")
+      .select(
+        col("m").cast("date").cast("string").as("month"),
+        col("n"), col("rev").cast("double").as("rev"), col("touched"),
+        (col("n") === col("fn") && col("rev") === col("frev")).as("match_ok"))
+      .orderBy("month")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45
+    q44, q45, q46, q47, q48
   )
 }
