@@ -193,8 +193,11 @@ object BenchScale {
       // bounds clip aggregate — two linear passes.
       "d26" -> 1, "t40" -> 1,
       // e21: e09's two-round Lloyd (linear passes) + nlist-sized health
-      // aggregates
-      "e21" -> 1
+      // aggregates. e22: e01's two-stage exact kernel with the label
+      // equality in the broadcast-join condition — the filter only
+      // shrinks candidate traffic, so linear like e01 for a fixed query
+      // set.
+      "e21" -> 1, "e22" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -278,6 +278,15 @@ object Graft {
   def vectorRejects(spark: SparkSession, rejectDir: String): DataFrame =
     graft.operators.AnnIvf.rejectSummary(spark, rejectDir)
 
+  /** Metadata-filtered exact vector search (e22's kernel): top-k per
+    * query among corpus vectors whose `filterCol` equals the query's —
+    * PRE-filter semantics (true top-k of the filtered set, no
+    * post-filter recall loss). Both frames: (vec_id, embedding,
+    * filterCol). */
+  def annTopKFiltered(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      filterCol: String, k: Int = 5): DataFrame =
+    graft.queries.LlmOps.filteredTopKOf(spark, corpus, queries, filterCol, k)
+
   /** IVF list-health diagnostics (e21's kernel): per-list sizes/shares
     * over the integer-exact k-means geometry plus the FAISS-style
     * imbalance factor (nlist·Σs²/n²) and an empty-list verdict — the

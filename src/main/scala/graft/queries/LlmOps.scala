@@ -7656,6 +7656,78 @@ object LlmOps {
       .orderBy("list_id")
   }
 
+  /** FILTERED VECTOR SEARCH (e22): exact top-k restricted by a metadata
+    * predicate — each query sees only corpus vectors sharing its `label`
+    * (the tenant/category/language filter every production vector search
+    * needs). Semantics are PRE-filter: the predicate joins into the
+    * candidate scan itself, so the k results are the true top-k of the
+    * filtered set — never the post-filter shape (search-then-drop) that
+    * silently returns fewer than k or loses recall when the filter is
+    * selective. Scoring is e01's two-stage kernel (compiled double
+    * cosine over every candidate, constant-state kth boundary, exact
+    * decimal rescore on the margin superset), so every row hash-matches
+    * the DuckDB re-derivation.
+    *
+    * Scale: the label equality rides the broadcast-join condition — the
+    * scan stays one linear corpus pass, and a selective filter only
+    * SHRINKS candidate traffic; at 100 TB a label-partitioned corpus
+    * layout turns it into partition pruning (q44's zone-map story on
+    * the metadata column). */
+  val e22 = Q(
+    "e22_filtered_ann",
+    Some(s"""
+      WITH f AS ($flatSql),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      q AS (SELECT f.vec_id, f.pos, f.v, lab.label FROM f JOIN lab USING (vec_id)
+            WHERE f.vec_id < 10),
+      dot AS (SELECT q.vec_id AS qid, f.vec_id AS vid, ${dprodSql("q.v", "f.v")} AS dot
+              FROM q JOIN f ON q.pos = f.pos AND q.vec_id <> f.vec_id
+                   JOIN lab fl ON f.vec_id = fl.vec_id AND fl.label = q.label
+              GROUP BY qid, vid),
+      cos AS (SELECT qid, vid,
+                ${cosineSql("nq", "nv")} AS cosine
+              FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+      r AS (SELECT qid, vid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS INTEGER) AS rnk
+            FROM cos)
+      SELECT qid, rnk, vid, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    filteredTopKOf(s, emb, emb.filter(col("vec_id") < 10), "label", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Frame-parameterized body of e22 (facade: Graft.annTopKFiltered):
+    * exact pre-filter top-k where a corpus row is a candidate for a
+    * query iff `corpus.filterCol == query.filterCol`. Both frames need
+    * (vec_id, embedding, filterCol). */
+  def filteredTopKOf(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      filterCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dbl = corpus
+      .as("e")
+      .join(
+        broadcast(queries).as("q"),
+        col("q.vec_id") =!= col("e.vec_id") &&
+          col(s"q.$filterCol") === col(s"e.$filterCol"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("e.vec_id").as("vid"),
+        expr("cosine_similarity(q.embedding, e.embedding)").as("dbl"))
+    val cos = topCCandidates(dbl, k)
+      .join(corpus.select(col("vec_id").as("vid"), col("embedding").as("ee")), "vid")
+      .join(
+        broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        "qid")
+      .select(col("qid"), col("vid"), exactCosine(col("qe"), col("ee")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    cos
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vid", "cosine")
+  }
+
   /** Frame-parameterized body of e21 (facade: Graft.ivfHealth). */
   def ivfHealthOf(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
     val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = nlist, iters = 2)
@@ -7710,6 +7782,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }
