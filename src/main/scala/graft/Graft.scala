@@ -670,6 +670,16 @@ object Graft {
   /** Label a stream of (vec_id, embedding) rows with a persisted k-means
     * model — stateless compiled projection, byte-identical to the batch
     * assignment (EventStreamSpec). */
+  /** Streaming sequential funnel (q46's live twin): append-mode
+    * (user, stage, entry) rows, each finalized exactly once when the
+    * watermark passes it; exact under out-of-order arrival (an on-time
+    * earlier-stage event rewinds the downstream chain). */
+  def funnelStream(spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[graft.streaming.EventStream.Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      watermarkSeconds: Long = 1800): org.apache.spark.sql.Dataset[graft.streaming.EventStream.FunnelHit] =
+    graft.streaming.EventStream.funnelStream(spark, events, stages, watermarkSeconds)
+
   def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
     graft.streaming.EventStream.clusterStream(emb, model)
 

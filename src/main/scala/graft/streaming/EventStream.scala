@@ -413,6 +413,13 @@ object EventStream {
   case class SessionState(sessions: List[OpenSession])
   case class UserSession(user_id: Long, n_events: Long, duration_s: Long)
 
+  /** `frozen`: final entry times (epoch s) for stages 1..frozen.length —
+    * all below every future watermark, so immutable. `pending`: per
+    * 0-based stage index, the admissible-window event times (ts ≥
+    * watermark) the unfrozen chain suffix recomputes from. */
+  case class FunnelState(frozen: List[Long], pending: Map[Int, List[Long]])
+  case class FunnelHit(user_id: Long, stage: Int, entry_s: Long)
+
   /** Gap-based sessionization with typed per-key state
     * (flatMapGroupsWithState) — the custom-state streaming primitive the
     * reference's per-job in-memory state machines map onto.
@@ -487,6 +494,90 @@ object EventStream {
           )
         }
         closed.iterator.map(s => UserSession(uid, s.n, s.last - s.first))
+      }
+  }
+
+  /** Streaming sequential funnel — q46's live twin with EXACT batch
+    * semantics under out-of-order arrival. Stage k's entry is the user's
+    * first stage-k event at or after their stage-(k-1) entry; adding an
+    * on-time event can only LOWER entry times (more options), so an
+    * entry is FINAL exactly when the watermark passes it (lowering t_k
+    * needs an event with ts < t_k at some stage ≤ k, and admission needs
+    * ts ≥ watermark — impossible once watermark > t_k). Each advance is
+    * emitted once, as an append-mode (user, stage, entry) row, when it
+    * finalizes; a batch aggregate over the output reproduces q46's
+    * stage counts (spec-pinned against the batch kernel on the same
+    * events).
+    *
+    * State stays bounded by the watermark horizon, not the stream: the
+    * frozen chain is ≤ |stages| longs, and pending holds only events at
+    * or above the watermark (anything below can never lower an entry —
+    * the same admission verdict as [[sessionize]]; in-batch late rows
+    * are dropped with the same policy). Unfrozen entries re-derive from
+    * pending each invocation, so a late-but-admissible earlier-stage
+    * event correctly REWINDS the downstream chain (the case in-arrival-
+    * order state machines get wrong — spec-pinned). */
+  def funnelStream(
+      spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      watermarkSeconds: Long = 1800
+  ): org.apache.spark.sql.Dataset[FunnelHit] = {
+    import spark.implicits._
+    val stageOf = stages.zipWithIndex.toMap
+    val nStages = stages.length
+    events
+      .filter(e => stageOf.contains(e.event_type))
+      .withWatermark("ts", s"$watermarkSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+        val wm = state.getCurrentWatermarkMs() / 1000
+        val prior = state.getOption.getOrElse(FunnelState(Nil, Map.empty))
+        val incoming = batch
+          .flatMap(e => stageOf.get(e.event_type).map(k => (k, e.ts.getTime / 1000)))
+          .filter(_._2 >= wm)
+          .toList
+        val pending0 = incoming.foldLeft(prior.pending) { case (m, (k, t)) =>
+          m.updated(k, t :: m.getOrElse(k, Nil))
+        }
+        // re-derive the unfrozen chain suffix from pending
+        var prev = prior.frozen.lastOption.getOrElse(Long.MinValue)
+        var j = prior.frozen.length
+        val chain = List.newBuilder[Long]
+        var broke = false
+        while (j < nStages && !broke) {
+          val cand = pending0.getOrElse(j, Nil).filter(_ >= prev)
+          if (cand.isEmpty) broke = true
+          else { prev = cand.min; chain += prev; j += 1 }
+        }
+        // final = strictly below the watermark (see scaladoc)
+        val (nowFinal, stillOpen) = chain.result().span(_ < wm)
+        val frozen2 = prior.frozen ++ nowFinal
+        // events below the watermark can never be selected again: a
+        // selected-and-final entry is consumed, and any other sub-wm
+        // event would need a future chain entry below wm to its left —
+        // which admission forbids. Prune them. A COMPLETED funnel needs
+        // no candidates at all — but its frozen chain must persist: the
+        // state is the only record that this user already converted, and
+        // removing it would let a later on-time event replay the whole
+        // funnel as fresh emissions (caught by the batch-parity spec).
+        val pending2 =
+          if (frozen2.length == nStages) Map.empty[Int, List[Long]]
+          else pending0
+            .map { case (k, ts) => k -> ts.filter(_ >= wm) }
+            .filter(_._2.nonEmpty)
+        state.update(FunnelState(frozen2, pending2))
+        // wake when the watermark passes the earliest unfrozen entry
+        stillOpen.headOption.foreach { t =>
+          state.setTimeoutTimestamp(
+            math.max(t * 1000 + 1, state.getCurrentWatermarkMs() + 1))
+        }
+        nowFinal.zipWithIndex.iterator.map { case (t, i) =>
+          FunnelHit(uid, prior.frozen.length + i + 1, t)
+        }
       }
   }
 
