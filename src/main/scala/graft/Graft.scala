@@ -266,9 +266,17 @@ object Graft {
 
   /** Re-train + rewrite the index over its current stored vectors — the
     * drift-cadence compaction analog; quantizer and assignments flip in
-    * one commit, the replay-skip marker carries through. */
+    * one commit, the replay-skip marker carries through. Purges
+    * tombstoned vectors and clears the delete ledger. */
   def annIvfRebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit =
     graft.operators.AnnIvf.rebuildIndex(spark, path, nlist)
+
+  /** Tombstone ids out of a persisted IVF index (the takedown/GDPR
+    * primitive): a metadata-only ledger commit — deletes are visible to
+    * the next search immediately, the vector files are untouched until
+    * rebuild/compaction reclaims them. `ids` needs a vec_id column. */
+  def annIvfDelete(spark: SparkSession, ids: DataFrame, path: String): Unit =
+    graft.operators.AnnIvf.deleteFromIndex(spark, ids, path)
 
   /** What the vector ingest rejected, why, and at what rate: one row per
     * (batch_id, reason) over a reject ledger written by ivfIngest /
@@ -488,6 +496,34 @@ object Graft {
     * who mirrors whom, and each source's internal dup pressure. */
   def sourceOverlap(documents: DataFrame): DataFrame =
     graft.queries.LlmOps.sourceOverlapOf(documents)
+
+  /** Weekly cohort retention (q49's kernel) over (user_id, ts) events:
+    * the (cohort_week, week_offset) triangle with distinct-user counts
+    * and retention ratios. User-keyed aggregates + one broadcast of the
+    * cohort-size table; no windows, no range joins. */
+  def cohortRetention(events: DataFrame): DataFrame =
+    graft.queries.Relational.cohortRetention(events)
+
+  /** Rolling DAU/WAU (q50's kernel) over (user_id, ts) events: per day,
+    * distinct users that day and over the trailing `windowDays`, plus
+    * the stickiness ratio. Dedup + constant-fan-out explode instead of a
+    * range join or a corpus-wide RANGE window. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame =
+    graft.queries.Relational.rollingActive(events, windowDays)
+
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions (t41's kernel) over (source, text) docs — the
+    * distribution-drift twin of [[sourceOverlap]]'s document-level
+    * matrix. Pairs sharing no vocabulary emit no row (js would be ln2). */
+  def sourceDivergence(docs: DataFrame): DataFrame =
+    graft.queries.LlmOps.sourceDivergence(docs)
+
+  /** BPE merge-pair statistics (t42's kernel): top-k frequency-weighted
+    * adjacent character pairs over the corpus's word-frequency
+    * dictionary — the first tokenizer-training iteration, vocab-sized
+    * after the first aggregate. */
+  def bpeMergePairs(docs: DataFrame, topK: Int): DataFrame =
+    graft.queries.LlmOps.bpeMergePairs(docs, topK)
 
   /** Winsorized per-group stats (t40's kernel) over (source, v) with
     * integer v: exact interpolated [pLo, pHi] clip bounds per source,

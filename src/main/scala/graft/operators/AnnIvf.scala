@@ -262,6 +262,41 @@ object AnnIvf {
       resolved = Some(snap), addedRows = Some(added))
   }
 
+  /** The index's live tombstone ledger: the union of every committed
+    * tombstone directory (empty frame if none) — one `vec_id` per
+    * deleted vector. Ledger-sized, never corpus-sized. */
+  private[graft] def tombstoneIds(
+      spark: SparkSession, path: String, snap: SnapshotLog.Snapshot): DataFrame =
+    snap.tables.getOrElse("tombstones", Nil) match {
+      case Nil => spark.range(0).select(col("id").as("vec_id"))
+      case tags =>
+        tags.map(t => spark.read.parquet(L.dataDir(path, "tombstones", t)))
+          .reduce(_ unionByName _).select(col("vec_id").cast("long"))
+    }
+
+  /** DELETE from a persisted index without touching a vector file — the
+    * FAISS IDSelector / Lucene deleted-docs model: the ids land as a new
+    * immutable tombstone directory and ONE manifest PUT makes them
+    * visible; every subsequent [[searchIndex]] excludes them before
+    * scoring. The physical rows stay (the `rows` audit is untouched)
+    * until the next [[rebuildIndex]] or [[compactIndex]], which purge
+    * tombstoned vectors and clear the ledger — the merge-reclaims model.
+    * Cost: linear in the delete batch, never in the corpus; a torn
+    * tombstone write is unreferenced and invisible (the appendIndex
+    * crash discipline). This is the takedown/GDPR primitive a 100 TB
+    * vector store cannot run without: a full rebuild per delete batch
+    * would be a corpus rewrite. */
+  def deleteFromIndex(spark: SparkSession, ids: DataFrame, path: String): Unit = {
+    val snap = L.current(spark, path, IndexKind)
+    val v = L.nextVersion(spark, path)
+    val tag = s"tombstones-v$v"
+    ids.select(col("vec_id").cast("long")).distinct()
+      .write.mode("overwrite").parquet(L.dataDir(path, "tombstones", tag))
+    commitIndex(spark, path, v,
+      snap.tables + ("tombstones" -> (snap.tables.getOrElse("tombstones", Nil) :+ tag)),
+      resolved = Some(snap), addedRows = Some(0L))
+  }
+
   /** Re-train + rewrite the index over its CURRENT stored vectors — the
     * compaction analog for IVF (run on the deployment's drift cadence:
     * appends against a frozen quantizer degrade recall as the data
@@ -279,7 +314,13 @@ object AnnIvf {
     val snap = L.current(spark, path, IndexKind)
     val tags = snap.tables.getOrElse("vectors", Nil)
     require(tags.nonEmpty, s"IVF index at $path references no vector directories")
-    val vectors = readVectors(spark, path, tags).select("vec_id", "embedding")
+    // purge tombstoned vectors (deleteFromIndex's reconciliation point):
+    // the rewrite is already O(store), the anti-join adds one ledger-sized
+    // side; buildIndex's fresh commit references no tombstone dirs, so the
+    // ledger clears atomically with the same manifest PUT
+    val vectors = readVectors(spark, path, tags)
+      .select("vec_id", "embedding")
+      .join(tombstoneIds(spark, path, snap), Seq("vec_id"), "left_anti")
     buildIndex(spark, vectors, path, nlist, retain)
   }
 
@@ -311,14 +352,20 @@ object AnnIvf {
     val snap = L.current(spark, path, IndexKind)
     val tags = snap.tables.getOrElse("vectors", Nil)
     require(tags.nonEmpty, s"IVF index at $path references no vector directories")
-    if (tags.length > 1) {
+    // also the space-reclaim point for tombstoned vectors (the Lucene
+    // merge model): purging changes no search result — search already
+    // excluded them — it only drops dead rows and clears the ledger
+    val hasTombstones = snap.tables.getOrElse("tombstones", Nil).nonEmpty
+    if (tags.length > 1 || hasTombstones) {
       val v = L.nextVersion(spark, path)
       val tag = s"compact-v$v"
       readVectors(spark, path, tags)
+        .join(tombstoneIds(spark, path, snap), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
       commitIndex(spark, path, v,
-        snap.tables + ("vectors" -> Seq(tag)), resolved = Some(snap))
+        snap.tables + ("vectors" -> Seq(tag)) - "tombstones",
+        resolved = Some(snap))
       L.gc(spark, path, IndexKind, retain)
     }
   }
@@ -630,7 +677,16 @@ object AnnIvf {
       )
     val probed = queryProbes.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq // metadata: <= queries x nprobe ints
-    val pruned = vectors.filter(col("cluster").isin(probed: _*))
+    // deletes are visible immediately: anti-join the tombstone ledger
+    // (ledger-sized — Catalyst broadcasts it off its parquet stats while
+    // it fits, falls back to a shuffled anti-join for a delete-heavy
+    // store; either way the probe-pruned candidate side stays pruned).
+    // A ledger-free snapshot — the common case — skips the join: the
+    // hot search plan is unchanged when nothing was ever deleted.
+    val candidates = vectors.filter(col("cluster").isin(probed: _*))
+    val pruned =
+      if (snap.tables.getOrElse("tombstones", Nil).isEmpty) candidates
+      else candidates.join(tombstoneIds(spark, path, snap), Seq("vec_id"), "left_anti")
     val scored = pruned
       .join(broadcast(queryProbes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))

@@ -5903,6 +5903,135 @@ object LlmOps {
           + col("n_high") * col("p_hi")) / col("n")).as("win_mean"))
   }
 
+  // ---- corpus drift: pairwise source divergence (t41) ----
+
+  /** ln(2) as the exact double both engines' libm returns — written as a
+    * literal so neither side's `ln(2)` call is in the compared path. */
+  private val Ln2 = 0.6931471805599453d
+
+  /** SOURCE DIVERGENCE MATRIX (t41): Jensen-Shannon divergence between
+    * every pair of per-source unigram token distributions — the corpus
+    * drift/mixture diagnostic (did the new crawl shift the distribution?
+    * which sources are near-duplicates distribution-wise, before any
+    * document-level dedup?). Complements d26: that counts shared
+    * near-dup PAIRS, this measures distribution-level distance even when
+    * no individual document matches.
+    *
+    * Exactness across engines: JS(P,Q) = ln2 + 0.5·Σ_tok [p·ln(p/(p+q))
+    * + q·ln(q/(p+q))] with 0·ln0 = 0 — tokens present in only ONE source
+    * contribute exactly 0 to the sum (p·ln(p/p)), so the inner equi-join
+    * on tok is the complete sum: no full-outer join, no missing-token
+    * bookkeeping. p and q are exact-integer ratios evaluated in the same
+    * double sequence on both engines; each per-token term is quantized
+    * to DECIMAL(28,9) and summed exactly (order-independent), then the
+    * closed form re-attaches ln2 as a shared literal. Same accepted
+    * 1-ulp-ln residual as BM25 (t13), documented there. A pair with NO
+    * shared tokens emits no row (the inner join is empty): absence reads
+    * as "maximally divergent, js would be ln2" — the matrix is over
+    * pairs that share vocabulary, mirrored exactly by the oracle.
+    *
+    * Scale: per-(source,tok) counts are one corpus pass; totals are
+    * |sources| rows (broadcast); the pair join is tok-keyed equi — the
+    * per-token fan-out is |sources|² at worst but only for tokens shared
+    * across sources, and the output is |sources|² rows. Nothing is
+    * all-pairs at the document level. */
+  val t41 = Q(
+    "t41_source_divergence",
+    Some(s"""
+      WITH oc AS (SELECT source, UNNEST($toksSql) AS tok FROM documents),
+      c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM oc GROUP BY 1, 2),
+      t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tt FROM c GROUP BY 1),
+      j AS (SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(a.cnt AS DOUBLE) / ta.tt AS p,
+                   CAST(b.cnt AS DOUBLE) / tb.tt AS q
+            FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+            JOIN t ta ON a.source = ta.source
+            JOIN t tb ON b.source = tb.source)
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+             $Ln2 + 0.5 * CAST(SUM(CAST(p * ln(p / (p + q)) + q * ln(q / (p + q))
+                                        AS DECIMAL(28,9))) AS DOUBLE) AS js
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2""")
+  ) { (s, d) =>
+    sourceDivergence(
+      Tables.documents(s, d).select(col("source"), col("text")))
+  }
+
+  /** t41's kernel: pairwise JS divergence between per-`source` unigram
+    * distributions of `docs` (source, text). See t41 for the exactness
+    * and scale contract. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("source").agg(sum(col("cnt")).as("tt"))
+    val a = c.as("a").join(broadcast(t).as("ta"), col("a.source") === col("ta.source"))
+      .select(col("a.source").as("source_a"), col("a.tok").as("tok"),
+        (col("a.cnt").cast("double") / col("ta.tt")).as("p"))
+    val b = c.as("b").join(broadcast(t).as("tb"), col("b.source") === col("tb.source"))
+      .select(col("b.source").as("source_b"), col("b.tok").as("tok"),
+        (col("b.cnt").cast("double") / col("tb.tt")).as("q"))
+    val term = (col("p") * log(col("p") / (col("p") + col("q")))
+      + col("q") * log(col("q") / (col("p") + col("q"))))
+      .cast(DecimalType(28, 9))
+    a.join(b, Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        (lit(Ln2) + lit(0.5) * sum(term).cast("double")).as("js"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---- tokenizer training: BPE merge-pair statistics (t42) ----
+
+  /** BPE MERGE-PAIR STATISTICS (t42): the most frequent adjacent
+    * character pairs over the corpus's word-frequency dictionary — the
+    * first iteration of byte-pair-encoding tokenizer training (Sennrich
+    * et al. 2016), and the statistic a tokenizer-health audit recomputes
+    * over each new corpus snapshot. Pair counts are weighted by word
+    * frequency, the exact BPE objective.
+    *
+    * Scale: the corpus collapses to its word-frequency dictionary first
+    * (vocabulary-sized — bounded by the language, not the corpus), so
+    * the pair explosion runs over |vocab| × avg-word-length rows, not
+    * corpus tokens. Pair generation is an exploded index sequence +
+    * substr — plain codegen'd expressions, no interpreted lambda (the
+    * explodedShingles rationale). Top-k is a TakeOrderedAndProject:
+    * per-partition partial top-k, no global sort. Ties break on the pair
+    * itself for determinism. */
+  val t42 = Q(
+    "t42_bpe_pairs",
+    Some(s"""
+      WITH w AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+      p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+            FROM (SELECT w, f, UNNEST(range(1, length(w))) AS i FROM wf
+                  WHERE length(w) >= 2))
+      SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""")
+  ) { (s, d) =>
+    bpeMergePairs(
+      Tables.documents(s, d).select(col("text")), topK = 20)
+  }
+
+  /** t42's kernel: top-`topK` frequency-weighted adjacent char pairs
+    * over `docs`(text)'s word-frequency dictionary. */
+  def bpeMergePairs(docs: DataFrame, topK: Int): DataFrame = {
+    val wf = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("f"))
+      .groupBy("pair")
+      .agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -7728,6 +7857,71 @@ object LlmOps {
       .select("qid", "rnk", "vid", "cosine")
   }
 
+  /** Per-qid "no tombstoned id surfaced" verdict: TRUE iff none of the
+    * query's approx results is in `deleted`. Factored out so the
+    * poisoned-path spec can prove the verdict CAN read false (the
+    * RecallGateSpec discipline applied to the delete gate). */
+  private[graft] def noDeletedVerdict(
+      queries: DataFrame, // vec_id
+      approx: DataFrame, // qid, vid
+      deleted: DataFrame // vec_id
+  ): DataFrame = {
+    val hit = approx
+      .join(deleted.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__hits"))
+    queries
+      .select(col("vec_id").cast("long").as("qid"))
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), (coalesce(col("__hits"), lit(0L)) === 0L).as("no_deleted_ok"))
+  }
+
+  /** ANN WITH DELETES (e23): the takedown/GDPR path of a persisted
+    * vector store — build the IVF index, tombstone every `vec_id % 7 = 0`
+    * vector ([[graft.operators.AnnIvf.deleteFromIndex]]: a metadata-only
+    * ledger commit, no vector rewrite), then search THROUGH the
+    * tombstones. The emission is the oracle-pinnable verdict surface:
+    * per qid, the exact-side k (pinned by the oracle from non-deleted
+    * counts), no_deleted_ok (no tombstoned id may surface — the delete
+    * contract itself), and the e07-style recall gate of the tombstoned
+    * search against the exact top-k over the NON-DELETED corpus (the
+    * exact side reuses e22's kernel with a constant filter column).
+    * Physical purge + ledger clearing at rebuild/compaction is pinned by
+    * AnnDeleteSpec, not here (it's not SQL-observable).
+    *
+    * Scale: the delete is ledger-sized; the search pays one extra
+    * anti-join against the ledger; the exact side is e01's two-stage
+    * broadcast scan. Nothing rewrites the corpus. */
+  val e23 = Q(
+    "e23_ann_deletes",
+    Some("""
+      WITH nd AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 7 <> 0)
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             CAST(LEAST(5, n - CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             TRUE AS no_deleted_ok, TRUE AS recall_floor_ok, TRUE AS recall_ok
+      FROM embeddings CROSS JOIN nd WHERE vec_id < 10 ORDER BY qid""")
+  ) { (s, d) =>
+    val A = graft.operators.AnnIvf
+    val dir = scratchDir("e23", d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val deleted = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val idx = s"$dir/ivf_del"
+    A.buildIndex(s, emb, idx, nlist = 16)
+    A.deleteFromIndex(s, deleted, idx)
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = A.searchIndex(s, idx, queries, k = 5, nprobe = 8)
+      .select(col("qid"), col("vid"))
+    // exact top-k over the non-deleted corpus: e22's kernel under a
+    // constant filter column (equality on lit(1) = no filter)
+    val live = emb.filter(col("vec_id") % 7 =!= 0).withColumn("__all", lit(1))
+    val exact = filteredTopKOf(s, live, queries.withColumn("__all", lit(1)), "__all", 5)
+      .select(col("qid"), col("vid"))
+    // floor 0.2 / mean 0.4: nprobe=8 of nlist=16 — e07's measured bars
+    recallGate(exact, approx, 0.4, floor = 0.2)
+      .join(noDeletedVerdict(queries.select("vec_id"), approx, deleted), Seq("qid"))
+      .select("qid", "k", "no_deleted_ok", "recall_floor_ok", "recall_ok")
+      .orderBy("qid")
+  }
+
   /** Frame-parameterized body of e21 (facade: Graft.ivfHealth). */
   def ivfHealthOf(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
     val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = nlist, iters = 2)
@@ -7782,6 +7976,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
 }

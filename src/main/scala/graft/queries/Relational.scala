@@ -1686,10 +1686,120 @@ object Relational {
       .orderBy("month")
   }
 
+  // ---- weekly cohort retention (q49) ----
+
+  /** COHORT RETENTION (q49): users grouped by the week of their FIRST
+    * event (the cohort), then counted in every later week they return —
+    * the (cohort_week, week_offset) triangle every product-analytics and
+    * data-freshness dashboard draws. Retention is n_users / cohort size;
+    * offset 0 is the cohort itself (retention 1.0 by construction).
+    *
+    * Scale: cohort assignment is one user-keyed aggregate; the event
+    * stream re-joins it on user_id (co-partitioned with the agg's own
+    * exchange), dedups to (user, cohort, offset) — the per-user row count
+    * is bounded by the number of distinct weeks, not events — and the
+    * final aggregate is |cohorts| × |offsets| rows, metadata-sized at any
+    * corpus age. Cohort sizes re-attach by broadcast. No windows, no
+    * range joins. Retention is int64/int64 IEEE division — bit-identical
+    * across engines. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = e.groupBy("user_id").agg(min(col("w")).as("cw"))
+    val visits = e.join(first, "user_id")
+      .select(
+        col("user_id"), col("cw"),
+        (datediff(to_date(col("w")), to_date(col("cw"))) / 7)
+          .cast("int").as("week_offset"))
+      .distinct()
+    val cohortN = first.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+    visits
+      .groupBy("cw", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(cohortN), "cw")
+      .select(
+        col("cw").cast("date").cast("string").as("cohort_week"),
+        col("week_offset"),
+        col("n_users"),
+        (col("n_users").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q49 = Q(
+    "q49_cohort_retention",
+    Some("""
+      WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+      f AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY 1),
+      r AS (SELECT DISTINCT e.user_id, cw,
+                   CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7 AS INTEGER) AS week_offset
+            FROM e JOIN f USING (user_id)),
+      c AS (SELECT cw, COUNT(*) AS cohort_n FROM f GROUP BY 1)
+      SELECT CAST(CAST(r.cw AS DATE) AS VARCHAR) AS cohort_week, week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(cohort_n) AS retention
+      FROM r JOIN c ON r.cw = c.cw
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  ) { (s, d) =>
+    cohortRetention(Tables.events(s, d))
+  }
+
+  // ---- rolling 7-day active users (q50) ----
+
+  /** ROLLING ACTIVES (q50): per day, the distinct users active that day
+    * (DAU) and over the trailing 7 days (WAU), plus the DAU/WAU
+    * stickiness ratio — the engagement surface every events pipeline
+    * reports.
+    *
+    * Scale: the naive plan is a range join (days × 7-day event windows)
+    * or a RANGE window over the whole stream — both rejected here. This
+    * plan dedups to (day, user) pairs — linear — then EXPLODES each pair
+    * into the ≤7 target days it can contribute to (day+0 … day+6), semi
+    * joins against the observed-day list (broadcast: bounded by corpus
+    * age in days, metadata-sized), and counts distinct users per target
+    * day: two linear user-keyed shuffles with a constant 7× fan-out, no
+    * window, no range join. Stickiness is int64/int64 IEEE division. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pairs = events
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("day")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .withColumn("k", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(expr("date_add(day, k)").as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(
+        col("day").cast("string").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val q50 = Q(
+    "q50_rolling_active",
+    Some("""
+      WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY 1),
+      wau AS (SELECT t.day, COUNT(DISTINCT p.user_id) AS wau
+              FROM (SELECT DISTINCT day FROM p) t
+              JOIN p ON p.day BETWEEN t.day - 6 AND t.day
+              GROUP BY 1)
+      SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau,
+             CAST(dau AS DOUBLE) / wau AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY day""")
+  ) { (s, d) =>
+    rollingActive(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48
+    q44, q45, q46, q47, q48, q49, q50
   )
 }
