@@ -197,7 +197,16 @@ object BenchScale {
       // equality in the broadcast-join condition — the filter only
       // shrinks candidate traffic, so linear like e01 for a fixed query
       // set.
-      "e21" -> 1, "e22" -> 1
+      "e21" -> 1, "e22" -> 1,
+      // r13 continuation: t41 (per-(source,tok) counts + a tok-keyed
+      // equi-join whose fan-out is |sources|-bounded per token +
+      // |sources|^2 output), t42 (word-freq dict first — the pair
+      // explosion runs over the vocab, which grows ~linearly under the
+      // per-replica bijection — + partial top-k), e23 (e06's build +
+      // ledger-sized delete + probe-join search + e01's two-stage exact
+      // side for the fixed qid set — every leg single-corpus-pass).
+      // q49/q50 are events-based, outside the derived corpus like q46.
+      "t41" -> 1, "t42" -> 1, "e23" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -525,6 +525,21 @@ object Graft {
   def bpeMergePairs(docs: DataFrame, topK: Int): DataFrame =
     graft.queries.LlmOps.bpeMergePairs(docs, topK)
 
+  /** Market-basket association (q51's kernel) over (basket, item) rows:
+    * top-k co-occurring item pairs with support / confidence / lift.
+    * Pair generation self-joins on the basket key — per-basket C(n,2),
+    * never corpus². */
+  def basketLift(baskets: DataFrame, topK: Int = 20): DataFrame =
+    graft.queries.Relational.basketLift(baskets, topK)
+
+  /** Time-series gap fill + last-observation-carried-forward (q52's
+    * kernel) over (user_id, ts, value) events: the dense per-user daily
+    * series with missing days materialized and the last reading carried
+    * forward. Day explosion is span-bounded; the LOCF window partitions
+    * by user, never globally. */
+  def gapFillLocf(events: DataFrame): DataFrame =
+    graft.queries.Relational.gapFillLocf(events)
+
   /** Winsorized per-group stats (t40's kernel) over (source, v) with
     * integer v: exact interpolated [pLo, pHi] clip bounds per source,
     * tail clip counts, and the winsorized mean — no corpus-sized double

@@ -1796,10 +1796,127 @@ object Relational {
     rollingActive(Tables.events(s, d))
   }
 
+  // ---- market-basket association (q51) ----
+
+  /** MARKET-BASKET LIFT (q51): part pairs that co-occur in the same
+    * order, with support / confidence / lift — the association-rule
+    * mining staple (recommendations, assortment analysis). Emits the
+    * top-20 pairs by co-occurrence count.
+    *
+    * Scale: pair generation is a SELF-JOIN ON THE BASKET KEY
+    * (co-partitioned equi-join on l_orderkey), so the blow-up is
+    * per-basket C(n,2) — bounded by basket size squared, never
+    * corpus², and the a < b condition halves it. Per-part basket
+    * counts are one grouped pass; the final metrics re-attach them by
+    * partkey equi-joins; top-k is a TakeOrderedAndProject. All counts
+    * are exact integers; support/confidence/lift are IEEE divisions in
+    * a fixed evaluation order, bit-identical across engines. */
+  def basketLift(baskets: DataFrame, topK: Int = 20): DataFrame = {
+    val bp = baskets.select(col("basket"), col("item")).distinct()
+    val n = bp.select(col("basket")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val ic = bp.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = bp.as("a")
+      .join(bp.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(ic.select(col("item").as("item_a"), col("c").as("c_a")), "item_a")
+      .join(ic.select(col("item").as("item_b"), col("c").as("c_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_baskets")).as("support"),
+        (col("n_ab").cast("double") / col("c_a")).as("confidence"),
+        (col("n_ab").cast("double") * col("n_baskets") / (col("c_a") * col("c_b")))
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  val q51 = Q(
+    "q51_basket_lift",
+    Some("""
+      WITH bp AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM bp),
+      ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM bp GROUP BY 1),
+      p AS (SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bp a JOIN bp b ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2)
+      SELECT item_a, item_b, n_ab,
+             CAST(n_ab AS DOUBLE) / n_baskets AS support,
+             CAST(n_ab AS DOUBLE) / ca.c AS confidence,
+             CAST(n_ab AS DOUBLE) * n_baskets / (ca.c * cb.c) AS lift
+      FROM p JOIN ic ca ON item_a = ca.item JOIN ic cb ON item_b = cb.item
+      CROSS JOIN n
+      ORDER BY n_ab DESC, item_a, item_b LIMIT 20""")
+  ) { (s, d) =>
+    basketLift(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")))
+  }
+
+  // ---- time-series gap fill + LOCF (q52) ----
+
+  /** GAP FILL + LOCF (q52): per user, the dense daily series from their
+    * first to last active day, with missing days materialized and the
+    * last observed reading carried forward — the time-series
+    * regularization step every metrics/feature pipeline runs before
+    * joining daily grains. Emits (user_id, day, observed, v).
+    *
+    * Scale: the day explosion is per-user span-bounded (sequence over
+    * [first, last] — calendar-sized, not event-sized); the LOCF window
+    * is PARTITIONED BY user (thousands of parallel partitions, each a
+    * few hundred rows), never a global window — WindowBoundSpec's
+    * standing rule. The daily reading is MAX(value) that day (a
+    * deterministic reducer); the first day is observed by construction,
+    * so no leading null survives. */
+  def gapFillLocf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(max(col("value")).as("obs"))
+    val span = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day").cast("string").as("day"),
+        col("obs").isNotNull.as("observed"),
+        last(col("obs"), ignoreNulls = true).over(w).as("v"))
+      .orderBy("user_id", "day")
+  }
+
+  val q52 = Q(
+    "q52_gap_fill_locf",
+    Some("""
+      WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS obs
+                     FROM events GROUP BY 1, 2),
+      span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      dense AS (SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+                FROM span)
+      SELECT dense.user_id, CAST(dense.day AS VARCHAR) AS day,
+             daily.obs IS NOT NULL AS observed,
+             last_value(daily.obs IGNORE NULLS) OVER (
+               PARTITION BY dense.user_id ORDER BY dense.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM dense LEFT JOIN daily
+        ON dense.user_id = daily.user_id AND dense.day = daily.day
+      ORDER BY dense.user_id, day""")
+  ) { (s, d) =>
+    gapFillLocf(Tables.events(s, d).select(col("user_id"), col("ts"), col("value")))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50
+    q44, q45, q46, q47, q48, q49, q50, q51, q52
   )
 }
