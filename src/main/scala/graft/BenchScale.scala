@@ -206,7 +206,12 @@ object BenchScale {
       // ledger-sized delete + probe-join search + e01's two-stage exact
       // side for the fixed qid set — every leg single-corpus-pass).
       // q49/q50 are events-based, outside the derived corpus like q46.
-      "t41" -> 1, "t42" -> 1, "e23" -> 1
+      "t41" -> 1, "t42" -> 1, "e23" -> 1,
+      // t43: the shared shingle explode + a distinct + grouped MIN per
+      // gram + a 4-row batch aggregate — vocabulary-bounded after the
+      // distinct, like t39. q51/q52/q53 are lineitem/events-based,
+      // outside the derived corpus.
+      "t43" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

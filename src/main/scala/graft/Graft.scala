@@ -540,6 +540,19 @@ object Graft {
   def gapFillLocf(events: DataFrame): DataFrame =
     graft.queries.Relational.gapFillLocf(events)
 
+  /** First-order event transition matrix (q53's kernel) over
+    * (user_id, event_id, ts, event_type) events: per-user consecutive
+    * pairs aggregated to counts + row-normalized probabilities. The lag
+    * window partitions by user, never globally. */
+  def transitionMatrix(events: DataFrame): DataFrame =
+    graft.queries.Relational.transitionMatrix(events)
+
+  /** Per-batch n-gram novelty (t43's kernel) over (doc_id, text) docs:
+    * doc_id-quantile batches, distinct word-3-gram counts, and the
+    * fraction first seen in each batch — the crawl-saturation curve. */
+  def gramNovelty(docs: DataFrame, nBatches: Int = 4): DataFrame =
+    graft.queries.LlmOps.gramNovelty(docs, nBatches)
+
   /** Winsorized per-group stats (t40's kernel) over (source, v) with
     * integer v: exact interpolated [pLo, pHi] clip bounds per source,
     * tail clip counts, and the winsorized mean — no corpus-sized double

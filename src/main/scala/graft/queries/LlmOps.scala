@@ -6032,6 +6032,60 @@ object LlmOps {
       .limit(topK)
   }
 
+  // ---- corpus saturation: per-batch n-gram novelty (t43) ----
+
+  /** N-GRAM NOVELTY RATE (t43): split the corpus into four arrival
+    * batches (doc_id quartiles — the ingest-order proxy) and report, per
+    * batch, how many of its distinct word 3-grams were never seen in an
+    * earlier batch. A decaying novelty curve is the crawl-saturation
+    * signal ("each new crawl adds less") every corpus-growth decision
+    * reads; a flat curve near 1.0 means the source is nowhere near
+    * mined out. The streaming twin of this question is d08's
+    * incremental-dedup admission; this is the corpus-level statistic.
+    *
+    * Scale: one shingle explode (the shared docShingles generator), one
+    * distinct, one grouped MIN per gram, one batch-keyed aggregate —
+    * all linear, vocabulary-bounded after the distinct. Novelty is
+    * int64/int64 IEEE division. Batch 0's novelty is 1.0 by
+    * construction (every gram is first-seen). */
+  val t43 = Q(
+    "t43_gram_novelty",
+    Some(s"""
+      WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+      dg AS (SELECT DISTINCT CAST(LEAST(3, CAST(FLOOR(doc_id * 4.0 / nd) AS INTEGER)) AS INTEGER) AS batch, sh
+             FROM ($docShinglesSql) CROSS JOIN n),
+      fb AS (SELECT sh, MIN(batch) AS b0 FROM dg GROUP BY 1)
+      SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN b0 = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN b0 = batch THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+      FROM dg JOIN fb USING (sh)
+      GROUP BY batch ORDER BY batch""")
+  ) { (s, d) => gramNovelty(Tables.documents(s, d), nBatches = 4) }
+
+  /** t43's kernel over any (doc_id, text) frame: per doc_id-quantile
+    * batch, the distinct word-3-gram count and the fraction first seen
+    * in that batch. */
+  def gramNovelty(docs: DataFrame, nBatches: Int): DataFrame = {
+    require(nBatches >= 1, "nBatches must be >= 1")
+    val nd = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val dg = explodedShinglesOf(docs).distinct()
+      .crossJoin(nd)
+      .select(
+        least(lit(nBatches - 1), floor(col("doc_id") * nBatches.toDouble / col("nd")))
+          .cast("int").as("batch"),
+        col("sh"))
+      .distinct()
+    val fb = dg.groupBy("sh").agg(min(col("batch")).as("b0"))
+    dg.join(fb, "sh")
+      .groupBy("batch")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("b0") === col("batch"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("batch"), col("n_grams"), col("n_new"),
+        (col("n_new").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("batch")
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -7977,5 +8031,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43)
 }

@@ -1913,10 +1913,55 @@ object Relational {
     gapFillLocf(Tables.events(s, d).select(col("user_id"), col("ts"), col("value")))
   }
 
+  // ---- behavioral Markov chain: event transition matrix (q53) ----
+
+  /** EVENT TRANSITION MATRIX (q53): per user, consecutive event pairs
+    * (ordered by time, event_id tie-break), aggregated to a first-order
+    * Markov transition table — counts and row-normalized probabilities
+    * per source state. The behavioral twin of q46's fixed funnel: the
+    * funnel asks "did users follow MY path", this reports the paths
+    * users actually take.
+    *
+    * Scale: the lag window partitions BY USER (millions of parallel
+    * partitions, each a user's event count — never a global window);
+    * the aggregate is |event_types|² rows, metadata-sized. Probability
+    * is int64/int64 IEEE division against a broadcast row-total. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    trans
+      .join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q53 = Q(
+    "q53_transition_matrix",
+    Some("""
+      WITH t AS (SELECT user_id, event_type,
+                        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+                 FROM events),
+      c AS (SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+      SELECT from_type, to_type, n, CAST(n AS DOUBLE) / tot AS p
+      FROM c JOIN tt USING (from_type)
+      ORDER BY from_type, to_type""")
+  ) { (s, d) =>
+    transitionMatrix(Tables.events(s, d))
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53
   )
 }

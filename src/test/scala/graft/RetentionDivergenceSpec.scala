@@ -78,6 +78,37 @@ class RetentionDivergenceSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("transition matrix: per-user lag pairs with tie-break; probabilities row-normalize") {
+    import spark.implicits._
+    // u1: a->b->a (ties on ts broken by event_id); u2: a->b
+    val e = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "a"), (1L, 2L, "2024-01-01 00:00:00", "b"),
+      (1L, 3L, "2024-01-01 00:00:01", "a"),
+      (2L, 4L, "2024-01-02 00:00:00", "a"), (2L, 5L, "2024-01-02 00:00:01", "b")
+    ).toDF("user_id", "event_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"))
+    val got = graft.queries.Relational.transitionMatrix(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    Hygiene.release(spark)
+  }
+
+  test("gram novelty: batch 0 reads 1.0; an all-repeat batch reads 0.0") {
+    import spark.implicits._
+    // 4 docs -> 2 batches of 2. Batch 1's docs repeat batch 0's text:
+    // zero new grams in batch 1.
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "e f g h"),
+      (2L, "a b c d"), (3L, "e f g")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.LlmOps.gramNovelty(docs, nBatches = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // batch 0 grams: {abc,bcd,efg,fgh} all new; batch 1: {abc,bcd,efg} none new
+    assert(got.toSeq == Seq((0, 4L, 4L, 1.0), (1, 3L, 0L, 0.0)))
+    Hygiene.release(spark)
+  }
+
   test("bpe pairs: counts weight by word frequency; ties break on the pair") {
     import spark.implicits._
     // "ab" appears in 'abc' (x3 docs of 'abc abc') = freq 6, and 'ab' freq 1
