@@ -744,6 +744,14 @@ object Graft {
       watermarkSeconds: Long = 1800): org.apache.spark.sql.Dataset[graft.streaming.EventStream.FunnelHit] =
     graft.streaming.EventStream.funnelStream(spark, events, stages, watermarkSeconds)
 
+  /** q53's live twin: per-user consecutive event pairs, each finalized
+    * exactly once behind the watermark — feed a streaming groupBy for
+    * the live transition matrix. Batch parity spec-pinned. */
+  def transitionStream(spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[graft.streaming.EventStream.Event],
+      watermarkSeconds: Long = 1800): org.apache.spark.sql.Dataset[graft.streaming.EventStream.TransitionHit] =
+    graft.streaming.EventStream.transitionStream(spark, events, watermarkSeconds)
+
   def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
     graft.streaming.EventStream.clusterStream(emb, model)
 

@@ -581,6 +581,76 @@ object EventStream {
       }
   }
 
+  /** One event inside the transition state: second-resolution time, the
+    * tie-break id, and the type. */
+  case class TEv(ts_s: Long, event_id: Long, typ: String)
+
+  /** `lastFinal`: the newest finalized event — the left endpoint of the
+    * next transition, kept forever (dropping it would orphan the first
+    * post-gap transition of a returning user). `pending`: admissible-
+    * window events (ts ≥ watermark) not yet finalized. */
+  case class TransitionState(lastFinal: Option[TEv], pending: List[TEv])
+  case class TransitionHit(user_id: Long, from_type: String, to_type: String,
+      from_s: Long, to_s: Long)
+
+  /** Streaming first-order transition extraction — q53's live twin: per
+    * user, every consecutive event pair (ordered by time, event_id
+    * tie-break), each emitted EXACTLY ONCE, and only once FINAL.
+    *
+    * Finality argument: a pair (a, b) is emitted when the watermark has
+    * passed both endpoints. Any later arrival that could squeeze
+    * between them would need ts in (a, b) — below the watermark — and
+    * sub-watermark arrivals are inadmissible (filtered here exactly as
+    * Spark's aggregation watermark would), so no emitted pair can ever
+    * be invalidated: out-of-order arrivals WITHIN the horizon reorder
+    * the pending buffer before finalization instead (an arrival-order
+    * state machine gets this wrong; the spec pins it).
+    *
+    * Scale: state is one event (lastFinal) plus the in-horizon buffer
+    * per user — O(users) keys, the standard per-key streaming-state
+    * shape (RocksDB-backed in production); emission is append-mode, so
+    * downstream aggregation (the live transition matrix) is an ordinary
+    * streaming groupBy over exactly-once pairs. Batch parity with
+    * [[graft.queries.Relational.transitionMatrix]] is spec-pinned. */
+  def transitionStream(
+      spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[Event],
+      watermarkSeconds: Long = 1800
+  ): org.apache.spark.sql.Dataset[TransitionHit] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$watermarkSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, TransitionHit](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, batch: Iterator[Event], state: GroupState[TransitionState]) =>
+        val wm = state.getCurrentWatermarkMs() / 1000
+        val prior = state.getOption.getOrElse(TransitionState(None, Nil))
+        val incoming = batch
+          .map(e => TEv(e.ts.getTime / 1000, e.event_id, e.event_type))
+          .filter(_.ts_s >= wm)
+          .toList
+        val ordered = (prior.pending ++ incoming).sortBy(e => (e.ts_s, e.event_id))
+        val (nowFinal, stillOpen) = ordered.span(_.ts_s < wm)
+        val chain = prior.lastFinal.toList ++ nowFinal
+        val hits = chain
+          .sliding(2)
+          .collect { case List(a, b) =>
+            TransitionHit(uid, a.typ, b.typ, a.ts_s, b.ts_s)
+          }
+          .toList
+        state.update(TransitionState(chain.lastOption, stillOpen))
+        // wake when the watermark passes the earliest open event, so the
+        // (lastFinal -> firstOpen) pair finalizes without new arrivals
+        stillOpen.headOption.foreach { e =>
+          state.setTimeoutTimestamp(
+            math.max(e.ts_s * 1000 + 1, state.getCurrentWatermarkMs() + 1))
+        }
+        hits.iterator
+      }
+  }
+
   /** Streaming n-gram contamination gate — d22's live twin: score every
     * arriving document's distinct 8-grams against the TRAIN split's gram
     * set and land (doc_id, n_grams, n_hit, contaminated) per batch. The
