@@ -211,7 +211,11 @@ object BenchScale {
       // gram + a 4-row batch aggregate — vocabulary-bounded after the
       // distinct, like t39. q51/q52/q53 are lineitem/events-based,
       // outside the derived corpus.
-      "t43" -> 1
+      "t43" -> 1,
+      // t44: token explode joined against a broadcast term table + a
+      // per-doc window over <= |categories| rows — one linear pass.
+      // e24: e01's two-stage exact kernel on half-width vectors.
+      "t44" -> 1, "e24" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

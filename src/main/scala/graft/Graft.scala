@@ -553,6 +553,28 @@ object Graft {
   def gramNovelty(docs: DataFrame, nBatches: Int = 4): DataFrame =
     graft.queries.LlmOps.gramNovelty(docs, nBatches)
 
+  /** Categorized blocklist screen (t44's kernel) over (doc_id, text)
+    * docs: per doc, blocklist hits, the worst category, and the
+    * keep/drop verdict under `maxHits`. The term table broadcasts;
+    * zero-hit docs read clean, never absent. */
+  def blocklistScreen(docs: DataFrame, blocklist: Seq[(String, String)],
+      maxHits: Long): DataFrame =
+    graft.queries.LlmOps.blocklistScreen(docs, blocklist, maxHits)
+
+  /** Matryoshka-truncated exact search (e24's kernel): cosine top-k over
+    * the first `dims` dimensions — half the bytes and dot-product work
+    * when the embedding's front dims carry the geometry. */
+  def annTopKTruncated(spark: SparkSession, emb: DataFrame, dims: Int,
+      k: Int = 5): DataFrame =
+    graft.queries.LlmOps.truncatedTopKOf(spark, emb, dims, k)
+
+  /** JSONL ingest with a corrupt-record quarantine: (parsed, rejected)
+    * from one read — malformed lines land verbatim in the second frame,
+    * nothing is silently dropped. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) =
+    graft.sources.Io.readJsonlQuarantined(spark, path, schema)
+
   /** Winsorized per-group stats (t40's kernel) over (source, v) with
     * integer v: exact interpolated [pLo, pHi] clip bounds per source,
     * tail clip counts, and the winsorized mean — no corpus-sized double

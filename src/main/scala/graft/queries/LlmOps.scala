@@ -6086,6 +6086,77 @@ object LlmOps {
       .orderBy("batch")
   }
 
+  // ---- categorized blocklist screening (t44) ----
+
+  /** The demo blocklist over the synthetic corpus vocabulary; real
+    * deployments pass their own term→category table (the C4 badwords
+    * list, client policy lists) through [[blocklistScreen]]. */
+  private val t44Blocklist: Seq[(String, String)] =
+    Seq("slow" -> "perf", "dup" -> "perf", "big" -> "size", "small" -> "size")
+  private val t44MaxHits = 5L
+
+  /** BLOCKLIST SCREEN (t44): per document, hits against a categorized
+    * term blocklist — total hits, the worst (most-hit, ties lexical)
+    * category, and the keep/drop verdict under a hit budget. The C4-style
+    * badwords filter every public corpus build runs, with the category
+    * attribution a policy review needs ("dropped for WHICH list").
+    *
+    * Scale: one token explode joined against a BROADCAST term table
+    * (blocklists are thousands of terms — driver-sized by construction),
+    * one (doc, category) aggregate, and a per-doc window over ≤
+    * |categories| rows (bounded by the list, not the corpus). Zero-hit
+    * docs survive via the left join with n_hits = 0, worst_category
+    * NULL, keep = true — silence must read as clean, not as absent. */
+  val t44 = Q(
+    "t44_blocklist_screen",
+    Some(s"""
+      WITH bl(term, cat) AS (VALUES ${t44Blocklist
+        .map { case (t, c) => s"('$t','$c')" }.mkString(", ")}),
+      oc AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+      h AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n
+            FROM oc JOIN bl ON tok = term GROUP BY 1, 2),
+      w AS (SELECT doc_id, cat, n,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, cat) AS r
+            FROM h),
+      a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_hits FROM h GROUP BY 1)
+      SELECT d.doc_id, COALESCE(a.n_hits, 0) AS n_hits, w.cat AS worst_category,
+             COALESCE(a.n_hits, 0) < $t44MaxHits AS keep
+      FROM documents d
+      LEFT JOIN a ON d.doc_id = a.doc_id
+      LEFT JOIN w ON d.doc_id = w.doc_id AND w.r = 1
+      ORDER BY d.doc_id""")
+  ) { (s, d) =>
+    blocklistScreen(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      t44Blocklist, t44MaxHits)
+  }
+
+  /** t44's kernel over any (doc_id, text) frame and any term→category
+    * blocklist. */
+  def blocklistScreen(docs: DataFrame, blocklist: Seq[(String, String)],
+      maxHits: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bl = broadcast(blocklist.toDF("term", "cat"))
+    val h = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(bl, col("tok") === col("term"))
+      .groupBy("doc_id", "cat")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("cat"))
+    val worst = h.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("doc_id"), col("cat").as("worst_category"))
+    val agg = h.groupBy("doc_id").agg(sum(col("n")).as("n_hits"))
+    docs.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .join(worst, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("worst_category"),
+        (coalesce(col("n_hits"), lit(0L)) < maxHits).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: place every document into fixed token-budget
     * training bins under concatenation packing (the GPT-style
     * concat-then-split batcher: documents are laid head-to-tail on one
@@ -7976,6 +8047,55 @@ object LlmOps {
       .orderBy("qid")
   }
 
+  /** MATRYOSHKA-TRUNCATED SEARCH (e24): exact cosine top-k over the
+    * FIRST 32 of 64 dimensions — the storage/latency knob of
+    * Matryoshka-style embeddings (Kusupati et al. 2022): half the bytes
+    * per vector, half the dot-product work, if the front dimensions
+    * carry the geometry. The emission is the truncated top-k itself,
+    * hash-gated against the oracle's identically-truncated exact
+    * computation (e01's CTE with pos <= 32), so the ranking math is
+    * verified bit-for-bit; HOW MUCH quality truncation costs is
+    * measured in ScreenMatryoshkaSpec as top-k overlap vs the full-dim
+    * exact answer — an empirical property of the embedding, not a
+    * cross-engine invariant (the synthetic random vectors carry no
+    * trained Matryoshka structure, so the spec pins the measurement and
+    * a lossless-on-a-true-subspace anchor rather than a quality bar).
+    *
+    * Scale: e01's two-stage broadcast-scan shape on half-width vectors —
+    * the candidate stage reads HALF the bytes; with a column-pruned
+    * layout (prefix dims stored separately) the scan itself halves. */
+  val e24 = Q(
+    "e24_ann_matryoshka",
+    Some(s"""
+      WITH f AS (SELECT * FROM ($flatSql) WHERE pos <= 32),
+      n AS (SELECT vec_id, ${dprodSql("v", "v")} AS nrm FROM f GROUP BY vec_id),
+      q AS (SELECT * FROM f WHERE vec_id < 10),
+      dot AS (SELECT q.vec_id AS qid, f.vec_id AS vid, ${dprodSql("q.v", "f.v")} AS dot
+              FROM q JOIN f ON q.pos = f.pos AND q.vec_id <> f.vec_id
+              GROUP BY qid, vid),
+      cos AS (SELECT qid, vid, ${cosineSql("nq", "nv")} AS cosine
+              FROM dot JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+      r AS (SELECT qid, vid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS INTEGER) AS rnk
+            FROM cos)
+      SELECT qid, rnk, vid, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
+  ) { (s, d) =>
+    truncatedTopKOf(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      dims = 32, k = 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** e24's kernel: exact top-k over the first `dims` dimensions of
+    * (vec_id, embedding), queries = vec_id < 10. Slices once, then runs
+    * the shared two-stage exact kernel (e22's body under a constant
+    * filter column). */
+  def truncatedTopKOf(s: SparkSession, emb: DataFrame, dims: Int, k: Int): DataFrame = {
+    val sliced = emb
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+      .withColumn("__all", lit(1))
+    filteredTopKOf(s, sliced, sliced.filter(col("vec_id") < 10), "__all", k)
+  }
+
   /** Frame-parameterized body of e21 (facade: Graft.ivfHealth). */
   def ivfHealthOf(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
     val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = nlist, iters = 2)
@@ -8030,6 +8150,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44)
 }

@@ -58,6 +58,37 @@ object Io {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** JSONL ingest with a corrupt-record quarantine — the messy-crawl
+    * front door: rows that parse against `schema` land in the first
+    * frame, rows that don't (malformed JSON, type mismatches) land in
+    * the second VERBATIM (the raw line, for forensics and replay after
+    * a parser fix), and nothing is silently dropped — the reject-ledger
+    * discipline (e20) applied to ingest. PERMISSIVE mode parses good
+    * fields even when a row half-fails; a row is quarantined only when
+    * the corrupt-record column is set. Both frames come from ONE read —
+    * splitting is a pair of scan-pushed filters, not a second pass. */
+  def readJsonlQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already define _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark forbids filtering ONLY the corrupt column off a
+    // lazy json scan (SPARK-26745); the cache also makes the two halves
+    // one parse instead of two
+    val good = raw.filter(raw("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(raw("_corrupt_record").isNotNull)
+      .select(raw("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Z-ordered parquet layout (q44's write): rows are clustered by the
     * Morton interleave of two 8-bit dimensions (xCol & 255, yCol & 255),
     * files are contiguous z-ranges (one dir per top interleaved byte),
