@@ -553,6 +553,12 @@ object Graft {
   def gramNovelty(docs: DataFrame, nBatches: Int = 4): DataFrame =
     graft.queries.LlmOps.gramNovelty(docs, nBatches)
 
+  /** Content-addressed corpus snapshot diff (d27's kernel): per source,
+    * distinct texts added / removed / retained between two (source,
+    * text) snapshot frames. One hash-keyed full-outer join. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
+    graft.queries.LlmOps.snapshotDiff(a, b)
+
   /** Categorized blocklist screen (t44's kernel) over (doc_id, text)
     * docs: per doc, blocklist hits, the worst category, and the
     * keep/drop verdict under `maxHits`. The term table broadcasts;

@@ -39,8 +39,13 @@ object Sampling {
     s"'0' || substr(md5('$salt|' || CAST($keyExpr AS VARCHAR)), 1, 8) < '${thresholdHex(fraction)}'"
 
   /** Uniform deterministic sample: keep ~fraction of rows by key hash. */
+  /** The membership predicate as a Column — for callers composing it
+    * (negation, OR with other filters) instead of filtering a frame. */
+  def predicate(key: Column, fraction: Double, salt: String): Column =
+    bucket(key, salt) < lit(thresholdHex(fraction))
+
   def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = "s0"): DataFrame =
-    df.filter(bucket(key, salt) < lit(thresholdHex(fraction)))
+    df.filter(predicate(key, fraction, salt))
 
   /** Stratified deterministic sample: per-stratum fractions (strata absent
     * from the map fall back to `defaultFraction`). The per-key hash is

@@ -6086,6 +6086,108 @@ object LlmOps {
       .orderBy("batch")
   }
 
+  // ---- cross-snapshot corpus diff (d27) ----
+
+  /** CORPUS SNAPSHOT DIFF (d27): what changed between two corpus
+    * versions, content-addressed — per source, how many distinct texts
+    * were added, removed, and retained from snapshot A to snapshot B.
+    * This is the audit every corpus re-build publishes ("the new crawl
+    * replaced 12% of src3") and the input to incremental-retrain
+    * decisions; content hashing (d01's md5 rule) makes renames/re-ids
+    * invisible, which is the point — the diff is about BYTES, not ids.
+    * Here the two snapshots are doc_id-hash fractions of the corpus
+    * (A = hash < 0.8, B = hash >= 0.2 — overlapping by construction so
+    * all three classes are populated); production passes two real
+    * snapshot frames through [[snapshotDiff]].
+    *
+    * Scale: two distinct-hash projections (the d01 shuffle) + ONE
+    * hash-keyed full-outer join + a |sources|×3 aggregate. Nothing
+    * materializes beyond the distinct hash sets. */
+  val d27 = Q(
+    "d27_snapshot_diff",
+    Some(s"""
+      WITH a AS (SELECT DISTINCT source, md5(text) AS th FROM documents
+                 WHERE ${graft.functions.Sampling.predicateSql("text", 0.8, "snapA")}),
+      b AS (SELECT DISTINCT source, md5(text) AS th FROM documents
+            WHERE NOT ${graft.functions.Sampling.predicateSql("text", 0.2, "snapB")}),
+      j AS (SELECT COALESCE(a.source, b.source) AS source,
+                   a.th IS NOT NULL AS in_a, b.th IS NOT NULL AS in_b
+            FROM a FULL OUTER JOIN b ON a.source = b.source AND a.th = b.th)
+      SELECT source,
+             CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      FROM j GROUP BY source ORDER BY source""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val snapA = docs.filter(graft.functions.Sampling.predicate(col("text"), 0.8, "snapA"))
+    val snapB = docs.filter(!graft.functions.Sampling.predicate(col("text"), 0.2, "snapB"))
+    snapshotDiff(snapA.select(col("source"), col("text")),
+      snapB.select(col("source"), col("text")))
+  }
+
+  /** d27's kernel: the content-addressed per-source diff of two
+    * (source, text) snapshot frames. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def hashed(df: DataFrame) =
+      df.select(col("source"), md5(col("text")).as("th")).distinct()
+    hashed(a).withColumn("in_a", lit(true))
+      .join(hashed(b).withColumn("in_b", lit(true)), Seq("source", "th"), "full_outer")
+      .groupBy("source")
+      .agg(
+        sum(when(col("in_b").isNotNull && col("in_a").isNull, 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"))
+      .orderBy("source")
+  }
+
+  // ---- corpus data card (t45) ----
+
+  /** CORPUS DATA CARD (t45): the one-row datasheet a corpus build
+    * publishes next to its artifacts (Gebru et al., "Datasheets for
+    * Datasets") — document/token/char volumes, language and source
+    * breadth, the exact-dup rate, and central length stats. One query so
+    * the card is a single atomic read of a single corpus state, not a
+    * stitch of reports from different runs.
+    *
+    * Scale: one corpus pass for the token/char sums (map-side combined),
+    * one distinct-hash count (d01's shuffle), two small distincts —
+    * every aggregate is constant-state. The dup rate is int64/int64
+    * IEEE division; mean_chars likewise. */
+  val t45 = Q(
+    "t45_data_card",
+    Some(s"""
+      WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens,
+                           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+                    FROM documents),
+      dh AS (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct FROM documents)
+      SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_distinct,
+             1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate,
+             CAST(n_chars AS DOUBLE) / n_docs AS mean_chars
+      FROM base CROSS JOIN dh""")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks(col("text")))).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dh = docs.agg(countDistinct(md5(col("text"))).as("n_distinct"))
+    base.crossJoin(broadcast(dh))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        col("n_sources"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"))
+  }
+
   // ---- categorized blocklist screening (t44) ----
 
   /** The demo blocklist over the synthetic corpus vocabulary; real
@@ -8149,7 +8251,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45)
 }
