@@ -157,17 +157,19 @@ object Graft {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: String, payload: Seq[String]
+      rightTieBreak: String, payload: Seq[String],
+      toleranceSeconds: Option[Long] = None
   ): DataFrame =
-    AsOfJoin.latestAtOrBefore(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload)
+    AsOfJoin.latestAtOrBefore(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload, toleranceSeconds)
 
   def asofJoinEarliestAtOrAfter(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: String, payload: Seq[String]
+      rightTieBreak: String, payload: Seq[String],
+      toleranceSeconds: Option[Long] = None
   ): DataFrame =
-    AsOfJoin.earliestAtOrAfter(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload)
+    AsOfJoin.earliestAtOrAfter(left, right, leftKey, rightKey, leftTime, rightTime, rightTieBreak, payload, toleranceSeconds)
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8): DataFrame =
     SkewJoin.saltedInnerJoin(left, right, key, buckets)

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.StructType
   * payload columns come back NULL) — they sort before every timed row in
   * the window, so no right payload can be carried into them.
   *
+  * Tolerance (`toleranceSeconds`, pandas merge_asof's knob): when set,
+  * a carried match farther than the window from the left time has its
+  * payload nulled — correct because the carried row is the NEAREST
+  * admissible match, so if it is outside the window every match is.
+  * Timestamp columns compare as epoch seconds; numeric time columns in
+  * their own units. Left rows always survive (no-match is an answer).
+  *
   * NULL key semantics (matching SQL `l.key = r.key`, where NULL = NULL is
   * not true): right rows with a NULL key never match anything and are
   * filtered out with the NULL-time rows; left rows with a NULL key come
@@ -47,10 +54,11 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightTieBreak: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      toleranceSeconds: Option[Long] = None
   ): DataFrame =
     joinDirectional(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightTieBreak, payload, backward = true)
+      rightTieBreak, payload, backward = true, toleranceSeconds)
 
   /** Forward twin: for each left row, the EARLIEST right row whose time is
     * >= the left row's time, per key (the "next event" lookup). Same tie
@@ -65,10 +73,11 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightTieBreak: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      toleranceSeconds: Option[Long] = None
   ): DataFrame =
     joinDirectional(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightTieBreak, payload, backward = false)
+      rightTieBreak, payload, backward = false, toleranceSeconds)
 
   private def joinDirectional(
       left: DataFrame,
@@ -79,12 +88,37 @@ object AsOfJoin {
       rightTime: String,
       rightTieBreak: String,
       payload: Seq[String],
-      backward: Boolean
+      backward: Boolean,
+      toleranceSeconds: Option[Long] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val tbType = right.schema(rightTieBreak).dataType
     val lStructType = StructType(leftCols.map(left.schema(_)))
     val pStructType = StructType(payload.map(right.schema(_)))
+
+    // Under a tolerance, the winning right row's own time rides inside the
+    // carried struct (as __rt) so the gap test reads the SAME row the
+    // payload came from — testing against any separately-carried time
+    // could mix rows the way independent payload columns would.
+    // Epoch-seconds conversion: NTZ timestamps and dates refuse a direct
+    // double cast — route them through TIMESTAMP first (session-UTC; any
+    // zone offset cancels in the gap difference). Numerics cast straight.
+    def asSeconds(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.DateType =>
+          c.cast("timestamp").cast("double")
+        case _ => c.cast("double")
+      }
+    val pCols =
+      if (toleranceSeconds.isEmpty) payload.map(col)
+      else payload.map(col) :+
+        asSeconds(col(rightTime), right.schema(rightTime).dataType).as("__rt")
+    val pType =
+      if (toleranceSeconds.isEmpty) pStructType
+      else pStructType.add("__rt", "double")
 
     val l = left.select(
       col(leftKey).as("__key"),
@@ -92,7 +126,7 @@ object AsOfJoin {
       lit(1).as("__tag"),
       lit(null).cast(tbType).as("__tb"),
       struct(leftCols.map(col): _*).as("__l"),
-      lit(null).cast(pStructType).as("__p")
+      lit(null).cast(pType).as("__p")
     )
     val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       col(rightKey).as("__key"),
@@ -100,7 +134,7 @@ object AsOfJoin {
       lit(0).as("__tag"),
       col(rightTieBreak).as("__tb"),
       lit(null).cast(lStructType).as("__l"),
-      struct(payload.map(col): _*).as("__p")
+      struct(pCols: _*).as("__p")
     )
 
     // Right rows sort before left rows at equal time (inclusive match);
@@ -117,12 +151,27 @@ object AsOfJoin {
       .orderBy(tOrder, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Tolerance gate (pandas merge_asof semantics): the carried row is
+    // the nearest at-or-before (resp. at-or-after) match; if even the
+    // nearest lies outside the window, NO match lies inside it (any
+    // other candidate is strictly farther), so nulling the payload is
+    // exactly "latest within tolerance". Left rows always survive.
+    // Timestamps compare as epoch seconds (cast to double); numeric time
+    // columns compare in their own units.
+    def gated(p: String): org.apache.spark.sql.Column = toleranceSeconds match {
+      case None => col(s"__pc.$p")
+      case Some(tol) =>
+        val lt = asSeconds(col("__t"), left.schema(leftTime).dataType)
+        val gap = if (backward) lt - col("__pc.__rt") else col("__pc.__rt") - lt
+        when(col("__pc").isNotNull && gap <= tol.toDouble, col(s"__pc.$p"))
+      }
+
     l.unionByName(r)
       .withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(
         leftCols.map(c => col(s"__l.$c").as(c)) ++
-          payload.map(p => col(s"__pc.$p").as(p)): _*
+          payload.map(p => gated(p).as(p)): _*
       )
   }
 }

@@ -1958,10 +1958,57 @@ object Relational {
     transitionMatrix(Tables.events(s, d))
   }
 
+  // ---- tolerance-bounded as-of join (q54) ----
+
+  /** AS-OF WITHIN TOLERANCE (q54): for each click, the user's latest
+    * preceding purchase WITHIN 3 DAYS — attribution's standard lookback
+    * window (pandas merge_asof's `tolerance`). Clicks whose nearest
+    * purchase is older than the window keep NULL payload but stay in the
+    * output: "no attributable purchase" is an answer, not a dropped row.
+    *
+    * Scale: AsOfJoin's union + carried-window shape unchanged (one
+    * user-keyed shuffle + sort, no inequality-join blow-up); the
+    * tolerance is a post-carry gate on the SAME carried row — if even
+    * the nearest match is outside the window, every match is, so
+    * nulling the nearest IS "latest within tolerance". */
+  val q54 = Q(
+    "q54_asof_tolerance",
+    Some("""
+      WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+              p.value AS purchase_value,
+              ROW_NUMBER() OVER (PARTITION BY c.event_id
+                ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST) AS rn
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+                 AND p.ts >= c.ts - INTERVAL 3 DAY)
+      SELECT event_id, user_id, purchase_id, purchase_value
+      FROM m WHERE rn = 1 ORDER BY event_id""")
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+    AsOfJoin.latestAtOrBefore(
+      left = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value")),
+      leftKey = "user_id",
+      rightKey = "user_id",
+      leftTime = "ts",
+      rightTime = "ts",
+      rightTieBreak = "purchase_id",
+      payload = Seq("purchase_id", "purchase_value"),
+      toleranceSeconds = Some(3L * 86400)
+    )
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54
   )
 }

@@ -125,4 +125,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect()
     assert(out.head.getAs[Long]("o_orderkey") == 9L)
   }
+
+  test("tolerance nulls a too-old nearest match but keeps an in-window one; rows survive") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // nearest order 3 days ago: in window
+      (2L, 20L, ts("2024-01-10 00:00:00")) // nearest order 6 days ago: out
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100L, 11.0),
+      (20L, ts("2024-01-04 00:00:00"), 200L, 22.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"),
+        toleranceSeconds = Some(3L * 86400))
+      .orderBy("event_id").collect()
+    assert(out.length == 2, "out-of-window rows must survive with null payload")
+    assert(out(0).getAs[Long]("o_orderkey") == 100L)
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
+    assert(out(1).isNullAt(out(1).fieldIndex("o_totalprice")),
+      "the whole payload nulls together — it is one carried row")
+  }
+
+  test("forward tolerance: the gap measures toward the future") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // next order in 2 days: in window
+      (2L, 20L, ts("2024-01-01 00:00:00")) // next order in 9 days: out
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-07 00:00:00"), 100L, 11.0),
+      (20L, ts("2024-01-10 00:00:00"), 200L, 22.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .earliestAtOrAfter(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"),
+        toleranceSeconds = Some(3L * 86400))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("o_orderkey") == 100L)
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")))
+  }
 }
