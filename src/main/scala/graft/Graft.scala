@@ -132,6 +132,11 @@ object Graft {
   def writeBucketed(df: DataFrame, table: String, col: String, buckets: Int): Unit =
     Io.writeBucketed(df, table, col, buckets)
 
+  /** Schema-evolution read: per-file footer schemas unioned, pre-drift
+    * files read newer columns as NULL (see Io.readParquetMergedSchema). */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    Io.readParquetMergedSchema(spark, path)
+
   /** Morton (Z-curve) interleave of two 8-bit coordinates — the q44
     * multi-dimensional clustering key. Pure codegen'd bit arithmetic. */
   def mortonInterleave(x: org.apache.spark.sql.Column,

@@ -58,6 +58,17 @@ object Io {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Schema-evolution read: union the schemas of every parquet footer
+    * under `path` (Spark's mergeSchema) so files written before a column
+    * existed read it as NULL instead of failing or silently dropping it —
+    * the drift posture a years-old 100 TB lake needs, where partitions
+    * span many writer versions. Merge costs one footer pass at planning
+    * (per-file schema reconciliation); steady-state readers should pin
+    * the canonical schema via `.schema(...)` instead and use this at the
+    * boundary where drift is DISCOVERED, not assumed away. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSONL ingest with a corrupt-record quarantine — the messy-crawl
     * front door: rows that parse against `schema` land in the first
     * frame, rows that don't (malformed JSON, type mismatches) land in

@@ -100,4 +100,18 @@ class IoSpec extends AnyFunSuite {
       SkewJoin.saltedInnerJoin(left.withColumn("__salt", lit(1)), right, "k")
     }
   }
+
+  test("merged-schema read: pre-drift files surface the new column as NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    // writer v1: (id, a); writer v2 adds column b — two footers, one lake
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/p=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/p=2")
+    val got = graft.sources.Io.readParquetMergedSchema(spark, dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq((1L, "x", None), (2L, "y", Some(9L))),
+      "old files must read the new column as NULL, not fail or drop it")
+    Hygiene.release(spark)
+  }
 }
