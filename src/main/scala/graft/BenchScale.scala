@@ -215,7 +215,13 @@ object BenchScale {
       // t44: token explode joined against a broadcast term table + a
       // per-doc window over <= |categories| rows — one linear pass.
       // e24: e01's two-stage exact kernel on half-width vectors.
-      "t44" -> 1, "e24" -> 1
+      "t44" -> 1, "e24" -> 1,
+      // e25/e26: the blocked kNN graph is N·nprobe·(N/nlist) candidates
+      // with nlist tracking sqrt(N) and nprobe = nlist/4 — candidate
+      // volume ~N^1.5/4, but measured against the LINEAR model so the
+      // worst_vs_model column exposes the super-linear term honestly
+      // (at these sizes the fixed fit/assign cost dominates).
+      "e25" -> 1, "e26" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -278,6 +278,13 @@ object Graft {
   def annIvfRebuildIndex(spark: SparkSession, path: String, nlist: Int = 16): Unit =
     graft.operators.AnnIvf.rebuildIndex(spark, path, nlist)
 
+  /** Corpus-wide kNN graph (e25's kernel): every vector's blocked top-k
+    * neighbors via IVF clustering — the SemDeDup workhorse shape. Size
+    * nlist to track √N; recall should be gated, not assumed (e26). */
+  def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    graft.operators.AnnIvf.knnGraph(spark, emb, k, nlist, nprobe)
+
   /** Tombstone ids out of a persisted IVF index (the takedown/GDPR
     * primitive): a metadata-only ledger commit — deletes are visible to
     * the next search immediately, the vector files are untouched until

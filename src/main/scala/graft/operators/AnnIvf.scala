@@ -262,6 +262,47 @@ object AnnIvf {
       resolved = Some(snap), addedRows = Some(added))
   }
 
+  /** CORPUS-WIDE kNN GRAPH: every vector's top-k neighbors via IVF
+    * blocking — the workhorse shape of SemDeDup-style curation, where
+    * EVERY document needs neighbors, not a fixed query set. Each vector
+    * probes its `nprobe` nearest clusters; candidates are the cluster
+    * members (one equi-join on cluster id); exact double-cosine rescore +
+    * per-vector bounded top-k.
+    *
+    * Scale: candidate volume is N · nprobe · (N/nlist) — sub-quadratic
+    * when nlist tracks √N (the standard sizing, which the e25 gate
+    * derives from the corpus count); the top-k window partitions PER
+    * VECTOR (N parallel partitions of ~nprobe·N/nlist rows), never
+    * globally. Approximate by construction: a true neighbor outside
+    * every probed cluster is missed — recall is gated (e26) instead of
+    * assumed. */
+  def knnGraph(
+      spark: SparkSession,
+      emb: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    VectorFunctions.register(spark)
+    val cs = fit(spark, emb, nlist)
+    // assign BEFORE renaming: the compiled assignment kernels resolve the
+    // `embedding` column by name
+    val members = emb
+      .withColumn("cluster", nearestCentroidCol(cs))
+      .select(col("vec_id").as("mid"), col("embedding").as("membedding"), col("cluster"))
+    val probes = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", explode(probeClustersCol(cs, math.min(nprobe, cs.length))))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("mid"))
+    probes
+      .join(members, "cluster")
+      .filter(col("vec_id") =!= col("mid"))
+      .withColumn("cosine", expr("cosine_similarity(embedding, membedding)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id").as("qid"), col("rnk"), col("mid").as("vid"), col("cosine"))
+  }
+
   /** The index's live tombstone ledger: the union of every committed
     * tombstone directory (empty frame if none) — one `vec_id` per
     * deleted vector. Ledger-sized, never corpus-sized. */

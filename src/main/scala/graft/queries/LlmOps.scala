@@ -8198,6 +8198,50 @@ object LlmOps {
     filteredTopKOf(s, sliced, sliced.filter(col("vec_id") < 10), "__all", k)
   }
 
+  /** The shared e25/e26 kNN-graph frame: IVF-blocked top-5 neighbors for
+    * EVERY vector, with nlist tracking √N (the documented sizing) and
+    * the probed fraction held ~constant (nprobe = nlist/4) so recall is
+    * comparable across tiers. */
+  private[graft] def knnGraphRaw(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = emb.count() // parquet row-count metadata, sizes the quantizer
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+    val nprobe = math.max(4, nlist / 4)
+    graft.operators.AnnIvf.knnGraph(s, emb, k = 5, nlist = nlist, nprobe = nprobe)
+  }
+
+  /** CORPUS kNN GRAPH (e25): every vector's blocked top-5 neighbor list
+    * (operators/AnnIvf.knnGraph — the SemDeDup workhorse shape, distinct
+    * from the fixed-query searches e01–e24). Approximate by
+    * construction, so the emission is the structural-verdict surface
+    * over EVERY vector (k-bound, self-exclusion, neighbor dedup, cosine
+    * range — one oracle-pinned row per corpus vector, not per test
+    * query); recall is gated by e26 on the oracle-verified exact subset. */
+  val e25 = Q(
+    "e25_knn_graph",
+    Some("""
+      SELECT CAST(vec_id AS BIGINT) AS qid,
+             TRUE AS k_bounded_ok, TRUE AS no_self_ok,
+             TRUE AS no_dup_ok, TRUE AS cosine_ok
+      FROM embeddings ORDER BY qid""")
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    annStructuralVerdicts(emb, knnGraphRaw(s, d), k = 5)
+  }
+
+  /** Recall gate for the kNN graph (e26): the graph's rows for the
+    * exact-side query subset (vec_id < 10) against e01's oracle-verified
+    * top-5 — the e05/e07 contract applied to the all-corpus graph. */
+  val e26 = Q(
+    "e26_knn_graph_recall",
+    Some(recallGateOracleSql)
+  ) { (s, d) =>
+    val exact = exactTopKShared(s, d)
+    val approx = knnGraphRaw(s, d).filter(col("qid") < 10).select("qid", "vid")
+    // floor 0.2: probing ~1/4 of the clusters — e07's measured band
+    recallGate(exact, approx, 0.4, floor = 0.2)
+  }
+
   /** Frame-parameterized body of e21 (facade: Graft.ivfHealth). */
   def ivfHealthOf(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
     val (_, assigned) = graft.operators.KMeans.fitAssign(s, emb, k = nlist, iters = 2)
@@ -8252,6 +8296,6 @@ object LlmOps {
 
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45)
 }

@@ -81,6 +81,24 @@ class AnnDeleteSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("knn graph: neighbors stay within a vector's own tight group") {
+    import spark.implicits._
+    // two well-separated groups of 6 near-identical vectors each: every
+    // vector's top-3 neighbors must come from its own group
+    def v(base: Float, j: Int) = Array.tabulate(8)(d =>
+      (if (d < 4) base else -base) + j * 0.001f)
+    val emb = ((0 until 6).map(j => (j.toLong, v(1f, j))) ++
+      (0 until 6).map(j => (10L + j, v(-1f, j)))).toDF("vec_id", "embedding")
+    val g = AnnIvf.knnGraph(spark, emb, k = 3, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (q, n) => (q < 10) == (n < 10) },
+      s"a neighbor crossed the group boundary: ${g.mkString(",")}")
+    // every vector got a full k=3 list (its group has 5 candidates)
+    assert(g.groupBy(_._1).forall(_._2.length == 3))
+    Hygiene.release(spark)
+  }
+
   test("poisoned path: the no_deleted_ok verdict reads FALSE when a deleted id surfaces") {
     import spark.implicits._
     val queries = Seq(1L, 2L).toDF("vec_id")
