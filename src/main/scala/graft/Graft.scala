@@ -794,6 +794,17 @@ object Graft {
       watermarkSeconds: Long = 1800): org.apache.spark.sql.Dataset[graft.streaming.EventStream.TransitionHit] =
     graft.streaming.EventStream.transitionStream(spark, events, watermarkSeconds)
 
+  /** q50's incremental maintainer: per micro-batch, merge (user, day)
+    * pairs into a persisted distinct store (exactly-once by anti-join)
+    * and recompute ONLY the affected days by dynamic partition
+    * overwrite. Late arrivals self-correct; byte-parity with the batch
+    * kernel is spec-pinned. */
+  def rollingActiveStream(events: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String, windowDays: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.rollingActiveStream(
+      events, storeDir, outDir, checkpointDir, windowDays)
+
   def clusterStream(emb: DataFrame, model: graft.operators.KMeans.Model): DataFrame =
     graft.streaming.EventStream.clusterStream(emb, model)
 

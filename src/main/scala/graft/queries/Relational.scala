@@ -1758,11 +1758,18 @@ object Relational {
     * age in days, metadata-sized), and counts distinct users per target
     * day: two linear user-keyed shuffles with a constant 7× fan-out, no
     * window, no range join. Stickiness is int64/int64 IEEE division. */
-  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame =
+    rollingActiveFromPairs(
+      events.select(col("ts").cast("date").as("day"), col("user_id")).distinct(),
+      windowDays)
+
+  /** q50's kernel over an already-distinct (day, user_id) pair frame —
+    * the shape the incremental maintainer
+    * ([[graft.streaming.EventStream.rollingActiveStream]]) persists, so
+    * the streamed recompute and the batch query share ONE body. */
+  def rollingActiveFromPairs(pairsIn: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val pairs = events
-      .select(col("ts").cast("date").as("day"), col("user_id"))
-      .distinct()
+    val pairs = pairsIn.select(col("day"), col("user_id"))
     val days = pairs.select(col("day")).distinct()
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = pairs

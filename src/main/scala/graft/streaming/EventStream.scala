@@ -581,6 +581,77 @@ object EventStream {
       }
   }
 
+  /** Incrementally maintained rolling actives — q50's live twin as VIEW
+    * MAINTENANCE rather than chained stateful aggregation: each batch
+    * (1) dedups arrivals to (user_id, day) pairs, (2) appends the pairs
+    * NOT already in the persisted distinct store (a stream-static
+    * anti-join — replayed batches add nothing, so the store is
+    * exactly-once by construction), and (3) recomputes the DAU/WAU rows
+    * for exactly the AFFECTED days — a new pair on day d can only move
+    * days [d, d+windowDays-1], and their trailing windows only reach
+    * back to lo-windowDays+1, so the recompute reads a calendar-bounded
+    * slice of the store, never the history — landing them by DYNAMIC
+    * partition overwrite (untouched days' files are not rewritten).
+    * Late arrivals need no watermark bound: a months-late pair simply
+    * makes its old days "affected" and they recompute correctly.
+    *
+    * The recompute body IS the batch kernel
+    * ([[graft.queries.Relational.rollingActiveFromPairs]]), so a
+    * streamed row is byte-identical to batch-querying the same pairs —
+    * spec-pinned, the contaminationStream discipline. Streaming state:
+    * zero. Crash between store-append and out-overwrite self-heals: the
+    * replayed batch's anti-join appends nothing and the recompute runs
+    * from the already-updated store. */
+  def rollingActiveStream(
+      events: DataFrame, // streaming, needs user_id + ts
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String,
+      windowDays: Int = 7
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rollingActiveBatch(batch, storeDir, outDir, windowDays)
+      }
+      .start()
+
+  /** One maintenance step (the foreachBatch body, callable from specs). */
+  private[graft] def rollingActiveBatch(
+      batch: DataFrame, storeDir: String, outDir: String, windowDays: Int): Unit = {
+    val s = batch.sparkSession
+    val pairs = batch
+      .select(col("user_id").cast("long").as("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val store0 =
+      try s.read.parquet(storeDir)
+      catch { case _: Throwable => s.emptyDataFrame.select(
+        lit(0L).as("user_id"), lit(null).cast("date").as("day")).limit(0) }
+    // materialize BEFORE the append: `novel` reads storeDir, and writing
+    // a path while a live plan reads it is undefined
+    val novel = pairs
+      .join(store0, Seq("user_id", "day"), "left_anti")
+      .localCheckpoint(true)
+    val bounds = novel.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    if (!bounds.isNullAt(0)) {
+      novel.write.mode("append").parquet(storeDir)
+      val lo = bounds.getDate(0)
+      val hi = java.sql.Date.valueOf(bounds.getDate(1).toLocalDate.plusDays(windowDays - 1L))
+      val reach = java.sql.Date.valueOf(bounds.getDate(0).toLocalDate.minusDays(windowDays - 1L))
+      val slice = s.read.parquet(storeDir)
+        .filter(col("day") >= lit(reach) && col("day") <= lit(hi))
+      val out = graft.queries.Relational
+        .rollingActiveFromPairs(slice, windowDays)
+        .filter(col("day") >= lit(lo.toString)) // day is string in the kernel's output
+      out.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(outDir)
+    }
+  }
+
   /** One event inside the transition state: second-resolution time, the
     * tie-break id, and the type. */
   case class TEv(ts_s: Long, event_id: Long, typ: String)
