@@ -158,6 +158,21 @@ object Bench {
     * 8.0 splits the two populations with margin on both sides. */
   private[graft] val Load1Ceiling = 8.0
 
+  /** Capture-level trust marker: a REFUTED first-pass wobble means a
+    * query's first measurement was >2× its reference and the recheck
+    * collapsed it — the signature of a foreign-load burst during that
+    * query's window. A few per capture are normal scheduler noise; when
+    * more than ~10% of the measured queries wobbled (r13 driver capture:
+    * 47 warm + 52 cold refuted over 159 queries), the first-pass numbers
+    * are near-worthless and every row's honest value came from its
+    * recheck leg — downstream consumers must read the capture as
+    * CONTENDED rather than trusting per-row first-pass walls. Refuted
+    * wobbles (not confirmed flags, not needs_rerun) drive the marker:
+    * confirmed flags are real regressions and needs_rerun already
+    * carries its own foreign-load signal. */
+  private[graft] def isContended(refutedWobbles: Int, nQueries: Int): Boolean =
+    nQueries > 0 && refutedWobbles > nQueries / 10.0
+
   /** Is a first-pass drift flag CONFIRMED by its recheck leg?
     *
     * r11 lesson: the end-of-suite recheck ran inside the same contended
@@ -398,6 +413,8 @@ object Bench {
     val coldDriftFlags = results.count(_.coldDrift)
     val coldDriftUnconfirmed =
       firstPass.count(_.coldDrift) - coldDriftFlags - coldDriftNeedsRerun
+    val contended =
+      isContended(driftUnconfirmed + coldDriftUnconfirmed, results.length)
     // Full-name detail artifact (not size-constrained): warm + cold +
     // end-of-run storage bytes + drift flag per query. ONLY full-suite
     // runs may write it — a subset run (`Bench d13 d14`) would otherwise
@@ -431,12 +448,12 @@ object Bench {
       val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
-        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "drift_needs_rerun": $driftNeedsRerun, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "cold_drift_needs_rerun": $coldDriftNeedsRerun, "load1_max": ${jnum(captureLoad1Max)}, "queries": $detail}"""
+        s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "drift_needs_rerun": $driftNeedsRerun, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "cold_drift_needs_rerun": $coldDriftNeedsRerun, "contended": $contended, "load1_max": ${jnum(captureLoad1Max)}, "queries": $detail}"""
           .getBytes("UTF-8")
       )
     }
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"drift_needs_rerun":$driftNeedsRerun,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"cold_drift_needs_rerun":$coldDriftNeedsRerun,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"drift_needs_rerun":$driftNeedsRerun,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"cold_drift_needs_rerun":$coldDriftNeedsRerun,"contended":$contended,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -223,7 +223,13 @@ object BenchScale {
       // e26 is the SAME graph behind a qid < 10 filter that Catalyst
       // pushes below the window and the probe join — linear, measured
       // flat (the pushdown is the point; SCALE.md records both).
-      "e25" -> 2, "e26" -> 1
+      "e25" -> 2, "e26" -> 1,
+      // t46 (r14): t42's vocab-collapse shape run K times — the corpus-
+      // sized step is the one word-frequency aggregate; each of the K
+      // rounds is a vocab-sized pair aggregate + 1-row collect + vocab-
+      // sized rewrite, so the whole trainer is linear in the corpus with
+      // a vocab-bounded (language-bounded) per-round tail.
+      "t46" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

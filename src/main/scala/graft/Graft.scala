@@ -539,6 +539,14 @@ object Graft {
   def bpeMergePairs(docs: DataFrame, topK: Int): DataFrame =
     graft.queries.LlmOps.bpeMergePairs(docs, topK)
 
+  /** Full BPE trainer (t46's kernel): the K-round merge table over the
+    * corpus's word-frequency dictionary — per round, the argmax
+    * frequency-weighted adjacent token pair (lexicographic tie-break)
+    * and its count at merge time. One corpus-sized aggregate up front;
+    * each round is vocab-sized plus a single-row driver collect. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    graft.queries.LlmOps.bpeTrain(docs, rounds)
+
   /** Market-basket association (q51's kernel) over (basket, item) rows:
     * top-k co-occurring item pairs with support / confidence / lift.
     * Pair generation self-joins on the basket key — per-basket C(n,2),

@@ -400,8 +400,21 @@ object AnnIvf {
     if (tags.length > 1 || hasTombstones) {
       val v = L.nextVersion(spark, path)
       val tag = s"compact-v$v"
-      readVectors(spark, path, tags)
+      val kept = readVectors(spark, path, tags)
         .join(tombstoneIds(spark, path, snap), Seq("vec_id"), "left_anti")
+      // every stored vector tombstoned → the rewrite would materialize a
+      // FILELESS partitioned directory (zero-row partitionBy writes no
+      // data files) and the commit's full recount — and every later
+      // reader — would fail parquet schema inference on it: the exact
+      // trap appendIndexBatch's added==0 branch guards against. An
+      // all-dead store has no compacted form; refuse and tell the caller
+      // the store-level operation that IS valid here.
+      if (kept.isEmpty)
+        throw new IllegalStateException(
+          s"IVF index at $path has every stored vector tombstoned; " +
+            "compaction cannot produce an empty generation — drop the " +
+            "index directory or buildIndex over a fresh corpus instead")
+      kept
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
       commitIndex(spark, path, v,

@@ -34,8 +34,11 @@ import org.apache.spark.sql.types.StructType
   * a carried match farther than the window from the left time has its
   * payload nulled — correct because the carried row is the NEAREST
   * admissible match, so if it is outside the window every match is.
-  * Timestamp columns compare as epoch seconds; numeric time columns in
-  * their own units. Left rows always survive (no-match is an answer).
+  * Timestamp columns compare in integral epoch MICROSECONDS (exact even
+  * at a sub-second boundary — a double-seconds compare could flip the
+  * inclusive <= on a gap landing exactly on the tolerance); numeric time
+  * columns in their own units. Left rows always survive (no-match is an
+  * answer).
   *
   * NULL key semantics (matching SQL `l.key = r.key`, where NULL = NULL is
   * not true): right rows with a NULL key never match anything and are
@@ -100,25 +103,37 @@ object AsOfJoin {
     // carried struct (as __rt) so the gap test reads the SAME row the
     // payload came from — testing against any separately-carried time
     // could mix rows the way independent payload columns would.
-    // Epoch-seconds conversion: NTZ timestamps and dates refuse a direct
-    // double cast — route them through TIMESTAMP first (session-UTC; any
-    // zone offset cancels in the gap difference). Numerics cast straight.
-    def asSeconds(c: org.apache.spark.sql.Column,
-        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    // Gap-unit conversion. Temporal columns (NTZ routes through
+    // TIMESTAMP first — session-UTC; any zone offset cancels in the gap
+    // difference) compare in INTEGRAL epoch microseconds (unix_micros),
+    // never double seconds: a microsecond fraction is not exactly
+    // representable in a binary double, so a gap landing exactly on the
+    // tolerance boundary could flip the inclusive <= against exact
+    // timestamp-interval arithmetic. Numeric time columns compare as
+    // doubles in their own units (tolerance is then in those units).
+    def isTemporal(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt match {
         case org.apache.spark.sql.types.TimestampNTZType |
             org.apache.spark.sql.types.TimestampType |
-            org.apache.spark.sql.types.DateType =>
-          c.cast("timestamp").cast("double")
-        case _ => c.cast("double")
+            org.apache.spark.sql.types.DateType => true
+        case _ => false
       }
+    val temporalGap = isTemporal(left.schema(leftTime).dataType) &&
+      isTemporal(right.schema(rightTime).dataType)
+    def asGapUnits(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      if (isTemporal(dt))
+        if (temporalGap) unix_micros(c.cast("timestamp"))
+        else c.cast("timestamp").cast("double")
+      else c.cast("double")
+    val rtType = if (temporalGap) "bigint" else "double"
     val pCols =
       if (toleranceSeconds.isEmpty) payload.map(col)
       else payload.map(col) :+
-        asSeconds(col(rightTime), right.schema(rightTime).dataType).as("__rt")
+        asGapUnits(col(rightTime), right.schema(rightTime).dataType).as("__rt")
     val pType =
       if (toleranceSeconds.isEmpty) pStructType
-      else pStructType.add("__rt", "double")
+      else pStructType.add("__rt", rtType)
 
     val l = left.select(
       col(leftKey).as("__key"),
@@ -156,14 +171,16 @@ object AsOfJoin {
     // nearest lies outside the window, NO match lies inside it (any
     // other candidate is strictly farther), so nulling the payload is
     // exactly "latest within tolerance". Left rows always survive.
-    // Timestamps compare as epoch seconds (cast to double); numeric time
-    // columns compare in their own units.
+    // Timestamps compare in integral epoch microseconds (exact at the
+    // boundary); numeric time columns compare in their own units.
     def gated(p: String): org.apache.spark.sql.Column = toleranceSeconds match {
       case None => col(s"__pc.$p")
       case Some(tol) =>
-        val lt = asSeconds(col("__t"), left.schema(leftTime).dataType)
+        val lt = asGapUnits(col("__t"), left.schema(leftTime).dataType)
         val gap = if (backward) lt - col("__pc.__rt") else col("__pc.__rt") - lt
-        when(col("__pc").isNotNull && gap <= tol.toDouble, col(s"__pc.$p"))
+        val bound =
+          if (temporalGap) lit(tol * 1000000L) else lit(tol.toDouble)
+        when(col("__pc").isNotNull && gap <= bound, col(s"__pc.$p"))
       }
 
     l.unionByName(r)

@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus the decode / feature-extract / resize / frame-
   * sample stages a training-data pipeline runs over them.
   *
-  * The media codecs themselves are NOT available in this environment, so
-  * the decode kernels are STUBS — deterministic fakes seeded from the
-  * payload bytes (clearly marked below). Everything around them is real
-  * and load-bearing: the schema, the batch-shaped mapPartitions execution
-  * (one codec init per partition, the JVM analog of a batched pandas UDF),
-  * the partitioning behavior, and the typed output columns. Swapping a
-  * stub for javacv/ffmpeg changes one function body, not the plan.
+  * IMAGE kernels are REAL (r14): the JDK ships `javax.imageio` — PNG/
+  * JPEG/BMP decode, pixel access, and resampling need no external
+  * dependency, so `decodeImages`, image `extractFeatures`, and
+  * `resizeImages` run a genuine codec by default, and
+  * [[mediaWithRealImages]] synthesizes real PNG payloads whose dimensions
+  * are pure id-arithmetic (oracle-expressible — the m01 gate pins the
+  * full encode→PNG→decode roundtrip cross-engine). AUDIO/VIDEO codecs do
+  * NOT ship in the JVM, so those kernels remain deterministic stubs
+  * seeded from the payload bytes (clearly marked below); everything
+  * around them is real and load-bearing — the schema, the batch-shaped
+  * mapPartitions execution (one codec init per partition, the JVM analog
+  * of a batched pandas UDF), the partitioning behavior, and the typed
+  * output columns. Swapping an audio stub for javacv/ffmpeg changes one
+  * function body, not the plan.
   */
 object Multimodal {
 
@@ -37,9 +44,12 @@ object Multimodal {
 
   case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Build a media table from any (id, payload-ish string) source — used by
-    * tests to get binary columns out of the driver testdata without
-    * synthesizing new files. */
+  /** Build an OPAQUE-BINARY media table from any (id, payload-ish string)
+    * source — binary columns out of the driver testdata without
+    * synthesizing files. Payloads here are raw text bytes (NOT decodable
+    * images — content-addressed stages like m05's dedup and byte-
+    * arithmetic stages like m03's frame sampling want exactly that);
+    * stages that DECODE use [[mediaWithRealImages]] instead. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs
@@ -58,22 +68,147 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  // ---------------------------------------------------------------------
-  // STUB decode kernels — deterministic fakes in place of real codecs.
-  // ---------------------------------------------------------------------
-
-  /** STUB: a real implementation would hand `bytes` to an image codec.
-    * The fake derives dimensions from a stable byte-hash so tests are
-    * deterministic and partition-order-independent. */
-  private def stubDecodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val w = 64 + math.floorMod(h, 512)
-    val ht = 64 + math.floorMod(h >> 9, 512)
-    (w, ht, 3)
+  /** The decodable twin of [[mediaFromDocuments]]: image rows carry REAL
+    * PNG payloads — a deterministic raster whose dimensions are pure
+    * id-arithmetic, `width = 4 + id % 13`, `height = 4 + (id / 13) % 11`
+    * — so a SQL oracle can pin the full encode→PNG→decode roundtrip
+    * without being able to read PNG bytes itself. Audio/video rows keep
+    * the UTF-8 text payload (no JVM codec exists to decode a real one).
+    * Batch-shaped: one encoder context per partition, the same execution
+    * shape every downstream codec stage uses. */
+  def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, source) =>
+          val kind = (id % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val payload =
+            if (kind == "image") syntheticImagePng(id)
+            else text.getBytes("UTF-8")
+          MediaRow(id, kind, payload, source, payload.length.toLong)
+        }
+      }
   }
 
-  /** STUB: fake feature extractor — a stable pseudo-embedding from the
-    * payload (in reality: a vision/audio model forward pass). */
+  /** Deterministic synthetic raster for media id `id`, PNG-encoded via
+    * the JDK codec. Dimensions are the oracle-side arithmetic above;
+    * pixel channels are small linear congruences of (id, x, y) so the
+    * raster is partition-order-independent and spec-recomputable. */
+  private[graft] def syntheticImagePng(id: Long): Array[Byte] = {
+    val w = (4 + id % 13).toInt
+    val h = (4 + (id / 13) % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 7L * x + 13L * y) % 256).toInt
+        val g = ((3L * id + 11L * x + 5L * y) % 256).toInt
+        val b = ((5L * id + 3L * x + 17L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image kernels (JDK javax.imageio) + the remaining audio/video
+  // stubs — deterministic fakes in place of codecs the JVM lacks.
+  // ---------------------------------------------------------------------
+
+  /** REAL image decode: PNG/JPEG/BMP/GIF through the JDK codec. None for
+    * bytes no installed reader accepts (the quarantine signal — a decode
+    * stage must never throw on one poisoned blob of a 100 TB corpus). */
+  private def realDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** The default decode kernel behind [[decodeImages]]: real dimensions
+    * and channel count, or the (-1, -1, 0) sentinel for undecodable
+    * bytes (surfaces as ok = false, never a dropped or thrown row). */
+  private def decodeImageKernel(bytes: Array[Byte]): (Int, Int, Int) =
+    realDecodeImage(bytes) match {
+      case Some(img) =>
+        (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      case None => (-1, -1, 0)
+    }
+
+  /** REAL image feature: `dim` vertical strips, mean luminance per strip
+    * recentred to [-0.5, 0.5] — the classic cheap visual descriptor, and
+    * the same closed range the audio/video stub emits so the m02 gate
+    * covers every kind with one bound. Undecodable image bytes fall back
+    * to the stub (deterministic, never a throw). */
+  private def imageFeature(bytes: Array[Byte], dim: Int): Array[Float] =
+    realDecodeImage(bytes) match {
+      case None => stubFeature(bytes, dim)
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        Array.tabulate(dim) { i =>
+          val from = i * w / dim
+          val until = math.max(from + 1, (i + 1) * w / dim)
+          var sum = 0.0
+          var n = 0
+          var x = from
+          while (x < until) {
+            var y = 0
+            while (y < h) {
+              val p = img.getRGB(x, y)
+              sum += (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / (3.0 * 255)
+              n += 1
+              y += 1
+            }
+            x += 1
+          }
+          (sum / n - 0.5).toFloat
+        }
+    }
+
+  /** REAL resize: decode, then an EXPLICIT nearest-neighbor resample
+    * (src pixel = floor(dst * src / dst-extent) per axis) into a packed
+    * RGB byte buffer — explicit rather than Graphics2D so the mapping is
+    * hand-computable in specs and identical on every JVM. Undecodable
+    * image bytes fall back to the stub byte-resample. */
+  private def resizeImageKernel(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    realDecodeImage(bytes) match {
+      case None => stubResizeBytes(bytes, w * h * 3)
+      case Some(img) =>
+        val sw = img.getWidth
+        val sh = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          val sy = y * sh / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x * sw / w, sy)
+            out(i) = ((p >> 16) & 0xff).toByte
+            out(i + 1) = ((p >> 8) & 0xff).toByte
+            out(i + 2) = (p & 0xff).toByte
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
+
+  /** STUB: fake feature extractor for AUDIO/VIDEO payloads (no JVM
+    * codec) — a stable pseudo-embedding from the payload bytes (in
+    * reality: an audio/vision model forward pass). Also the undecodable-
+    * image fallback. */
   private def stubFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -88,17 +223,18 @@ object Multimodal {
     out
   }
 
-  /** Decode stage: batch-shaped (mapPartitions) so a real codec/model is
+  /** Decode stage: batch-shaped (mapPartitions) so a codec/model is
     * initialized once per partition, not per row — the JVM equivalent of
-    * `mapInPandas` batch semantics. */
+    * `mapInPandas` batch semantics. The default kernel is the REAL JDK
+    * image decode; bytes no reader accepts emit ok = false. */
   def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedImage] =
-    decodeImagesWith(spark, media, stubDecodeImage)
+    decodeImagesWith(spark, media, decodeImageKernel)
 
   /** The codec SEAM: same stage, caller-supplied decode kernel
-    * (bytes => (width, height, channels)). The default stage passes the
-    * stub here; MultimodalSpec passes a real javax.imageio decoder
-    * through the same seam — one function value swaps, the plan
-    * (scan → mapPartitions → serialize) does not change. */
+    * (bytes => (width, height, channels); non-positive dims read as
+    * undecodable). The default passes the JDK imageio kernel; a
+    * deployment with a faster native codec swaps one function value —
+    * the plan (scan → mapPartitions → serialize) does not change. */
   def decodeImagesWith(
       spark: SparkSession,
       media: Dataset[MediaRow],
@@ -110,13 +246,15 @@ object Multimodal {
       rows.collect {
         case r if r.kind == "image" =>
           val (w, h, c) = decode(r.payload)
-          DecodedImage(r.media_id, w, h, c, ok = true)
+          DecodedImage(r.media_id, w, h, c, ok = w > 0 && h > 0)
       }
     }
   }
 
   /** Feature extraction for any media kind → fixed-dim float vector,
-    * ready for the similarity-search operators (LlmOps e01/e02). */
+    * ready for the similarity-search operators (LlmOps e01/e02). IMAGE
+    * rows run the real pixel-statistics kernel; audio/video run the
+    * stub (no JVM codec). Both land in the same closed [-0.5, 0.5]. */
   def extractFeatures(
       spark: SparkSession,
       media: Dataset[MediaRow],
@@ -124,7 +262,12 @@ object Multimodal {
   ): Dataset[MediaFeature] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => MediaFeature(r.media_id, stubFeature(r.payload, dim)))
+      rows.map { r =>
+        val f =
+          if (r.kind == "image") imageFeature(r.payload, dim)
+          else stubFeature(r.payload, dim)
+        MediaFeature(r.media_id, f)
+      }
     }
   }
 
@@ -136,9 +279,9 @@ object Multimodal {
       payload: Array[Byte]
   )
 
-  /** STUB resize kernel: nearest-neighbor byte resample to the target
-    * pixel-buffer size (w*h*3) — deterministic in the payload, the honest
-    * fake of image scaling (a real impl decodes, scales, re-encodes). */
+  /** STUB byte resample to the target pixel-buffer size (w*h*3) — now
+    * only the UNDECODABLE-bytes fallback of the real resize kernel
+    * (deterministic in the payload, never a throw). */
   private def stubResizeBytes(bytes: Array[Byte], target: Int): Array[Byte] = {
     val out = new Array[Byte](target)
     if (bytes.nonEmpty) {
@@ -153,15 +296,15 @@ object Multimodal {
 
   /** Resize stage: image rows only, batch-shaped like decode (one scaler
     * init per partition). Output payload is exactly w*h*3 bytes — the
-    * fixed-size tensor shape a training loader expects. */
+    * fixed-size tensor shape a training loader expects. The default
+    * kernel is the REAL decode + nearest-neighbor resample. */
   def resizeImages(
       spark: SparkSession,
       media: Dataset[MediaRow],
       width: Int = 32,
       height: Int = 32
   ): Dataset[ResizedImage] =
-    resizeImagesWith(spark, media, width, height,
-      (bytes, w, h) => stubResizeBytes(bytes, w * h * 3))
+    resizeImagesWith(spark, media, width, height, resizeImageKernel)
 
   /** The resize SEAM (see decodeImagesWith): caller-supplied scale kernel
     * (bytes, width, height) => w*h*3 pixel buffer. */

@@ -6015,6 +6015,129 @@ object LlmOps {
       Tables.documents(s, d).select(col("text")), topK = 20)
   }
 
+  /** FULL BPE TRAINER (t46): K merge rounds of byte-pair encoding over
+    * the corpus's word-frequency dictionary — t42 is round 1's
+    * statistics; this emits the MERGE TABLE itself (the artifact a
+    * tokenizer ships): per round, the argmax frequency-weighted adjacent
+    * token pair (ties broken lexicographically on the pair — the
+    * determinism every cross-engine replay needs) and its count at merge
+    * time.
+    *
+    * Representation: each dictionary word rides as a delimiter-wrapped
+    * token string, "hello" → "(h)(e)(l)(l)(o)" (alphabetic-only words,
+    * so the delimiters cannot collide with content). A merge of (l, l)
+    * is then ONE literal string replace — "(l)(l)" → "(ll)" — whose
+    * left-to-right non-overlapping semantics IS greedy BPE merging, and
+    * which both engines implement identically, so the oracle replays the
+    * trainer as K unrolled CTEs over the same string ops (no float
+    * anywhere: counts are exact integers).
+    *
+    * Scale: the corpus collapses to its word-frequency dictionary first
+    * (language-bounded, not corpus-bounded — the t42 rationale); each
+    * round is one vocab-sized pair aggregate (map-side combinable), a
+    * ONE-ROW collect (the argmax — the only driver traffic), and one
+    * vocab-sized codegen'd rewrite, checkpointed so round k's job never
+    * replays rounds 1..k-1. K rounds = K bounded jobs; a production
+    * 50k-merge train runs the same loop with periodic checkpoints. */
+  /** t46's round count: small enough that the DuckDB oracle's unrolled
+    * CTE chain stays readable, large enough that merged tokens from
+    * earlier rounds participate in later pairs (transitive merges).
+    * Declared BEFORE the Q val that reads it — a val referenced from an
+    * earlier val's initializer reads 0 (the recallGateOracleSql trap). */
+  private[graft] val BpeTrainRounds = 8
+
+  val t46 = Q(
+    "t46_bpe_train",
+    Some(bpeTrainOracleSql(BpeTrainRounds))
+  ) { (s, d) =>
+    bpeTrain(Tables.documents(s, d).select(col("text")), BpeTrainRounds)
+  }
+
+  /** t46's kernel: the BPE merge table of `docs`(text), `rounds` rounds.
+    * Stops early (fewer rows) if the dictionary runs out of pairs. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    require(rounds >= 1, "rounds must be >= 1")
+    // corpus → word-frequency dictionary (the only corpus-sized step),
+    // encoded; eager localCheckpoint cuts the corpus lineage so the K
+    // per-round jobs replan over a vocab-sized leaf
+    var dict = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("enc"), col("f"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val ts = split(
+        col("enc").substr(lit(2), length(col("enc")) - 2), "\\)\\(")
+      val top = dict
+        .select(ts.as("ts"), col("f"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("ts"), col("f"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(
+          element_at(col("ts"), col("i")).as("l_tok"),
+          element_at(col("ts"), col("i") + 1).as("r_tok"),
+          col("f"))
+        .groupBy("l_tok", "r_tok")
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l_tok"), col("r_tok"))
+        .limit(1)
+        .collect() // the argmax — one row, the round's only driver traffic
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, l + rt, n))
+        // tokens are [a-z]+ so the literals embed into expr() unescaped;
+        // replace() is the LITERAL SQL function (left-to-right,
+        // non-overlapping — greedy BPE), not regexp_replace
+        dict = dict
+          .withColumn("enc", expr(s"replace(enc, '($l)($rt)', '($l$rt)')"))
+          .localCheckpoint(true)
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("round", "l_tok", "r_tok", "merged", "n")
+      .orderBy("round")
+  }
+
+  /** t46's oracle: the SAME trainer unrolled as K CTE rounds — each
+    * round re-derives pair counts from the previous encoding, picks the
+    * argmax with the identical tie-break, and rewrites via the identical
+    * literal replace. Generated, not hand-written, so the round count
+    * stays in one place. */
+  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
+    val head = s"""
+      WITH wf AS (
+        SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT UNNEST($toksSql) AS w FROM documents)
+        WHERE regexp_full_match(w, '[a-z]+')
+        GROUP BY 1),
+      e0 AS (SELECT enc, f FROM wf)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""
+      p$r AS (SELECT ts[i] AS l_tok, ts[i + 1] AS r_tok, CAST(SUM(f) AS BIGINT) AS n
+              FROM (SELECT ts, f, UNNEST(range(1, len(ts))) AS i
+                    FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), ')(') AS ts, f
+                          FROM e${r - 1})
+                    WHERE len(ts) >= 2)
+              GROUP BY 1, 2),
+      m$r AS (SELECT l_tok, r_tok, l_tok || r_tok AS merged, n
+              FROM p$r ORDER BY n DESC, l_tok, r_tok LIMIT 1),
+      e$r AS (SELECT replace(enc, '(' || l_tok || ')(' || r_tok || ')', '(' || merged || ')') AS enc, f
+              FROM e${r - 1} CROSS JOIN m$r)"""
+    }.mkString(",", ",", "")
+    val unions = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS round, l_tok, r_tok, merged, n FROM m$r")
+      .mkString("\n      UNION ALL ")
+    s"$head$roundCtes\n      $unions\n      ORDER BY round"
+  }
+
   /** t42's kernel: top-`topK` frequency-weighted adjacent char pairs
     * over `docs`(text)'s word-frequency dictionary. */
   def bpeMergePairs(docs: DataFrame, topK: Int): DataFrame = {
@@ -8117,7 +8240,19 @@ object LlmOps {
     *
     * Scale: the delete is ledger-sized; the search pays one extra
     * anti-join against the ledger; the exact side is e01's two-stage
-    * broadcast scan. Nothing rewrites the corpus. */
+    * broadcast scan. Nothing rewrites the corpus.
+    *
+    * Cost shape (r14): the BASE index build (k-means train + assignment
+    * shuffle) and the exact side (deterministic — decimal rescore) are
+    * per-DATASET artifacts built once via [[buildSharedOnce]], the e01
+    * exactTopKShared discipline; what stays PER RUN is exactly the
+    * operator under test — a filesystem copy of the base index (so
+    * deleteFromIndex mutates a run-private store and its semantics stay
+    * per-run pure), the ledger-sized tombstone commit, and the search
+    * through the tombstones. The copy is a harness cost, not an operator
+    * cost: a production takedown tombstones the LIVE index in place
+    * (metadata-only); the copy exists so every benchmarked run
+    * re-exercises the delete-commit path against an undeleted base. */
   val e23 = Q(
     "e23_ann_deletes",
     Some("""
@@ -8128,25 +8263,49 @@ object LlmOps {
       FROM embeddings CROSS JOIN nd WHERE vec_id < 10 ORDER BY qid""")
   ) { (s, d) =>
     val A = graft.operators.AnnIvf
-    val dir = scratchDir("e23", d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val deleted = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
-    val idx = s"$dir/ivf_del"
-    A.buildIndex(s, emb, idx, nlist = 16)
-    A.deleteFromIndex(s, deleted, idx)
     val queries = emb.filter(col("vec_id") < 10)
+    val base = scratchDir("e23_base", d) + "/ivf"
+    buildSharedOnce(base) { A.buildIndex(s, emb, base, nlist = 16) }
+    // run-private copy: unique per run so a re-run tombstones a fresh
+    // undeleted base instead of re-committing onto the last run's ledger
+    val idx = scratchDir("e23", d) +
+      s"/ivf_del_run${e23RunSeq.incrementAndGet()}"
+    copyTree(s, base, idx)
+    A.deleteFromIndex(s, deleted, idx)
     val approx = A.searchIndex(s, idx, queries, k = 5, nprobe = 8)
       .select(col("qid"), col("vid"))
     // exact top-k over the non-deleted corpus: e22's kernel under a
-    // constant filter column (equality on lit(1) = no filter)
-    val live = emb.filter(col("vec_id") % 7 =!= 0).withColumn("__all", lit(1))
-    val exact = filteredTopKOf(s, live, queries.withColumn("__all", lit(1)), "__all", 5)
-      .select(col("qid"), col("vid"))
+    // constant filter column (equality on lit(1) = no filter);
+    // deterministic, so shared per dataset like e01's exactTopKShared
+    val exactPath = scratchDir("e23_exact", d) + "/topk"
+    buildSharedOnce(exactPath) {
+      val live = emb.filter(col("vec_id") % 7 =!= 0).withColumn("__all", lit(1))
+      filteredTopKOf(s, live, queries.withColumn("__all", lit(1)), "__all", 5)
+        .select(col("qid"), col("vid"))
+        .write.mode("overwrite").parquet(exactPath)
+    }
+    val exact = s.read.parquet(exactPath)
     // floor 0.2 / mean 0.4: nprobe=8 of nlist=16 — e07's measured bars
     recallGate(exact, approx, 0.4, floor = 0.2)
       .join(noDeletedVerdict(queries.select("vec_id"), approx, deleted), Seq("qid"))
       .select("qid", "k", "no_deleted_ok", "recall_floor_ok", "recall_ok")
       .orderBy("qid")
+  }
+
+  /** Monotone per-JVM sequence for e23's run-private index copies. */
+  private val e23RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Recursive local-FS directory copy through the Hadoop FS API (the
+    * snapshot-log store abstraction — works on any FS the session can
+    * reach). Harness-sized use only: e23's per-run base-index copy. */
+  private def copyTree(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP, false, conf): Unit
   }
 
   /** MATRYOSHKA-TRUNCATED SEARCH (e24): exact cosine top-k over the
@@ -8297,5 +8456,5 @@ object LlmOps {
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45)
+      t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46)
 }

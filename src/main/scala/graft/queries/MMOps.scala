@@ -4,47 +4,49 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
 
-/** Multimodal pipeline stages surfaced as registry queries. The decode
-  * kernels are deterministic stubs (no codecs in this environment — see
-  * operators/Multimodal), so stub-DERIVED values (pixel dims, feature
-  * floats) can't be recomputed by the oracle; instead every stage emits
-  * deterministic assertion columns over the stub's CONTRACT (row
-  * membership, kind routing, dims/dim/range bounds) that DuckDB pins
+/** Multimodal pipeline stages surfaced as registry queries. IMAGE stages
+  * are REAL end-to-end (r14): [[Multimodal.mediaWithRealImages]]
+  * synthesizes genuine PNG payloads whose dimensions are pure
+  * id-arithmetic, and the stages decode them with the JDK codec — so
+  * m01's oracle pins the full encode→PNG→decode roundtrip value-by-value
+  * (DuckDB recomputes the dimensions from doc_id without ever reading a
+  * PNG). Audio/video kernels remain deterministic stubs (no JVM codec);
+  * their stages emit assertion columns over the stub's CONTRACT (row
+  * membership, kind routing, dim/range bounds) that DuckDB pins
   * row-by-row — the e08/q28 gating pattern — while MultimodalSpec pins
-  * the exact values' determinism and schema contracts.
+  * exact values and schema contracts.
   */
 object MMOps {
 
-  /** Decode-stage gate: which rows decode (image rows = doc_id%3==0),
-    * with dims inside the stub's documented [64, 576) envelope and
-    * channels fixed — hash-checked per row. */
+  /** Decode-stage gate: the REAL roundtrip — image rows (doc_id%3==0)
+    * carry synthesized PNGs of width 4 + id%13, height 4 + (id/13)%11;
+    * the JDK decoder must recover exactly those dims (and 3 channels)
+    * from the bytes, and the oracle recomputes them arithmetically. */
   val m01 = Q(
     "m01_media_decode",
     Some("""
-      SELECT doc_id AS media_id, TRUE AS dims_ok,
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS width,
+             CAST(4 + (doc_id // 13) % 11 AS INTEGER) AS height,
              CAST(3 AS INTEGER) AS channels, TRUE AS ok
       FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""")
   ) { (s, d) =>
     Multimodal
-      .decodeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+      .decodeImages(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)))
       .toDF()
-      .select(
-        col("media_id"),
-        (col("width").between(64, 575) && col("height").between(64, 575))
-          .as("dims_ok"),
-        col("channels"),
-        col("ok")
-      )
+      .select(col("media_id"), col("width"), col("height"), col("channels"), col("ok"))
       .orderBy("media_id")
   }
 
-  /** Feature-stage gate: every media row gets a dim-16 pseudo-embedding
-    * with all elements in the stub's [-0.5, 0.5] range. The interval is
-    * CLOSED on both ends: (h & 0xffff)/65535 reaches exactly 1.0 when a
-    * hash step lands on 0xffff, so 0.5 is attainable (about one element
-    * in 65536 — doc_ids 1364 and 3213 hit it at sf0.1; an exclusive
-    * upper-bound check failed exactly those rows against the oracle's
-    * hardcoded TRUE). */
+  /** Feature-stage gate: every media row gets a dim-16 embedding — image
+    * rows from REAL pixel statistics (per-strip mean luminance, recentred),
+    * audio/video from the stub — all elements in the shared [-0.5, 0.5]
+    * range. The interval is CLOSED on both ends: the stub's
+    * (h & 0xffff)/65535 reaches exactly 1.0 when a hash step lands on
+    * 0xffff, so 0.5 is attainable (about one element in 65536 — doc_ids
+    * 1364 and 3213 hit it at sf0.1; an exclusive upper-bound check failed
+    * exactly those rows against the oracle's hardcoded TRUE), and an
+    * all-black raster's luminance mean is exactly -0.5. */
   val m02 = Q(
     "m02_media_features",
     Some("""
@@ -53,7 +55,7 @@ object MMOps {
   ) { (s, d) =>
     import s.implicits._
     Multimodal
-      .extractFeatures(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), dim = 16)
+      .extractFeatures(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)), dim = 16)
       .map(f =>
         (f.media_id, f.feature.length, f.feature.forall(x => x >= -0.5f && x <= 0.5f))
       )
@@ -74,17 +76,18 @@ object MMOps {
       FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
   ) { (s, d) =>
     Multimodal
-      .sampleFrames(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), stride = 100)
+      .sampleFrames(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)), stride = 100)
       .groupByKey(_.media_id)(org.apache.spark.sql.Encoders.scalaLong)
       .count()
       .toDF("media_id", "n_frames")
       .orderBy("media_id")
   }
 
-  /** Resize dims/sizes are deterministic arithmetic (image rows are
-    * doc_id % 3 == 0; output is always width*height*3 bytes), so the
-    * plumbing is hash-gated like m03 even though the pixel bytes come
-    * from the stub kernel. */
+  /** Resize-stage gate: REAL decode + nearest-neighbor resample of the
+    * synthesized PNGs to the fixed 32×32×3 tensor shape. The oracle pins
+    * row membership and the output tensor shape (the SQL-expressible
+    * surface); MultimodalSpec pins the resample's exact pixel mapping on
+    * a hand-computed raster. */
   val m04 = Q(
     "m04_media_resize",
     Some("""
@@ -94,7 +97,7 @@ object MMOps {
   ) { (s, d) =>
     import s.implicits._
     Multimodal
-      .resizeImages(s, Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+      .resizeImages(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)))
       .map(r => (r.media_id, r.width, r.height, r.n_bytes))
       .toDF("media_id", "width", "height", "n_bytes")
       .orderBy("media_id")

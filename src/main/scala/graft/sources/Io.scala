@@ -91,9 +91,14 @@ object Io {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // Spark forbids filtering ONLY the corrupt column off a
-    // lazy json scan (SPARK-26745); the cache also makes the two halves
-    // one parse instead of two
+      // Spark forbids filtering ONLY the corrupt column off a lazy json
+      // scan (SPARK-26745), so the parse must be materialized before the
+      // split; an EAGER localCheckpoint (not .cache()) does it with
+      // blocks the ContextCleaner evicts once the caller drops the
+      // returned frames — an explicit cache would pin one parsed-corpus
+      // copy per call for the session lifetime in a many-file ingest
+      // service. Also makes the two halves one parse instead of two.
+      .localCheckpoint(true)
     val good = raw.filter(raw("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(raw("_corrupt_record").isNotNull)
       .select(raw("_corrupt_record").as("raw_line"))

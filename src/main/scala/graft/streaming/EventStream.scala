@@ -633,9 +633,14 @@ object EventStream {
     val novel = pairs
       .join(store0, Seq("user_id", "day"), "left_anti")
       .localCheckpoint(true)
-    val bounds = novel.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    // Bounds come from the batch's PAIRS, not the novel subset: on a
+    // crash-replay between store-append and out-overwrite, novel is
+    // empty (the pairs already landed) but outDir is still stale for
+    // the affected days — pairs' window covers novel's, so recomputing
+    // from pairs whenever the batch is non-empty self-heals that gap.
+    val bounds = pairs.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
     if (!bounds.isNullAt(0)) {
-      novel.write.mode("append").parquet(storeDir)
+      if (!novel.isEmpty) novel.write.mode("append").parquet(storeDir)
       val lo = bounds.getDate(0)
       val hi = java.sql.Date.valueOf(bounds.getDate(1).toLocalDate.plusDays(windowDays - 1L))
       val reach = java.sql.Date.valueOf(bounds.getDate(0).toLocalDate.minusDays(windowDays - 1L))

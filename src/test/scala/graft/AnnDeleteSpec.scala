@@ -81,6 +81,23 @@ class AnnDeleteSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("compaction refuses an all-tombstoned store instead of committing a fileless dir") {
+    import spark.implicits._
+    val emb = corpus.limit(20)
+    val idx = freshIdx("alldead")
+    AnnIvf.buildIndex(spark, emb, idx, nlist = 2)
+    AnnIvf.deleteFromIndex(spark, (0L until 20L).toDF("vec_id"), idx)
+    val vBefore = SnapshotLog.current(spark, idx, "ivf-index").version
+    val e = intercept[IllegalStateException] { AnnIvf.compactIndex(spark, idx) }
+    assert(e.getMessage.contains("every stored vector tombstoned"))
+    // the refusal must leave the store untouched and still readable
+    assert(SnapshotLog.current(spark, idx, "ivf-index").version == vBefore,
+      "a refused compaction must not commit")
+    assert(topVids(idx, emb.filter(col("vec_id") === 0)).isEmpty,
+      "all-tombstoned search is empty but must not error")
+    Hygiene.release(spark)
+  }
+
   test("knn graph: neighbors stay within a vector's own tight group") {
     import spark.implicits._
     // two well-separated groups of 6 near-identical vectors each: every

@@ -148,6 +148,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       "the whole payload nulls together — it is one carried row")
   }
 
+  test("tolerance boundary is exact on sub-second timestamps (integral-micros gap)") {
+    import spark.implicits._
+    // gap = exactly tol with a .7-second fraction on both endpoints: a
+    // double-seconds compare can round the gap a ulp above tol and flip
+    // the inclusive <=; the integral-micros gate must keep it IN. The
+    // second left row sits 1 microsecond past the window and must null.
+    val tol = 5L
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:10.700")),
+      (2L, 10L, Timestamp.from(
+        ts("2024-01-05 00:00:10.700").toInstant.plusNanos(1000)))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-05 00:00:05.700"), 100L, 11.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin
+      .latestAtOrBefore(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey", "o_totalprice"),
+        toleranceSeconds = Some(tol))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("o_orderkey") == 100L,
+      "a gap landing exactly on the tolerance is inclusive")
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")),
+      "one microsecond past the window is out")
+  }
+
   test("forward tolerance: the gap measures toward the future") {
     import spark.implicits._
     val left = Seq(

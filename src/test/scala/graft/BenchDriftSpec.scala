@@ -264,6 +264,20 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.baselineRefs("/nonexistent/BASELINE.md").isEmpty)
   }
 
+  test("contended marker: >10% refuted wobbles flags the capture, boundary and empty do not") {
+    // r13 driver capture: 47+52 refuted wobbles over 159 queries — the
+    // marker exists so downstream readers see that capture's first-pass
+    // walls are untrustworthy without re-deriving it from per-row flags
+    assert(Bench.isContended(refutedWobbles = 99, nQueries = 159))
+    assert(Bench.isContended(refutedWobbles = 17, nQueries = 159))
+    // exactly 10% is normal scheduler noise, not contention (strict >)
+    assert(!Bench.isContended(refutedWobbles = 15, nQueries = 150))
+    assert(Bench.isContended(refutedWobbles = 16, nQueries = 150))
+    assert(!Bench.isContended(refutedWobbles = 0, nQueries = 159))
+    // a subset run matching no queries must not divide by zero or flag
+    assert(!Bench.isContended(refutedWobbles = 0, nQueries = 0))
+  }
+
   test("cpuDiff surfaces unavailable telemetry as -1, never as zero own-work") {
     // on a JVM without com.sun.management, cpuS() is a constant -1.0;
     // a naive after-before would read 0.0 = "present, zero work" and

@@ -9,6 +9,9 @@ class MultimodalSpec extends AnyFunSuite {
   private def media = Multimodal.mediaFromDocuments(
     spark, Tables.documents(spark, TestSpark.sf0001))
 
+  private def pngMediaTable = Multimodal.mediaWithRealImages(
+    spark, Tables.documents(spark, TestSpark.sf0001))
+
   test("binary media table has the typed schema and full coverage") {
     import spark.implicits._
     val m = media
@@ -18,33 +21,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kinds.values.sum == 500)
   }
 
-  test("decode stage is deterministic, image-only, batch-shaped") {
-    val d1 = Multimodal.decodeImages(spark, media).collect().sortBy(_.media_id)
-    val d2 = Multimodal.decodeImages(spark, media.repartition(7)).collect().sortBy(_.media_id)
+  test("decode stage: REAL PNG decode recovers the synthesized dims; deterministic") {
+    val d1 = Multimodal.decodeImages(spark, pngMediaTable).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeImages(spark, pngMediaTable.repartition(7))
+      .collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq) // partitioning must not change results
-    assert(d1.nonEmpty && d1.forall(r => r.ok && r.width >= 64 && r.channels == 3))
+    assert(d1.nonEmpty && d1.forall { r =>
+      r.ok && r.channels == 3 &&
+        r.width == (4 + r.media_id % 13).toInt &&
+        r.height == (4 + (r.media_id / 13) % 11).toInt
+    })
+  }
+
+  test("undecodable image bytes surface as ok = false, never a throw or a drop") {
+    // the opaque table's image payloads are raw text bytes — no reader
+    // accepts them; a 100 TB corpus WILL contain poisoned blobs and the
+    // stage must attribute them, not die
+    val d = Multimodal.decodeImages(spark, media).collect()
+    assert(d.nonEmpty, "undecodable rows must still be emitted")
+    assert(d.forall(r => !r.ok && r.width == -1 && r.channels == 0))
+    Hygiene.release(spark)
   }
 
   test("feature extraction yields fixed-dim vectors usable by similarity ops") {
-    val f = Multimodal.extractFeatures(spark, media, dim = 32).collect()
+    val f = Multimodal.extractFeatures(spark, pngMediaTable, dim = 32).collect()
     assert(f.length == 500)
     assert(f.forall(_.feature.length == 32))
+    assert(f.forall(_.feature.forall(x => x >= -0.5f && x <= 0.5f)))
     // deterministic across runs
-    val f2 = Multimodal.extractFeatures(spark, media, dim = 32).collect()
+    val f2 = Multimodal.extractFeatures(spark, pngMediaTable, dim = 32).collect()
     assert(f.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
       f2.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
   test("resize yields fixed-size pixel buffers, deterministic under repartition") {
-    val r1 = Multimodal.resizeImages(spark, media, 16, 16).collect().sortBy(_.media_id)
+    val r1 = Multimodal.resizeImages(spark, pngMediaTable, 16, 16).collect().sortBy(_.media_id)
     val r2 = Multimodal
-      .resizeImages(spark, media.repartition(7), 16, 16)
+      .resizeImages(spark, pngMediaTable.repartition(7), 16, 16)
       .collect()
       .sortBy(_.media_id)
     assert(r1.nonEmpty)
     // the fixed tensor shape a training loader expects: exactly w*h*3 bytes
     assert(r1.forall(r => r.payload.length == 16 * 16 * 3 && r.n_bytes == 16 * 16 * 3))
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+  }
+
+  test("hand-computed 2x2 raster: decode, strip features, and NN resize are exact") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // raster: (0,0)=white (1,0)=black / (0,1)=red (1,1)=blue
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", bos.toByteArray, "gen", 0L)))
+
+    val d = Multimodal.decodeImages(spark, rows).collect()
+    assert(d.map(r => (r.width, r.height, r.channels, r.ok)).toSeq ==
+      Seq((2, 2, 3, true)))
+
+    // dim=2 strips = the two pixel columns; per-strip mean luminance - 0.5:
+    // left  = mean(1.0, 1/3) - 0.5 = 2/3 - 0.5 = 1/6
+    // right = mean(0.0, 1/3) - 0.5 = 1/6 - 0.5 = -1/3
+    val f = Multimodal.extractFeatures(spark, rows, dim = 2).collect()
+    val want = Array(
+      ((255 + 255 + 255) / (3.0 * 255) + (255 + 0 + 0) / (3.0 * 255)) / 2 - 0.5,
+      ((0 + 0 + 0) / (3.0 * 255) + (0 + 0 + 255) / (3.0 * 255)) / 2 - 0.5)
+    assert(f.head.feature.toSeq == want.map(_.toFloat).toSeq)
+
+    // NN resize 2x2 -> 4x4: src pixel = (x*2/4, y*2/4) = (x/2, y/2) —
+    // each source pixel becomes an exact 2x2 block
+    val rz = Multimodal.resizeImages(spark, rows, 4, 4).collect()
+    val px = rz.head.payload.grouped(3)
+      .map(p => ((p(0) & 0xff), (p(1) & 0xff), (p(2) & 0xff))).toSeq
+    val W = (255, 255, 255); val K = (0, 0, 0); val R = (255, 0, 0); val B = (0, 0, 255)
+    assert(px == Seq(
+      W, W, K, K,
+      W, W, K, K,
+      R, R, B, B,
+      R, R, B, B))
+    Hygiene.release(spark)
   }
 
   test("codec seam: a REAL imageio/awt kernel swaps in for the stub, same plan") {

@@ -67,6 +67,29 @@ class RollingActiveStreamSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("crash between store-append and out-overwrite self-heals on replay") {
+    val root = Files.createTempDirectory("graft-ras4-").toString
+    val (store, out) = (s"$root/store", s"$root/out")
+    val b1 = Seq(ev(1, "2024-01-01"), ev(2, "2024-01-03"))
+    EventStream.rollingActiveBatch(batchDf(b1), store, out, 7)
+    // simulate the crash window of batch 2: its pairs LANDED in the
+    // store (append succeeded) but the out overwrite never ran — the
+    // replayed batch's anti-join then finds nothing novel, and a
+    // novel-bounded recompute would skip, leaving out stale forever
+    val b2 = Seq(ev(3, "2024-01-02"))
+    batchDf(b2)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .write.mode("append").parquet(store)
+    val stale = readOut(out)
+    assert(stale == batchExpect(b1), "precondition: out is stale")
+    EventStream.rollingActiveBatch(batchDf(b2), store, out, 7)
+    assert(readOut(out) == batchExpect(b1 ++ b2),
+      "a replayed batch whose pairs already landed must still recompute")
+    assert(spark.read.parquet(store).count() == 3,
+      "the replay must not double-append the already-landed pairs")
+    Hygiene.release(spark)
+  }
+
   test("end-to-end stream wiring drives the maintainer per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
