@@ -420,7 +420,12 @@ object Bench {
     // runs may write it — a subset run (`Bench d13 d14`) would otherwise
     // clobber the tracked record with a 2-query file that reads as a
     // clean full run (and the round snapshot commits the tree wholesale).
-    if (args.isEmpty) {
+    // Subset runs write the SAME detail to bench_subset.json instead
+    // (untracked, overwritten per run): the A/B adjudication protocol
+    // needs per-query COLD walls, which the stdout line does not carry.
+    locally {
+      val detailPath = java.nio.file.Paths.get(
+        if (args.isEmpty) "bench_full.json" else "bench_subset.json")
       val detail = adjudicated
         .map { a =>
           val r = a.r
@@ -445,7 +450,6 @@ object Bench {
           s"""  "${r.name}": {"warm": ${jnum(r.warm)}, "cold": ${jnum(r.cold)}, "ok": ${r.ok}, "storage_cold_b": ${r.stCold}, "storage_warm_b": ${r.stWarm}, "cpu_warm_s": ${jnum(r.cpuWarm)}, "cpu_cold_s": ${jnum(r.cpuCold)}, "load1": ${jnum(r.load)}, "drift": ${r.drift}, "cold_drift": ${r.coldDrift}, "drift_needs_rerun": ${a.warmNeedsRerun}, "cold_drift_needs_rerun": ${a.coldNeedsRerun}$refPart$recheckPart}"""
         }
         .mkString("{\n", ",\n", "\n}")
-      val detailPath = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(
         detailPath,
         s"""{"sf": "$sfDir", "warm_total": ${jnum(total)}, "cold_total": ${jnum(coldTotal)}, "failed": $failed, "drift_flags": $driftFlags, "drift_unconfirmed": $driftUnconfirmed, "drift_needs_rerun": $driftNeedsRerun, "cold_drift_flags": $coldDriftFlags, "cold_drift_unconfirmed": $coldDriftUnconfirmed, "cold_drift_needs_rerun": $coldDriftNeedsRerun, "contended": $contended, "load1_max": ${jnum(captureLoad1Max)}, "queries": $detail}"""

@@ -229,7 +229,15 @@ object BenchScale {
       // rounds is a vocab-sized pair aggregate + 1-row collect + vocab-
       // sized rewrite, so the whole trainer is linear in the corpus with
       // a vocab-bounded (language-bounded) per-round tail.
-      "t46" -> 1
+      "t46" -> 1,
+      // t47 (r14): t46's trainer plus ONE more vocab-sized explode +
+      // grouped sum over the final dictionary — same linearity argument.
+      "t47" -> 1,
+      // e27 (r14): the fused IVF-PQ search — e06's linear fit/assign +
+      // e10's linear code build + an ADC join over the probed fraction +
+      // a shortlist-bounded exact re-rank; every leg is a single-corpus-
+      // pass shape for a fixed query set, like e06 and e12 separately.
+      "e27" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -251,6 +251,17 @@ object Graft {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     graft.operators.AnnIvf.topK(spark, corpus, queries, k, nlist, nprobe)
 
+  /** Fused IVF-PQ search (e27's operator, the FAISS IndexIVFPQ shape):
+    * IVF list pruning, PQ ADC over only the probed candidates, exact
+    * re-rank of the shortlist. The scale path when both the corpus AND
+    * the per-query candidate set are too big for exact scoring. */
+  def annTopKIvfPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, subspaces: Int = 4,
+      subDim: Int = 16, pqK: Int = 16, shortlist: Int = 0): DataFrame =
+    graft.operators.AnnIvfPq.topK(
+      spark, corpus, queries, k, nlist, nprobe, subspaces, subDim, pqK,
+      pqIters = 1, shortlist = shortlist)
+
   /** IVF index split: build the centroid set once (fit), persist/reload it,
     * and search any batch against the loaded artifact (topKWith). */
   def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =
@@ -547,6 +558,11 @@ object Graft {
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
     graft.queries.LlmOps.bpeTrain(docs, rounds)
 
+  /** The trained tokenizer applied (t47's kernel): the corpus's top-k
+    * token-frequency table under the K trained merges. */
+  def bpeTokenStats(docs: DataFrame, rounds: Int, topK: Int = 20): DataFrame =
+    graft.queries.LlmOps.bpeTokenStats(docs, rounds, topK)
+
   /** Market-basket association (q51's kernel) over (basket, item) rows:
     * top-k co-occurring item pairs with support / confidence / lift.
     * Pair generation self-joins on the basket key — per-basket C(n,2),
@@ -780,6 +796,14 @@ object Graft {
     * SimHash fingerprint index (d04's artifact) — zero stream state. */
   def nearDupStream(docs: DataFrame, corpusFps: DataFrame, radius: Int = 3): DataFrame =
     graft.streaming.EventStream.nearDupStream(docs, corpusFps, radius)
+
+  /** Exact-dedup maintenance stream (d01's live twin): content-hash each
+    * arriving batch against the persisted canonical table, emit
+    * accept/duplicate verdicts, append accepted canonicals — zero stream
+    * state, exactly-once store, replay-stable verdicts. */
+  def canonicalDedupStream(docs: DataFrame, storeDir: String,
+      verdictDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStream.canonicalDedupStream(docs, storeDir, verdictDir, checkpointDir)
 
   /** Label a stream of (vec_id, embedding) rows with a persisted k-means
     * model — stateless compiled projection, byte-identical to the batch

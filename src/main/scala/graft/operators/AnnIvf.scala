@@ -45,7 +45,7 @@ object AnnIvf {
     * the kernel's generated code is constant-size in nlist. Centroid
     * components are cast to FLOAT at literal build, matching the old
     * CAST($v AS FLOAT) literal arrays bit-for-bit. */
-  private def topClustersCol(centroids: Seq[Array[Double]], topn: Int): Column =
+  private[operators] def topClustersCol(centroids: Seq[Array[Double]], topn: Int): Column =
     call_function(
       "cosine_top_clusters",
       col("embedding"),
@@ -56,7 +56,7 @@ object AnnIvf {
   /** argmax over cosine similarities — compiled per row, no join, no
     * shuffle; ties break to the higher cluster id (the old array_max
     * lexicographic semantic). */
-  private def nearestCentroidCol(centroids: Seq[Array[Double]]): Column =
+  private[operators] def nearestCentroidCol(centroids: Seq[Array[Double]]): Column =
     element_at(topClustersCol(centroids, 1), 1)
 
   /** Probe list: each row's `nprobe` nearest clusters, compiled. */

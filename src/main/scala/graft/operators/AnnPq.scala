@@ -177,6 +177,24 @@ object AnnPq {
       model: Model,
       k: Int = 5,
       shortlist: Int = 0
+  ): DataFrame = topKCandidates(spark, emb, queries, model, k, shortlist, None)
+
+  /** [[topK]] with an optional per-query CANDIDATE restriction — the
+    * fusion seam [[AnnIvfPq]] plugs the IVF probe set into: when
+    * `candidates` is Some((qid, vid) pairs), ADC scores exactly those
+    * pairs instead of every (query, vector) combination, so the PQ stage
+    * inherits whatever pruning produced the pairs (for IVF probes that
+    * is the nprobe/nlist corpus fraction). The auto-shortlist rule then
+    * sizes itself from the CANDIDATES actually ranked per query — the
+    * same searched-corpus discipline as the unrestricted path. */
+  private[operators] def topKCandidates(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding
+      queries: DataFrame, // vec_id, embedding (small by construction)
+      model: Model,
+      k: Int,
+      shortlist: Int,
+      candidates: Option[DataFrame] // (qid, vid); None = all pairs
   ): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
     VectorFunctions.register(spark)
@@ -219,8 +237,18 @@ object AnnPq {
         ): _*)).as("mc")
       )
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    val adc = unpivot
-      .join(broadcast(lut), Seq("m", "code"))
+    // Unrestricted: the (m, code)-keyed broadcast join fans every vector
+    // out to every query (brute-force ADC). Restricted: the candidate
+    // pairs arrive first, so the LUT join keys on (qid, m, code) and the
+    // fan-out is exactly the candidate set.
+    val adcJoined = candidates match {
+      case None => unpivot.join(broadcast(lut), Seq("m", "code"))
+      case Some(cand) =>
+        unpivot
+          .join(cand.select(col("qid"), col("vid").as("vec_id")), "vec_id")
+          .join(broadcast(lut), Seq("qid", "m", "code"))
+    }
+    val adc = adcJoined
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum("d").as("adc"))

@@ -123,6 +123,93 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
+  /** Exact-dedup MAINTENANCE stream — d01's live twin (the most-used
+    * streaming shape in a training-data ingest path): every arriving
+    * (doc_id, text) batch is content-hashed against the persisted
+    * CANONICAL table, each document gets an accept/duplicate verdict
+    * (duplicates attributed to their canonical id — d01's min-doc_id
+    * rule within a batch, first-arrival-wins across batches), and the
+    * accepted canonicals extend the store so the next batch — or a
+    * nightly batch job reading the same table — already sees them.
+    *
+    * No watermark and ZERO streaming state, deliberately: the dedup
+    * state IS the persisted store (an exact-dedup horizon would re-admit
+    * any duplicate older than it — wrong for a corpus whose canonicals
+    * never expire), so a months-late duplicate still attributes to its
+    * canonical, and the state survives restarts by construction. For
+    * within-horizon arrival-burst dedup with bounded state, use
+    * [[dedupStream]]; for near-dup admission, [[ingestGuard]].
+    *
+    * Exactly-once: verdicts land by per-batch overwrite BEFORE the store
+    * append (the ingestBatch ordering), the append is an anti-join of
+    * the batch's canonicals against the store (a replayed batch appends
+    * nothing — the rollingActiveStream discipline), and verdicts are
+    * REPLAY-STABLE even after a crash between append and checkpoint
+    * advance: a canonical's own store row joins back to its own doc_id,
+    * which the verdict rule reads as canonical, never as a
+    * duplicate-of-itself. Batch-vs-stream parity, late arrivals, and
+    * restart recovery are spec-pinned (DedupStreamSpec). */
+  def canonicalDedupStream(
+      docs: DataFrame, // streaming: doc_id, text
+      storeDir: String,
+      verdictDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        canonicalDedupBatch(batch, storeDir, verdictDir, batchId)
+      }
+      .start()
+
+  /** One maintenance step (the foreachBatch body, callable from specs). */
+  private[graft] def canonicalDedupBatch(
+      batch: DataFrame, storeDir: String, verdictDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // pin the arrivals once (the ingestBatch source-amplification rule):
+    // the verdict plan reads them twice, the store append once more
+    val arrivals = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("content_md5", md5(col("text")))
+      .localCheckpoint(true)
+    val store0 =
+      try s.read.parquet(storeDir)
+      catch {
+        case _: Throwable => s.emptyDataFrame.select(
+          lit("").as("content_md5"), lit(0L).as("canonical_id")).limit(0)
+      }
+    // batch-internal canonical: d01's min-doc_id rule among the arrivals
+    val batchCanon = arrivals
+      .groupBy("content_md5").agg(min(col("doc_id")).as("__bc"))
+    // the store's canonical wins across batches (first-arrival-wins);
+    // materialize BEFORE the append — the verdict plan reads storeDir,
+    // and writing a path a live plan reads is undefined
+    val verdicts = arrivals
+      .join(batchCanon, "content_md5")
+      .join(store0.withColumnRenamed("canonical_id", "__sc"),
+        Seq("content_md5"), "left")
+      .select(
+        col("doc_id"),
+        col("content_md5"),
+        coalesce(col("__sc"), col("__bc")).as("canonical_id"),
+        when(col("doc_id") === coalesce(col("__sc"), col("__bc")), lit("canonical"))
+          .otherwise(lit("duplicate")).as("verdict"))
+      .localCheckpoint(true)
+    // verdict BEFORE append: a crash in between replays to the SAME
+    // verdicts (store unchanged) and then appends; a crash after the
+    // append replays to the same verdicts through the self-row rule
+    verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch_id=$batchId")
+    // materialize before the append: novel's plan reads storeDir (the
+    // anti-join), and appending to a path a live plan reads is undefined
+    val novel = verdicts
+      .filter(col("verdict") === "canonical")
+      .select(col("content_md5"), col("doc_id").as("canonical_id"))
+      .join(store0, Seq("content_md5"), "left_anti")
+      .localCheckpoint(true)
+    if (!novel.isEmpty) novel.write.mode("append").parquet(storeDir)
+  }
+
   /** Streaming near-dup guard: flag each arriving document against a
     * STATIC corpus fingerprint index by SimHash band match — d08's
     * incremental ingest dedup as a stream (the shape a live crawl

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
+
+/** Pins the fused IVF-PQ search (e27's operator): the IVF stage really
+  * prunes (candidates come only from probed lists), the fusion degrades
+  * to plain PQ when every list is probed, and recall against a
+  * driver-computed exact baseline clears the e27 gate with margin. */
+class AnnIvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus = {
+    import spark.implicits._
+    (0 until 200)
+      .map(i => (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 97) / 48.5f - 1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("probing every list makes the fusion identical to unrestricted PQ") {
+    val emb = corpus
+    val q = emb.filter(col("vec_id") < 5)
+    val fused = AnnIvfPq
+      .topK(spark, emb, q, k = 5, nlist = 4, nprobe = 4,
+        subspaces = 4, subDim = 16, pqK = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val cs = AnnIvf.fit(spark, emb, nlist = 4)
+    assert(cs.length == 4)
+    val pq = AnnPq.fit(spark, emb, 4, 16, 8, 1)
+    val plain = AnnPq.topK(spark, emb, q, pq, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fused == plain,
+      "nprobe = nlist leaves no pruning — the fused path must reduce exactly")
+    Hygiene.release(spark)
+  }
+
+  test("IVF stage really prunes: neighbors come only from probed lists") {
+    import spark.implicits._
+    // two well-separated groups; nprobe = 1 probes only the query's own
+    // group's list, so no cross-group vid can ever surface
+    def v(base: Float, j: Int) = Array.tabulate(64)(d =>
+      (if (d < 32) base else -base) + j * 0.001f)
+    val emb = ((0 until 12).map(j => (j.toLong, v(1f, j))) ++
+      (0 until 12).map(j => (100L + j, v(-1f, j)))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0 || col("vec_id") === 100)
+    val got = AnnIvfPq
+      .topK(spark, emb, q, k = 3, nlist = 2, nprobe = 1,
+        subspaces = 4, subDim = 16, pqK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (qid, vid) => (qid < 100) == (vid < 100) },
+      s"cross-group neighbor surfaced under nprobe=1: ${got.mkString(",")}")
+    Hygiene.release(spark)
+  }
+
+  test("recall vs driver-computed exact top-5 clears the e27 gate with margin") {
+    val emb = corpus
+    val q = emb.filter(col("vec_id") < 10)
+    val fused = AnnIvfPq
+      .topK(spark, emb, q, k = 5, nlist = 16, nprobe = 8,
+        subspaces = 4, subDim = 16, pqK = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact squared-L2 top-5 per query, computed in the driver (200×10)
+    val all = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exact = all.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          val d2 = qv.zip(v).map { case (a, b) => val x = (a - b).toDouble; x * x }.sum
+          (d2, vid)
+        }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val recalls = exact.map { case (qid, ex) =>
+      fused.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.min >= 0.2, s"per-query floor broken: $recalls")
+    assert(mean >= 0.5, s"mean recall $mean under the documented margin")
+    Hygiene.release(spark)
+  }
+}

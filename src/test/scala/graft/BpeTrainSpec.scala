@@ -44,6 +44,26 @@ class BpeTrainSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("t47: applying the trained merges tokenizes the corpus as hand-computed") {
+    import spark.implicits._
+    // same corpus as above; after the 8 merges the dictionary reads
+    //   low(5+2 via lower's prefix) -> [low] / lower -> [low, e, r]
+    //   newest -> [newest] / widest -> [w, i, dest]
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest"
+    ).toDF("text")
+    val got = LlmOps.bpeTokenStats(docs, rounds = 8, topK = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Seq(
+      ("low", 7L), ("newest", 6L), ("dest", 3L), ("i", 3L), ("w", 3L),
+      ("e", 2L), ("r", 2L))
+    assert(got == want)
+    Hygiene.release(spark)
+  }
+
   test("greedy left-to-right merge: an odd run of the same char pairs non-overlapping") {
     import spark.implicits._
     // "lll" = [l,l,l]: merging (l,l) greedily gives [ll, l], never [l, ll];
