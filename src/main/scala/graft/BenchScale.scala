@@ -237,7 +237,11 @@ object BenchScale {
       // e10's linear code build + an ADC join over the probed fraction +
       // a shortlist-bounded exact re-rank; every leg is a single-corpus-
       // pass shape for a fixed query set, like e06 and e12 separately.
-      "e27" -> 1
+      "e27" -> 1,
+      // e28 (r14): e27 through the persisted artifact — the build is
+      // e27's fits + one encode pass + a partitioned write; the search
+      // reads nprobe/nlist of the stored bytes. Same linear legs.
+      "e28" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -262,6 +262,19 @@ object Graft {
       spark, corpus, queries, k, nlist, nprobe, subspaces, subDim, pqK,
       pqIters = 1, shortlist = shortlist)
 
+  /** Persisted IVF-PQ index lifecycle (e28): quantizers + pre-encoded
+    * codes stored cluster-partitioned under a snapshot log — search is a
+    * partition-pruned scan + ADC over stored codes + exact re-rank;
+    * appends encode against the frozen quantizers. */
+  def annIvfPqBuildIndex(spark: SparkSession, corpus: DataFrame, path: String,
+      nlist: Int = 16, subspaces: Int = 4, subDim: Int = 16, pqK: Int = 16): Unit =
+    graft.operators.AnnIvfPq.buildIndex(spark, corpus, path, nlist, subspaces, subDim, pqK)
+  def annIvfPqAppendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    graft.operators.AnnIvfPq.appendIndex(spark, batch, path)
+  def annIvfPqSearchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4, shortlist: Int = 0): DataFrame =
+    graft.operators.AnnIvfPq.searchIndex(spark, path, queries, k, nprobe, shortlist)
+
   /** IVF index split: build the centroid set once (fit), persist/reload it,
     * and search any batch against the loaded artifact (topKWith). */
   def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =

@@ -84,4 +84,132 @@ object AnnIvfPq {
       .select(col("qid"), col("vec_id").as("vid"))
     AnnPq.topKCandidates(spark, emb, queries, pq, k, shortlist, Some(cand))
   }
+
+  // ---- persisted IVF-PQ index (the production vector-store artifact) ----
+
+  private val IndexKind = "ivfpq-index"
+  private val L = SnapshotLog
+
+  /** Build + persist the FULL IVF-PQ index: both quantizers (centroid
+    * set + PQ codebooks) AND the corpus stored cluster-partitioned WITH
+    * its code columns — so a search is (a) a PARTITION-PRUNED scan of
+    * the probed lists, (b) ADC over the STORED codes (column-pruned: the
+    * ADC leg never reads the embedding column), and (c) an exact re-rank
+    * that reads embeddings for the shortlist's pruned partitions only.
+    * This is what IndexIVFPQ persists at scale: encoding happens once at
+    * ingest, never per search. Snapshot-logged like [[AnnIvf.buildIndex]]
+    * — quantizers and assignments flip atomically with one manifest, so
+    * a crash mid-rebuild can never publish codes against the wrong
+    * codebook. `retain` is the concurrent-reader GC grace window. */
+  def buildIndex(
+      spark: SparkSession,
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      subspaces: Int = 4,
+      subDim: Int = 16,
+      pqK: Int = 16,
+      pqIters: Int = 1,
+      retain: Int = 1
+  ): Unit = {
+    val cached = emb.cache()
+    try {
+      val cs = AnnIvf.fit(spark, cached, nlist)
+      val pq = AnnPq.fit(spark, cached, subspaces, subDim, pqK, pqIters)
+      val v = L.nextVersion(spark, path)
+      val (ctag, ptag, vtag) = (s"centroids-v$v", s"pq-v$v", s"base-v$v")
+      AnnIvf.saveCentroids(spark, cs, L.dataDir(path, "centroids", ctag))
+      AnnPq.save(spark, pq, L.dataDir(path, "pq", ptag))
+      encoded(spark, cached, cs, pq)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(L.dataDir(path, "vectors", vtag))
+      val rows = spark.read.parquet(L.dataDir(path, "vectors", vtag)).count()
+      L.commit(spark, path, IndexKind, v,
+        Map("centroids" -> Seq(ctag), "pq" -> Seq(ptag), "vectors" -> Seq(vtag)),
+        Map("rows" -> rows.toString))
+      L.gc(spark, path, IndexKind, retain)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Append a batch against the FROZEN quantizers (train-once/
+    * encode-forever — the codebook never moves on an append, so new
+    * codes are directly comparable to stored ones): assign + encode into
+    * an immutable `add-v<N>` directory, commit one manifest referencing
+    * it. Incremental row accounting (prior + batch count), the
+    * AnnIvf.appendIndexBatch discipline. */
+  def appendIndex(spark: SparkSession, emb: DataFrame, path: String): Unit = {
+    val snap = L.current(spark, path, IndexKind)
+    val cs = AnnIvf.loadCentroids(spark, snap.dirs(path, "centroids").head)
+    val pq = AnnPq.load(spark, snap.dirs(path, "pq").head)
+    val v = L.nextVersion(spark, path)
+    val tag = s"add-v$v"
+    val batch = emb.localCheckpoint(true) // pin: counted + written below
+    val added = batch.count()
+    if (added == 0L) () // zero-row partitionBy writes no files — commit nothing
+    else {
+      encoded(spark, batch, cs, pq)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(L.dataDir(path, "vectors", tag))
+      val rows = snap.props.get("rows").map(_.toLong + added).getOrElse(added)
+      L.commit(spark, path, IndexKind, v,
+        snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
+        Map("rows" -> rows.toString))
+    }
+  }
+
+  /** (vec_id, embedding, code0.., cluster) under the given quantizers. */
+  private def encoded(
+      spark: SparkSession,
+      emb: DataFrame,
+      cs: Seq[Array[Double]],
+      pq: AnnPq.Model
+  ): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .join(AnnPq.codes(spark, emb, pq).drop("pq_dist"), "vec_id")
+      .withColumn("cluster", AnnIvf.nearestCentroidCol(cs))
+
+  /** Search the persisted index: snapshot resolve, physical row count vs
+    * the manifest (a lost partition directory fails loudly), probe-list
+    * computation through the frozen quantizer, then the pruned ADC +
+    * re-rank. The probed-cluster set is collected driver-side
+    * (≤ queries × nprobe ints) so the scan filter is a LITERAL `IN` —
+    * Spark prunes `cluster=` partitions at planning, the property that
+    * makes this an INDEX rather than a projection (spec-pinned via
+    * PartitionFilters). */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 4,
+      shortlist: Int = 0
+  ): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val snap = L.current(spark, path, IndexKind)
+    val cs = AnnIvf.loadCentroids(spark, snap.dirs(path, "centroids").head)
+    val pq = AnnPq.load(spark, snap.dirs(path, "pq").head)
+    val vdirs = snap.dirs(path, "vectors")
+    require(vdirs.nonEmpty, s"IVF-PQ index at $path references no vector directories")
+    // one read per generation dir, unioned: each dir carries its own
+    // cluster= partitioning, so partition pruning applies per leg
+    val allVectors = vdirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    ArtifactManifest.check(path, "rows", snap.props.getOrElse("rows", "?"),
+      allVectors.count().toString)
+    val probes = queries.select(
+      col("vec_id").as("qid"),
+      explode(AnnIvf.topClustersCol(cs, math.min(nprobe, cs.length))).as("cluster"))
+    val probedSet = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // metadata: <= queries x nprobe ints
+    val pruned = allVectors.filter(col("cluster").isin(probedSet: _*))
+    val cand = pruned
+      .join(broadcast(probes), Seq("cluster"))
+      .select(col("qid"), col("vec_id").as("vid"))
+    AnnPq.adcSearch(
+      spark,
+      pruned.select(col("vec_id"), col("embedding")),
+      pruned.select(col("vec_id") +:
+        (0 until pq.subspaces).map(m => col(s"code$m")): _*),
+      queries, pq, k, shortlist, Some(cand))
+  }
 }

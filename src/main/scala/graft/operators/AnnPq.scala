@@ -195,13 +195,29 @@ object AnnPq {
       k: Int,
       shortlist: Int,
       candidates: Option[DataFrame] // (qid, vid); None = all pairs
+  ): DataFrame =
+    adcSearch(spark, emb, codes(spark, emb, model), queries, model, k, shortlist, candidates)
+
+  /** The ADC + re-rank engine with the CODES handed in — the seam the
+    * persisted IVF-PQ index ([[AnnIvfPq.searchIndex]]) plugs its STORED
+    * code columns into (train-once/encode-once: a production index never
+    * re-encodes the corpus per search, which `codes(...)` inline would).
+    * `codesDf` must carry (vec_id, code0..code{subspaces-1}). */
+  private[operators] def adcSearch(
+      spark: SparkSession,
+      emb: DataFrame, // vec_id, embedding — the re-rank side
+      codesDf: DataFrame, // vec_id, code0..codeM-1
+      queries: DataFrame, // vec_id, embedding (small by construction)
+      model: Model,
+      k: Int,
+      shortlist: Int,
+      candidates: Option[DataFrame] // (qid, vid); None = all pairs
   ): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
     VectorFunctions.register(spark)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
-    val codesDf = codes(spark, emb, model)
     // qid stays the CALLER's id type (long, int, string, ...) end to end —
     // the driver-side frames are built with an explicit schema carrying
     // queries' own vec_id type, like the id-agnostic joins AnnIvf/AnnLsh

@@ -71,11 +71,15 @@ object Multimodal {
   /** The decodable twin of [[mediaFromDocuments]]: image rows carry REAL
     * PNG payloads — a deterministic raster whose dimensions are pure
     * id-arithmetic, `width = 4 + id % 13`, `height = 4 + (id / 13) % 11`
-    * — so a SQL oracle can pin the full encode→PNG→decode roundtrip
-    * without being able to read PNG bytes itself. Audio/video rows keep
-    * the UTF-8 text payload (no JVM codec exists to decode a real one).
-    * Batch-shaped: one encoder context per partition, the same execution
-    * shape every downstream codec stage uses. */
+    * — and audio rows carry REAL 16-bit mono PCM WAV payloads with
+    * `n_samples = 400 + id % 997` at 8 kHz (the JDK's javax.sound
+    * decodes WAV natively, as javax.imageio decodes PNG) — so a SQL
+    * oracle can pin both encode→container→decode roundtrips without
+    * ever reading the container bytes itself. Video rows keep the UTF-8
+    * text payload: the JVM genuinely ships no video codec, so that stub
+    * is the honest boundary. Batch-shaped: one encoder context per
+    * partition, the same execution shape every downstream codec stage
+    * uses. */
   def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs
@@ -88,13 +92,124 @@ object Multimodal {
             case 1 => "audio"
             case _ => "video"
           }
-          val payload =
-            if (kind == "image") syntheticImagePng(id)
-            else text.getBytes("UTF-8")
+          val payload = kind match {
+            case "image" => syntheticImagePng(id)
+            case "audio" => syntheticAudioWav(id)
+            case _       => text.getBytes("UTF-8")
+          }
           MediaRow(id, kind, payload, source, payload.length.toLong)
         }
       }
   }
+
+  /** Deterministic 16-bit mono PCM WAV for media id `id`: 8 kHz,
+    * `400 + id % 997` samples (oracle-side arithmetic), sample i a
+    * signed linear congruence of (id, i) — a real RIFF/WAVE container
+    * the JDK's AudioSystem parses, hand-rolled (44-byte canonical
+    * header) so the bytes are bit-deterministic across JVMs. */
+  private[graft] def syntheticAudioWav(id: Long): Array[Byte] = {
+    val n = (400 + id % 997).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort) // PCM
+    buf.putShort(1.toShort) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2.toShort) // block align
+    buf.putShort(16.toShort) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 31 + i.toLong * 17) % 20001) - 10000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  case class DecodedAudio(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      ok: Boolean
+  )
+
+  /** REAL audio decode stage — audio rows only, batch-shaped like
+    * [[decodeImages]]: parse the container through javax.sound's
+    * AudioSystem (format + frame count), undecodable bytes surface as
+    * ok = false with sentinel fields, never a throw or a drop. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (decoder handles)
+      rows.collect {
+        case r if r.kind == "audio" =>
+          realDecodeAudio(r.payload) match {
+            case Some((sr, ch, ns)) => DecodedAudio(r.media_id, sr, ch, ns, ok = true)
+            case None => DecodedAudio(r.media_id, -1, 0, -1L, ok = false)
+          }
+      }
+    }
+  }
+
+  /** (sampleRate, channels, frameLength) via AudioSystem; None for bytes
+    * no installed reader accepts. */
+  private def realDecodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** REAL audio feature: `dim` time strips over the decoded 16-bit PCM
+    * samples, mean |amplitude| per strip normalized into the shared
+    * closed [-0.5, 0.5] envelope (meanAbs/32768 − 0.5 — the image
+    * kernel's luminance shape on the time axis). Undecodable bytes fall
+    * back to the stub. */
+  private def audioFeature(bytes: Array[Byte], dim: Int): Array[Float] =
+    realDecodeAudio(bytes) match {
+      case None => stubFeature(bytes, dim)
+      case Some((_, channels, frames)) =>
+        // samples sit after the 44-byte canonical header for our own
+        // fixtures, but parse POSITION-INDEPENDENTLY through the stream:
+        // AudioSystem hands back the raw frames regardless of header shape
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val pcm =
+          try in.readAllBytes()
+          finally in.close()
+        val bytesPerFrame = 2 * channels
+        val n = (frames.toInt min (pcm.length / bytesPerFrame)) max 0
+        if (n == 0) stubFeature(bytes, dim)
+        else Array.tabulate(dim) { i =>
+          val from = i * n / dim
+          val until = math.max(from + 1, (i + 1) * n / dim)
+          var sum = 0.0
+          var cnt = 0
+          var j = from
+          while (j < until && j < n) {
+            // little-endian int16, first channel of the frame
+            val lo = pcm(j * bytesPerFrame) & 0xff
+            val hi = pcm(j * bytesPerFrame + 1)
+            sum += math.abs((hi << 8) | lo)
+            cnt += 1
+            j += 1
+          }
+          (sum / cnt / 32768.0 - 0.5).toFloat
+        }
+    }
 
   /** Deterministic synthetic raster for media id `id`, PNG-encoded via
     * the JDK codec. Dimensions are the oracle-side arithmetic above;
@@ -253,8 +368,9 @@ object Multimodal {
 
   /** Feature extraction for any media kind → fixed-dim float vector,
     * ready for the similarity-search operators (LlmOps e01/e02). IMAGE
-    * rows run the real pixel-statistics kernel; audio/video run the
-    * stub (no JVM codec). Both land in the same closed [-0.5, 0.5]. */
+    * rows run the real pixel-statistics kernel, AUDIO rows the real
+    * PCM-amplitude kernel; video runs the stub (no JVM codec). All land
+    * in the same closed [-0.5, 0.5]. */
   def extractFeatures(
       spark: SparkSession,
       media: Dataset[MediaRow],
@@ -263,9 +379,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val f =
-          if (r.kind == "image") imageFeature(r.payload, dim)
-          else stubFeature(r.payload, dim)
+        val f = r.kind match {
+          case "image" => imageFeature(r.payload, dim)
+          case "audio" => audioFeature(r.payload, dim)
+          case _       => stubFeature(r.payload, dim)
+        }
         MediaFeature(r.media_id, f)
       }
     }

@@ -129,5 +129,28 @@ object MMOps {
       .orderBy("canonical_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** Audio-decode gate (m06): the REAL roundtrip for sound — audio rows
+    * (doc_id%3==1) carry synthesized 16-bit mono PCM WAV with
+    * `n_samples = 400 + id % 997` at 8 kHz; the JDK's AudioSystem must
+    * recover exactly those parameters from the container bytes, and the
+    * oracle recomputes them arithmetically (the m01 pattern on the time
+    * axis). Video remains the one stubbed kind — the JVM ships no video
+    * codec. */
+  val m06 = Q(
+    "m06_audio_decode",
+    Some("""
+      SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(400 + doc_id % 997 AS BIGINT) AS n_samples, TRUE AS ok
+      FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""")
+  ) { (s, d) =>
+    Multimodal
+      .decodeAudio(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)))
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("ok"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -54,6 +54,62 @@ class AnnIvfPqSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("persisted index: search equals the in-plan fused search; probes prune partitions") {
+    val emb = corpus
+    val q = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString + "/ivfpq"
+    AnnIvfPq.buildIndex(spark, emb, path, nlist = 8, subspaces = 4, subDim = 16, pqK = 8)
+    val fromIndex = AnnIvfPq.searchIndex(spark, path, q, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    // the same quantizers driving the in-plan fused search — the stored
+    // codes + partitioned layout must change the PLAN, not one row
+    val cs = AnnIvf.loadCentroids(spark,
+      graft.operators.SnapshotLog.current(spark, path, "ivfpq-index")
+        .dirs(path, "centroids").head)
+    val pq = AnnPq.load(spark,
+      graft.operators.SnapshotLog.current(spark, path, "ivfpq-index")
+        .dirs(path, "pq").head)
+    val inPlan = AnnIvfPq.topKWith(spark, emb, q, cs, pq, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == inPlan,
+      "persisted-index search diverged from the in-plan fused search")
+    // the probed-cluster filter must land as PartitionFilters on the
+    // vector scan — the index property: nprobe/nlist of the bytes read
+    val plan = AnnIvfPq.searchIndex(spark, path, q, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).nonEmpty,
+      s"probe filter did not prune partitions:\n$plan")
+    Hygiene.release(spark)
+  }
+
+  test("append encodes against the FROZEN quantizers; new vectors searchable, old results stable") {
+    import spark.implicits._
+    // vec_id < 90: the generator is periodic mod 97 (vector 97 would be
+    // byte-identical to vector 0 and win the zero-distance tie on id)
+    val emb = corpus.filter(col("vec_id") < 90)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-add").toString + "/ivfpq"
+    AnnIvfPq.buildIndex(spark, emb, path, nlist = 8, subspaces = 4, subDim = 16, pqK = 8)
+    val q = emb.filter(col("vec_id") === 0)
+    val before = AnnIvfPq.searchIndex(spark, path, q, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // append a CLONE of vector 0 under a fresh id: it must become the
+    // new rank-1 neighbor (identical codes AND identical exact re-rank)
+    val clone = corpus.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    AnnIvfPq.appendIndex(spark, clone, path)
+    val after = AnnIvfPq.searchIndex(spark, path, q, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after.head == ((0L, 1, 1000L)),
+      s"the appended exact clone must rank first, got $after")
+    assert(after.map(_._3).toSet.intersect(before.map(_._2).toSet).size == 2,
+      "appending must not disturb the other stored vectors' ranking")
+    // an empty append commits nothing (no fileless directory trap)
+    val v0 = graft.operators.SnapshotLog.current(spark, path, "ivfpq-index").version
+    AnnIvfPq.appendIndex(spark, emb.filter(col("vec_id") < 0), path)
+    assert(graft.operators.SnapshotLog.current(spark, path, "ivfpq-index").version == v0)
+    Hygiene.release(spark)
+  }
+
   test("recall vs driver-computed exact top-5 clears the e27 gate with margin") {
     val emb = corpus
     val q = emb.filter(col("vec_id") < 10)

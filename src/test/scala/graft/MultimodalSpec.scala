@@ -182,6 +182,50 @@ class MultimodalSpec extends AnyFunSuite {
       shape(Multimodal.resizeImages(spark, pngMedia, 4, 4)))
   }
 
+  test("audio: REAL WAV decode recovers the synthesized parameters; text bytes read ok=false") {
+    val d = Multimodal.decodeAudio(spark, pngMediaTable).collect().sortBy(_.media_id)
+    assert(d.nonEmpty && d.forall { r =>
+      r.ok && r.sample_rate == 8000 && r.channels == 1 &&
+        r.n_samples == 400 + r.media_id % 997
+    })
+    // the opaque table's audio payloads are raw text — no reader accepts
+    // them; they must surface as ok=false sentinels, never a throw
+    val bad = Multimodal.decodeAudio(spark, media).collect()
+    assert(bad.nonEmpty && bad.forall(r => !r.ok && r.sample_rate == -1))
+    Hygiene.release(spark)
+  }
+
+  test("hand-computed 4-sample WAV: decode params and strip features are exact") {
+    import spark.implicits._
+    // 16-bit mono PCM, 8 kHz, samples [1000, -2000, 3000, -4000]
+    val n = 4
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+    buf.putShort(2.toShort).putShort(16.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    Seq(1000, -2000, 3000, -4000).foreach(v => buf.putShort(v.toShort))
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "audio", buf.array(), "gen", 0L)))
+
+    val d = Multimodal.decodeAudio(spark, rows).collect()
+    assert(d.map(r => (r.media_id, r.sample_rate, r.channels, r.n_samples, r.ok)).toSeq ==
+      Seq((7L, 8000, 1, 4L, true)))
+
+    // dim=2 strips = samples (0,1) and (2,3); mean|amp|/32768 - 0.5:
+    // left  = (1000 + 2000)/2 / 32768 - 0.5
+    // right = (3000 + 4000)/2 / 32768 - 0.5
+    val f = Multimodal.extractFeatures(spark, rows, dim = 2).collect()
+    val want = Seq(
+      (1500.0 / 32768.0 - 0.5).toFloat,
+      (3500.0 / 32768.0 - 0.5).toFloat)
+    assert(f.head.feature.toSeq == want)
+    Hygiene.release(spark)
+  }
+
   test("frame sampling flatMaps videos into stride-sized frames") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 100).collect()
     assert(frames.nonEmpty)
