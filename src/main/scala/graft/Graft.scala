@@ -351,6 +351,20 @@ object Graft {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
     Multimodal.mediaFromDocuments(spark, docs)
 
+  /** The decodable media table (real PNG images + real PCM WAV audio,
+    * id-arithmetic parameters) and the codec-backed stages over it —
+    * all through the JDK's own imageio/javax.sound, no external deps. */
+  def mediaWithRealPayloads(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
+    Multimodal.mediaWithRealImages(spark, docs)
+  def decodeImages(spark: SparkSession, media: Dataset[Multimodal.MediaRow]): Dataset[Multimodal.DecodedImage] =
+    Multimodal.decodeImages(spark, media)
+  def decodeAudio(spark: SparkSession, media: Dataset[Multimodal.MediaRow]): Dataset[Multimodal.DecodedAudio] =
+    Multimodal.decodeAudio(spark, media)
+  def decodeFrames(spark: SparkSession, media: Dataset[Multimodal.MediaRow]): Dataset[Multimodal.DecodedFrames] =
+    Multimodal.decodeFrames(spark, media)
+  def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaRow] =
+    Multimodal.gifMediaFromDocuments(spark, docs)
+
   /** Integer-exact distributed k-means (operators.KMeans): deterministic
     * md5 seeds, compiled fixed-point assignment, bit-identical on any
     * cluster size — the clustering primitive for semantic dedup blocks,

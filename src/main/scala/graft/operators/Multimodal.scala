@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per encode/decode —
+    * measured 5× CPU inflation from 32 threads contending on temp-file
+    * creation once the codec stages were spread across cores. Every
+    * payload here is an in-memory byte array, so the memory cache is
+    * strictly better; flipped once per JVM, lazily, before any kernel
+    * touches the registry. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(
       media_id: Long,
       kind: String, // "image" | "audio" | "video"
@@ -132,6 +141,121 @@ object Multimodal {
     buf.array()
   }
 
+  /** Video-row twin of [[mediaWithRealImages]]'s decodable payloads:
+    * video rows (doc_id % 3 == 2) carry REAL ANIMATED GIF containers —
+    * `1 + id % 7` frames of a fixed 8×6 raster — which the JDK's
+    * ImageIO parses frame-by-frame. An animated GIF is the JVM-native
+    * stand-in for video frame extraction: real container parsing, real
+    * per-frame decode; a production ffmpeg/mp4 path swaps the reader,
+    * not the stage. Kept as its OWN generator (not folded into
+    * mediaWithRealImages) because m03's byte-stride frame sampling pins
+    * its oracle to the text payload's byte arithmetic. */
+  def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"))
+      // sequence-encode is the CPU-heavy leg (palette quantization per
+      // frame); the upstream parquet scan plans far fewer splits than
+      // cores, so spread the codec work before it — ids+source only,
+      // a cheap exchange
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.collect {
+          case (id, source) if id % 3 == 2 =>
+            val payload = syntheticAnimatedGif(id)
+            MediaRow(id, "video", payload, source, payload.length.toLong)
+        }
+      }
+  }
+
+  /** Deterministic animated GIF for media id `id`: `1 + id % 7` frames
+    * of an 8×6 raster (frame f's pixels a linear congruence of
+    * (id, f, x, y)), written through the JDK's GIF sequence writer. */
+  private[graft] def syntheticAnimatedGif(id: Long): Array[Byte] = {
+    imageIoMemCache
+    val n = (1 + id % 7).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) {
+            val v = ((id + 7L * f + 3L * x + 11L * y) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  case class DecodedFrames(
+      media_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      ok: Boolean
+  )
+
+  /** REAL frame extraction — video rows only, batch-shaped (one reader
+    * per container): parse the animation container through ImageIO's
+    * frame-indexed reader, count frames and read the first frame's
+    * dimensions. Unreadable bytes surface as ok = false sentinels. */
+  def decodeFrames(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedFrames] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.collect {
+        case r if r.kind == "video" =>
+          realCountFrames(r.payload) match {
+            case Some((n, w, h)) => DecodedFrames(r.media_id, n, w, h, ok = true)
+            case None => DecodedFrames(r.media_id, -1, -1, -1, ok = false)
+          }
+      }
+    }
+  }
+
+  /** (frameCount, width, height) via the frame-indexed GIF reader; None
+    * for bytes no installed reader accepts. */
+  private def realCountFrames(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      imageIoMemCache
+      val readers = javax.imageio.ImageIO.getImageReaders(
+        javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((n, reader.getWidth(0), reader.getHeight(0)))
+        } finally {
+          iis.close()
+          reader.dispose()
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
   case class DecodedAudio(
       media_id: Long,
       sample_rate: Int,
@@ -216,6 +340,7 @@ object Multimodal {
     * pixel channels are small linear congruences of (id, x, y) so the
     * raster is partition-order-independent and spec-recomputable. */
   private[graft] def syntheticImagePng(id: Long): Array[Byte] = {
+    imageIoMemCache
     val w = (4 + id % 13).toInt
     val h = (4 + (id / 13) % 11).toInt
     val img = new java.awt.image.BufferedImage(
@@ -245,9 +370,11 @@ object Multimodal {
   /** REAL image decode: PNG/JPEG/BMP/GIF through the JDK codec. None for
     * bytes no installed reader accepts (the quarantine signal — a decode
     * stage must never throw on one poisoned blob of a 100 TB corpus). */
-  private def realDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private def realDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoMemCache
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
+  }
 
   /** The default decode kernel behind [[decodeImages]]: real dimensions
     * and channel count, or the (-1, -1, 0) sentinel for undecodable

@@ -152,5 +152,25 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Animation-frame gate (m07): REAL container-parsed frame extraction
+    * — video rows carry synthesized animated GIFs of `1 + id % 7` 8×6
+    * frames; ImageIO's frame-indexed reader must recover exactly those
+    * counts and dims from the container bytes (the m01/m06 roundtrip
+    * pattern on the frame axis). m03 stays the generic byte-stride
+    * sampler over opaque payloads; this is the codec-backed path. */
+  val m07 = Q(
+    "m07_gif_frames",
+    Some("""
+      SELECT doc_id AS media_id, CAST(1 + doc_id % 7 AS INTEGER) AS n_frames,
+             CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height, TRUE AS ok
+      FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
+  ) { (s, d) =>
+    Multimodal
+      .decodeFrames(s, Multimodal.gifMediaFromDocuments(s, Tables.documents(s, d)))
+      .toDF()
+      .select(col("media_id"), col("n_frames"), col("width"), col("height"), col("ok"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

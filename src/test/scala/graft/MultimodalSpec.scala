@@ -226,6 +226,39 @@ class MultimodalSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("gif frames: REAL container parse counts the synthesized animation; garbage reads ok=false") {
+    import spark.implicits._
+    val gifs = Multimodal.gifMediaFromDocuments(
+      spark, Tables.documents(spark, TestSpark.sf0001))
+    val d = Multimodal.decodeFrames(spark, gifs).collect().sortBy(_.media_id)
+    assert(d.nonEmpty && d.forall { r =>
+      r.ok && r.n_frames == (1 + r.media_id % 7).toInt && r.width == 8 && r.height == 6
+    })
+    // hand-built: a 3-frame 2x2 animation decodes to exactly (3, 2, 2),
+    // and the frame-indexed reader can address each frame individually
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { f =>
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y =>
+        img.setRGB(x, y, if (f == 1) 0xffffff else 0x000000)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(5L, "video", bos.toByteArray, "gen", 0L),
+      Multimodal.MediaRow(8L, "video", Array[Byte](9, 9, 9), "gen", 3L)))
+    val got = Multimodal.decodeFrames(spark, rows).collect().sortBy(_.media_id)
+    assert(got.map(r => (r.media_id, r.n_frames, r.width, r.height, r.ok)).toSeq ==
+      Seq((5L, 3, 2, 2, true), (8L, -1, -1, -1, false)),
+      "hand-built animation must decode exactly; garbage must sentinel, not throw")
+    Hygiene.release(spark)
+  }
+
   test("frame sampling flatMaps videos into stride-sized frames") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 100).collect()
     assert(frames.nonEmpty)
