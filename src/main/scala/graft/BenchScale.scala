@@ -241,7 +241,10 @@ object BenchScale {
       // e28 (r14): e27 through the persisted artifact — the build is
       // e27's fits + one encode pass + a partitioned write; the search
       // reads nprobe/nlist of the stored bytes. Same linear legs.
-      "e28" -> 1
+      "e28" -> 1,
+      // q55 (r14): two commits (small-file PUTs) + per-version pruned
+      // scans and count/distinct aggregates — linear in the corpus.
+      "q55" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

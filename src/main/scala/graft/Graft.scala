@@ -275,6 +275,16 @@ object Graft {
       k: Int = 5, nprobe: Int = 4, shortlist: Int = 0): DataFrame =
     graft.operators.AnnIvfPq.searchIndex(spark, path, queries, k, nprobe, shortlist)
 
+  /** Snapshot-log time travel (q55): resolve a committed artifact AS OF
+    * a specific version (typed errors on GC'd/torn versions) and the
+    * DESCRIBE HISTORY audit surface. */
+  def snapshotAt(spark: SparkSession, root: String, kind: String,
+      version: Int): graft.operators.SnapshotLog.Snapshot =
+    graft.operators.SnapshotLog.at(spark, root, kind, version)
+  def snapshotHistory(spark: SparkSession, root: String,
+      kind: String): Seq[graft.operators.SnapshotLog.Snapshot] =
+    graft.operators.SnapshotLog.history(spark, root, kind)
+
   /** IVF index split: build the centroid set once (fit), persist/reload it,
     * and search any batch against the loaded artifact (topKWith). */
   def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =

@@ -226,6 +226,44 @@ object SnapshotLog {
     }
   }
 
+  /** TIME-TRAVEL resolve: the snapshot AS OF a specific committed
+    * version — the Iceberg/Delta `VERSION AS OF` read, scaled to the
+    * properties-file log. Typed errors, never a silent fallback: a
+    * version that was GC'd (or never committed, or tore mid-write) must
+    * fail loudly — falling back to "nearest" would silently hand an
+    * auditor the wrong corpus generation. Readers that time-travel
+    * routinely should raise [[gc]]'s `retain` so their window stays on
+    * disk. */
+  def at(s: SparkSession, root: String, kind: String, version: Int): Snapshot = {
+    val found = listManifests(s, root)
+      .collectFirst { case (v, p) if v == version => p }
+    found match {
+      case None => throw ArtifactManifest.Missing(s"$root@v$version")
+      case Some(p) =>
+        parse(s, p) match {
+          case None =>
+            throw new IllegalStateException(
+              s"manifest v$version at $root is torn (checksum failed) — " +
+                "that commit never happened; resolve current() or another version")
+          case Some(fields) =>
+            ArtifactManifest.check(root, "kind", kind, fields.getOrElse("kind", "?"))
+            toSnapshot(version, fields)
+        }
+    }
+  }
+
+  /** The artifact's commit HISTORY: every VALID snapshot, oldest first —
+    * the audit surface (`DESCRIBE HISTORY`). Torn manifests are skipped
+    * (they are non-commits by the protocol's own definition); GC'd
+    * versions are simply absent. Metadata-sized: one small-file read per
+    * retained version. */
+  def history(s: SparkSession, root: String, kind: String): Seq[Snapshot] =
+    listManifests(s, root).flatMap { case (v, p) =>
+      parse(s, p)
+        .filter(_.getOrElse("kind", "?") == kind)
+        .map(fields => toSnapshot(v, fields))
+    }
+
   /** Retire everything the newest `retain` valid snapshots do not
     * reference: data directories no retained table lists, manifests below
     * the oldest retained version, and torn manifest files BELOW that

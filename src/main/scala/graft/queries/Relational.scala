@@ -2012,10 +2012,67 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---- snapshot-log time travel (q55) ----
+
+  /** TIME TRAVEL + COMMIT HISTORY (q55): the lakehouse read surface over
+    * the engine's own snapshot log (operators/SnapshotLog — the commit
+    * protocol every persisted index here rides). A two-generation
+    * versioned table of the documents corpus is committed once per
+    * dataset (v1 = even doc_ids, v2 = the full corpus); the query reads
+    * EACH version through `SnapshotLog.at` (the `VERSION AS OF` resolve,
+    * typed-error on GC'd/torn versions) and audits it with per-version
+    * row/source counts — both oracle-recomputable from the documents
+    * table, so the gate pins that time travel returns exactly the
+    * committed generation, not the current one. `history` (the DESCRIBE
+    * HISTORY surface) must agree with the per-version reads; its
+    * version list rides the emission through n_versions.
+    *
+    * Scale: resolve is one small-file read per version; the audited
+    * scans are ordinary pruned parquet reads of the referenced
+    * directories. Nothing here is corpus-sized beyond the reads the
+    * audit itself asks for. */
+  val q55 = Q(
+    "q55_snapshot_timetravel",
+    Some("""
+      SELECT 1 AS version,
+             CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(DISTINCT source) FROM documents WHERE doc_id % 2 = 0) AS BIGINT) AS n_sources,
+             CAST(2 AS INTEGER) AS n_versions
+      UNION ALL
+      SELECT 2, CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+             CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT),
+             CAST(2 AS INTEGER)
+      ORDER BY version""")
+  ) { (s, d) =>
+    val L = graft.operators.SnapshotLog
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val root = graft.queries.LlmOps.scratchDir("q55_versions", d) + "/docs"
+    graft.queries.LlmOps.buildSharedOnce(root) {
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(L.dataDir(root, "docs", "gen-1"))
+      L.commit(s, root, "doc-snapshots", 1, Map("docs" -> Seq("gen-1")), Map.empty): Unit
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(L.dataDir(root, "docs", "gen-2"))
+      L.commit(s, root, "doc-snapshots", 2,
+        Map("docs" -> Seq("gen-1", "gen-2")), Map.empty): Unit
+    }
+    val nVersions = L.history(s, root, "doc-snapshots").length
+    val perVersion = Seq(1, 2).map { v =>
+      val snap = L.at(s, root, "doc-snapshots", v)
+      s.read.parquet(snap.dirs(root, "docs"): _*)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_sources"),
+          lit(nVersions).as("n_versions"))
+    }
+    perVersion.reduce(_ unionByName _).orderBy("version")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55
   )
 }

@@ -157,6 +157,28 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(reader.get(spark) == 3 && builds == 3, "torn key must cache, not re-build per call")
   }
 
+  test("time travel: at() resolves exact versions; typed errors on missing/torn/GC'd") {
+    val root = tmp("tt")
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("g1")), Map("rows" -> "10"))
+    L.commit(spark, root, "k1", 2, Map("a" -> Seq("g1", "g2")), Map("rows" -> "20"))
+    assert(L.at(spark, root, "k1", 1).props("rows") == "10")
+    assert(L.at(spark, root, "k1", 2) == L.current(spark, root, "k1"),
+      "at(latest) must equal current()")
+    // never committed
+    intercept[graft.operators.ArtifactManifest.Missing] { L.at(spark, root, "k1", 7) }
+    // torn: the commit never happened — at() must say so, not fall back
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.v3"), "junk".getBytes("UTF-8"))
+    intercept[IllegalStateException] { L.at(spark, root, "k1", 3) }
+    // history: valid commits only, oldest first; the torn v3 is absent
+    assert(L.history(spark, root, "k1").map(_.version) == Seq(1, 2))
+    // GC'd versions disappear from both surfaces
+    L.commit(spark, root, "k1", 4, Map("a" -> Seq("g1", "g2")), Map.empty)
+    L.gc(spark, root, "k1", retain = 1)
+    intercept[graft.operators.ArtifactManifest.Missing] { L.at(spark, root, "k1", 1) }
+    assert(L.history(spark, root, "k1").map(_.version) == Seq(4))
+  }
+
   test("newlines in kind, table names, and tags are rejected at commit") {
     val root = tmp("badnl")
     // each would split the line-oriented body — and the checksum, computed
