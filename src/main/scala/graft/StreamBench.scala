@@ -233,6 +233,18 @@ object StreamBench {
         idx3, pipeGrams, lmCounts, 1e9, s"$base/pipe-verdicts", s"$base/pipe-ck"))
     Hygiene.release(spark)
 
+    // ---- canonical-dedup maintenance: d01's live twin over the same slices ----
+    // zero stream state (the persisted store IS the dedup memory); the
+    // per-batch cost is one store anti-join + the affected appends —
+    // must stay batch-linear as the store grows, like ingest above
+    val canonLanding = s"$base/canon-landing"
+    new java.io.File(canonLanding).mkdirs()
+    val canon = drive(spark, docSlices, canonLanding, landing =>
+      EventStream.canonicalDedupStream(
+        EventStream.readDocuments(spark, landing),
+        s"$base/canon-store", s"$base/canon-verdicts", s"$base/canon-ck"))
+    Hygiene.release(spark)
+
     // ---- sustained: continuous arrival, maxFilesPerTrigger backpressure ----
     // fresh index (the cadence run appended its arrivals into idx; scoring
     // the same docs against the mutated index would measure a different,
@@ -290,7 +302,7 @@ object StreamBench {
           EventStream.readDocuments(spark, landing, Map("maxFilesPerTrigger" -> "4")),
           idx4, pipeGrams2, lmCounts, 1e9, s"$base/sus-pipe-verdicts", s"$base/sus-pipe-ck"))
 
-    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"ivf_ingest":${fmt(ivf, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)},"sustained_pipeline":${fmtSustained(susPipe, susPipeWall)}}""")
+    println(s"""{"metric":"stream","docs_dir":"$docsDir","ingest":${fmt(ingest, withState = false)},"hourly":${fmt(hourly, withState = true)},"contam":${fmt(contam, withState = false)},"pipeline":${fmt(pipe, withState = false)},"ivf_ingest":${fmt(ivf, withState = false)},"canon_dedup":${fmt(canon, withState = false)},"sustained_ingest":${fmtSustained(susIngest, susIngestWall)},"sustained_hourly":${fmtSustained(susHourly, susHourlyWall)},"sustained_pipeline":${fmtSustained(susPipe, susPipeWall)}}""")
     spark.stop()
   }
 }
