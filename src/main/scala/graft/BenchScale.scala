@@ -244,7 +244,10 @@ object BenchScale {
       "e28" -> 1,
       // q55 (r14): two commits (small-file PUTs) + per-version pruned
       // scans and count/distinct aggregates — linear in the corpus.
-      "q55" -> 1
+      "q55" -> 1,
+      // d28 (r14): d02's banded candidate graph + two prefix equi-joins +
+      // a constant-bounded (64-char) DP per pair — linear like d02.
+      "d28" -> 1
     )
     val maxFactorByExp = Map(1 -> factors.max, 2 -> 3) // quadratic tier stops at x3
 

@@ -285,6 +285,13 @@ object Graft {
       kind: String): Seq[graft.operators.SnapshotLog.Snapshot] =
     graft.operators.SnapshotLog.history(spark, root, kind)
 
+  /** Edit-distance validation of the MinHash candidate graph (d28's
+    * kernel): Levenshtein over normalized prefixes — sequence-similarity
+    * confirmation of set-overlap candidates, per-pair cost bounded by
+    * the prefix. */
+  def editDistPairs(docs: DataFrame, prefixLen: Int = 64, maxDist: Int = 16): DataFrame =
+    graft.queries.LlmOps.editDistPairs(docs, prefixLen, maxDist)
+
   /** IVF index split: build the centroid set once (fit), persist/reload it,
     * and search any batch against the loaded artifact (topKWith). */
   def annIvfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16): Seq[Array[Double]] =

@@ -6334,6 +6334,47 @@ object LlmOps {
       .orderBy("source")
   }
 
+  // ---- edit-distance validation of near-dup candidates (d28) ----
+
+  /** EDIT-DISTANCE NEAR-DUP VALIDATION (d28): every MinHash-LSH
+    * candidate pair (the d02 graph — banded, linear, never all-pairs)
+    * verified by Levenshtein distance over the documents' normalized
+    * 64-char prefixes — the classic fuzzy-dedup second stage (MinHash
+    * proposes on set overlap, edit distance confirms on SEQUENCE
+    * similarity: a shuffled bag of the same shingles passes Jaccard but
+    * fails here). Pairs within 16 edits of each other's prefix survive;
+    * both engines run the same Wagner-Fischer definition, so the
+    * distances hash-compare exactly.
+    *
+    * Scale: candidates are the banded graph (linear in the corpus), and
+    * the DP cost is BOUNDED per pair by the 64-char prefix (≤64² cell
+    * ops) — full-text Levenshtein is O(len²) per pair and would make
+    * one long document pair dominate a reducer; prefix-bounding is how
+    * production fuzzy-match stages keep per-pair cost constant. */
+  val d28 = Q(
+    "d28_dedup_editdist",
+    Some(s"""
+      WITH $minhashPairCtes,
+      t AS (SELECT doc_id, substr(lower(text), 1, 64) AS pre FROM documents),
+      e AS (SELECT doc_a, doc_b, levenshtein(ta.pre, tb.pre) AS edit_dist
+            FROM mh_pairs JOIN t ta ON doc_a = ta.doc_id
+                          JOIN t tb ON doc_b = tb.doc_id)
+      SELECT doc_a, doc_b, CAST(edit_dist AS INTEGER) AS edit_dist
+      FROM e WHERE edit_dist <= 16 ORDER BY doc_a, doc_b""")
+  ) { (s, d) => editDistPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b") }
+
+  /** d28's kernel over any (doc_id, text) frame. */
+  def editDistPairs(docs: DataFrame, prefixLen: Int = 64, maxDist: Int = 16): DataFrame = {
+    val pre = docs.select(
+      col("doc_id"), substring(lower(col("text")), 1, prefixLen).as("pre"))
+    minhashPairsOf(docs)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("__pa")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("__pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__pa"), col("__pb")).cast("int").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   // ---- corpus data card (t45) ----
 
   /** CORPUS DATA CARD (t45): the one-row datasheet a corpus build
@@ -8656,7 +8697,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
       t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47)
 }

@@ -410,4 +410,36 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 98L), s"wide packing mis-ranked: $got")
   }
+
+  test("d28: edit distance validates the candidate graph with hand-computed distances") {
+    import spark.implicits._
+    // short enough (53/56 chars) that BOTH texts fit whole inside the
+    // 64-char prefix — a longer base makes the inserted spaces also
+    // shift content out of the window and the distance reads 2x
+    val base = "the quick brown fox jumps over the lazy dog once more"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup -> star edge, distance 0
+      // three EXTRA SPACES: tokenization (split + drop empties) is
+      // unchanged, so shingles/signature/bands are identical to doc 1
+      // (guaranteed candidate, jaccard 1) while the raw lowered prefix
+      // differs by exactly the three insertions
+      (3L, "the  quick  brown  fox jumps over the lazy dog once more"),
+      (4L, "completely unrelated words about solar panels wind farms and tidal energy systems")
+    ).toDF("doc_id", "text")
+    val got = LlmOps.editDistPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(got == Seq((1L, 2L, 0), (1L, 3L, 3)),
+      "expected the exact-dup star edge at 0 and the spaced twin at 3 edits")
+    // sequence-sensitivity: same WORDS reordered share every shingle-set
+    // property a bag model sees, but the edit distance must be large
+    val shuffled = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "mu lambda kappa iota theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val far = LlmOps.editDistPairs(shuffled, maxDist = 1000).collect()
+    assert(far.forall(_.getInt(2) > 16),
+      "reordered tokens must fail the sequence-similarity bar even if banded")
+    Hygiene.release(spark)
+  }
 }
