@@ -110,6 +110,36 @@ class AnnIvfPqSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("persisted index: torn appends are invisible (snapshot-log chaos)") {
+    val emb = corpus.filter(col("vec_id") < 90)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-chaos").toString + "/ivfpq"
+    AnnIvfPq.buildIndex(spark, emb, path, nlist = 4, subspaces = 4, subDim = 16, pqK = 8)
+    val q = emb.filter(col("vec_id") < 3)
+    val committed = AnnIvfPq.searchIndex(spark, path, q, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    // CHAOS: a crashed append — data fully written, manifest torn — must
+    // not leak into a search (the snapshot-log invisibility rule), and
+    // the next real append must not trip over the burned version number
+    import spark.implicits._
+    corpus.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+      .withColumn("cluster", lit(1))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/data/vectors/add-v99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "manifest.v99"), "junk".getBytes("UTF-8"))
+    assert(AnnIvfPq.searchIndex(spark, path, q, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq == committed,
+      "an uncommitted append leaked into search results")
+    AnnIvfPq.appendIndex(spark,
+      corpus.filter(col("vec_id") === 1)
+        .select((col("vec_id") + 600L).as("vec_id"), col("embedding")), path)
+    assert(AnnIvfPq.searchIndex(spark, path, q, k = 5, nprobe = 4)
+      .collect().exists(_.getLong(2) == 601L),
+      "the post-chaos append must commit and become searchable")
+    Hygiene.release(spark)
+  }
+
   test("recall vs driver-computed exact top-5 clears the e27 gate with margin") {
     val emb = corpus
     val q = emb.filter(col("vec_id") < 10)
