@@ -69,9 +69,12 @@ object AnnIvfPq {
     // per-query probe lists THROUGH the compiled kernel the corpus
     // assignment uses — identical metric and tie-breaks, no driver-side
     // reimplementation to drift; queries × nprobe rows, broadcastable
+    // clamp nprobe to the list count — the same contract searchIndex
+    // enforces, so both entry points accept nprobe > nlist gracefully
     val probes = queries.select(
       col("vec_id").as("qid"),
-      explode(AnnIvf.topClustersCol(centroids, nprobe)).as("cluster"))
+      explode(AnnIvf.topClustersCol(centroids,
+        math.min(nprobe, centroids.length))).as("cluster"))
     val assigned = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster", AnnIvf.nearestCentroidCol(centroids))

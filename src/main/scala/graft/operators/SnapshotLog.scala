@@ -257,12 +257,20 @@ object SnapshotLog {
     * (they are non-commits by the protocol's own definition); GC'd
     * versions are simply absent. Metadata-sized: one small-file read per
     * retained version. */
-  def history(s: SparkSession, root: String, kind: String): Seq[Snapshot] =
-    listManifests(s, root).flatMap { case (v, p) =>
-      parse(s, p)
-        .filter(_.getOrElse("kind", "?") == kind)
-        .map(fields => toSnapshot(v, fields))
+  def history(s: SparkSession, root: String, kind: String): Seq[Snapshot] = {
+    val valid = listManifests(s, root).flatMap { case (v, p) =>
+      parse(s, p).map(fields => (v, fields))
     }
+    val matched = valid.filter(_._2.getOrElse("kind", "?") == kind)
+    // Valid manifests exist but NONE carry the requested kind: that is a
+    // caller error (typo'd kind, wrong root), not "all versions GC'd" —
+    // fail with the same typed mismatch at() raises rather than handing
+    // an auditor an indistinguishable empty history.
+    if (valid.nonEmpty && matched.isEmpty)
+      ArtifactManifest.check(root, "kind", kind,
+        valid.last._2.getOrElse("kind", "?"))
+    matched.map { case (v, fields) => toSnapshot(v, fields) }
+  }
 
   /** Retire everything the newest `retain` valid snapshots do not
     * reference: data directories no retained table lists, manifests below

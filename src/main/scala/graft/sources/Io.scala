@@ -98,6 +98,12 @@ object Io {
       // returned frames — an explicit cache would pin one parsed-corpus
       // copy per call for the session lifetime in a many-file ingest
       // service. Also makes the two halves one parse instead of two.
+      // Cluster caveat: localCheckpoint TRUNCATES lineage, so losing an
+      // executor that held checkpoint blocks fails the job permanently
+      // (a cache would recompute from the JSON scan). Fine in local
+      // mode and for one-shot ingest batches that fail-and-replay; a
+      // long-lived cluster service that must survive executor loss
+      // should instead cache, consume both halves, and unpersist.
       .localCheckpoint(true)
     val good = raw.filter(raw("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(raw("_corrupt_record").isNotNull)

@@ -164,6 +164,20 @@ object EventStream {
       .start()
 
   /** One maintenance step (the foreachBatch body, callable from specs). */
+  /** Read a persisted store, or a typed empty frame ONLY when the store
+    * genuinely does not exist yet (first batch). The existence probe is
+    * explicit — a transient FS error, corrupt footer, or OOM-wrapped
+    * read failure PROPAGATES and fails the batch, because treating it as
+    * "empty store" would re-admit known duplicates as canonicals and
+    * corrupt the store for every later batch (first-arrival-wins breaks
+    * permanently; a failed batch just replays). */
+  private[graft] def storeOrEmpty(s: SparkSession, dir: String)(
+      empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty else s.read.parquet(dir)
+  }
+
   private[graft] def canonicalDedupBatch(
       batch: DataFrame, storeDir: String, verdictDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -173,12 +187,10 @@ object EventStream {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("content_md5", md5(col("text")))
       .localCheckpoint(true)
-    val store0 =
-      try s.read.parquet(storeDir)
-      catch {
-        case _: Throwable => s.emptyDataFrame.select(
-          lit("").as("content_md5"), lit(0L).as("canonical_id")).limit(0)
-      }
+    val store0 = storeOrEmpty(s, storeDir) {
+      s.emptyDataFrame.select(
+        lit("").as("content_md5"), lit(0L).as("canonical_id")).limit(0)
+    }
     // batch-internal canonical: d01's min-doc_id rule among the arrivals
     val batchCanon = arrivals
       .groupBy("content_md5").agg(min(col("doc_id")).as("__bc"))
@@ -711,10 +723,10 @@ object EventStream {
     val pairs = batch
       .select(col("user_id").cast("long").as("user_id"), col("ts").cast("date").as("day"))
       .distinct()
-    val store0 =
-      try s.read.parquet(storeDir)
-      catch { case _: Throwable => s.emptyDataFrame.select(
-        lit(0L).as("user_id"), lit(null).cast("date").as("day")).limit(0) }
+    val store0 = storeOrEmpty(s, storeDir) {
+      s.emptyDataFrame.select(
+        lit(0L).as("user_id"), lit(null).cast("date").as("day")).limit(0)
+    }
     // materialize BEFORE the append: `novel` reads storeDir, and writing
     // a path while a live plan reads it is undefined
     val novel = pairs

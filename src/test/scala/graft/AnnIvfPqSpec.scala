@@ -54,6 +54,20 @@ class AnnIvfPqSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("nprobe above nlist clamps on the in-plan path — same contract as searchIndex") {
+    val emb = corpus
+    val q = emb.filter(col("vec_id") < 3)
+    val cs = AnnIvf.fit(spark, emb, nlist = 4)
+    val pq = AnnPq.fit(spark, emb, 4, 16, 8, 1)
+    val over = AnnIvfPq.topKWith(spark, emb, q, cs, pq, k = 5, nprobe = 99)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val exactCount = AnnIvfPq.topKWith(spark, emb, q, cs, pq, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(over == exactCount,
+      "nprobe > nlist must clamp to probing every list, not misbehave")
+    Hygiene.release(spark)
+  }
+
   test("persisted index: search equals the in-plan fused search; probes prune partitions") {
     val emb = corpus
     val q = emb.filter(col("vec_id") < 5)

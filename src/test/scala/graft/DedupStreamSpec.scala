@@ -82,6 +82,37 @@ class DedupStreamSpec extends AnyFunSuite {
     Hygiene.release(spark)
   }
 
+  test("a corrupt store FAILS the batch — never read as empty") {
+    val root = Files.createTempDirectory("graft-cds5-").toString
+    val (store, out) = (s"$root/store", s"$root/verdicts")
+    EventStream.canonicalDedupBatch(docsDf(Seq(1L -> "aa")), store, out, 0L)
+    // corrupt the store in place: overwrite every parquet file with junk
+    // (a transient-FS / torn-footer stand-in). The old catch-all would
+    // verdict doc 9 as a NEW canonical of "aa", permanently breaking
+    // first-arrival-wins; the batch must instead throw and replay.
+    val dir = new java.io.File(store)
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.write(f.toPath, "not parquet".getBytes))
+    intercept[Exception] {
+      EventStream.canonicalDedupBatch(docsDf(Seq(9L -> "aa")), store, out, 1L)
+    }
+    assert(!new java.io.File(s"$out/batch_id=1").exists(),
+      "a failed batch must not publish verdicts")
+    Hygiene.release(spark)
+  }
+
+  test("a missing store is the one admissible empty-read (first batch)") {
+    val root = Files.createTempDirectory("graft-cds6-").toString
+    val (store, out) = (s"$root/store", s"$root/verdicts")
+    EventStream.canonicalDedupBatch(docsDf(Seq(3L -> "zz")), store, out, 0L)
+    assert(readStore(store) == Seq((md5Hex("zz"), 3L)))
+    Hygiene.release(spark)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("end-to-end stream wiring: restart recovery resumes from the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -179,6 +179,17 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(L.history(spark, root, "k1").map(_.version) == Seq(4))
   }
 
+  test("history() on a typo'd kind raises the at() mismatch, not an empty seq") {
+    val root = tmp("hk")
+    L.commit(spark, root, "k1", 1, Map("a" -> Seq("g1")), Map.empty)
+    // valid manifests exist but none match: caller error, loud failure
+    intercept[graft.operators.ArtifactManifest.Mismatch] {
+      L.history(spark, root, "typo-kind")
+    }
+    // a root with NO valid manifests at all is genuinely empty history
+    assert(L.history(spark, tmp("hk-empty"), "k1").isEmpty)
+  }
+
   test("newlines in kind, table names, and tags are rejected at commit") {
     val root = tmp("badnl")
     // each would split the line-oriented body — and the checksum, computed
