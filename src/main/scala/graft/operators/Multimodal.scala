@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   * `resizeImages` run a genuine codec by default, and
   * [[mediaWithRealImages]] synthesizes real PNG payloads whose dimensions
   * are pure id-arithmetic (oracle-expressible — the m01 gate pins the
-  * full encode→PNG→decode roundtrip cross-engine). AUDIO/VIDEO codecs do
-  * NOT ship in the JVM, so those kernels remain deterministic stubs
-  * seeded from the payload bytes (clearly marked below); everything
-  * around them is real and load-bearing — the schema, the batch-shaped
-  * mapPartitions execution (one codec init per partition, the JVM analog
-  * of a batched pandas UDF), the partitioning behavior, and the typed
-  * output columns. Swapping an audio stub for javacv/ffmpeg changes one
-  * function body, not the plan.
+  * full encode→PNG→decode roundtrip cross-engine). AUDIO is real too
+  * (javax.sound WAV/PCM, r14), as are animated-GIF frames (ImageIO's
+  * frame-indexed reader). VIDEO is real as of r15: MJPEG-in-AVI — the
+  * one video codec expressible with zero dependencies, since every frame
+  * is an ordinary JPEG and the AVI RIFF container is ~100 lines of
+  * public-format byte arithmetic to write and walk ([[syntheticMjpegAvi]]
+  * / [[parseAviFrames]] / [[sampleFrames]]). Everything rides the same
+  * load-bearing plan shape: batch-shaped mapPartitions (one codec init
+  * per partition, the JVM analog of a batched pandas UDF), typed output
+  * columns, payloads never shuffled. Swapping MJPEG for an ffmpeg-backed
+  * H.264 path changes the parse/decode function bodies, not the plan.
   */
 object Multimodal {
 
@@ -51,14 +54,12 @@ object Multimodal {
 
   case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
-
   /** Build an OPAQUE-BINARY media table from any (id, payload-ish string)
     * source — binary columns out of the driver testdata without
     * synthesizing files. Payloads here are raw text bytes (NOT decodable
-    * images — content-addressed stages like m05's dedup and byte-
-    * arithmetic stages like m03's frame sampling want exactly that);
-    * stages that DECODE use [[mediaWithRealImages]] instead. */
+    * media — content-addressed stages like m05's dedup want exactly
+    * that); stages that DECODE use [[mediaWithRealImages]],
+    * [[gifMediaFromDocuments]], or [[aviMediaFromDocuments]] instead. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs
@@ -85,10 +86,10 @@ object Multimodal {
     * decodes WAV natively, as javax.imageio decodes PNG) — so a SQL
     * oracle can pin both encode→container→decode roundtrips without
     * ever reading the container bytes itself. Video rows keep the UTF-8
-    * text payload: the JVM genuinely ships no video codec, so that stub
-    * is the honest boundary. Batch-shaped: one encoder context per
-    * partition, the same execution shape every downstream codec stage
-    * uses. */
+    * text payload HERE (content-addressed stages hash them); the
+    * decodable video twin is [[aviMediaFromDocuments]]. Batch-shaped:
+    * one encoder context per partition, the same execution shape every
+    * downstream codec stage uses. */
   def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs
@@ -571,25 +572,217 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every video yields ceil(n_bytes / stride) pseudo-
-    * frames (a real impl samples at timestamps via the container index).
-    * flatMap shape — output cardinality is data-dependent, exactly like
-    * real frame extraction. */
+  // ---- REAL video: MJPEG-in-AVI container write/parse/decode ----
+
+  /** One RIFF chunk: fourcc + LE uint32 size + data (+ zero pad byte to
+    * even length, per the RIFF spec). */
+  private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val buf = java.nio.ByteBuffer
+      .allocate(8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc.getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array() // trailing pad byte (if any) stays zero
+  }
+
+  /** A RIFF LIST chunk: `LIST` + size + listType + children. */
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST",
+      listType.getBytes("US-ASCII") ++ children.flatten[Byte])
+
+  private val AviFrameW = 16
+  private val AviFrameH = 12
+
+  /** Deterministic MJPEG-in-AVI video for media id `id`: a REAL AVI
+    * container (RIFF `AVI ` with `hdrl` main+stream headers, a `movi`
+    * list of `00dc` JPEG frame chunks, and an `idx1` index) holding
+    * `2 + id % 6` JPEG frames of a fixed 16×12 gray raster (frame f's
+    * pixel a linear congruence of (id, f, x, y)). MJPEG is the one
+    * video codec expressible with zero dependencies: every frame is an
+    * ordinary JPEG the JDK's ImageIO encodes/decodes, and the AVI RIFF
+    * layout is a public container format (~100 lines to write + walk).
+    * Frame COUNT and DIMENSIONS are pure id-arithmetic, so a SQL oracle
+    * pins the full encode→AVI→parse→JPEG-decode roundtrip without
+    * reading container bytes — the m01/m06/m07 pattern on the video
+    * axis. */
+  private[graft] def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    imageIoMemCache
+    val n = (2 + id % 6).toInt
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        AviFrameW, AviFrameH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < AviFrameH) {
+        var x = 0
+        while (x < AviFrameW) {
+          val v = ((id + 5L * f + 3L * x + 7L * y) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val le = (n: Int) => java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih: 56-byte main header (µs/frame, frame count, streams, dims)
+    val avih = {
+      val b = le(56)
+      b.putInt(100000).putInt(0).putInt(0).putInt(0) // 10 fps
+      b.putInt(n).putInt(0).putInt(1).putInt(0)
+      b.putInt(AviFrameW).putInt(AviFrameH)
+      b.array()
+    }
+    // strh: 56-byte video stream header, handler MJPG, rate 10/1
+    val strh = {
+      val b = le(56)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(1).putInt(10).putInt(0).putInt(n) // scale, rate, start, length
+      b.putInt(frames.map(_.length).max).putInt(-1).putInt(0)
+      b.putShort(0.toShort).putShort(0.toShort)
+        .putShort(AviFrameW.toShort).putShort(AviFrameH.toShort)
+      b.array()
+    }
+    // strf: BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = {
+      val b = le(40)
+      b.putInt(40).putInt(AviFrameW).putInt(AviFrameH)
+      b.putShort(1.toShort).putShort(24.toShort)
+      b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(AviFrameW * AviFrameH * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val frameChunks = frames.map(riffChunk("00dc", _))
+    val movi = riffList("movi", frameChunks: _*)
+    // idx1: one 16-byte entry per frame; offsets relative to the 'movi'
+    // fourcc position, the convention most AVI muxers use
+    val idx1 = {
+      val b = le(16 * n)
+      var off = 4 // past the 'movi' list type
+      frames.indices.foreach { f =>
+        b.put("00dc".getBytes("US-ASCII")).putInt(0x10) // AVIIF_KEYFRAME
+        b.putInt(off).putInt(frames(f).length)
+        off += frameChunks(f).length
+      }
+      b.array()
+    }
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ riffChunk("idx1", idx1)
+    val out = le(8 + body.length)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Video-row generator for the REAL frame-sampling stage: video rows
+    * (doc_id % 3 == 2) carry genuine MJPEG-in-AVI containers. Same
+    * repartition rationale as [[gifMediaFromDocuments]] — per-frame JPEG
+    * encode is the CPU-heavy leg, spread it across cores ahead of the
+    * few-split parquet scan. */
+  def aviMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.collect {
+          case (id, source) if id % 3 == 2 =>
+            val payload = syntheticMjpegAvi(id)
+            MediaRow(id, "video", payload, source, payload.length.toLong)
+        }
+      }
+  }
+
+  /** Walk an AVI RIFF container and return its video frame payloads
+    * (`..dc`/`..db` chunks inside the `movi` list — compressed and
+    * uncompressed video data respectively), in stream order. None for
+    * bytes that are not a well-formed RIFF/AVI (bad magic, torn chunk,
+    * size past the buffer) — sentinel, never a throw. Pure byte
+    * arithmetic over public format structure; no ImageIO involved until
+    * a frame is decoded. */
+  private[graft] def parseAviFrames(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+    try {
+      if (bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      val riffSize = bb.getInt
+      if (fourcc() != "AVI ") return None
+      val end = math.min(bytes.length.toLong, 8L + riffSize).toInt
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      def walk(limit: Int, collect: Boolean): Unit =
+        while (bb.position() + 8 <= limit) {
+          val fc = fourcc()
+          val sz = bb.getInt
+          val dataEnd = bb.position() + sz
+          if (sz < 0 || dataEnd > limit)
+            throw new java.io.IOException(s"torn chunk $fc")
+          if (fc == "LIST" && sz >= 4) {
+            val lt = fourcc()
+            // frame data lives in 'movi' (and its 'rec ' groupings)
+            if (lt == "movi" || lt == "rec ") walk(dataEnd, collect = true)
+          } else if (collect && sz >= 0 &&
+              (fc.endsWith("dc") || fc.endsWith("db"))) {
+            val a = new Array[Byte](sz)
+            bb.get(a)
+            frames += a
+          }
+          bb.position(dataEnd + (sz & 1)) // skip the RIFF pad byte
+        }
+      walk(end, collect = false)
+      Some(frames.result())
+    } catch {
+      case _: java.io.IOException => None
+      case _: java.nio.BufferUnderflowException => None
+      case _: IllegalArgumentException => None // position() past limit
+    }
+
+  case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      ok: Boolean
+  )
+
+  /** REAL frame sampling — the byte-stride stub is retired: video rows
+    * are parsed as AVI containers (RIFF chunk walk), every `every`-th
+    * frame of the stream is selected AT ITS REAL FRAME INDEX, and each
+    * selected frame's JPEG payload is decoded with the JDK codec to its
+    * dimensions. flatMap shape — output cardinality is data-dependent
+    * (ceil(n_frames / every) rows per video). Unparseable containers
+    * surface as a single ok = false sentinel row; a parseable container
+    * with an undecodable frame sentinels that FRAME only. At 100 TB the
+    * shape holds: payloads never shuffle (flatMap is narrow), one codec
+    * init per partition, and the sampled output carries metadata-sized
+    * rows unless the caller asks for pixels. */
   def sampleFrames(
       spark: SparkSession,
       media: Dataset[MediaRow],
-      stride: Int = 100
-  ): Dataset[VideoFrame] = {
+      every: Int = 2
+  ): Dataset[SampledFrame] = {
+    require(every >= 1, s"every must be >= 1, got $every")
     import spark.implicits._
     media.flatMap { r =>
       if (r.kind != "video") Iterator.empty
-      else {
-        val n = math.max(1, ((r.n_bytes + stride - 1) / stride).toInt)
-        (0 until n).iterator.map { i =>
-          val from = math.min(i * stride, r.payload.length)
-          val until = math.min(from + stride, r.payload.length)
-          VideoFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
-        }
+      else parseAviFrames(r.payload) match {
+        case None =>
+          Iterator.single(SampledFrame(r.media_id, -1, -1, -1, ok = false))
+        case Some(chunks) =>
+          chunks.iterator.zipWithIndex.collect {
+            case (jpeg, i) if i % every == 0 =>
+              realDecodeImage(jpeg) match {
+                case Some(img) =>
+                  SampledFrame(r.media_id, i, img.getWidth, img.getHeight, ok = true)
+                case None => SampledFrame(r.media_id, i, -1, -1, ok = false)
+              }
+          }
       }
     }
   }

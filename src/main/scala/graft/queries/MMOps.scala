@@ -10,11 +10,12 @@ import graft.operators.Multimodal
   * id-arithmetic, and the stages decode them with the JDK codec — so
   * m01's oracle pins the full encode→PNG→decode roundtrip value-by-value
   * (DuckDB recomputes the dimensions from doc_id without ever reading a
-  * PNG). Audio/video kernels remain deterministic stubs (no JVM codec);
-  * their stages emit assertion columns over the stub's CONTRACT (row
-  * membership, kind routing, dim/range bounds) that DuckDB pins
-  * row-by-row — the e08/q28 gating pattern — while MultimodalSpec pins
-  * exact values and schema contracts.
+  * PNG). Audio (m06, javax.sound WAV), animated GIF (m07, frame-indexed
+  * ImageIO), and video (m03, MJPEG-in-AVI RIFF walk + per-frame JPEG
+  * decode — r15) are real as well; every codec family now runs a genuine
+  * encode→container→decode roundtrip whose parameters are pure
+  * id-arithmetic the oracle replays, while MultimodalSpec pins exact
+  * values and schema contracts on hand-built fixtures.
   */
 object MMOps {
 
@@ -63,24 +64,28 @@ object MMOps {
       .orderBy("media_id")
   }
 
-  /** Frame COUNTS are pure byte arithmetic over the deterministic media
-    * mapping (kind = video iff doc_id % 3 == 2; n_bytes = UTF-8 byte
-    * length), so this stage does get a DuckDB oracle even though the
-    * frame payloads themselves come from the stub codec. */
+  /** Frame-sampling gate (m03) — REAL video as of r15, the byte-stride
+    * stub retired: video rows carry synthesized MJPEG-in-AVI containers
+    * of `2 + id % 6` JPEG frames (16×12); the stage walks the RIFF
+    * container, samples every 2nd frame AT ITS REAL FRAME INDEX, and
+    * JPEG-decodes each sampled frame to its dimensions. The oracle
+    * replays the sampled index set and dims arithmetically (frame
+    * indices 0, 2, 4, … below the count — the m01/m06/m07 roundtrip
+    * pattern on the video axis). */
   val m03 = Q(
     "m03_media_frames",
     Some("""
-      SELECT doc_id AS media_id,
-             GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 100.0) AS BIGINT))
-               AS n_frames
-      FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""")
+      SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+             TRUE AS ok
+      FROM documents, UNNEST(range(0, 2 + doc_id % 6, 2)) AS t(f)
+      WHERE doc_id % 3 = 2 ORDER BY media_id, frame_idx""")
   ) { (s, d) =>
     Multimodal
-      .sampleFrames(s, Multimodal.mediaWithRealImages(s, Tables.documents(s, d)), stride = 100)
-      .groupByKey(_.media_id)(org.apache.spark.sql.Encoders.scalaLong)
-      .count()
-      .toDF("media_id", "n_frames")
-      .orderBy("media_id")
+      .sampleFrames(s, Multimodal.aviMediaFromDocuments(s, Tables.documents(s, d)), every = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"), col("ok"))
+      .orderBy("media_id", "frame_idx")
   }
 
   /** Resize-stage gate: REAL decode + nearest-neighbor resample of the
@@ -134,8 +139,7 @@ object MMOps {
     * `n_samples = 400 + id % 997` at 8 kHz; the JDK's AudioSystem must
     * recover exactly those parameters from the container bytes, and the
     * oracle recomputes them arithmetically (the m01 pattern on the time
-    * axis). Video remains the one stubbed kind — the JVM ships no video
-    * codec. */
+    * axis). */
   val m06 = Q(
     "m06_audio_decode",
     Some("""
@@ -156,8 +160,8 @@ object MMOps {
     * — video rows carry synthesized animated GIFs of `1 + id % 7` 8×6
     * frames; ImageIO's frame-indexed reader must recover exactly those
     * counts and dims from the container bytes (the m01/m06 roundtrip
-    * pattern on the frame axis). m03 stays the generic byte-stride
-    * sampler over opaque payloads; this is the codec-backed path. */
+    * pattern on the frame axis). m03 is the AVI-container twin with
+    * frame SAMPLING on top; this is the whole-animation count path. */
   val m07 = Q(
     "m07_gif_frames",
     Some("""
