@@ -104,6 +104,15 @@ object AnnIvfPq {
     * — quantizers and assignments flip atomically with one manifest, so
     * a crash mid-rebuild can never publish codes against the wrong
     * codebook. `retain` is the concurrent-reader GC grace window. */
+  /** `residual = true` switches the PQ to RESIDUAL encoding — the FAISS
+    * IndexIVFPQ default: each vector's code quantizes `x − c(list(x))`
+    * rather than `x` itself, which concentrates the quantizer's dynamic
+    * range on within-list variation (the inter-list spread is already
+    * captured by the coarse centroid) and lifts recall at the same bit
+    * budget on clustered corpora. The mode is recorded in the manifest:
+    * [[appendIndex]] and [[searchIndex]] dispatch on the stored flag, so
+    * an artifact can never be appended or searched in the wrong space.
+    * Default false for parity with the in-plan [[topKWith]] path. */
   def buildIndex(
       spark: SparkSession,
       emb: DataFrame,
@@ -113,23 +122,29 @@ object AnnIvfPq {
       subDim: Int = 16,
       pqK: Int = 16,
       pqIters: Int = 1,
-      retain: Int = 1
+      retain: Int = 1,
+      residual: Boolean = false
   ): Unit = {
     val cached = emb.cache()
     try {
       val cs = AnnIvf.fit(spark, cached, nlist)
-      val pq = AnnPq.fit(spark, cached, subspaces, subDim, pqK, pqIters)
+      // residual mode fits the codebooks on the RESIDUALS (the space the
+      // codes will live in), raw mode on the vectors themselves
+      val pq =
+        if (residual)
+          AnnPq.fit(spark, residualFrame(cached, cs), subspaces, subDim, pqK, pqIters)
+        else AnnPq.fit(spark, cached, subspaces, subDim, pqK, pqIters)
       val v = L.nextVersion(spark, path)
       val (ctag, ptag, vtag) = (s"centroids-v$v", s"pq-v$v", s"base-v$v")
       AnnIvf.saveCentroids(spark, cs, L.dataDir(path, "centroids", ctag))
       AnnPq.save(spark, pq, L.dataDir(path, "pq", ptag))
-      encoded(spark, cached, cs, pq)
+      encoded(spark, cached, cs, pq, residual)
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", vtag))
       val rows = spark.read.parquet(L.dataDir(path, "vectors", vtag)).count()
       L.commit(spark, path, IndexKind, v,
         Map("centroids" -> Seq(ctag), "pq" -> Seq(ptag), "vectors" -> Seq(vtag)),
-        Map("rows" -> rows.toString))
+        Map("rows" -> rows.toString, "residual" -> residual.toString))
       L.gc(spark, path, IndexKind, retain)
     } finally { cached.unpersist(); () }
   }
@@ -144,33 +159,67 @@ object AnnIvfPq {
     val snap = L.current(spark, path, IndexKind)
     val cs = AnnIvf.loadCentroids(spark, snap.dirs(path, "centroids").head)
     val pq = AnnPq.load(spark, snap.dirs(path, "pq").head)
+    // the ENCODING SPACE is part of the artifact: a residual index must
+    // encode appends as residuals or its codes silently stop meaning
+    // distances — dispatch on the stored flag, never a caller knob
+    val residual = snap.props.getOrElse("residual", "false").toBoolean
     val v = L.nextVersion(spark, path)
     val tag = s"add-v$v"
     val batch = emb.localCheckpoint(true) // pin: counted + written below
     val added = batch.count()
     if (added == 0L) () // zero-row partitionBy writes no files — commit nothing
     else {
-      encoded(spark, batch, cs, pq)
+      encoded(spark, batch, cs, pq, residual)
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(L.dataDir(path, "vectors", tag))
       val rows = snap.props.get("rows").map(_.toLong + added).getOrElse(added)
       L.commit(spark, path, IndexKind, v,
         snap.tables + ("vectors" -> (snap.tables.getOrElse("vectors", Nil) :+ tag)),
-        Map("rows" -> rows.toString))
+        Map("rows" -> rows.toString, "residual" -> residual.toString))
     }
   }
 
-  /** (vec_id, embedding, code0.., cluster) under the given quantizers. */
+  /** `x − c(list(x))` as a float array column — requires `embedding` and
+    * `cluster` columns in scope. One float subtraction per element
+    * against a broadcast literal of the centroid table; the EXACT same
+    * arithmetic the driver-side query shift uses (float minus
+    * float-narrowed centroid), so corpus codes and query tables live in
+    * one space. */
+  private[graft] def residualCol(cs: Seq[Array[Double]]): org.apache.spark.sql.Column = {
+    val cents = array(cs.map(c => array(c.map(v => lit(v.toFloat)): _*)): _*)
+    zip_with(col("embedding"), element_at(cents, col("cluster") + 1), (a, b) => a - b)
+  }
+
+  /** (vec_id, embedding = residual) under the given coarse centroids —
+    * the frame PQ codebooks are FIT on and codes computed from in
+    * residual mode. A vector sitting exactly on its centroid has the
+    * all-zero residual (spec-pinned): float subtraction of equal values
+    * is exactly zero. */
+  private[graft] def residualFrame(emb: DataFrame, cs: Seq[Array[Double]]): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", AnnIvf.nearestCentroidCol(cs))
+      .select(col("vec_id"), residualCol(cs).as("embedding"))
+
+  /** (vec_id, embedding, code0.., cluster) under the given quantizers;
+    * `residual` selects which space the codes quantize. The stored
+    * `embedding` column is ALWAYS the raw vector — the re-rank leg is
+    * exact in the original space either way. */
   private def encoded(
       spark: SparkSession,
       emb: DataFrame,
       cs: Seq[Array[Double]],
-      pq: AnnPq.Model
-  ): DataFrame =
+      pq: AnnPq.Model,
+      residual: Boolean
+  ): DataFrame = {
+    val codeSource =
+      if (residual) residualFrame(emb, cs)
+      else emb.select(col("vec_id"), col("embedding"))
     emb
       .select(col("vec_id"), col("embedding"))
-      .join(AnnPq.codes(spark, emb, pq).drop("pq_dist"), "vec_id")
+      .join(AnnPq.codes(spark, codeSource, pq).drop("pq_dist"), "vec_id")
       .withColumn("cluster", AnnIvf.nearestCentroidCol(cs))
+  }
 
   /** Search the persisted index: snapshot resolve, physical row count vs
     * the manifest (a lost partition directory fails loudly), probe-list
@@ -199,6 +248,7 @@ object AnnIvfPq {
     val allVectors = vdirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
     ArtifactManifest.check(path, "rows", snap.props.getOrElse("rows", "?"),
       allVectors.count().toString)
+    val residual = snap.props.getOrElse("residual", "false").toBoolean
     val probes = queries.select(
       col("vec_id").as("qid"),
       explode(AnnIvf.topClustersCol(cs, math.min(nprobe, cs.length))).as("cluster"))
@@ -207,12 +257,48 @@ object AnnIvfPq {
     val pruned = allVectors.filter(col("cluster").isin(probedSet: _*))
     val cand = pruned
       .join(broadcast(probes), Seq("cluster"))
-      .select(col("qid"), col("vec_id").as("vid"))
+      .select(col("qid"), col("vec_id").as("vid"), col("cluster"))
+    // Residual index: one ADC table per (query, probed list) — the query
+    // shifted by THAT list's centroid, so each list's stored residual
+    // codes score in the space they were encoded in. queries × nprobe ×
+    // subspaces × k rows, driver-built like adcSearch's plain LUT.
+    val rlut =
+      if (!residual) None
+      else {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+        val qidType = queries.schema("vec_id").dataType
+        val qvecs = queries.select(col("vec_id"), col("embedding"))
+          .collect().map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
+        val probePairs = probes.collect().map(r => (r.get(0), r.getInt(1)))
+        val rows = for {
+          (qid, cl) <- probePairs.toSeq
+          qv = qvecs(qid)
+          // the query's residual AGAINST THIS LIST — same float-minus-
+          // narrowed-centroid arithmetic as residualCol, then fixed-point
+          rq = Array.tabulate(qv.length)(i =>
+            KMeans.fixedPointLong(qv(i) - cs(cl)(i).toFloat))
+          m <- 0 until pq.subspaces
+          c <- 0 until pq.codebooks(m).k
+        } yield {
+          val qs = rq.slice(m * pq.subDim, (m + 1) * pq.subDim)
+          val cent = pq.codebooks(m).centroids(c)
+          val dist = qs.zip(cent).map { case (a, b) => val d0 = a - b; d0 * d0 }.sum
+          Row(qid, cl, m, c, dist)
+        }
+        Some(spark.createDataFrame(
+          rows.asJava,
+          StructType(Seq(
+            StructField("qid", qidType), StructField("cluster", IntegerType),
+            StructField("m", IntegerType), StructField("code", IntegerType),
+            StructField("d", LongType)))))
+      }
     AnnPq.adcSearch(
       spark,
       pruned.select(col("vec_id"), col("embedding")),
       pruned.select(col("vec_id") +:
         (0 until pq.subspaces).map(m => col(s"code$m")): _*),
-      queries, pq, k, shortlist, Some(cand))
+      queries, pq, k, shortlist, Some(cand), rlut)
   }
 }

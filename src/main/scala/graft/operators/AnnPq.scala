@@ -211,9 +211,12 @@ object AnnPq {
       model: Model,
       k: Int,
       shortlist: Int,
-      candidates: Option[DataFrame] // (qid, vid); None = all pairs
+      candidates: Option[DataFrame], // (qid, vid); None = all pairs
+      residualLut: Option[DataFrame] = None // (qid, cluster, m, code, d)
   ): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
+    require(residualLut.isEmpty || candidates.nonEmpty,
+      "a residual LUT needs candidate pairs carrying the cluster column")
     VectorFunctions.register(spark)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -227,24 +230,30 @@ object AnnPq {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.get(0) -> r.getSeq[Float](1).toArray)
-    val lutRows = for {
-      (qid, vec) <- queryVecs.toSeq
-      m <- 0 until model.subspaces
-      c <- 0 until model.codebooks(m).k
-    } yield {
-      val qs = vec
-        .slice(m * model.subDim, (m + 1) * model.subDim)
-        .map(KMeans.fixedPointLong)
-      val cent = model.codebooks(m).centroids(c)
-      val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
-      Row(qid, m, c, dist)
+    // The plain LUT keys (qid, m, code) — the query's own sub-vectors vs
+    // the codebooks. Residual indexes ship their own per-probed-list LUT
+    // instead (the query minus the LIST centroid — [[AnnIvfPq]] builds
+    // it), so the plain one is skipped entirely in that mode.
+    lazy val lut = {
+      val lutRows = for {
+        (qid, vec) <- queryVecs.toSeq
+        m <- 0 until model.subspaces
+        c <- 0 until model.codebooks(m).k
+      } yield {
+        val qs = vec
+          .slice(m * model.subDim, (m + 1) * model.subDim)
+          .map(KMeans.fixedPointLong)
+        val cent = model.codebooks(m).centroids(c)
+        val dist = qs.zip(cent).map { case (a, b) => val df0 = a - b; df0 * df0 }.sum
+        Row(qid, m, c, dist)
+      }
+      spark.createDataFrame(
+        lutRows.asJava,
+        StructType(Seq(
+          StructField("qid", qidType), StructField("m", IntegerType),
+          StructField("code", IntegerType), StructField("d", LongType)))
+      )
     }
-    val lut = spark.createDataFrame(
-      lutRows.asJava,
-      StructType(Seq(
-        StructField("qid", qidType), StructField("m", IntegerType),
-        StructField("code", IntegerType), StructField("d", LongType)))
-    )
     val unpivot = codesDf
       .select(
         col("vec_id"),
@@ -256,13 +265,20 @@ object AnnPq {
     // Unrestricted: the (m, code)-keyed broadcast join fans every vector
     // out to every query (brute-force ADC). Restricted: the candidate
     // pairs arrive first, so the LUT join keys on (qid, m, code) and the
-    // fan-out is exactly the candidate set.
-    val adcJoined = candidates match {
-      case None => unpivot.join(broadcast(lut), Seq("m", "code"))
-      case Some(cand) =>
+    // fan-out is exactly the candidate set. Residual: the candidate pairs
+    // also carry the vector's LIST, and the LUT join adds it to the key —
+    // each list's codes score against the query SHIFTED BY that list's
+    // centroid, the FAISS IndexIVFPQ table discipline.
+    val adcJoined = (candidates, residualLut) match {
+      case (None, _) => unpivot.join(broadcast(lut), Seq("m", "code"))
+      case (Some(cand), None) =>
         unpivot
           .join(cand.select(col("qid"), col("vid").as("vec_id")), "vec_id")
           .join(broadcast(lut), Seq("qid", "m", "code"))
+      case (Some(cand), Some(rlut)) =>
+        unpivot
+          .join(cand.select(col("qid"), col("vid").as("vec_id"), col("cluster")), "vec_id")
+          .join(broadcast(rlut), Seq("qid", "cluster", "m", "code"))
     }
     val adc = adcJoined
       .filter(col("vec_id") =!= col("qid"))

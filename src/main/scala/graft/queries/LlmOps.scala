@@ -8600,9 +8600,12 @@ object LlmOps {
     * stored codes + shortlist re-rank, with the corpus encoded ONCE at
     * build (e27 re-encodes per search; the index never does — the e13/
     * e18 persisted-artifact discipline applied to the fused shape).
-    * Emission is e27's verdict surface; the lifecycle (append against
-    * frozen quantizers, partition pruning in the plan, parity with the
-    * in-plan fused search) is AnnIvfPqSpec territory. */
+    * r15: the index is built with RESIDUAL encoding (codes quantize
+    * x − c(list(x)), per-probed-list ADC tables at search — the FAISS
+    * IndexIVFPQ default), under the same recall gate. Emission is e27's
+    * verdict surface; the lifecycle (append against frozen quantizers,
+    * partition pruning in the plan, parity with the in-plan fused
+    * search, residual ≥ raw recall) is AnnIvfPqSpec territory. */
   val e28 = Q(
     "e28_ivf_pq_index",
     Some("""
@@ -8617,8 +8620,12 @@ object LlmOps {
     val queries = emb.filter(col("vec_id") < 10)
     val idx = scratchDir("e28_index", d) + "/ivfpq"
     buildSharedOnce(idx) {
+      // residual encoding (r15) — the FAISS IndexIVFPQ default: codes
+      // quantize x − c(list(x)); search shifts each query per probed
+      // list. Same recall gate, production encoding.
       graft.operators.AnnIvfPq.buildIndex(s, emb, idx, nlist = 16,
-        subspaces = pqSubspaces, subDim = pqSubDim, pqK = pqK, pqIters = pqIters)
+        subspaces = pqSubspaces, subDim = pqSubDim, pqK = pqK, pqIters = pqIters,
+        residual = true)
     }
     val approx = graft.operators.AnnIvfPq
       .searchIndex(s, idx, queries, k = 5, nprobe = 8)

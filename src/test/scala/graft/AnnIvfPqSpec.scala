@@ -180,4 +180,76 @@ class AnnIvfPqSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall $mean under the documented margin")
     Hygiene.release(spark)
   }
+
+  test("residual: a vector exactly on its centroid has the all-zero residual") {
+    import spark.implicits._
+    // dyadic centroid values are exact in BOTH float and double, so the
+    // subtraction must produce literal zero, not epsilon noise
+    val cent = Array.tabulate(8)(d => 0.25 * (d + 1) - 1.0) // doubles
+    // opposite direction, so the cosine assignment of both test vectors
+    // unambiguously lands on `cent`
+    val far = Array.fill(8)(-100.0)
+    val onCent = cent.map(_.toFloat)
+    val off = Array.tabulate(8)(d => (0.5 * d).toFloat)
+    val emb = Seq((0L, onCent), (1L, off)).toDF("vec_id", "embedding")
+    val got = AnnIvfPq.residualFrame(emb, Seq(cent, far))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    assert(got(0L).forall(_ == 0.0f),
+      s"a vector sitting on its centroid must encode the ZERO residual, got ${got(0L).toSeq}")
+    assert(got(1L).toSeq == off.zip(cent).map { case (a, b) => a - b.toFloat }.toSeq,
+      "off-centroid residuals are elementwise float subtraction")
+    Hygiene.release(spark)
+  }
+
+  test("residual index: recall >= raw encoding on a clustered corpus; appends stay in residual space") {
+    import spark.implicits._
+    // clustered corpus — where residual encoding earns its keep: the
+    // coarse centroid absorbs the inter-cluster spread, so the codebooks'
+    // whole bit budget covers within-cluster detail
+    def vec(g: Int, i: Int) = Array.tabulate(64) { d =>
+      val center = if (d / 16 == g) 4.0f else -1.0f
+      center + ((i * 13 + d * 7) % 21 - 10) * 0.02f
+    }
+    val rows = for (g <- 0 until 4; i <- 0 until 50) yield (g * 50L + i, vec(g, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 50 < 3) // 12 queries, 3 per cluster
+    val root = java.nio.file.Files.createTempDirectory("ivfpq-res").toString
+    AnnIvfPq.buildIndex(spark, emb, s"$root/raw", nlist = 4,
+      subspaces = 4, subDim = 16, pqK = 8)
+    AnnIvfPq.buildIndex(spark, emb, s"$root/res", nlist = 4,
+      subspaces = 4, subDim = 16, pqK = 8, residual = true)
+    def hits(path: String) = AnnIvfPq
+      .searchIndex(spark, path, q, k = 5, nprobe = 2, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = rows.map { case (id, v) => (id, v) }
+    val qids = all.filter(_._1 % 50 < 3).map(_._1)
+    val exact = qids.map { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      qid -> all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (v.zip(qv).map { case (a, b) => val x = (a - b).toDouble; x * x }.sum, vid)
+        }.sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    def meanRecall(got: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val (rawR, resR) = (meanRecall(hits(s"$root/raw")), meanRecall(hits(s"$root/res")))
+    assert(resR >= rawR,
+      s"residual encoding must not lose recall on a clustered corpus: residual=$resR raw=$rawR")
+    assert(resR >= 0.5, s"residual recall $resR below the gate band")
+    // append dispatches on the STORED flag: the new vector is encoded as
+    // a residual and immediately searchable at the right rank
+    val extra = Seq((999L, vec(2, 17))).toDF("vec_id", "embedding")
+    AnnIvfPq.appendIndex(spark, extra, s"$root/res")
+    val q999 = Seq((999L, vec(2, 17))).toDF("vec_id", "embedding")
+    val post = AnnIvfPq.searchIndex(spark, s"$root/res", q999, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(post.nonEmpty && post.forall { case (qid, vid) => qid == 999L && vid != 999L },
+      "an appended vector must search against the corpus without matching itself")
+    Hygiene.release(spark)
+  }
 }
