@@ -39,6 +39,19 @@ object GraftSession {
       .config("spark.dynamicAllocation.maxExecutors", maxExecutors.toString)
       .config("spark.dynamicAllocation.executorIdleTimeout", s"${idleTimeoutSec}s")
 
+  /** AQE's partition coalescing targets BYTES (parallelismFirst floors a
+    * post-shuffle partition at minPartitionSize = 1 MB), which is the
+    * wrong proxy for the compute-dense kernels this engine runs: an
+    * all-pairs cosine block or an edit-distance candidate partition
+    * carries kilobytes of ids but seconds of per-row kernel work, and the
+    * 1 MB floor squeezed e02's 6.7 CPU-seconds into 3 tasks (measured,
+    * r15). 64 KB keeps those stages at full parallelism while staying
+    * inert at production scale, where post-shuffle partitions sit near
+    * advisoryPartitionSizeInBytes (MBs+) and never touch the floor.
+    * Env-overridable for deployments whose shuffles are byte-bound. */
+  private def minPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+
   private def common(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
@@ -46,6 +59,7 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPartitionSize)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
