@@ -37,9 +37,16 @@ object Profile {
       val wall = (for {
         s <- si.submissionTime; e <- si.completionTime
       } yield e - s).getOrElse(-1L)
+      // first graft-owned frame in the callsite: the code line this stage
+      // belongs to (the AQE future name alone is useless for attribution)
+      val site = si.details.linesIterator
+        .find(l => l.contains("graft.") && !l.contains("Profile"))
+        .getOrElse("").trim.take(80)
+      val extra = f"deser=${m.executorDeserializeTime} gc=${m.jvmGCTime} " +
+        f"cpuMs=${m.executorCpuTime / 1000000} fetchWait=${m.shuffleReadMetrics.fetchWaitTime}"
       stages += StageRow(
         si.stageId,
-        si.name.takeWhile(_ != '\n').take(90),
+        (extra + " @ " + site + " " + si.name.takeWhile(_ != '\n')).take(150),
         si.numTasks,
         wall,
         m.executorRunTime,

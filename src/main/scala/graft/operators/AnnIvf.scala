@@ -82,18 +82,26 @@ object AnnIvf {
     // index past the end
     val k = seeds.length
     require(k > 0, "cannot build IVF centroids over an empty corpus")
-    // one Lloyd step: assign all vectors, take per-cluster per-dim means
+    // one Lloyd step: assign all vectors, take per-cluster per-dim means.
+    // The (cluster, pos, mean) rows are nlist x dim — metadata — so the
+    // per-cluster arrays are assembled ON THE DRIVER from the collected
+    // rows: the old second groupBy (collect_list + array_sort) existed
+    // only to do that assembly distributed, costing one more exchange +
+    // adaptive stage per index fit, and this fit runs in ~12 queries.
+    // The mean arithmetic (first aggregation) is byte-identical.
     val assigned = emb.withColumn("cluster", nearestCentroidCol(seeds))
     val refined = assigned
       .select(col("cluster"), posexplode(col("embedding")))
       .groupBy("cluster", "pos")
       .agg(avg(col("col")).as("m"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-      .select(col("cluster"), col("dims.m").as("centroid"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
       .toMap
+      .groupBy(_._1._1)
+      .map { case (c, m) =>
+        val dims = m.map { case ((_, pos), v) => pos -> v }
+        c -> Array.tabulate(dims.size)(dims(_))
+      }
     // a cluster can lose all members in the Lloyd step; keep its seed
     (0 until k).map(i => refined.getOrElse(i, seeds(i)))
   }

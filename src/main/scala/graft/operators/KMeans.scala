@@ -160,26 +160,40 @@ object KMeans {
       .toIndexedSeq
     require(seeds.nonEmpty, "cannot fit k-means on an empty corpus")
     val dims = math.max(seeds.head.length, 1)
-    val maxAbs = fp
-      .select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
-      .head()
-      .getLong(0)
     val bound = math.sqrt(Long.MaxValue.toDouble / dims.toDouble) / 2
-    require(
+    def checkBound(maxAbs: Long): Unit = require(
       maxAbs.toDouble <= bound,
       s"fixed-point components reach |$maxAbs|, past the exact-arithmetic " +
         s"bound $bound for dims=$dims: squared distances would wrap"
     )
+    // iters == 0 ships the seeds as the model but downstream assignment
+    // still squares distances — the bound check needs its own pass only
+    // on this degenerate path; the iterating path folds it into the
+    // first Lloyd aggregation below (one full corpus pass saved per fit,
+    // and this operator is fitted ~15x across the suite: e10/e13 run 4
+    // subspace fits each). A wrap is still surfaced BEFORE any result
+    // leaves fit(): the first pass's sums are discarded by the throw.
+    if (iters == 0)
+      checkBound(
+        fp.select(max(expr("aggregate(x, 0L, (m, v) -> greatest(m, abs(v)))")).as("m"))
+          .head()
+          .getLong(0))
     var model = Model(seeds.length, seeds)
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       // one corpus pass: compiled assignment, then per-(cluster, dim)
-      // exact long sums — k x dims rows back to the driver (metadata)
-      val sums = fp
+      // exact long sums — k x dims rows back to the driver (metadata).
+      // The first pass also carries the per-(cluster, dim) max |component|
+      // (its global max IS the corpus max — grouping cannot lose a row),
+      // so the overflow gate costs no extra pass.
+      val rows = fp
         .withColumn("c", element_at(assignPairCol(model), 1).cast("int"))
         .select(col("c"), posexplode(col("x")))
         .groupBy("c", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"),
+          max(abs(col("col"))).as("ma"))
         .collect()
+      if (it == 0) checkBound(rows.map(_.getLong(4)).foldLeft(0L)(math.max))
+      val sums = rows
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
       val next = model.centroids.zipWithIndex.map { case (old, c) =>
