@@ -53,7 +53,7 @@ object AnnLsh {
         .map { b =>
           // sign of the dot = sign of the cosine; the compiled kernel
           // keeps this a single tight loop per (row, plane).
-          when(expr(s"cosine_similarity(embedding, ${planeSql(ps(t)(b))})") > 0, lit(1 << b))
+          when(planeCosine(ps(t)(b)) > 0, lit(1 << b))
             .otherwise(lit(0))
         }
         .reduce(_ + _)
@@ -70,8 +70,16 @@ object AnnLsh {
       .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
   }
 
-  private def planeSql(p: Array[Float]): String =
-    p.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+  /** One plane's cosine as a kernel call with the plane as a SINGLE
+    * array literal. The old spelling rendered every component as a
+    * `CAST(<v> AS FLOAT)` SQL fragment and re-PARSED it through expr():
+    * 64-element planes x 32 (table, bit) pairs put ~2k cast nodes per
+    * query through the parser and analyzer — measured as ~2s of
+    * driver-side time on e04 against 1.1s of actual stage work. typedLit
+    * builds the identical float values (Float.toString round-trips) as
+    * one Literal node each, no parser involved. */
+  private def planeCosine(p: Array[Float]): Column =
+    call_function("cosine_similarity", col("embedding"), typedLit[Seq[Float]](p.toSeq))
 
   /** Multi-probe bucket assignment for the QUERY side: per (row, table),
     * `nprobe` bucket values — the row's own bucket first, then the
@@ -102,9 +110,7 @@ object AnnLsh {
     val ps = planes(dim, tables, bitsPerTable, seed)
     val nFlips = nprobe - 1
     val tableCols: Seq[Column] = (0 until tables).map { t =>
-      val dots = (0 until bitsPerTable).map { b =>
-        expr(s"cosine_similarity(embedding, ${planeSql(ps(t)(b))})")
-      }
+      val dots = (0 until bitsPerTable).map { b => planeCosine(ps(t)(b)) }
       val bucket: Column = dots.zipWithIndex
         .map { case (d, b) => when(d > 0, lit(1 << b)).otherwise(lit(0)) }
         .reduce(_ + _)
