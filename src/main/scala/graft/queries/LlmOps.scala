@@ -3098,21 +3098,32 @@ object LlmOps {
     * (vec_id, cluster); the count column is caller-named so each query's
     * oracle keeps its vocabulary. */
   private[graft] def balanceByCluster(lab: DataFrame, salt: String, nName: String): DataFrame = {
-    val counts = lab.groupBy("cluster").agg(count(lit(1)).as(nName))
-    val mMin = counts.agg(min(col(nName)).as("m"))
+    val s = lab.sparkSession
+    import s.implicits._
     // 9-digit scheme (functions.Sampling.thresholdHex's fix): the m == n
     // smallest cluster gets threshold "100000000" (= 2^32, one digit
     // wider than any "0"-prefixed 8-digit hash bucket), so it keeps ALL
     // its rows — an 8-digit threshold clamped to "ffffffff" under a
     // strict < would drop the ~1-in-4e9 row whose bucket is exactly
     // "ffffffff", which at corpus scale is a real row.
-    val th = counts
-      .crossJoin(broadcast(mMin))
-      .select(
-        col("cluster"),
-        col(nName),
-        format_string("%09x", expr(s"(m * 4294967296L) div $nName")).as("th")
-      )
+    //
+    // The count table is CLUSTER-cardinality (metadata); min + threshold
+    // are exact integer arithmetic over it, so both are computed on the
+    // driver from one collect — Long math is the same `div` semantics
+    // (counts are non-negative; m * 2^32 fits: m < 2^31 rows per the
+    // kmeans corpus bound) — replacing the old min-aggregate +
+    // crossJoin(broadcast) + format_string sub-DAG (two aggregation
+    // stages and a broadcast chain that the final join re-expanded).
+    val countRows = lab.groupBy("cluster").agg(count(lit(1)).as(nName)).collect()
+    // empty label frame (degenerate corpus): empty thresholds, empty
+    // output — the same rows the old all-in-plan form produced
+    val m = if (countRows.isEmpty) 0L else countRows.map(_.getLong(1)).min
+    val th = countRows.toSeq
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0), n, f"${(BigInt(m) * 4294967296L / n).toLong}%09x")
+      }
+      .toDF("cluster", nName, "th")
     val kept = lab
       .join(broadcast(th.select("cluster", "th")), "cluster")
       .filter(
@@ -3179,6 +3190,17 @@ object LlmOps {
   private def pqModel(s: SparkSession, emb: DataFrame): graft.operators.AnnPq.Model =
     graft.operators.AnnPq.fit(s, emb, pqSubspaces, pqSubDim, pqK, pqIters)
 
+  /** [[pqModel]] as a per-dataset shared ARTIFACT (integer-exact fit ⇒
+    * bit-identical every time; save/load round-trips exactly): e13 and
+    * e12 both consume the trained codebook — the build-once/search-many
+    * production split — while e10 keeps the in-plan fit it declares. */
+  private def pqModelShared(
+      s: SparkSession, d: String, emb: DataFrame): graft.operators.AnnPq.Model = {
+    val dir = scratchDir("pq_model", d)
+    buildSharedOnce(dir) { graft.operators.AnnPq.save(s, pqModel(s, emb), dir) }
+    graft.operators.AnnPq.load(s, dir)
+  }
+
   /** e10 THROUGH THE PERSISTED CODEBOOK: fit the PQ model, write it to
     * parquet (AnnPq.save), reload it, and encode the corpus from the
     * loaded artifact — under e10's own oracle, so CORRECTNESS proves the
@@ -3188,14 +3210,12 @@ object LlmOps {
     * artifacts; re-fitting per batch would silently re-code the corpus. */
   val e13 = Q("e13_pq_codes_persisted", e10.oracle) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val dir = scratchDir("e13", d)
     // deterministic per-dataset codebook (integer-exact subspace k-means)
-    // — trained+saved once under the shared latch, the train-once/
-    // code-forever cadence this query's scaladoc declares; per run stays
-    // the operator under test: load + code the corpus from the artifact.
-    buildSharedOnce(dir) { graft.operators.AnnPq.save(s, pqModel(s, emb), dir) }
+    // — trained+saved once under the shared latch (pqModelShared), the
+    // train-once/code-forever cadence this query's scaladoc declares;
+    // per run stays the operator under test: load + code the corpus.
     graft.operators.AnnPq
-      .codes(s, emb, graft.operators.AnnPq.load(s, dir))
+      .codes(s, emb, pqModelShared(s, d, emb))
       .orderBy("vec_id")
   }
 
@@ -3297,15 +3317,29 @@ object LlmOps {
         .otherwise(col("x.embedding")).as("eb")
     )
     val threshold = 0.35 - 1e-6 // prefilter margin >> fp error (e02 contract)
-    coldPairs
+    // The prefilter join emits survivor IDS only — the d12 discipline,
+    // and load-bearing here too: with the exact-decimal rescore
+    // expressible over the pair join's own output columns, Catalyst
+    // merged its filter INTO the join conditions, where the interpreted
+    // decimal zip_with/aggregate ran on EVERY within-cluster candidate
+    // pair before the compiled prefilter could veto it (measured: two
+    // ~1.3 s single-task stages inside d10 at sf0.1). With ids-only
+    // output the rescore needs columns the join doesn't carry, so it
+    // structurally cannot sink below the survivor set; embeddings
+    // re-attach through equi-joins on the (tiny) survivor frame.
+    val candIds = coldPairs
       .unionByName(hotPairs)
       .filter(expr("cosine_similarity(ea, eb)") >= threshold)
+      .select(col("cluster"), col("va"), col("vb"))
+    candIds
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("rea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("reb")), "vb")
       .select(
         col("cluster"),
         col("va"),
         col("vb"),
-        // cosine is symmetric: ea/eb orientation never affects the value
-        exactCosine(col("ea"), col("eb"))
+        // cosine is symmetric: orientation never affects the value
+        exactCosine(col("rea"), col("reb"))
           .as("cosine")
       )
       .filter(col("cosine") >= 0.35)
@@ -3338,13 +3372,18 @@ object LlmOps {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < 10)
-    // THE codebook e10 ships (shared pqModel), searched by the operator
+    // THE codebook e10 ships — loaded from the per-dataset artifact
+    // (pqModelShared: the fit is integer-exact, so the loaded model is
+    // bit-identical to an in-plan fit); what runs per pass is the
+    // operator under test, the ADC shortlist + exact re-rank.
     val approx = AnnPq
-      .topK(s, emb, queries, pqModel(s, emb), k = 5) // shortlist auto: max(100, corpus/10)
+      .topK(s, emb, queries, pqModelShared(s, d, emb), k = 5) // shortlist auto: max(100, corpus/10)
       .select("qid", "vid")
     // floor 0.2 = every query keeps >= 1 true neighbor through the
-    // 4x16 ADC shortlist + re-rank (per-qid minimum at the oracle tier)
-    recallGate(exactIntL2TopK(s, emb, k = 5), approx, 0.4, floor = 0.2)
+    // 4x16 ADC shortlist + re-rank (per-qid minimum at the oracle tier).
+    // Exact side from the shared artifact (deterministic integer L2 —
+    // the e27/e28 exactIntL2Shared discipline).
+    recallGate(exactIntL2Shared(s, d, emb), approx, 0.4, floor = 0.2)
   }
 
   /** The exact integer-L2 top-k baseline both L2-ranked gates (e12 PQ,
@@ -5054,31 +5093,38 @@ object LlmOps {
       )
       .withColumn("bucket", expr("((grank - 1) * 3) div gn").cast("int"))
       .select("source", "bucket", "doc_id", "n_tokens", "mh")
-    // stage 3: √n temperature allocation over the (source, bucket) cells
-    val counts = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
-    val weights = counts.withColumn(
-      "w",
-      floor(sqrt(col("n_docs").cast("double") * lit(1099511627776.0))).cast("long")
-    )
-    val g = weights.agg(sum(col("w")).as("ww"), expr("sum(n_docs) div 2").as("m"))
-    // The two products are computed in DECIMAL so they cannot wrap at
-    // scale: m and w are each < 2^63, so m*w < 2^126 ≈ 8.5e37, which
-    // DECIMAL(38,0) holds exactly (Spark non-ANSI int64 would wrap
-    // SILENTLY past ~1e9 total docs while the DuckDB oracle raises —
-    // the worst kind of cross-engine divergence). Both quotients are
-    // bounded back into int64 by construction (n_target <= m,
-    // threshold < 2^32), so the OUTPUT columns stay BIGINT.
-    val th = weights
-      .crossJoin(broadcast(g))
-      .withColumn(
-        "n_target",
-        expr("(CAST(m AS DECIMAL(20,0)) * CAST(w AS DECIMAL(20,0))) div ww"))
-      .withColumn("n_keep", least(col("n_target"), col("n_docs")))
-      .withColumn(
-        "th",
-        format_string(
-          "%09x",
-          expr("(CAST(n_keep AS DECIMAL(20,0)) * CAST(4294967296 AS DECIMAL(12,0))) div n_docs")))
+    // stage 3: √n temperature allocation over the (source, bucket) cells.
+    // The cell-count table is (source × bucket)-cardinality — metadata —
+    // and every downstream number (√n weight, Σw, M, target, threshold)
+    // is deterministic arithmetic over it, so the whole allocation is
+    // computed ON THE DRIVER from one collect and re-enters the plan as
+    // a literal dimension frame. This replaces the weights→global-agg→
+    // crossJoin(broadcast) sub-DAG, whose threshold subtree the final
+    // join re-expanded three times (measured: 15 re-scans of the ranked
+    // checkpoint in the old physical plan). Arithmetic is kept exact and
+    // IEEE-identical to the old in-plan exprs: n·2^40 is an exact double
+    // product, sqrt/floor are correctly rounded, and the m·w / n_keep·2^32
+    // products run in BigInt — the DECIMAL(38,0) widening's exact
+    // equivalent (int64 would wrap past ~1e9 total docs; BigInt, like
+    // the oracle's HUGEINT, cannot).
+    val cellRows = bucketed
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    def wOf(n: Long): Long =
+      math.floor(math.sqrt(n.toDouble * 1099511627776.0)).toLong
+    val ww = cellRows.map(c => BigInt(wOf(c._3))).sum
+    val mTotal = cellRows.map(_._3).sum / 2
+    val th = { // (source, bucket, n_docs, n_target, th)
+      val sess = docs.sparkSession
+      import sess.implicits._
+      cellRows.toSeq
+        .map { case (src, b, n) =>
+          val nTarget = (BigInt(mTotal) * wOf(n) / ww).toLong
+          val nKeep = math.min(nTarget, n)
+          (src, b, n, nTarget, f"${(BigInt(nKeep) * 4294967296L / n).toLong}%09x")
+        }
+        .toDF("source", "bucket", "n_docs", "n_target", "th")
+    }
     val kept = bucketed
       .join(broadcast(th.select("source", "bucket", "th")), Seq("source", "bucket"))
       .filter(col("mh") < col("th"))
