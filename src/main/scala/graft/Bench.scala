@@ -60,10 +60,18 @@ import org.apache.spark.sql.SparkSession
   * stdout, and full query names (~25 chars/entry x 80+ queries) overflow
   * that, truncating the head of the map (r3/r4 lost d01-d10). The stdout
   * map is therefore keyed by each query's unique id prefix ("q01", "d05",
-  * "e10" — the token before the first underscore), which keeps the whole
-  * line around 1 KB at any realistic query count. The full-name table
-  * (warm + cold, 3 decimals) is written to bench_full.json in the working
-  * directory; BASELINE.md carries the committed per-query reference table.
+  * "e10" — the token before the first underscore). r16: at 167 queries
+  * even the id-keyed map at 3 decimals plus the drift-telemetry fields
+  * overflowed the window (the r14 AND r15 driver tails both cut the
+  * line's opening brace — PERF came back empty two rounds running), so
+  * the stdout line now carries ONLY the driver contract — metric / value
+  * / unit / queries / failed / sf — with per-query values at 2 significant
+  * decimals ([[jshort]]; worst case 167 x 11 chars + fixed fields = 1916
+  * chars, under the window even before trailing-zero stripping). All
+  * telemetry (cold totals, drift adjudication, contended marker, load)
+  * stays in bench_full.json, which also keeps the full-precision
+  * (3-decimal) warm/cold per full query name; BASELINE.md carries the
+  * committed per-query reference table.
   */
 object Bench {
   /** Locale-fixed decimal rendering for the JSON outputs: the f""
@@ -72,6 +80,35 @@ object Bench {
     * (and any consumer) fails to parse. */
   private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Compact per-query seconds for the size-capped stdout line: 2 decimals
+    * under 1 s, 1 decimal under 10 s, integral above (≤ ±5% rounding —
+    * well inside run-to-run noise), trailing zeros and dot stripped.
+    * Bounded at 4 chars for any non-negative value < 100 s, which is what
+    * keeps the whole 167-entry line under the driver's 2000-char stdout
+    * window (see the Output-budget note above). Full 3-decimal values
+    * stay in bench_full.json. */
+  private[graft] def jshort(v: Double): String = {
+    val s =
+      if (v < 0) "-1"
+      else if (v < 0.995) String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      else if (v < 9.95) String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      else String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty) "0" else t
+    } else s
+  }
+
+  /** Numeric scale factor parsed from the data dir name ("/x/sf0.1" →
+    * "0.1") for the stdout line; falls back to the quoted path when the
+    * dir is not sf-named. 8 chars instead of 29 — every byte of the
+    * 2000-char window counts. */
+  private[graft] def jsf(sfDir: String): String =
+    "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir) match {
+      case Some(m) => m.group(1)
+      case None    => "\"" + sfDir + "\""
+    }
 
   /** One committed reference row: warm/cold wall seconds plus (r12)
     * optional process-CPU seconds for each leg — the own-work signal the
@@ -396,7 +433,7 @@ object Bench {
     val adjudicated = adjudicate(firstPass, recheck, refs, captureLoad1Max)
     val results = adjudicated.map(_.r)
     val qs = results
-      .map(r => "\"" + r.name.takeWhile(_ != '_') + "\":" + jnum(r.warm))
+      .map(r => "\"" + r.name.takeWhile(_ != '_') + "\":" + jshort(r.warm))
       .mkString("{", ",", "}")
     val ok = results.filter(_.ok)
     val total = ok.map(_.warm).sum
@@ -456,8 +493,14 @@ object Bench {
           .getBytes("UTF-8")
       )
     }
+    // Driver-contract line ONLY (metric/value/unit/queries/failed/sf):
+    // every other field lives in bench_full.json. The r14/r15 driver
+    // tails (2000 chars) both cut this line's opening brace because the
+    // telemetry fields + 3-decimal values pushed it to ~3.5 KB — two
+    // rounds of empty PERF comparisons. Do not add fields here without
+    // re-doing the worst-case size math in the header comment.
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"cold_value":${jnum(coldTotal)},"failed":$failed,"drift_flags":$driftFlags,"drift_unconfirmed":$driftUnconfirmed,"drift_needs_rerun":$driftNeedsRerun,"cold_drift_flags":$coldDriftFlags,"cold_drift_unconfirmed":$coldDriftUnconfirmed,"cold_drift_needs_rerun":$coldDriftNeedsRerun,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${jsf(sfDir)}}"""
     )
     spark.stop()
   }

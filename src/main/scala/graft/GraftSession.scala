@@ -39,18 +39,20 @@ object GraftSession {
       .config("spark.dynamicAllocation.maxExecutors", maxExecutors.toString)
       .config("spark.dynamicAllocation.executorIdleTimeout", s"${idleTimeoutSec}s")
 
-  /** AQE's partition coalescing targets BYTES (parallelismFirst floors a
-    * post-shuffle partition at minPartitionSize = 1 MB), which is the
-    * wrong proxy for the compute-dense kernels this engine runs: an
-    * all-pairs cosine block or an edit-distance candidate partition
-    * carries kilobytes of ids but seconds of per-row kernel work, and the
-    * 1 MB floor squeezed e02's 6.7 CPU-seconds into 3 tasks (measured,
-    * r15). 64 KB keeps those stages at full parallelism while staying
-    * inert at production scale, where post-shuffle partitions sit near
-    * advisoryPartitionSizeInBytes (MBs+) and never touch the floor.
-    * Env-overridable for deployments whose shuffles are byte-bound. */
+  /** AQE partition-coalescing floor — back at Spark's 1 MB default
+    * (r16). r15 dropped it to 64 KB session-globally because AQE's
+    * byte-proxy coalescing squeezed the compute-dense pair kernels
+    * (e02: 6.7 CPU-seconds in 3 tasks), but the r16 full-suite per-query
+    * A/B (64 KB vs 1 MB, plus an ABA subset recheck) showed the global
+    * change was a wash-to-loss everywhere EXCEPT those kernels — the only
+    * reproducible beneficiaries were the all-pairs cosine paths (e02,
+    * d10). Those now pin their own parallelism at the PLAN level
+    * (repartition-by-num join inputs, exempt from coalescing by contract
+    * — see LlmOps.triangleSelfJoin), which is scale-correct in any
+    * deployment, so the session keeps the stock byte floor. Env override
+    * retained for byte-bound deployments that want a different floor. */
   private def minPartitionSize: String =
-    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+    sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m")
 
   private def common(appName: String): SparkSession.Builder =
     SparkSession

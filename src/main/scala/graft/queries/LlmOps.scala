@@ -2528,7 +2528,24 @@ object LlmOps {
     * `keys` scopes the pairing: rows only meet when all key columns match
     * (the join runs on keys ++ (ba, bb)), giving per-group triangle
     * blocking — d10 uses keys = Seq("cluster") to spread a pathologically
-    * hot k-means cluster over B(B+1)/2 reducers instead of one. */
+    * hot k-means cluster over B(B+1)/2 reducers instead of one.
+    *
+    * PARALLELISM IS PINNED, NOT LEFT TO AQE (r16): the pair join's inputs
+    * carry kilobytes of ids per seconds of downstream kernel work (the
+    * cosine/rescore filter runs INSIDE the join stage), so AQE's
+    * byte-proxy coalescing is structurally wrong here — at any
+    * minPartitionSize floor it merges the compute-dense partitions the
+    * blocking just spread (measured r15: e02's 6.7 CPU-seconds squeezed
+    * into 3 tasks at the default 1 MB floor; r15 papered over it with a
+    * session-global 64 KB floor that the r16 full-suite A/B showed to be
+    * a wash-to-regression for every byte-bound query). Both sides are
+    * therefore repartition(n, joinKeys)-pinned: REPARTITION_BY_NUM
+    * shuffles are exempt from AQE coalescing by contract, the join reuses
+    * them (same keys, same n — no extra exchange; verified in
+    * plans/r16/e02_*), and n = spark.sql.shuffle.partitions is exactly
+    * the pre-coalesce width every other exchange starts from, so at
+    * production scale — where these partitions are byte-heavy anyway —
+    * the plan is the one AQE would have produced. */
   private[graft] def triangleSelfJoin(
       s: SparkSession,
       df: DataFrame,
@@ -2549,9 +2566,11 @@ object LlmOps {
         .join(broadcast(blockPairs), col("__blk") === col(blockCol))
         .select(struct(cols.map(col): _*).as(name) +:
           (keys.map(col) :+ col("ba") :+ col("bb")): _*)
-    val x = side("x", "ba")
-    val y = side("y", "bb")
-    x.join(y, keys ++ Seq("ba", "bb"))
+    val joinKeys = keys ++ Seq("ba", "bb")
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val x = side("x", "ba").repartition(n, joinKeys.map(col): _*)
+    val y = side("y", "bb").repartition(n, joinKeys.map(col): _*)
+    x.join(y, joinKeys)
       .filter(col("ba") =!= col("bb") || col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col("x"), col("y"))
   }
@@ -3286,10 +3305,18 @@ object LlmOps {
     val tagged = ea.join(broadcast(sizes), "cluster")
     val cold = tagged.filter(col("__csize") <= hotThreshold)
     val hot = tagged.filter(col("__csize") > hotThreshold)
+    // parallelism pinned for the same reason as triangleSelfJoin (whose
+    // doc has the full argument): the cosine prefilter runs inside this
+    // join's stage over C(cluster,2) candidates while the join inputs are
+    // KBs of ids+vectors — AQE's byte floor would merge the partitions
+    // the cluster key spreads. REPARTITION_BY_NUM is coalesce-exempt and
+    // the join reuses both exchanges (same key, same n).
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val coldPairs = cold
+      .repartition(nParts, col("cluster"))
       .as("a")
       .join(
-        cold.as("b"),
+        cold.repartition(nParts, col("cluster")).as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
       )
       .select(

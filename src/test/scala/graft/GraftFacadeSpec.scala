@@ -286,6 +286,33 @@ class GraftFacadeSpec extends AnyFunSuite {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       assert(Bench.jnum(1.5) == "1.500")
       assert(Bench.jnum(-0.1234) == "-0.123")
+      // the compact stdout renderer is locale-pinned too
+      assert(Bench.jshort(0.523) == "0.52")
     } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("compact stdout line values stay within the 2000-char driver window") {
+    // r14/r15: the driver's 2000-char stdout tail cut the bench line's
+    // opening brace and PERF came back empty — jshort bounds every
+    // non-negative sub-100s value at 4 chars so the worst-case 167-entry
+    // line (1916 chars with the fixed fields) fits the window.
+    assert(Bench.jshort(0.523) == "0.52")
+    assert(Bench.jshort(0.5) == "0.5")     // trailing zero stripped
+    assert(Bench.jshort(1.449) == "1.4")
+    assert(Bench.jshort(1.96) == "2")      // rounds up, dot stripped
+    assert(Bench.jshort(0.996) == "1")     // band boundary: never "1.0"/"0.100"-style 5-char renders
+    assert(Bench.jshort(9.96) == "10")
+    assert(Bench.jshort(12.34) == "12")
+    assert(Bench.jshort(0.004) == "0")
+    assert(Bench.jshort(0.0) == "0")
+    assert(Bench.jshort(-1.0) == "-1")     // failed-query sentinel
+    for (v <- Seq(0.001, 0.09, 0.994, 0.995, 1.0, 9.94, 9.95, 42.0, 99.4))
+      assert(Bench.jshort(v).length <= 4, s"jshort($v) = ${Bench.jshort(v)}")
+    // parseable as JSON numbers (no bare dots, no empty strings)
+    for (v <- Seq(0.0, 0.1, 0.995, 1.0, 10.0))
+      assert(Bench.jshort(v).matches("-?[0-9]+(\\.[0-9]+)?"))
+    assert(Bench.jsf("/root/testdata/sf0.1") == "0.1")
+    assert(Bench.jsf("/root/testdata/sf1") == "1")
+    assert(Bench.jsf("/data/custom") == "\"/data/custom\"")
   }
 }
