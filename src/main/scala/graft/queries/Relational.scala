@@ -1819,15 +1819,51 @@ object Relational {
     * are exact integers; support/confidence/lift are IEEE divisions in
     * a fixed evaluation order, bit-identical across engines. */
   def basketLift(baskets: DataFrame, topK: Int = 20): DataFrame = {
-    val bp = baskets.select(col("basket"), col("item")).distinct()
-    val n = bp.select(col("basket")).distinct().agg(count(lit(1)).as("n_baskets"))
-    val ic = bp.groupBy("item").agg(count(lit(1)).as("c"))
-    val pairs = bp.as("a")
-      .join(bp.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // r16 restructure, measured against the old bp-self-join shape whose
+    // profile showed the SAME distinct subtree computed once per consumer
+    // (self-join attribute dedup defeats exchange reuse — two full
+    // scan+distinct chains plus a 600k-row broadcast build): ONE shuffle
+    // (groupBy basket) replaces distinct + self-join + two count dims.
+    // collect_set dedupes (basket, item) exactly like the old
+    // `.distinct()`; sort_array makes the set strictly increasing, so
+    // index-ordered pairs ARE the `a.item < b.item` pairs; ic and
+    // n_baskets re-derive from the same materialized lists. The pair
+    // explosion is per-basket C(n,2) exactly as before — enumerated by
+    // index arithmetic in codegen (the explodedShingles discipline)
+    // instead of a hash-join probe. localCheckpoint materializes the
+    // basket lists once for the three consumers (pairs, ic, n); at 100 TB
+    // swap for a materialized intermediate, same shape (the t30 note).
+    val lists = baskets
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(true)
+    val n = lists.agg(count(lit(1)).as("n_baskets"))
+    val ic = lists
+      .select(explode(col("items")).as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("c"))
+    val pairs = lists
+      .select(posexplode(col("items")).as(Seq("i", "item_a")), col("items"))
+      // successors of position i (0-based) live at 1-based slice start
+      // i+2; an empty tail explodes to zero rows (last element, size-1
+      // length 0), which is exactly C(1,2) = 0
+      .select(
+        col("item_a"),
+        explode(slice(col("items"), col("i") + 2, size(col("items")) - col("i") - 1))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
-    pairs
+    // Top-k FIRST, metrics after: the ic/n joins are 1:1 by construction
+    // (ic is a groupBy("item") result — exactly one row per item; n is a
+    // single global row), so taking the top-k pairs on the FINAL sort key
+    // (n_ab desc, item_a, item_b) before those joins selects exactly the
+    // rows the old plan kept — but the metric joins + double math now run
+    // over k rows instead of every distinct pair (corpus-squared-ish at
+    // scale; the limit could not push below the joins on its own).
+    val top = pairs
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+    top
       .join(ic.select(col("item").as("item_a"), col("c").as("c_a")), "item_a")
       .join(ic.select(col("item").as("item_b"), col("c").as("c_b")), "item_b")
       .crossJoin(broadcast(n))
@@ -1838,7 +1874,6 @@ object Relational {
         (col("n_ab").cast("double") * col("n_baskets") / (col("c_a") * col("c_b")))
           .as("lift"))
       .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
-      .limit(topK)
   }
 
   val q51 = Q(
