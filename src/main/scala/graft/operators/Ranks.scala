@@ -50,24 +50,44 @@ object Ranks {
         row_number().over(Window.partitionBy(col("pid"), col(grp)).orderBy(orderKeys: _*))
       )
       .localCheckpoint(true)
-    val counts = ranked.groupBy(col("pid"), col(grp)).agg(count(lit(1)).as("c"))
-    val offs = counts
-      .withColumn(
-        "off",
-        coalesce(
-          sum(col("c")).over(
-            Window
-              .partitionBy(grp)
-              .orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)
-          ),
-          lit(0L)
-        )
-      )
-    val totals = counts.groupBy(col(grp)).agg(sum(col("c")).as("gn"))
+    // The per-(pid, grp) count table is metadata (≤ numParts · #groups
+    // rows) and the offsets/group-totals over it are exact integer
+    // arithmetic — so they are computed ON THE DRIVER from one collect
+    // over the checkpoint and re-enter the plan as a single literal
+    // broadcast dim (r16, the t30 driver-side-threshold discipline).
+    // The old in-plan spelling paid a window + a second groupBy + two
+    // broadcast exchanges for the same numbers: off = Σ c over smaller
+    // pids within the group (the exclusive prefix sum the window
+    // computed), gn = Σ c over the group. Longs cannot wrap here — they
+    // are row counts.
+    val cnts = ranked.groupBy(col("pid"), col(grp)).agg(count(lit(1)).as("c")).collect()
+    val dimRows: Seq[org.apache.spark.sql.Row] = cnts
+      .groupBy(_.get(1))
+      .toSeq
+      .flatMap { case (_, rs) =>
+        val inPidOrder = rs.sortBy(_.getInt(0))
+        val gn = inPidOrder.map(_.getLong(2)).sum
+        var off = 0L
+        inPidOrder.map { r =>
+          val row = org.apache.spark.sql.Row(r.getInt(0), r.get(1), off, gn)
+          off += r.getLong(2)
+          row
+        }.toSeq
+      }
+    val dim = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(dimRows).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        ranked.schema(grp),
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("gn",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      ))
+    )
     ranked
-      .join(broadcast(offs.select(col("pid"), col(grp), col("off"))), Seq("pid", grp))
-      .join(broadcast(totals), Seq(grp))
+      .join(broadcast(dim), Seq("pid", grp))
       .withColumn("grank", col("off") + col("rn"))
       .drop("pid", "rn", "off")
   }
